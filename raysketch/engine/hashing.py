@@ -1,0 +1,71 @@
+"""Deterministic vectorized hashing for the engine.
+
+- ``hash64_batch`` — 64-bit hashes of a string/bytes/numeric column, used by
+  HLL / Bloom / MinHash. Implemented with ``pandas.util.hash_pandas_object``
+  (public pandas API: vectorized SipHash-like keyed hash with a FIXED key,
+  deterministic across processes and machines — safe for retried Ray tasks,
+  unlike Python's per-process-salted ``hash``).
+- ``sha256_batch`` — hex sha256 per row (hashlib, C speed). This is the
+  end-to-end per-row invariant column mandated by BASELINE.json
+  (``content_sha256``).
+- ``splitmix64`` — cheap vectorized remix to derive independent hash
+  families from one base hash (Steele, Lea, Flood 2014 mixing constants).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+_HASH_KEY = "raysketch-determin"[:16]  # fixed 16-byte key → stable across runs
+
+
+def _as_series(values: Any) -> pd.Series:
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            return values.to_pandas()
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(values, pd.Series):
+        return values
+    return pd.Series(values)
+
+
+def hash64_batch(values: Any) -> np.ndarray:
+    """Deterministic uint64 hash of each element (nulls dropped)."""
+    s = _as_series(values)
+    s = s.dropna()
+    if s.empty:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
+
+
+def splitmix64(h: np.ndarray) -> np.ndarray:
+    """One splitmix64 finalization round — derives an independent family."""
+    z = np.asarray(h, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def sha256_batch(values: Any) -> list[str]:
+    """Hex sha256 of each string/bytes element (None → None)."""
+    s = _as_series(values)
+    out: list[str | None] = []
+    for v in s:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out.append(None)
+            continue
+        data = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        out.append(hashlib.sha256(data).hexdigest())
+    return out

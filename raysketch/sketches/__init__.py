@@ -1,0 +1,26 @@
+"""Pure sketch kernels (no Ray dependencies). See base.SketchUDAF."""
+
+from .base import CodecError, SketchUDAF
+from .bloom import BloomFilter
+from .cms import CMSketch
+from .hll import HyperLogLog
+from .kll import KLL
+from .p2 import P2Histogram, P2Quantile
+from .running_stats import RunningStats
+from .tdigest import TDigest
+
+#: registry used by the engine's serialized-partial envelopes
+SKETCH_KINDS = {
+    "bloom": BloomFilter,
+    "cms": CMSketch,
+    "hll": HyperLogLog,
+    "kll": KLL,
+    "running_stats": RunningStats,
+    "tdigest": TDigest,
+}
+
+__all__ = [
+    "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
+    "P2Histogram", "P2Quantile", "RunningStats", "SKETCH_KINDS",
+    "SketchUDAF", "TDigest",
+]

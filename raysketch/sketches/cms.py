@@ -1,0 +1,245 @@
+"""Count-min sketch with conservative update — mergeable frequency UDAF.
+
+Semantics follow the reference (library/src/cm_sketch.c):
+
+- construction: ``width = ceil(e/epsilon)``, ``depth = ceil(ln(1/delta))``;
+  rejects epsilon, delta outside (0, 1) (cm_sketch.c:24-42). This encodes the
+  published Cormode–Muthukrishnan bound P[est <= true + eps*N] >= 1-delta.
+- hashing: XXH32 seeds 1 and 2, enhanced double hashing
+  ``w_i = (h1 + i*h2 + i*i) % width`` (Kirsch–Mitzenmacher)
+  (cm_sketch.c:73-78) — bit-identical here via raysketch.sketches.xxh32.
+- scalar ``update``: conservative update ``cell = max(cell, est+n)``,
+  saturating at UINT32_MAX; negative n removes, floored at the current
+  estimate; ``unique_count`` tracks items whose estimate was 0 at insert
+  (cm_sketch.c:66-121). This path exists for reference parity
+  (tests vs library/tests/test_cm_sketch.c goldens).
+- batch ``update_batch``: vectorized over an Arrow/numpy chunk of keys —
+  duplicate keys in the chunk are pre-aggregated, then cells take
+  ``max(cell, prior_est + n_key)`` via ``np.maximum.at``. Every cell stays
+  an upper bound on every key's true count, so the eps*N/delta guarantee
+  survives; estimates won't bit-match a sequential conservative sketch
+  (documented in SURVEY.md §7.3).
+- ``merge``: element-wise saturating sum of counters — the sum of
+  conservative partials is >= each stream's true counts and <= the
+  standard-update cells, so the merged sketch keeps the standard CMS bound.
+  ``unique_count`` is NOT mergeable (use HLL); after a merge it reports the
+  saturating sum, an upper bound only.
+
+Serialization: our envelope is ``depth:u32 width:u32 item_count:u64
+unique_count:u64 counts:u32[depth*width]`` little-endian; the payload after
+the 8-byte header is byte-identical to the reference layout
+(cm_sketch.c:144-163), which lets tests cross-check serialized state.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+
+from .base import CodecError
+from .xxh32 import xxh32, xxh32_batch
+
+_U32_MAX = 0xFFFFFFFF
+_U64_MAX = 0xFFFFFFFFFFFFFFFF
+_E = 2.718281828459045  # cm_sketch.c:22 uses this literal, not math.e
+
+
+def _as_bytes(key: Any) -> bytes:
+    """Key coercion mirroring the Lua binding (lua_binding/cm_sketch.c:146-158):
+    strings as raw bytes; numbers as their 8-byte little-endian double."""
+    if isinstance(key, bytes):
+        return key
+    if isinstance(key, str):
+        return key.encode("utf-8")
+    if isinstance(key, (int, float)):
+        return struct.pack("<d", float(key))
+    raise TypeError(f"unsupported CMS key type {type(key)!r}")
+
+
+class CMSketch:
+    kind = "cms"
+
+    def __init__(self, epsilon: float, delta: float) -> None:
+        if not (0.0 < epsilon < 1.0):
+            raise ValueError("epsilon must be in (0,1)")
+        if not (0.0 < delta < 1.0):
+            raise ValueError("delta must be in (0,1)")
+        self.epsilon = float(epsilon)
+        self.delta = float(delta)
+        self.width = int(math.ceil(_E / epsilon))
+        self.depth = int(math.ceil(math.log(1.0 / delta)))
+        self.counts = np.zeros((self.depth, self.width), dtype=np.uint32)
+        self.item_count = 0
+        self.unique_count = 0
+
+    # -- hashing -----------------------------------------------------------
+    def _indices(self, data: bytes) -> np.ndarray:
+        # uint32 wraparound before the modulo, as in C (cm_sketch.c:78)
+        h1 = np.uint32(xxh32(data, 1))
+        h2 = np.uint32(xxh32(data, 2))
+        i = np.arange(self.depth, dtype=np.uint32)
+        with np.errstate(over="ignore"):
+            return ((h1 + i * h2 + i * i) % np.uint32(self.width)).astype(np.int64)
+
+    def _indices_batch(self, keys: Sequence[bytes]) -> np.ndarray:
+        """(depth, K) index matrix for K keys, vectorized (uint32 wraparound)."""
+        h1 = xxh32_batch(keys, 1)
+        h2 = xxh32_batch(keys, 2)
+        i = np.arange(self.depth, dtype=np.uint32)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :] + i * i) % np.uint32(self.width)).astype(np.int64)
+
+    # -- scalar path (reference parity, cm_sketch.c:66-121) ----------------
+    def update(self, key: Any, n: int = 1) -> int:
+        data = _as_bytes(key)
+        idx = self._indices(data)
+        rows = np.arange(self.depth)
+        cells = self.counts[rows, idx]
+        est = int(cells.min()) if self.depth else 0
+
+        if n > 0:
+            if est == 0:
+                self.unique_count += 1
+            added = 0
+            for i in range(self.depth):
+                cnt = int(self.counts[i, idx[i]])
+                if _U32_MAX - cnt < n:
+                    tmp = _U32_MAX - cnt
+                    self.counts[i, idx[i]] = max(cnt, est + tmp)
+                    added = max(added, tmp)
+                else:
+                    self.counts[i, idx[i]] = max(cnt, est + n)
+                    added = max(added, n)
+            self.item_count = min(self.item_count + added, _U64_MAX)
+            return est + added
+        elif n < 0 and est != 0:
+            n = abs(n)
+            if n >= est:
+                n = est
+                self.unique_count -= 1
+            self.counts[rows, idx] -= np.uint32(n)
+            self.item_count -= n
+            return est - n
+        return est
+
+    def point_query(self, key: Any) -> int:
+        data = _as_bytes(key)
+        idx = self._indices(data)
+        return int(self.counts[np.arange(self.depth), idx].min())
+
+    # -- batch path --------------------------------------------------------
+    def update_batch(self, values: Any, weights: Any | None = None) -> None:
+        """Vectorized add of a chunk of string/bytes keys (weights >= 0)."""
+        keys, n_per_key = _group_keys(values, weights)
+        if len(keys) == 0:
+            return
+        idx = self._indices_batch(keys)  # (depth, K)
+        rows = np.arange(self.depth)[:, None]
+        cells = self.counts[rows, idx]  # (depth, K)
+        est = cells.min(axis=0).astype(np.uint64)  # prior estimate per key
+        self.unique_count += int((est == 0).sum())
+        new = np.minimum(est + n_per_key.astype(np.uint64), _U32_MAX).astype(np.uint32)
+        np.maximum.at(self.counts, (rows.repeat(idx.shape[1], 1), idx), new[None, :])
+        self.item_count = min(self.item_count + int(n_per_key.sum()), _U64_MAX)
+
+    def point_query_batch(self, values: Any) -> np.ndarray:
+        keys = [_as_bytes(k) for k in _iter_keys(values)]
+        if not keys:
+            return np.zeros(0, dtype=np.uint64)
+        idx = self._indices_batch(keys)
+        rows = np.arange(self.depth)[:, None]
+        return self.counts[rows, idx].min(axis=0).astype(np.uint64)
+
+    # -- merge (element-wise saturating sum) -------------------------------
+    def merge(self, other: "CMSketch") -> "CMSketch":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("CMS merge: mismatched dimensions")
+        s = self.counts.astype(np.uint64) + other.counts.astype(np.uint64)
+        self.counts = np.minimum(s, _U32_MAX).astype(np.uint32)
+        self.item_count = min(self.item_count + other.item_count, _U64_MAX)
+        self.unique_count = min(self.unique_count + other.unique_count, _U64_MAX)
+        return self
+
+    def clear(self) -> None:
+        self.counts[:] = 0
+        self.item_count = 0
+        self.unique_count = 0
+
+    def result(self) -> dict[str, Any]:
+        return {"item_count": self.item_count, "unique_count": self.unique_count,
+                "width": self.width, "depth": self.depth}
+
+    # -- codec -------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<2I2Q", self.depth, self.width,
+                           self.item_count, self.unique_count)
+        return head + self.counts.astype("<u4").tobytes()
+
+    def to_reference_bytes(self) -> bytes:
+        """Byte-identical to sa_serialize_cms (cm_sketch.c:144-163)."""
+        return (struct.pack("<2Q", self.item_count, self.unique_count)
+                + self.counts.astype("<u4").tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, epsilon: float | None = None,
+                   delta: float | None = None) -> "CMSketch":
+        if len(buf) < 24:
+            raise CodecError("cms: buffer too short")
+        depth, width, item_count, unique_count = struct.unpack_from("<2I2Q", buf)
+        body = buf[24:]
+        if len(body) != 4 * depth * width:
+            raise CodecError(f"cms: bad length {len(buf)}")
+        cms = cls.__new__(cls)
+        cms.epsilon = epsilon if epsilon is not None else _E / width
+        cms.delta = delta if delta is not None else math.exp(-depth)
+        cms.width, cms.depth = width, depth
+        cms.item_count, cms.unique_count = item_count, unique_count
+        cms.counts = np.frombuffer(body, dtype="<u4").reshape(depth, width).copy()
+        return cms
+
+
+def _iter_keys(values: Any) -> Iterable[Any]:
+    try:
+        import pyarrow as pa
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            return (v.as_py() for v in values)
+    except ImportError:  # pragma: no cover
+        pass
+    return iter(values)
+
+
+def _group_keys(values: Any, weights: Any | None) -> tuple[list[bytes], np.ndarray]:
+    """Collapse duplicate keys in a chunk into (unique_keys, total_weights).
+
+    Pre-aggregating duplicates keeps the conservative batch update an upper
+    bound per key (see module docstring) and shrinks the hash work.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if weights is None and isinstance(values, (pa.Array, pa.ChunkedArray)):
+        vc = pc.value_counts(values)
+        uniq = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        keys = [_as_bytes(k) for k in uniq.to_pylist() if k is not None]
+        mask = np.fromiter((k is not None for k in uniq.to_pylist()),
+                           dtype=bool, count=len(cnts))
+        return keys, cnts[mask].astype(np.int64)
+    vals = list(_iter_keys(values))
+    if weights is None:
+        w = np.ones(len(vals), dtype=np.int64)
+    else:
+        w = np.asarray(weights, dtype=np.int64)
+    agg: dict[bytes, int] = {}
+    for v, n in zip(vals, w):
+        if v is None:
+            continue
+        b = _as_bytes(v)
+        agg[b] = agg.get(b, 0) + int(n)
+    if not agg:
+        return [], np.zeros(0, dtype=np.int64)
+    keys = list(agg.keys())
+    return keys, np.fromiter(agg.values(), dtype=np.int64, count=len(keys))

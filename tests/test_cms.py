@@ -1,0 +1,121 @@
+"""Count-min sketch parity and distributed-merge soundness.
+
+Goldens come from the reference's own tests (library/tests/
+test_cm_sketch.c:36-120, lua_binding/tests/test.lua:171-192) and from a
+600-op fuzz trace replayed through the compiled reference
+(tests/golden_cms_trace.json)."""
+
+import collections
+import json
+import math
+import os
+import random
+
+import numpy as np
+import pytest
+
+from raysketch.sketches.base import CodecError
+from raysketch.sketches.cms import CMSketch
+
+_HERE = os.path.dirname(__file__)
+
+
+def test_create_params():
+    cms = CMSketch(0.1, 0.1)
+    assert cms.width == 28 and cms.depth == 3  # ceil(e/0.1), ceil(ln 10)
+    for eps, delta in [(0, 0.1), (1, 0.1), (0.1, 0), (0.1, 1), (-1, 0.5)]:
+        with pytest.raises(ValueError):
+            CMSketch(eps, delta)
+
+
+def test_reference_trace_goldens():
+    """library/tests/test_cm_sketch.c:36-85 expectations."""
+    cms = CMSketch(0.1, 0.1)
+    assert cms.update("a", -10) == 0          # removal of absent item no-op
+    cms.update("c", 6)
+    cms.update("a", 1)
+    cms.update("b", 2)
+    cms.update("c", -3)
+    cms.update(5.0, 1)                        # number key → 8-byte double
+    assert cms.item_count == 7
+    assert cms.unique_count == 4
+    assert cms.point_query("a") == 1
+    assert cms.point_query("b") == 2
+    assert cms.point_query("c") == 3
+    assert cms.update("c", -4) == 0           # floored at estimate
+    assert cms.item_count == 4
+    assert cms.unique_count == 3
+
+
+def test_fuzz_trace_vs_compiled_reference():
+    with open(os.path.join(_HERE, "golden_cms_trace.json")) as f:
+        g = json.load(f)
+    cms = CMSketch(g["epsilon"], g["delta"])
+    for (key, n), want in zip(g["ops"], g["returns"]):
+        assert cms.update(key, n) == want
+    assert cms.item_count == g["item_count"]
+    assert cms.unique_count == g["unique_count"]
+
+
+def test_serialization_roundtrip_and_errors():
+    cms = CMSketch(0.1, 0.1)
+    for k, n in [("c", 3), ("a", 1), ("b", 2)]:
+        cms.update(k, n)
+    blob = cms.to_bytes()
+    rt = CMSketch.from_bytes(blob)
+    assert rt.item_count == 6 and rt.unique_count == 3  # test_cm_sketch.c:88-120
+    assert rt.point_query("c") == 3
+    assert (rt.counts == cms.counts).all()
+    # reference layout: header(8B ours) + reference bytes
+    assert blob[8:] == cms.to_reference_bytes()
+    with pytest.raises(CodecError):
+        CMSketch.from_bytes(blob[:-4])
+    with pytest.raises(CodecError):
+        CMSketch.from_bytes(b"xx")
+
+
+def test_batch_update_upper_bound():
+    rng = random.Random(17)
+    keys = [f"key{i}" for i in range(100)]
+    data = [rng.choice(keys).encode() for _ in range(20000)]
+    true = collections.Counter(data)
+    cms = CMSketch(0.001, 0.01)
+    for i in range(0, len(data), 3000):
+        cms.update_batch(data[i : i + 3000])
+    assert cms.item_count == len(data)
+    for k, t in true.items():
+        est = cms.point_query(k)
+        assert t <= est <= t + math.ceil(cms.epsilon * len(data)) + 1
+
+
+def test_merge_keeps_cms_bound_and_is_commutative():
+    rng = random.Random(23)
+    keys = [f"t{i}" for i in range(200)]
+    data = [rng.choice(keys).encode() for _ in range(30000)]
+    true = collections.Counter(data)
+    parts = [CMSketch(0.001, 0.01) for _ in range(6)]
+    for j, p in enumerate(parts):
+        p.update_batch(data[j::6])
+    order = list(range(6))
+    rng.shuffle(order)
+    m1 = CMSketch.from_bytes(parts[0].to_bytes())
+    for j in range(1, 6):
+        m1.merge(parts[j])
+    m2 = CMSketch.from_bytes(parts[order[0]].to_bytes())
+    for j in order[1:]:
+        m2.merge(parts[j])
+    assert (m1.counts == m2.counts).all()  # sum-merge is order-independent
+    n = len(data)
+    for k, t in true.items():
+        est = m1.point_query(k)
+        assert t <= est <= t + math.ceil(m1.epsilon * n) + 1
+
+
+def test_point_query_batch_matches_scalar():
+    cms = CMSketch(0.01, 0.05)
+    data = [f"w{i % 37}".encode() for i in range(5000)]
+    cms.update_batch(data)
+    keys = [f"w{i}" for i in range(40)]
+    batch = cms.point_query_batch(keys)
+    for k, b in zip(keys, batch):
+        assert cms.point_query(k) == b
