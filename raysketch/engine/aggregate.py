@@ -1,0 +1,157 @@
+"""Distributed sketch aggregation over ray.data Datasets.
+
+``sketch_aggregate(ds, specs, group_key=...)`` is the engine's core
+operation: per-block vectorized partials (map+combine fused) → tiny
+serialized-partial shuffle → associative merge → decoded sketches.
+
+Merge topologies:
+
+- ``merge="driver"`` — pull the KB-sized partials to the driver and tree
+  merge there. Right when ``groups × specs`` is small (a per-lang rollup);
+  the partial table is ~``num_blocks × groups × specs`` rows regardless of
+  input size, so this stays O(MB) even on a 10^12-row corpus *if* the
+  group cardinality is bounded.
+- ``merge="dataset"`` — ``groupby(group, spec).map_groups(fold)`` on the
+  partials Dataset; scales to unbounded group cardinality (e.g. per-repo).
+  With very hot groups (many blocks contributing to one key) an optional
+  salted pre-merge level folds each group's partials in chunks of
+  ``fan_in`` under key ``(group, spec, salt)`` first — the two-level
+  salted-shuffle plan from SURVEY.md §4.2.
+- ``merge="auto"`` — driver when the partial count is small.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches import SKETCH_KINDS
+from .udaf import PARTIAL_SCHEMA, SketchSpec, merge_payloads, partials_for_block
+
+_DRIVER_MERGE_MAX_PARTIALS = 20_000
+
+
+def build_partials(
+    ds: "ray.data.Dataset",  # noqa: F821
+    specs: list[SketchSpec],
+    group_key: str | None = None,
+    batch_size: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Map side: one partial per (block, group, spec).
+
+    ``batch_size=None`` processes each materialized block whole (zero-copy
+    Arrow) — partial count tracks block count, not row count. Columns are
+    pruned before the pass so wide columns (``content``) never ride along.
+    """
+    needed = sorted({s.column for s in specs} | ({group_key} if group_key else set()))
+    ds = ds.select_columns(needed)
+    kwargs: dict[str, Any] = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        lambda b: partials_for_block(b, specs, group_key),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )
+
+
+def merge_partials_driver(partials_ds) -> dict[tuple[str, str], bytes]:
+    """Reduce side on the driver: fold payload lists per (group, spec)."""
+    acc: dict[tuple[str, str], Any] = {}
+    kinds: dict[tuple[str, str], str] = {}
+    for batch in partials_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            key = (row["group"], row["spec"])
+            cls = SKETCH_KINDS[row["kind"]]
+            sk = cls.from_bytes(row["payload"])
+            if key in acc:
+                acc[key].merge(sk)
+            else:
+                acc[key] = sk
+                kinds[key] = row["kind"]
+    return {k: v.to_bytes() for k, v in acc.items()}
+
+
+def _fold_group(df: pd.DataFrame) -> pd.DataFrame:
+    payload = merge_payloads(df["kind"].iloc[0], list(df["payload"]))
+    return pd.DataFrame(
+        {
+            "group": [df["group"].iloc[0]],
+            "spec": [df["spec"].iloc[0]],
+            "kind": [df["kind"].iloc[0]],
+            "payload": [payload],
+            "rows": [int(df["rows"].sum())],
+        }
+    )
+
+
+def merge_partials_ds(partials_ds, salt_fan_in: int | None = None):
+    """Reduce side as a Dataset groupby; optional salted pre-level.
+
+    ``salt_fan_in=k`` first merges each group's partials in chunks of k
+    under ``(group, spec, salt)`` — bounds any single reduce task's input
+    when one group received partials from a huge number of blocks.
+    """
+    if salt_fan_in:
+        fan = int(salt_fan_in)
+
+        def _salt(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = batch.num_rows
+            # deterministic round-robin salt spreads one hot group's
+            # partials across `fan` parallel pre-merge tasks
+            salt = np.arange(n, dtype=np.int64) % fan
+            return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+        salted = partials_ds.map_batches(_salt, batch_format="pyarrow")
+        pre = salted.groupby(["group", "spec", "salt"]).map_groups(
+            lambda df: _fold_group(df.drop(columns=["salt"])),
+            batch_format="pandas",
+        )
+        return pre.groupby(["group", "spec"]).map_groups(
+            _fold_group, batch_format="pandas"
+        )
+    return partials_ds.groupby(["group", "spec"]).map_groups(
+        _fold_group, batch_format="pandas"
+    )
+
+
+def sketch_aggregate(
+    ds,
+    specs: list[SketchSpec],
+    group_key: str | None = None,
+    merge: str = "auto",
+    batch_size: int | None = None,
+    salt_fan_in: int | None = None,
+) -> dict[str, dict[str, Any]]:
+    """End-to-end: build partials, merge, decode.
+
+    Returns ``{group_value: {spec_name: sketch_object}}`` (group value ""
+    for ungrouped). The result is small by construction — sketches, not
+    data — so driver materialization here is sound at any input scale.
+    """
+    partials = build_partials(ds, specs, group_key, batch_size=batch_size)
+    if merge == "auto":
+        merge = "driver" if partials.count() <= _DRIVER_MERGE_MAX_PARTIALS else "dataset"
+    if merge == "driver":
+        merged = merge_partials_driver(partials)
+    elif merge == "dataset":
+        out = merge_partials_ds(partials, salt_fan_in=salt_fan_in)
+        merged = {
+            (r["group"], r["spec"]): r["payload"]
+            for r in out.iter_rows()
+        }
+    else:
+        raise ValueError(f"unknown merge mode {merge!r}")
+
+    kind_by_spec = {s.name: s.kind for s in specs}
+    result: dict[str, dict[str, Any]] = {}
+    for (gval, spec_name), payload in merged.items():
+        cls = SKETCH_KINDS[kind_by_spec[spec_name]]
+        result.setdefault(gval, {})[spec_name] = cls.from_bytes(payload)
+    return result

@@ -1,0 +1,118 @@
+"""Sketch aggregation specs and the partial-build / merge kernels.
+
+The distributed shape (SURVEY.md §3, §7.3) is the map/combine/finalize of a
+mergeable UDAF:
+
+1. **map side** — ``build_partials``: one ``map_batches`` pass over the
+   input Dataset with ``batch_size=None`` (whole zero-copy Arrow block per
+   call), emitting ONE serialized partial per (block, group, spec). The
+   sketch update is vectorized inside the block; the map side is therefore
+   also the combiner — per-group row skew never reaches the shuffle, which
+   only ever carries ``num_blocks × groups × specs`` KB-sized rows.
+2. **reduce side** — ``merge_partials`` (driver tree-merge for small group
+   cardinality) or ``merge_partials_ds`` (Dataset groupby merge, with an
+   optional salted pre-level for very hot groups).
+
+Partial rows are deterministic per block (fixed hash seeds, derandomized
+compaction), so Ray's lineage-based task retry reproduces identical
+partials (the reference's restart-safety discipline via serialized state,
+lua_binding/cm_sketch.c:166-202, recast for tasks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketches import SKETCH_KINDS
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch aggregation over one column.
+
+    ``factory`` must be a picklable zero-arg callable returning a fresh
+    sketch (e.g. ``functools.partial(HyperLogLog, p=14)``).
+    """
+
+    name: str
+    column: str
+    factory: Callable[[], Any]
+    kind: str = field(default="")
+
+    def __post_init__(self) -> None:
+        if not self.kind:
+            object.__setattr__(self, "kind", self.factory().kind)
+
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("spec", pa.string()),
+        ("kind", pa.string()),
+        ("payload", pa.large_binary()),
+        ("rows", pa.int64()),
+    ]
+)
+
+
+def partials_for_block(
+    batch: pa.Table, specs: list[SketchSpec], group_key: str | None
+) -> pa.Table:
+    """Build one serialized partial per (group, spec) from one Arrow block."""
+    groups: list[str] = []
+    spec_names: list[str] = []
+    kinds: list[str] = []
+    payloads: list[bytes] = []
+    rows: list[int] = []
+
+    if group_key is None:
+        group_slices: list[tuple[str, pa.Table]] = [("", batch)]
+    else:
+        import pyarrow.compute as pc
+
+        keys = batch[group_key]
+        uniq = pc.unique(keys)
+        group_slices = []
+        for kv in uniq.to_pylist():
+            if kv is None:
+                continue
+            mask = pc.equal(keys, kv)
+            group_slices.append((str(kv), batch.filter(mask)))
+
+    for gval, sub in group_slices:
+        for spec in specs:
+            sk = spec.factory()
+            sk.update_batch(sub[spec.column])
+            groups.append(gval)
+            spec_names.append(spec.name)
+            kinds.append(spec.kind)
+            payloads.append(sk.to_bytes())
+            rows.append(sub.num_rows)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(groups, pa.string()),
+            pa.array(spec_names, pa.string()),
+            pa.array(kinds, pa.string()),
+            pa.array(payloads, pa.large_binary()),
+            pa.array(rows, pa.int64()),
+        ],
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def merge_payloads(kind: str, payloads: list[bytes]) -> bytes:
+    """Associative fold of serialized partials of one kind."""
+    cls = SKETCH_KINDS[kind]
+    acc = cls.from_bytes(payloads[0])
+    for p in payloads[1:]:
+        acc.merge(cls.from_bytes(p))
+    return acc.to_bytes()
+
+
+def decode(kind: str, payload: bytes) -> Any:
+    return SKETCH_KINDS[kind].from_bytes(payload)

@@ -41,6 +41,7 @@ class TDigest:
         self._buf: list[np.ndarray] = []
         self._buf_n = 0
         self._buf_limit = int(10 * compression)
+        self._dirty = False  # centroids possibly unsorted (post-merge)
 
     # -- update ------------------------------------------------------------
     def update_batch(self, values: Any) -> None:
@@ -64,7 +65,10 @@ class TDigest:
         return (np.sin(k * (2 * math.pi) / self.compression) + 1) / 2
 
     def _compress(self) -> None:
-        if self._buf_n == 0 and self.means.size <= self.compression * 2:
+        if self._buf_n == 0 and not self._dirty and self.means.size <= self.compression * 2:
+            return
+        self._dirty = False
+        if self._buf_n == 0 and self.means.size == 0:
             return
         if self._buf:
             new = np.concatenate(self._buf)
@@ -159,6 +163,7 @@ class TDigest:
             self.weights = np.concatenate([self.weights, other.weights])
             self.min = min(self.min, other.min)
             self.max = max(self.max, other.max)
+            self._dirty = True
             self._compress()
         return self
 

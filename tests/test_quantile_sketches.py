@@ -105,3 +105,18 @@ def test_determinism_retry_safety():
         for chunk in np.array_split(data, 7):
             b.update_batch(chunk)
         assert a.to_bytes() == b.to_bytes()
+
+
+def test_tdigest_small_merge_keeps_sorted_quantiles():
+    """Regression: merging two small digests (under the compression
+    threshold) must still sort centroids — p50 <= p95 <= p99."""
+    rng = np.random.RandomState(11)
+    a, b = TDigest(200), TDigest(200)
+    a.update_batch(rng.uniform(300, 400, 40))
+    b.update_batch(rng.uniform(0, 100, 30))
+    a.merge(b)
+    q = [a.quantile(x) for x in (0.5, 0.95, 0.99)]
+    assert q[0] <= q[1] <= q[2]
+    data = np.concatenate([rng.uniform(300, 400, 40), rng.uniform(0, 100, 30)])
+    assert abs(a.quantile(1.0) - a.max) < 1e-9
+    assert a.total == 70
