@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one float64 matmul
+  against it and emits only its per-batch top-k candidates; a final
+  tiny reduce keeps the global top-k per query. Shuffle volume is
+  ``num_blocks × queries × k`` rows — independent of corpus size.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane bucket
+  signatures on both corpus and queries; each query searches only its
+  bucket (+ optional multi-probe neighbors at Hamming distance 1).
+  Approximate: documents the recall/probe trade-off instead of scanning
+  everything.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Actor-pool stage: one matmul per batch vs the broadcast queries."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int) -> None:
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.q_ids, self.Q = q  # (nq,), (nq, d) normalized float64
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        V = _normalize(np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        sims = self.Q @ V.T  # (nq, nb)
+        k = min(self.k, V.shape[0])
+        out_q, out_n, out_s = [], [], []
+        # per-query partial top-k (argpartition then exact sort of k items)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(self.Q.shape[0]):
+            cols = part[qi]
+            out_q.extend([int(self.q_ids[qi])] * k)
+            out_n.extend(ids[cols].tolist())
+            out_s.extend(sims[qi, cols].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_n, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+
+def _final_topk(k: int, exclude_self: bool):
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            df = df[df["query_id"] != df["neighbor_id"]]
+        df = df.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df
+
+    return fold
+
+
+def brute_force_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    concurrency: int | None = None,
+):
+    """Exact cosine top-k of every query against the full Dataset.
+
+    Returns a Dataset (query_id, neighbor_id, cosine, rank) with
+    deterministic tie-breaking (score desc, neighbor_id asc).
+    """
+    import ray
+
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), Q))
+    kwargs = {"batch_format": "pyarrow"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+        kwargs["fn_constructor_kwargs"] = {
+            "queries_ref": ref, "vec_col": vec_col, "id_col": id_col,
+            # fetch one extra so excluding self still leaves k
+            "k": k + (1 if exclude_self else 0),
+        }
+        candidates = ds.select_columns([id_col, vec_col]).map_batches(
+            _BatchTopK, **kwargs
+        )
+    else:
+        stage = _BatchTopK(ref, vec_col, id_col, k + (1 if exclude_self else 0))
+        candidates = ds.select_columns([id_col, vec_col]).map_batches(
+            stage.__call__, batch_format="pyarrow"
+        )
+    return candidates.groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pandas"
+    )
+
+
+def lsh_bucketed_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    seed: int = 42,
+    exclude_self: bool = True,
+):
+    """Approximate top-k: corpus rows keyed by hyperplane-sign bucket;
+    each query scans its own bucket and (multiprobe) all Hamming-1
+    neighbors. Scale path: per-bucket work is corpus/2^n_planes rows."""
+    import ray
+
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def q_buckets(vec: np.ndarray) -> np.ndarray:
+        base = int(((vec @ planes > 0).astype(np.uint64)
+                    << np.arange(n_planes, dtype=np.uint64)).sum())
+        if not multiprobe:
+            return np.array([base], dtype=np.uint64)
+        return np.array([base] + [base ^ (1 << i) for i in range(n_planes)],
+                        dtype=np.uint64)
+
+    # queries per bucket (small driver-side index), broadcast
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(Q.shape[0]):
+        for b in q_buckets(Q[qi]):
+            bucket_to_q.setdefault(int(b), []).append(qi)
+    ref = ray.put((qids, Q, bucket_to_q))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        V = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        signs = (V @ planes) > 0
+        bucket = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        return pa.Table.from_arrays(
+            [batch[id_col], pa.array(bucket, pa.uint64()),
+             pa.array(list(V), pa.list_(pa.float64()))],
+            names=[id_col, "bucket", "unit"],
+        )
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(tag, batch_format="pyarrow")
+
+    def search_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        q_ids_all, Qm, b2q = _ray.get(ref)
+        b = int(df["bucket"].iloc[0])
+        probes = b2q.get(b, [])
+        if not probes:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        V = np.stack(df["unit"].to_numpy())
+        ids = df[id_col].to_numpy()
+        sims = Qm[probes] @ V.T
+        kk = min(k + 1, V.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for row_i, qi in enumerate(probes):
+            for c in part[row_i]:
+                rows.append((int(q_ids_all[qi]), int(ids[c]), float(sims[row_i, c])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    candidates = tagged.groupby("bucket").map_groups(search_bucket, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["neighbor_id"])
+        if exclude_self:
+            df = df[df["query_id"] != df["neighbor_id"]]
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        return df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+
+    return candidates.groupby("query_id").map_groups(fold, batch_format="pandas")

@@ -1,0 +1,163 @@
+"""Stream-shaped windowed aggregation over the events table.
+
+Ray Data is a batch engine (no watermarks); windows are expressed
+declaratively: ``bucket = ts // width`` then grouped aggregation — the
+reference's circular time-series buffer recast as a window filter
+(SURVEY.md §2.4: time_series.c's advancing window + zeroing of skipped
+rows becomes "keep the last `rows` buckets, fill gaps with zero, drop
+late data").
+
+- :func:`tumbling_window` — (key, bucket) grouped exact aggregates via
+  per-batch partial aggregation (map-side combine) + a small groupby.
+- :func:`time_series_window` — reference-semantics windowed series per
+  key: last ``rows`` buckets ending at the max bucket, skipped buckets
+  zero-filled, observations older than the window dropped (INT_MIN/nil in
+  the reference → simply excluded here), values summed within a bucket
+  ("add" mode) or last-write ("set" mode, ts-ordered).
+- :func:`window_stats` — the Lua ``stats()`` range aggregate
+  (lua_binding/time_series.c:198-345): sum/min/max/avg/sd/usd over a
+  bucket range, zeros treated as missing unless ``include_zero``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches.running_stats import RunningStats
+
+
+def add_bucket(
+    batch: pa.Table, ts_col: str = "ts", width_s: int = 3600, out: str = "bucket"
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # epoch microseconds → integer bucket of width_s seconds
+    us = pc.cast(batch[ts_col], pa.int64())
+    bucket = pc.divide(us, pa.scalar(width_s * 1_000_000, pa.int64()))
+    return batch.append_column(out, pc.cast(bucket, pa.int64()))
+
+
+def tumbling_window(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_s: int = 3600,
+):
+    """Per (key, bucket): n_events, distinct users (exact), min/max value.
+
+    Map-side partial aggregation inside map_batches keeps the shuffle at
+    one row per (batch, key, bucket)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = add_bucket(batch, ts_col, width_s)
+        df = batch.select([key_col, "bucket", value_col, "user_id"]).to_pandas()
+        g = (
+            df.groupby([key_col, "bucket"], sort=False)
+            .agg(
+                n_events=(value_col, "size"),
+                vmin=(value_col, "min"),
+                vmax=(value_col, "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "bucket": [df["bucket"].iloc[0]],
+                "n_events": [int(df["n_events"].sum())],
+                "vmin": [float(df["vmin"].min())],
+                "vmax": [float(df["vmax"].max())],
+            }
+        )
+
+    return partials.groupby([key_col, "bucket"]).map_groups(fold, batch_format="pandas")
+
+
+def time_series_window(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    ns_per_row: int,
+    rows: int,
+    mode: str = "add",
+):
+    """Reference circular-buffer semantics per key (time_series.c:34-121):
+
+    window = the ``rows`` buckets ending at the key's max bucket; buckets
+    with no data are zero (advancing time zeroes skipped rows,
+    time_series.c:40-53); data older than the window is dropped
+    (:54-56). Values are int64; "add" saturates at int bounds like the
+    reference, "set" keeps the last write in timestamp order.
+
+    Returns one row per key: (key, current_time, values list[int64]).
+    """
+    if rows < 2:
+        raise ValueError("rows must be >= 2")  # time_series.c:63
+    if mode not in ("add", "set"):
+        raise ValueError("mode must be 'add' or 'set'")
+    imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df[ts_col].to_numpy(np.int64)
+        vals = df[value_col].to_numpy(np.int64)
+        bucket = ns // ns_per_row
+        cur = int(bucket.max())
+        lo = cur - rows + 1
+        keep = bucket >= lo
+        bucket, ns_k, vals = bucket[keep], ns[keep], vals[keep]
+        out = np.zeros(rows, dtype=np.int64)
+        idx = (bucket - lo).astype(np.int64)
+        if mode == "add":
+            # saturating add per bucket
+            sums = np.zeros(rows, dtype=np.float64)
+            np.add.at(sums, idx, vals.astype(np.float64))
+            out = np.clip(sums, imin, imax).astype(np.int64)
+        else:
+            order = np.argsort(ns_k, kind="stable")
+            out[idx[order]] = vals[order]
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "current_time": [cur * ns_per_row],
+                "values": [out.tolist()],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def window_stats(
+    values: np.ndarray, stat: str = "sum", include_zero: bool = False
+) -> tuple[float, int]:
+    """The Lua ts:stats() range aggregate (lua_binding/time_series.c:198-345):
+    zeros are missing data unless include_zero; returns (stat, rows_used)."""
+    v = np.asarray(values, dtype=np.float64)
+    if not include_zero:
+        v = v[v != 0]
+    n = int(v.size)
+    if n == 0:
+        return (float("nan"), 0)
+    if stat == "sum":
+        return (float(v.sum()), n)
+    if stat == "min":
+        return (float(v.min()), n)
+    if stat == "max":
+        return (float(v.max()), n)
+    rs = RunningStats()
+    rs.update_batch(v)
+    if stat == "avg":
+        return (rs.avg(), n)
+    if stat == "sd":
+        return (rs.sd(), n)
+    if stat == "usd":
+        return (rs.usd(), n)
+    raise ValueError(f"unknown stat {stat!r}")

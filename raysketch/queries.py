@@ -1,0 +1,624 @@
+"""The query registry: every operator exposed as a (sf_dir) -> result
+callable, with an ANSI-SQL oracle for each SQL-expressible query.
+
+Conventions (driver contract, __ray_entry__.py):
+
+- Results are pyarrow Tables / Datasets / pandas DataFrames; the driver
+  compares against DuckDB by row count + schema + order-insensitive value
+  hash → column NAMES and exact VALUES must match the oracle.
+- Oracle-gated queries therefore emit int64/string columns (or doubles
+  whose value is bit-deterministic, e.g. sums of integral doubles).
+- Sketch estimates are oracle-gated only where the estimate is provably
+  exact at the driver's sf=0.01 scale (HLL sparse mode below the
+  promotion threshold counts distinct hashes exactly); the same pipeline
+  switches to bounded-error dense estimation at corpus scale.
+
+Scale notes: every query is map-side partial aggregation over pruned
+columns + a KB-to-MB-sized merge; nothing materializes raw input rows on
+the driver except deliberately tiny results (top-k, per-group rollups).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from collections import Counter, defaultdict
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact grouped aggregates (map-side partial + driver fold over partials)
+# ---------------------------------------------------------------------------
+
+def _fold_partials(partials_ds, keys: list[str], sum_cols: list[str],
+                   min_cols: list[str], max_cols: list[str]) -> pd.DataFrame:
+    acc: dict[tuple, dict[str, Any]] = {}
+    for b in partials_ds.iter_batches(batch_size=8192, batch_format="pandas"):
+        for _, row in b.iterrows():
+            key = tuple(row[k] for k in keys)
+            slot = acc.get(key)
+            if slot is None:
+                acc[key] = {c: row[c] for c in sum_cols + min_cols + max_cols}
+            else:
+                for c in sum_cols:
+                    slot[c] += row[c]
+                for c in min_cols:
+                    slot[c] = min(slot[c], row[c])
+                for c in max_cols:
+                    slot[c] = max(slot[c], row[c])
+    rows = []
+    for key in sorted(acc):
+        rows.append(dict(zip(keys, key)) | acc[key])
+    return pd.DataFrame(rows)
+
+
+def q_doc_stats_by_lang(sf_dir: str) -> pa.Table:
+    """Per-lang exact counts/sums/min/max + exact distinct sources."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"),
+            total_chars=("n_chars", "sum"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = _fold_partials(partials, ["lang"], ["n_docs", "total_chars"],
+                         ["min_chars"], ["max_chars"])
+
+    # exact distinct sources: per-batch unique (lang, source) pairs → fold
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "source"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+    seen: dict[str, set] = defaultdict(set)
+    for b in pairs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for lang, src in zip(b["lang"].to_pylist(), b["source"].to_pylist()):
+            seen[lang].add(src)
+    agg["distinct_sources"] = [len(seen[l]) for l in agg["lang"]]
+    for c in ("n_docs", "total_chars", "min_chars", "max_chars", "distinct_sources"):
+        agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_dedup_doc_counts(sf_dir: str) -> pa.Table:
+    """Exact dedup on text (keep min doc_id) → per-lang surviving counts."""
+    from .ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    kept = exact_dedup(ds, text_col="text", id_col="doc_id")
+    counts = Counter()
+    for b in kept.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        counts.update(b["lang"].to_pylist())
+    langs = sorted(counts)
+    return pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "n_docs": pa.array([counts[l] for l in langs], pa.int64())}
+    )
+
+
+def q_hll_distinct(sf_dir: str) -> pa.Table:
+    """Per-lang distinct texts/sources via the HLL UDAF (sparse-exact at
+    this scale; dense 1.04/sqrt(2^p) at corpus scale)."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import HyperLogLog
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "source"])
+    specs = [
+        SketchSpec("dt", "text", functools.partial(HyperLogLog, 14)),
+        SketchSpec("dsrc", "source", functools.partial(HyperLogLog, 14)),
+    ]
+    merged = sketch_aggregate(ds, specs, group_key="lang", merge="driver")
+    langs = sorted(merged)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "distinct_texts": pa.array(
+                [int(round(merged[l]["dt"].estimate())) for l in langs], pa.int64()
+            ),
+            "distinct_sources": pa.array(
+                [int(round(merged[l]["dsrc"].estimate())) for l in langs], pa.int64()
+            ),
+        }
+    )
+
+
+def q_token_topk(sf_dir: str) -> pa.Table:
+    """Top 20 whitespace tokens by exact count (partial counts per batch →
+    groupby-sum → deterministic sort)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            if t:
+                c.update(t.split())
+        return pa.table(
+            {"token": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": [df["token"].iloc[0]], "n": [int(df["n"].sum())]})
+
+    totals = partials.groupby("token").map_groups(fold, batch_format="pandas")
+    out = totals.sort(["n", "token"], descending=[True, False]).limit(20).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_token_count_per_doc(sf_dir: str) -> pa.Table:
+    from .ops.text import TokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TokenCounter(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    ).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+
+
+def q_sha256_invariant(sf_dir: str) -> pa.Table:
+    """The per-row end-to-end invariant: sha256 of every content."""
+    from .engine.hashing import sha256_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "content_sha256": pa.array(sha256_batch(batch["text"]), pa.string())}
+        )
+
+    out = ds.map_batches(add_sha, batch_format="pyarrow").sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+
+
+def q_events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1h windows per event_type: exact counts + exact distinct
+    users (map-side pair dedup keeps the fold input small)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        bucket = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(),
+             "bucket": bucket.to_pylist(),
+             "user_id": batch["user_id"].to_pylist()}
+        )
+        g = df.groupby(["event_type", "bucket"], sort=False).size().reset_index(name="n_events")
+        pairs = df.drop_duplicates()
+        g2 = pairs.groupby(["event_type", "bucket"], sort=False)["user_id"].agg(list).reset_index()
+        g = g.merge(g2, on=["event_type", "bucket"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts: dict[tuple, int] = defaultdict(int)
+    users: dict[tuple, set] = defaultdict(set)
+    for b in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            key = (row["event_type"], row["bucket"])
+            counts[key] += row["n_events"]
+            users[key].update(row["user_id"])
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "n_events": pa.array([counts[k] for k in keys], pa.int64()),
+            "distinct_users": pa.array([len(users[k]) for k in keys], pa.int64()),
+        }
+    )
+
+
+def q_lineitem_pricing(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-shaped exact rollup (integer-valued sums stay exact)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            count_order=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = _fold_partials(partials, ["l_returnflag", "l_linestatus"],
+                         ["count_order", "sum_qty"], [], [])
+    agg["count_order"] = agg["count_order"].astype("int64")
+    agg["sum_qty"] = agg["sum_qty"].round().astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_quantiles_exact(sf_dir: str) -> pa.Table:
+    """Exact per-lang discrete quantiles of n_chars via distributed value
+    counts (duckdb quantile_disc rule: index = ceil(q*n) - 1)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counters: dict[str, Counter] = defaultdict(Counter)
+    for b in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            counters[row["lang"]][row["n_chars"]] += row["cnt"]
+    rows = []
+    for lang in sorted(counters):
+        vals = np.array(sorted(counters[lang]))
+        cnts = np.array([counters[lang][v] for v in vals])
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        row: dict[str, Any] = {"lang": lang}
+        for q in _QUANTILES:
+            target = math.ceil(q * n) - 1  # duckdb quantile_disc index
+            j = int(np.searchsorted(cum, target + 1, side="left"))
+            row[f"p{int(q*100)}"] = int(vals[j])
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    for q in _QUANTILES:
+        df[f"p{int(q*100)}"] = df[f"p{int(q*100)}"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Exact brute-force cosine top-10 for the first 5 embedding rows
+    (float64 matmul per batch vs the broadcast query matrix)."""
+    import pyarrow.parquet as pq
+
+    from .ops.similarity import brute_force_topk
+
+    head = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    qids = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
+    qvecs = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, qids, qvecs, k=10).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].astype("int64")),
+            "neighbor_id": pa.array(out["neighbor_id"].astype("int64")),
+            "rank": pa.array(out["rank"].astype("int64")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch / approximate / non-SQL queries (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def q_corpus_profile(sf_dir: str) -> pa.Table:
+    from .engine.pipeline import corpus_profile_from_dir
+
+    return corpus_profile_from_dir(sf_dir)
+
+
+def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Top-20 whitespace tokens by merged-CMS estimate + candidate union."""
+    from .ops.topk import cms_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            if t:
+                toks.extend(t.split())
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    tokens = ds.map_batches(explode, batch_format="pyarrow")
+    return cms_topk(tokens, "token", k=20, epsilon=1e-4, delta=1e-3)
+
+
+def q_sketch_quantiles(sf_dir: str) -> pa.Table:
+    """t-digest + KLL per-lang quantiles of n_chars, with rank-error
+    bound columns (not SQL-expressible; validated by bound in tests)."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import KLL, TDigest
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    specs = [
+        SketchSpec("td", "n_chars", functools.partial(TDigest, 200.0)),
+        SketchSpec("kll", "n_chars", functools.partial(KLL, 200)),
+    ]
+    merged = sketch_aggregate(ds, specs, group_key="lang", merge="driver")
+    rows = []
+    for lang in sorted(merged):
+        td, kl = merged[lang]["td"], merged[lang]["kll"]
+        rows.append(
+            {
+                "lang": lang,
+                "n": int(td.total),
+                "td_p50": td.quantile(0.5),
+                "td_p95": td.quantile(0.95),
+                "kll_p50": kl.quantile(0.5),
+                "kll_p95": kl.quantile(0.95),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def q_running_stats_by_lang(sf_dir: str) -> pa.Table:
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import RunningStats
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    merged = sketch_aggregate(
+        ds, [SketchSpec("st", "n_chars", RunningStats)], group_key="lang", merge="driver"
+    )
+    rows = []
+    for lang in sorted(merged):
+        st = merged[lang]["st"]
+        rows.append(
+            {"lang": lang, "count": int(st.count), "mean": st.mean,
+             "sd": st.sd(), "usd": st.usd(), "variance": st.variance()}
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def q_bloom_membership(sf_dir: str) -> pa.Table:
+    """Build a Bloom over sources; probe present + absent keys."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import BloomFilter
+
+    ds = _read(sf_dir, "documents", ["source"])
+    merged = sketch_aggregate(
+        ds,
+        [SketchSpec("bl", "source", functools.partial(BloomFilter, 100_000, 0.001))],
+        group_key=None,
+        merge="driver",
+    )
+    bl = merged[""]["bl"]
+    probes = [f"src{i}" for i in range(8)] + [f"absent{i}" for i in range(8)]
+    hits = bl.contains_batch(probes)
+    return pa.table(
+        {"probe": pa.array(probes, pa.string()),
+         "present": pa.array([bool(h) for h in hits], pa.bool_())}
+    )
+
+
+def q_neardup_pairs(sf_dir: str) -> pa.Table:
+    from .ops.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16)
+    return pa.table(
+        {
+            "id_a": pa.array(pairs["id_a"].astype("int64") if len(pairs) else [], pa.int64()),
+            "id_b": pa.array(pairs["id_b"].astype("int64") if len(pairs) else [], pa.int64()),
+            "jaccard": pa.array(pairs["jaccard"] if len(pairs) else [], pa.float64()),
+        }
+    )
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    from .ops.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=0.95, n_planes=6)
+    return pa.Table.from_pandas(pairs, preserve_index=False) if len(pairs) else pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+
+def q_lsh_ann(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from .ops.similarity import lsh_bucketed_topk
+
+    head = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    qids = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
+    qvecs = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, qids, qvecs, k=10, n_planes=4).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_quality_scores(sf_dir: str) -> pa.Table:
+    from .ops.text import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(QualityScorer(), batch_format="pyarrow").select_columns(
+        ["doc_id", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_score"]
+    ).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    from .ops.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred"]).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+
+
+def q_time_series_window(sf_dir: str) -> pa.Table:
+    """Reference circular-buffer windowing of events per event_type
+    (1h buckets, last 24 buckets, add-mode with int values)."""
+    from .ops.window import time_series_window
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        v = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "ts_us": us, "v": v})
+
+    prepared = ds.map_batches(to_int, batch_format="pyarrow")
+    out = time_series_window(
+        prepared, "event_type", "ts_us", "v", ns_per_row=3_600_000_000, rows=24
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: synthesized media → stub decode → features."""
+    import ray.data as rd
+
+    from .ops.multimodal import media_feature_pipeline, synthesize_media_batch
+
+    ds = rd.from_arrow(synthesize_media_batch(list(range(64))))
+    out = media_feature_pipeline(ds, batch_size=16).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["media_id", "kind", "features"]], preserve_index=False)
+
+
+def q_fingerprints(sf_dir: str) -> pa.Table:
+    from .ops.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: fingerprint_batch(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "dedup_doc_counts": q_dedup_doc_counts,
+    "hll_distinct": q_hll_distinct,
+    "token_topk": q_token_topk,
+    "token_count_per_doc": q_token_count_per_doc,
+    "sha256_invariant": q_sha256_invariant,
+    "events_hourly": q_events_hourly,
+    "lineitem_pricing": q_lineitem_pricing,
+    "quantiles_exact": q_quantiles_exact,
+    "ann_topk": q_ann_topk,
+    "corpus_profile": q_corpus_profile,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "sketch_quantiles": q_sketch_quantiles,
+    "running_stats_by_lang": q_running_stats_by_lang,
+    "bloom_membership": q_bloom_membership,
+    "neardup_pairs": q_neardup_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_ann": q_lsh_ann,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "time_series_window": q_time_series_window,
+    "media_features": q_media_features,
+    "fingerprints": q_fingerprints,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_stats_by_lang": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "dedup_doc_counts": """
+        WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.lang ORDER BY d.lang
+    """,
+    "hll_distinct": """
+        SELECT lang,
+               CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+               CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "token_topk": """
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "token_count_per_doc": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+                 AS n_tokens_ws
+        FROM documents ORDER BY doc_id
+    """,
+    "sha256_invariant": """
+        SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "quantiles_exact": """
+        SELECT lang,
+               CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+               CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+               CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id
+               ) AS BIGINT) AS rank
+        FROM q, embeddings e
+        WHERE q.vec_id <> e.vec_id
+        QUALIFY rank <= 10
+        ORDER BY query_id, rank
+    """,
+}
