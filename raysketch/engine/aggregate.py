@@ -60,20 +60,22 @@ def build_partials(
 
 
 def merge_partials_driver(partials_ds) -> dict[tuple[str, str], bytes]:
-    """Reduce side on the driver: fold payload lists per (group, spec)."""
-    acc: dict[tuple[str, str], Any] = {}
+    """Reduce side on the driver: collect payload lists per (group, spec),
+    then one bulk ``merge_many`` per key (sparse-aware, single
+    recompression). Payload volume is KBs per partial by construction."""
+    from .udaf import merge_payloads_obj
+
+    buckets: dict[tuple[str, str], list[bytes]] = {}
     kinds: dict[tuple[str, str], str] = {}
     for batch in partials_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for row in batch.to_pylist():
             key = (row["group"], row["spec"])
-            cls = SKETCH_KINDS[row["kind"]]
-            sk = cls.from_bytes(row["payload"])
-            if key in acc:
-                acc[key].merge(sk)
-            else:
-                acc[key] = sk
-                kinds[key] = row["kind"]
-    return {k: v.to_bytes() for k, v in acc.items()}
+            buckets.setdefault(key, []).append(row["payload"])
+            kinds[key] = row["kind"]
+    return {
+        k: merge_payloads_obj(kinds[k], payloads).to_bytes()
+        for k, payloads in buckets.items()
+    }
 
 
 def _fold_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -136,6 +138,11 @@ def sketch_aggregate(
     data — so driver materialization here is sound at any input scale.
     """
     partials = build_partials(ds, specs, group_key, batch_size=batch_size)
+    # Materialize the partials exactly once: they are KB-sized by
+    # construction (sparse codecs), so this pins MBs in the object store —
+    # never the input — and lets count() + the merge pass read the same
+    # executed result instead of re-running the whole pipeline.
+    partials = partials.materialize()
     if merge == "auto":
         merge = "driver" if partials.count() <= _DRIVER_MERGE_MAX_PARTIALS else "dataset"
     if merge == "driver":

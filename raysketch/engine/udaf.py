@@ -107,11 +107,20 @@ def partials_for_block(
 
 def merge_payloads(kind: str, payloads: list[bytes]) -> bytes:
     """Associative fold of serialized partials of one kind."""
+    return merge_payloads_obj(kind, payloads).to_bytes()
+
+
+def merge_payloads_obj(kind: str, payloads: list[bytes]) -> Any:
+    """Fold serialized partials into a decoded sketch; uses the sketch's
+    bulk ``merge_many`` fast path when it has one (sparse scatter-adds /
+    single recompression instead of pairwise dense merges)."""
     cls = SKETCH_KINDS[kind]
+    if hasattr(cls, "merge_many"):
+        return cls.merge_many(payloads)
     acc = cls.from_bytes(payloads[0])
     for p in payloads[1:]:
         acc.merge(cls.from_bytes(p))
-    return acc.to_bytes()
+    return acc
 
 
 def decode(kind: str, payload: bytes) -> Any:

@@ -99,28 +99,75 @@ class BloomFilter:
         self.n_added += other.n_added
         return self
 
+    @classmethod
+    def merge_many(cls, payloads: list[bytes]) -> "BloomFilter":
+        """Bulk OR of serialized partials; sparse payloads scatter-OR their
+        nonzero words directly (O(total set words), not O(partials × m))."""
+        first = cls.from_bytes(payloads[0])
+        hdr = struct.calcsize("<QIQd") + 4
+        for buf in payloads[1:]:
+            m, k, n_added, _ = struct.unpack_from("<QIQd", buf, 4)
+            if (m, k) != (first.m, first.k):
+                raise ValueError("bloom merge: mismatched (m,k)")
+            first.n_added += n_added
+            mode, body = buf[hdr], buf[hdr + 1:]
+            if mode == 1:
+                (nw,) = struct.unpack_from("<Q", body)
+                idx = np.frombuffer(body, dtype="<u8", count=nw, offset=8).astype(np.int64)
+                words = np.frombuffer(body, dtype="<u8", count=nw, offset=8 + nw * 8)
+                np.bitwise_or.at(first.bits, idx, words)
+            else:
+                np.bitwise_or(first.bits, np.frombuffer(body, dtype="<u8"),
+                              out=first.bits)
+        return first
+
     def result(self) -> dict[str, Any]:
         return {"m": self.m, "k": self.k, "n_added": self.n_added,
                 "fill_ratio": self.fill_ratio()}
 
     # -- codec -------------------------------------------------------------
     def to_bytes(self) -> bytes:
+        """Dense bitmap or sparse word list, whichever is smaller.
+
+        A per-block partial sets only O(unique_keys × k) bits of an m-bit
+        filter sized for the whole corpus; serializing just the nonzero
+        words keeps partial payloads KB-sized (mode 1: nw:u64 +
+        word_idx:u64[nw] + words:u64[nw])."""
         head = _MAGIC + struct.pack("<QIQd", self.m, self.k, self.n_added,
                                     self.fpr)
-        return head + self.bits.astype("<u8").tobytes()
+        nz = np.flatnonzero(self.bits)
+        if 8 + nz.size * 16 < self.bits.size * 8:
+            return (head + b"\x01" + struct.pack("<Q", nz.size)
+                    + nz.astype("<u8").tobytes()
+                    + self.bits[nz].astype("<u8").tobytes())
+        return head + b"\x00" + self.bits.astype("<u8").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "BloomFilter":
         hdr = struct.calcsize("<QIQd") + 4
-        if len(buf) < hdr or buf[:4] != _MAGIC:
+        if len(buf) < hdr + 1 or buf[:4] != _MAGIC:
             raise CodecError("bloom: bad header")
         m, k, n_added, fpr = struct.unpack_from("<QIQd", buf, 4)
-        body = buf[hdr:]
-        if len(body) != m // 8:
-            raise CodecError("bloom: bad length")
+        mode = buf[hdr]
+        body = buf[hdr + 1:]
         obj = cls.__new__(cls)
         obj.capacity = 0
         obj.fpr = fpr
         obj.m, obj.k, obj.n_added = m, k, n_added
-        obj.bits = np.frombuffer(body, dtype="<u8").copy()
+        if mode == 0:
+            if len(body) != m // 8:
+                raise CodecError("bloom: bad length")
+            obj.bits = np.frombuffer(body, dtype="<u8").copy()
+        elif mode == 1:
+            if len(body) < 8:
+                raise CodecError("bloom: bad sparse header")
+            (nw,) = struct.unpack_from("<Q", body)
+            if len(body) != 8 + nw * 16:
+                raise CodecError("bloom: bad sparse length")
+            idx = np.frombuffer(body, dtype="<u8", count=nw, offset=8).astype(np.int64)
+            words = np.frombuffer(body, dtype="<u8", count=nw, offset=8 + nw * 8)
+            obj.bits = np.zeros(m // 64, dtype=np.uint64)
+            obj.bits[idx] = words
+        else:
+            raise CodecError(f"bloom: unknown mode {mode}")
         return obj

@@ -163,6 +163,34 @@ class CMSketch:
         self.unique_count = min(self.unique_count + other.unique_count, _U64_MAX)
         return self
 
+    @classmethod
+    def merge_many(cls, payloads: list[bytes]) -> "CMSketch":
+        """Bulk merge of serialized partials without densifying each one:
+        sparse payloads scatter-add straight into one u64 accumulator, so
+        the reduce side is O(total nnz), not O(partials × width × depth)."""
+        first = cls.from_bytes(payloads[0])
+        acc = first.counts.astype(np.uint64).ravel()
+        item_count, unique_count = first.item_count, first.unique_count
+        for buf in payloads[1:]:
+            depth, width, ic, uc = struct.unpack_from("<2I2Q", buf)
+            if (depth, width) != (first.depth, first.width):
+                raise ValueError("CMS merge: mismatched dimensions")
+            item_count = min(item_count + ic, _U64_MAX)
+            unique_count = min(unique_count + uc, _U64_MAX)
+            mode, body = buf[24], buf[25:]
+            if mode == 1:
+                (nnz,) = struct.unpack_from("<Q", body)
+                idx = np.frombuffer(body, dtype="<u8", count=nnz, offset=8).astype(np.int64)
+                vals = np.frombuffer(body, dtype="<u4", count=nnz, offset=8 + nnz * 8)
+                np.add.at(acc, idx, vals.astype(np.uint64))
+            else:
+                acc += np.frombuffer(body, dtype="<u4").astype(np.uint64)
+        first.counts = np.minimum(acc, _U32_MAX).astype(np.uint32).reshape(
+            first.depth, first.width
+        )
+        first.item_count, first.unique_count = item_count, unique_count
+        return first
+
     def clear(self) -> None:
         self.counts[:] = 0
         self.item_count = 0
@@ -174,9 +202,25 @@ class CMSketch:
 
     # -- codec -------------------------------------------------------------
     def to_bytes(self) -> bytes:
+        """Dense or sparse envelope, whichever is smaller.
+
+        Partials built from one block touch only O(unique_keys × depth)
+        cells of the depth×width array, so the shuffle/checkpoint payload
+        of a per-block partial is KBs even when the dense sketch is MBs —
+        this is what keeps the partial-merge exchange trivial at corpus
+        scale (SURVEY.md §7.3). Format: header + mode:u8; mode 0 = dense
+        u32 grid, mode 1 = nnz:u64 + flat_idx:u64[nnz] + counts:u32[nnz].
+        """
         head = struct.pack("<2I2Q", self.depth, self.width,
                            self.item_count, self.unique_count)
-        return head + self.counts.astype("<u4").tobytes()
+        flat = self.counts.ravel()
+        nnz_idx = np.flatnonzero(flat)
+        sparse_size = 8 + nnz_idx.size * 12
+        if sparse_size < flat.size * 4:
+            return (head + b"\x01" + struct.pack("<Q", nnz_idx.size)
+                    + nnz_idx.astype("<u8").tobytes()
+                    + flat[nnz_idx].astype("<u4").tobytes())
+        return head + b"\x00" + self.counts.astype("<u4").tobytes()
 
     def to_reference_bytes(self) -> bytes:
         """Byte-identical to sa_serialize_cms (cm_sketch.c:144-163)."""
@@ -186,18 +230,33 @@ class CMSketch:
     @classmethod
     def from_bytes(cls, buf: bytes, epsilon: float | None = None,
                    delta: float | None = None) -> "CMSketch":
-        if len(buf) < 24:
+        if len(buf) < 25:
             raise CodecError("cms: buffer too short")
         depth, width, item_count, unique_count = struct.unpack_from("<2I2Q", buf)
-        body = buf[24:]
-        if len(body) != 4 * depth * width:
-            raise CodecError(f"cms: bad length {len(buf)}")
+        mode = buf[24]
+        body = buf[25:]
         cms = cls.__new__(cls)
         cms.epsilon = epsilon if epsilon is not None else _E / width
         cms.delta = delta if delta is not None else math.exp(-depth)
         cms.width, cms.depth = width, depth
         cms.item_count, cms.unique_count = item_count, unique_count
-        cms.counts = np.frombuffer(body, dtype="<u4").reshape(depth, width).copy()
+        if mode == 0:
+            if len(body) != 4 * depth * width:
+                raise CodecError(f"cms: bad length {len(buf)}")
+            cms.counts = np.frombuffer(body, dtype="<u4").reshape(depth, width).copy()
+        elif mode == 1:
+            if len(body) < 8:
+                raise CodecError("cms: bad sparse header")
+            (nnz,) = struct.unpack_from("<Q", body)
+            if len(body) != 8 + nnz * 12:
+                raise CodecError(f"cms: bad sparse length {len(buf)}")
+            idx = np.frombuffer(body, dtype="<u8", count=nnz, offset=8).astype(np.int64)
+            vals = np.frombuffer(body, dtype="<u4", count=nnz, offset=8 + nnz * 8)
+            flat = np.zeros(depth * width, dtype=np.uint32)
+            flat[idx] = vals
+            cms.counts = flat.reshape(depth, width)
+        else:
+            raise CodecError(f"cms: unknown mode {mode}")
         return cms
 
 

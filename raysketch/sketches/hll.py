@@ -137,6 +137,36 @@ class HyperLogLog:
             np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    @classmethod
+    def merge_many(cls, payloads: list[bytes]) -> "HyperLogLog":
+        """Bulk merge: one unique() over all sparse hash sets + one
+        register-max reduction over the dense ones."""
+        sparse_parts: list[np.ndarray] = []
+        dense: np.ndarray | None = None
+        first = cls.from_bytes(payloads[0])
+        for i, buf in enumerate(payloads):
+            obj = first if i == 0 else cls.from_bytes(buf)
+            if obj.p != first.p:
+                raise ValueError("HLL merge: mismatched precision")
+            if obj.sparse is not None:
+                sparse_parts.append(obj.sparse)
+            elif dense is None:
+                dense = obj.registers
+            else:
+                np.maximum(dense, obj.registers, out=dense)
+        sp = np.unique(np.concatenate(sparse_parts)) if sparse_parts else None
+        out = cls(p=first.p, sparse_limit=first.sparse_limit)
+        if dense is None:
+            out.sparse = sp if sp is not None else np.zeros(0, dtype=np.uint64)
+            if out.sparse.size > out.sparse_limit:
+                out._promote()
+        else:
+            out.sparse = None
+            out.registers = dense
+            if sp is not None and sp.size:
+                out._dense_update(sp)
+        return out
+
     def result(self) -> dict[str, Any]:
         return {"estimate": self.estimate(), "p": self.p, "sparse": self.is_sparse}
 

@@ -66,8 +66,13 @@ def test_serialization_roundtrip_and_errors():
     assert rt.item_count == 6 and rt.unique_count == 3  # test_cm_sketch.c:88-120
     assert rt.point_query("c") == 3
     assert (rt.counts == cms.counts).all()
-    # reference layout: header(8B ours) + reference bytes
-    assert blob[8:] == cms.to_reference_bytes()
+    # reference layout (cm_sketch.c:144-163): counts after the two u64s
+    ref = cms.to_reference_bytes()
+    assert ref[:16] == blob[8:24]  # item_count, unique_count LE
+    assert ref[16:] == cms.counts.astype("<u4").tobytes()
+    # sparse envelope (mode 1) chosen for a 3-key sketch, and lossless
+    assert blob[24] == 1
+    assert CMSketch.from_bytes(blob).to_reference_bytes() == ref
     with pytest.raises(CodecError):
         CMSketch.from_bytes(blob[:-4])
     with pytest.raises(CodecError):
