@@ -156,21 +156,30 @@ def generate_corpus(
     )
 
 
-def write_bench_corpus(path: str, n_rows: int, seed: int = 42, shard_rows: int = 50_000) -> str:
-    """Materialize a sharded corpus parquet dir (one file per shard so reads
-    parallelize); cached — skip if the layout already exists."""
+def _write_shard(args: tuple[str, int, int, int]) -> None:
     import pyarrow.parquet as pq
+
+    path, shard, rows, seed = args
+    t = generate_corpus(rows, seed=seed + shard)
+    pq.write_table(t, os.path.join(path, f"part-{shard:05d}.parquet"))
+
+
+def write_bench_corpus(path: str, n_rows: int, seed: int = 42, shard_rows: int = 37_500) -> str:
+    """Materialize a sharded corpus parquet dir (one file per shard so reads
+    parallelize); shards generate in parallel across local cores; cached —
+    skip if the layout already exists."""
+    from concurrent.futures import ProcessPoolExecutor
 
     marker = os.path.join(path, f"_DONE_{n_rows}_{seed}")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
-    shard = 0
-    for lo in range(0, n_rows, shard_rows):
-        rows = min(shard_rows, n_rows - lo)
-        t = generate_corpus(rows, seed=seed + shard)
-        pq.write_table(t, os.path.join(path, f"part-{shard:05d}.parquet"))
-        shard += 1
+    jobs = []
+    for shard, lo in enumerate(range(0, n_rows, shard_rows)):
+        jobs.append((path, shard, min(shard_rows, n_rows - lo), seed))
+    workers = min(32, os.cpu_count() or 4, len(jobs))
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_write_shard, jobs, chunksize=4))
     with open(marker, "w") as f:
         f.write("ok")
     return path

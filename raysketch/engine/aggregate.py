@@ -30,7 +30,7 @@ import pyarrow as pa
 from ..sketches import SKETCH_KINDS
 from .udaf import PARTIAL_SCHEMA, SketchSpec, merge_payloads, partials_for_block
 
-_DRIVER_MERGE_MAX_PARTIALS = 20_000
+_DRIVER_MERGE_MAX_PARTIALS = 2_048  # dense partials can be MBs: keep the driver's share small
 
 
 def build_partials(
@@ -91,6 +91,63 @@ def _fold_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _fold_partial_batch(batch: pa.Table) -> pa.Table:
+    """Merge all partials sharing (group, spec) within one coalesced batch.
+
+    Used by the tree merge: no shuffle — Ray Data's batch coalescing feeds
+    consecutive partial blocks to each fold task, so every level is a
+    node-local reduction that shrinks partial volume by the fan-in factor.
+    """
+    from .udaf import merge_payloads
+
+    rows = batch.to_pylist()
+    buckets: dict[tuple[str, str], list[dict]] = {}
+    for r in rows:
+        buckets.setdefault((r["group"], r["spec"]), []).append(r)
+    out = {"group": [], "spec": [], "kind": [], "payload": [], "rows": []}
+    for (g, s), rs in buckets.items():
+        out["group"].append(g)
+        out["spec"].append(s)
+        out["kind"].append(rs[0]["kind"])
+        out["payload"].append(merge_payloads(rs[0]["kind"], [r["payload"] for r in rs]))
+        out["rows"].append(sum(r["rows"] for r in rs))
+    return pa.Table.from_arrays(
+        [
+            pa.array(out["group"], pa.string()),
+            pa.array(out["spec"], pa.string()),
+            pa.array(out["kind"], pa.string()),
+            pa.array(out["payload"], pa.large_binary()),
+            pa.array(out["rows"], pa.int64()),
+        ],
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def merge_partials_tree(
+    partials_ds,
+    fan_in_rows: int = 1024,
+    max_driver_partials: int = 2048,
+    max_levels: int = 8,
+):
+    """Parallel log-depth reduction of a (materialized) partials Dataset.
+
+    Each level coalesces ~fan_in_rows partial rows per task and folds them
+    per (group, spec); levels repeat until the driver's final fold is small.
+    Scales to any block count: the driver never sees more than
+    ``max_driver_partials`` payloads, and no level is an all-to-all
+    exchange (dense sketch partials can be 0.5-2 MB each, so per-block
+    partials over 10^5+ blocks are far too big to pull to one process).
+    """
+    ds = partials_ds
+    for _ in range(max_levels):
+        if ds.count() <= max_driver_partials:
+            break
+        ds = ds.map_batches(
+            _fold_partial_batch, batch_format="pyarrow", batch_size=fan_in_rows
+        ).materialize()
+    return merge_partials_driver(ds)
+
+
 def merge_partials_ds(partials_ds, salt_fan_in: int | None = None):
     """Reduce side as a Dataset groupby; optional salted pre-level.
 
@@ -144,9 +201,11 @@ def sketch_aggregate(
     # executed result instead of re-running the whole pipeline.
     partials = partials.materialize()
     if merge == "auto":
-        merge = "driver" if partials.count() <= _DRIVER_MERGE_MAX_PARTIALS else "dataset"
+        merge = "driver" if partials.count() <= _DRIVER_MERGE_MAX_PARTIALS else "tree"
     if merge == "driver":
         merged = merge_partials_driver(partials)
+    elif merge == "tree":
+        merged = merge_partials_tree(partials)
     elif merge == "dataset":
         out = merge_partials_ds(partials, salt_fan_in=salt_fan_in)
         merged = {

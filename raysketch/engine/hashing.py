@@ -47,6 +47,18 @@ def hash64_batch(values: Any) -> np.ndarray:
     return pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
 
 
+def hash64_batch_aligned(values: Any) -> tuple[np.ndarray, np.ndarray]:
+    """Row-aligned variant: (uint64 hashes, valid mask), one entry per input
+    row. Lets a caller hash a whole block's column ONCE and slice per group
+    instead of re-hashing each group's slice."""
+    s = _as_series(values)
+    if s.empty:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    valid = s.notna().to_numpy()
+    h = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY).to_numpy()
+    return h, valid
+
+
 def splitmix64(h: np.ndarray) -> np.ndarray:
     """One splitmix64 finalization round — derives an independent family."""
     z = np.asarray(h, dtype=np.uint64).copy()

@@ -59,10 +59,23 @@ PARTIAL_SCHEMA = pa.schema(
 )
 
 
+_HASH_FED_KINDS = {"hll", "bloom"}  # sketches fed precomputed 64-bit hashes
+
+
 def partials_for_block(
     batch: pa.Table, specs: list[SketchSpec], group_key: str | None
 ) -> pa.Table:
-    """Build one serialized partial per (group, spec) from one Arrow block."""
+    """Build one serialized partial per (group, spec) from one Arrow block.
+
+    Shared work is hoisted to block level: each hash-fed column (HLL/Bloom)
+    is hashed ONCE for the whole block, and rows are ordered by group with
+    a single stable argsort — per-group updates are then zero-copy slices,
+    not one filter scan per group value.
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import hash64_batch_aligned
+
     groups: list[str] = []
     spec_names: list[str] = []
     kinds: list[str] = []
@@ -70,28 +83,48 @@ def partials_for_block(
     rows: list[int] = []
 
     if group_key is None:
-        group_slices: list[tuple[str, pa.Table]] = [("", batch)]
+        bounds = [("", np.arange(batch.num_rows, dtype=np.int64))]
     else:
-        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(batch[group_key]).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        labels = enc.dictionary.to_pylist()
+        valid_rows = np.flatnonzero(~np.isnan(codes)) if codes.dtype.kind == "f" \
+            else np.arange(codes.size)
+        codes_i = codes[valid_rows].astype(np.int64)
+        order = np.argsort(codes_i, kind="stable")
+        sorted_rows = valid_rows[order]
+        sorted_codes = codes_i[order]
+        cuts = np.searchsorted(sorted_codes, np.arange(len(labels) + 1))
+        bounds = [
+            (str(labels[c]), sorted_rows[cuts[c]:cuts[c + 1]])
+            for c in range(len(labels))
+            if cuts[c + 1] > cuts[c]
+        ]
 
-        keys = batch[group_key]
-        uniq = pc.unique(keys)
-        group_slices = []
-        for kv in uniq.to_pylist():
-            if kv is None:
-                continue
-            mask = pc.equal(keys, kv)
-            group_slices.append((str(kv), batch.filter(mask)))
+    # hoisted per-block column work
+    hashed: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    taken: dict[str, Any] = {}
+    for spec in specs:
+        if spec.kind in _HASH_FED_KINDS and spec.column not in hashed:
+            hashed[spec.column] = hash64_batch_aligned(batch[spec.column])
+        elif spec.kind not in _HASH_FED_KINDS and spec.column not in taken:
+            taken[spec.column] = batch[spec.column].combine_chunks()
 
-    for gval, sub in group_slices:
+    for gval, idx in bounds:
         for spec in specs:
             sk = spec.factory()
-            sk.update_batch(sub[spec.column])
+            if spec.kind in _HASH_FED_KINDS:
+                h, valid = hashed[spec.column]
+                hs = h[idx]
+                vs = valid[idx]
+                sk.update_hashes(hs if vs.all() else hs[vs])
+            else:
+                sk.update_batch(taken[spec.column].take(pa.array(idx)))
             groups.append(gval)
             spec_names.append(spec.name)
             kinds.append(spec.kind)
             payloads.append(sk.to_bytes())
-            rows.append(sub.num_rows)
+            rows.append(int(idx.size))
 
     return pa.Table.from_arrays(
         [

@@ -21,7 +21,6 @@ Scale design notes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-import itertools
 from typing import Any
 
 import numpy as np
@@ -41,56 +40,91 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "conten
     return batch.append_column(out, pa.array(sha256_batch(batch[text_col]), pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", buckets: int = 256):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
     Returns a Dataset of the surviving rows (all original columns).
-    Partitioning: one shuffle on the sha256 of content — collision-free in
-    practice, so group-by-hash == group-by-content.
+    Partitioning: ONE shuffle keyed on a coarse bucket of the content
+    sha256 (bounded group count at any scale); each reduce task resolves
+    its bucket with a vectorized pandas idxmin per full hash — collision-
+    free in practice, so group-by-hash == group-by-content.
     """
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
-    )
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, text_col)
+        hb = [int(h[:4], 16) % buckets for h in b["content_hash"].to_pylist()]
+        return b.append_column("hash_bucket", pa.array(hb, pa.int64()))
+
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).head(1).drop(columns=["content_hash"])
+        winners = df.loc[df.groupby("content_hash", sort=False)[id_col].idxmin()]
+        return winners.drop(columns=["content_hash", "hash_bucket"])
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("hash_bucket").map_groups(keep_first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_set(text: str, k: int) -> np.ndarray:
-    """Deterministic 64-bit hashes of the k-char shingles of ``text``."""
-    if not text or len(text) < k:
-        src = pd.Series([text or ""])
-    else:
-        src = pd.Series([text[i : i + k] for i in range(len(text) - k + 1)])
-    return np.unique(
-        pd.util.hash_pandas_object(src, index=False, hash_key="raysketch-determin"[:16]).to_numpy()
-    )
+_ROLL_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
-def minhash_signature(shingle_hashes: np.ndarray, num_perm: int) -> np.ndarray:
-    """num_perm minima over splitmix64-derived hash families (vectorized)."""
-    if shingle_hashes.size == 0:
-        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = shingle_hashes.astype(np.uint64)
-    sig = np.empty(num_perm, dtype=np.uint64)
-    cur = h
-    for i in range(num_perm):
+def _batch_shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-byte rolling hashes for a whole batch of texts.
+
+    Every doc is padded with k-1 zero bytes so windows never cross into the
+    next doc (hashes are position- and batch-independent → deterministic
+    under re-batching/retries). Returns (shingle_hashes, doc_offsets) where
+    doc i owns hashes[offsets[i]:offsets[i+1]] (>=1 per doc; an empty doc
+    hashes its padding). splitmix64 finalization fixes the low-bit bias of
+    the polynomial roll.
+    """
+    enc = [(t or "").encode("utf-8") for t in texts]
+    pad = b"\x00" * (k - 1)
+    blob = pad.join(enc) + pad if enc else pad
+    # window count per doc = max(len, 1); doc windows start at its offset
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    counts = np.maximum(lens, 1)
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
+    n_win = arr.size - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h += arr[j : j + n_win] * mult
+            mult *= _ROLL_BASE
+    h = splitmix64(h)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1] + (k - 1))]) if len(enc) else np.zeros(0, np.int64)
+    # flatten each doc's window range into one index vector
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    idx = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, counts)]) if len(enc) else np.zeros(0, np.int64)
+    return h[idx], offsets
+
+
+def batch_minhash_signatures(texts: list, k: int, num_perm: int) -> np.ndarray:
+    """(ndocs, num_perm) MinHash signature matrix, fully vectorized:
+    one splitmix64 family pass + one segmented min (reduceat) per
+    permutation over the batch's whole shingle stream."""
+    sh, offsets = _batch_shingle_hashes(texts, k)
+    ndocs = offsets.size - 1
+    sig = np.empty((ndocs, num_perm), dtype=np.uint64)
+    if ndocs == 0:
+        return sig
+    seg_starts = offsets[:-1]
+    cur = sh
+    for p in range(num_perm):
         cur = splitmix64(cur)
-        sig[i] = cur.min()
+        sig[:, p] = np.minimum.reduceat(cur, seg_starts)
     return sig
 
 
 class MinHasher:
-    """Actor-pool stage: text → (doc_id, band, band_hash) rows.
+    """Stateless vectorized stage: text → (doc_id, band, band_hash) rows.
 
     One output row per (doc, band); the LSH bucket join is a groupby on
-    (band, band_hash).
+    (band, band_hash). Content never leaves the stage — the shuffle is
+    ndocs x bands narrow integer rows.
     """
 
     def __init__(
@@ -107,54 +141,99 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for did, text in zip(ids, texts):
-            sig = minhash_signature(_shingle_set(text or "", self.k), self.num_perm)
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            bh = pd.util.hash_pandas_object(
-                pd.Series([b.tobytes() for b in bands]),
-                index=False,
-                hash_key="raysketch-determin"[:16],
-            ).to_numpy()
-            out_id.extend([did] * self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(int(x) for x in bh)
+        sig = batch_minhash_signatures(texts, self.k, self.num_perm)
+        ndocs = sig.shape[0]
+        # fold each band's rows into one 64-bit bucket key (vectorized)
+        sig3 = sig.reshape(ndocs, self.bands, self.rows_per_band)
+        bh = np.zeros((ndocs, self.bands), dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            bh = splitmix64(bh ^ sig3[:, :, j])
+        band_idx = np.tile(np.arange(self.bands, dtype=np.int32), ndocs)
         return pa.Table.from_arrays(
             [
-                pa.array(out_id, pa.int64()),
-                pa.array(out_band, pa.int32()),
-                pa.array(out_hash, pa.uint64()),
+                pa.array(np.repeat(ids, self.bands), pa.int64()),
+                pa.array(band_idx, pa.int32()),
+                pa.array(bh.ravel(), pa.uint64()),
             ],
             names=[self.id_col, "band", "band_hash"],
         )
 
 
+_COARSE_BUCKETS = 256
+
+
 def lsh_candidate_pairs(band_rows_ds, id_col: str = "doc_id"):
-    """(band, band_hash) buckets → unique candidate id pairs (a < b)."""
+    """(band, band_hash) buckets → unique candidate id pairs (a < b).
+
+    The shuffle key is a COARSE bucket (band_hash mod 256), not the raw
+    bucket: group count stays bounded regardless of corpus size, and each
+    reduce task resolves its real buckets with one vectorized pandas
+    groupby (per-tiny-bucket map_groups calls would dominate at scale).
+    Pair dedup is a second coarse groupby on the pair key.
+    """
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        coarse = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], pa.scalar(_COARSE_BUCKETS - 1, pa.uint64())),
+            pa.int64(),
+        )
+        return batch.append_column("coarse", coarse)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(df[id_col]))
-        if len(ids) < 2:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        grouped = df.groupby(["band", "band_hash"], sort=False)[id_col]
+        for _, ids in grouped:
+            if len(ids) < 2:
+                continue
+            u = np.unique(ids.to_numpy())
+            if u.size < 2:
+                continue
+            ia, ib = np.triu_indices(u.size, k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        combos = list(itertools.combinations(ids, 2))
-        return pd.DataFrame(combos, columns=["id_a", "id_b"])
+        cand = pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+        return cand.drop_duplicates()
 
-    cand = band_rows_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = band_rows_ds.map_batches(add_coarse, batch_format="pyarrow").groupby(
+        "coarse"
+    ).map_groups(pairs, batch_format="pandas")
+
+    def pair_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.bit_wise_and(
+            pc.bit_wise_xor(
+                pc.multiply(batch["id_a"], pa.scalar(2654435761, pa.int64())),
+                batch["id_b"],
+            ),
+            pa.scalar(_COARSE_BUCKETS - 1, pa.int64()),
+        )
+        return batch.append_column("pc", key)
+
+    return cand.map_batches(pair_coarse, batch_format="pyarrow").groupby("pc").map_groups(
+        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pc"]),
+        batch_format="pandas",
     )
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+def shingle_hash_set(text: str, k: int = 5) -> np.ndarray:
+    """Unique shingle hashes of one text (same family as the MinHash)."""
+    h, _ = _batch_shingle_hashes([text], k)
+    return np.unique(h)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact k-shingle Jaccard (the verify step after LSH)."""
-    a, b = _shingle_set(text_a, k), _shingle_set(text_b, k)
+    a, b = shingle_hash_set(text_a, k), shingle_hash_set(text_b, k)
     if a.size == 0 and b.size == 0:
         return 1.0
     inter = np.intersect1d(a, b).size
@@ -171,34 +250,92 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
-    """Full near-dup pipeline: minhash → LSH buckets → candidate pairs →
-    exact-Jaccard verify (verify joins text back only for candidates via a
-    driver-side dict — sound while the candidate set is small; at larger
-    scale swap for a bucket-wise join).
+    """Full near-dup pipeline: one distributed text pass → signatures;
+    band rows derived FROM signatures (text hashed once); LSH buckets →
+    candidate pairs; candidates pre-filtered by the VECTORIZED
+    signature-agreement Jaccard estimate (one (pairs × num_perm) matrix
+    compare, no per-pair Python); only survivors get the exact
+    shingle-Jaccard verify. Signatures (num_perm·8 B/doc) and survivor
+    texts come to the driver — sound while candidates fit memory; at
+    corpus scale replace with a bucket-wise join of the same stages.
 
     Returns a pandas DataFrame (id_a, id_b, jaccard) of verified pairs.
     """
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if concurrency:
         kwargs["concurrency"] = concurrency
-    hasher = MinHasher(text_col, id_col, num_perm, bands, shingle_k)
-    band_rows = ds.select_columns([id_col, text_col]).map_batches(hasher, **kwargs)
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        sig = batch_minhash_signatures(batch[text_col].to_pylist(), shingle_k, num_perm)
+        return pa.Table.from_arrays(
+            [batch[id_col],
+             pa.FixedSizeListArray.from_arrays(pa.array(sig.ravel(), pa.uint64()), num_perm)],
+            names=[id_col, "sig"],
+        )
+
+    sigs_ds = ds.select_columns([id_col, text_col]).map_batches(sig_stage, **kwargs).materialize()
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+        ndocs = sig.shape[0]
+        sig3 = sig.reshape(ndocs, bands, rows_per_band)
+        bh = np.zeros((ndocs, bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            bh = splitmix64(bh ^ sig3[:, :, j])
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, bands), pa.int64()),
+             pa.array(np.tile(np.arange(bands, dtype=np.int32), ndocs), pa.int32()),
+             pa.array(bh.ravel(), pa.uint64())],
+            names=[id_col, "band", "band_hash"],
+        )
+
+    band_rows = sigs_ds.map_batches(band_stage, batch_format="pyarrow")
     cand = lsh_candidate_pairs(band_rows, id_col).to_pandas()
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
+    # vectorized signature-estimate pre-filter
+    sig_ids: list[np.ndarray] = []
+    sig_mats: list[np.ndarray] = []
+    for batch in sigs_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        sig_ids.append(np.asarray(batch[id_col].to_pylist(), dtype=np.int64))
+        sig_mats.append(np.asarray(batch["sig"].to_pylist(), dtype=np.uint64))
+    all_ids = np.concatenate(sig_ids)
+    all_sigs = np.concatenate(sig_mats)
+    pos = {int(i): j for j, i in enumerate(all_ids)}
+    ia = np.fromiter((pos[int(a)] for a in cand["id_a"]), dtype=np.int64, count=len(cand))
+    ib = np.fromiter((pos[int(b)] for b in cand["id_b"]), dtype=np.int64, count=len(cand))
+    est = (all_sigs[ia] == all_sigs[ib]).mean(axis=1)
+    # keep a safety margin below threshold; exact verify decides the rest
+    keep = est >= max(0.0, threshold - 1.5 / np.sqrt(num_perm) - 0.05)
+    cand = cand[keep].reset_index(drop=True)
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
     cand_set = set(cand["id_a"]) | set(cand["id_b"])
-    texts = {}
+    shingles: dict[int, np.ndarray] = {}
     for batch in ds.select_columns([id_col, text_col]).iter_batches(
         batch_size=8192, batch_format="pyarrow"
     ):
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if i in cand_set:
-                texts[i] = t
-    jac = [
-        jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-        for a, b in zip(cand["id_a"], cand["id_b"])
-    ]
+        ids_b = batch[id_col].to_pylist()
+        texts_b = batch[text_col].to_pylist()
+        wanted = [(i, t) for i, t in zip(ids_b, texts_b) if i in cand_set]
+        if not wanted:
+            continue
+        h, offs = _batch_shingle_hashes([t for _, t in wanted], shingle_k)
+        for j, (i, _) in enumerate(wanted):
+            shingles[i] = np.unique(h[offs[j]:offs[j + 1]])
+    jac = np.empty(len(cand))
+    for r, (a, b) in enumerate(zip(cand["id_a"], cand["id_b"])):
+        sa, sb = shingles[int(a)], shingles[int(b)]
+        if sa.size == 0 and sb.size == 0:
+            jac[r] = 1.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac[r] = inter / (sa.size + sb.size - inter)
     out = cand.assign(jaccard=jac)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 

@@ -55,9 +55,10 @@ class HyperLogLog:
             raise ValueError("p must be in [4,18]")
         self.p = p
         self.m = 1 << p
-        # sparse set memory cap: default 4·m hashes (32·m bytes) before
-        # promoting to the m-byte dense register file
-        self.sparse_limit = sparse_limit if sparse_limit is not None else 4 * self.m
+        # sparse set cap: promote to dense once the 8-byte-per-hash sparse
+        # set would out-weigh the m-byte dense register file (serialized
+        # partials shuffle; keeping them <= dense size bounds merge volume)
+        self.sparse_limit = sparse_limit if sparse_limit is not None else max(1024, self.m // 8)
         self.sparse: np.ndarray | None = np.zeros(0, dtype=np.uint64)
         self.registers: np.ndarray | None = None
 

@@ -131,6 +131,28 @@ class KLL:
         self._compact()
         return self
 
+    @classmethod
+    def merge_many(cls, payloads: list[bytes]) -> "KLL":
+        """Bulk merge: concatenate every partial's levels level-wise, then
+        compact ONCE (vs per-merge recompaction across N partials)."""
+        parts = [cls.from_bytes(b) for b in payloads]
+        first = parts[0]
+        for p in parts[1:]:
+            if p.k != first.k:
+                raise ValueError("kll merge: mismatched k")
+        out = cls(first.k)
+        height = max(len(p.levels) for p in parts)
+        out.levels = [
+            np.concatenate([p.levels[h] for p in parts if h < len(p.levels)])
+            for h in range(height)
+        ]
+        out.flip = [False] * height
+        out.n = sum(p.n for p in parts)
+        out.min = min(p.min for p in parts)
+        out.max = max(p.max for p in parts)
+        out._compact()
+        return out
+
     def result(self) -> dict[str, Any]:
         return {
             "count": self.n,

@@ -83,29 +83,27 @@ class TDigest:
         means, weights = means[order], weights[order]
         total = float(weights.sum())
 
+        # Vectorized greedy pass: precompute k(q) at every right edge once;
+        # each output centroid spans [i, j) where j is the largest index with
+        # k(q_j) <= k(q_left_of_i) + 1 (one searchsorted per OUTPUT centroid,
+        # no per-input-point Python work).
+        cum = np.cumsum(weights)
+        kq = self._k(np.minimum(cum / total, 1.0))
+        wm = np.cumsum(weights * means)
         out_means: list[float] = []
         out_weights: list[float] = []
-        w_so_far = 0.0
-        cur_m, cur_w = float(means[0]), float(weights[0])
-        k_limit = float(
-            self._k_inv(np.asarray(self._k(np.asarray(0.0)) + 1.0))
-        ) * total
-        for m, w in zip(means[1:], weights[1:]):
-            if w_so_far + cur_w + w <= k_limit:
-                # coalesce into current centroid
-                cur_m += (m - cur_m) * (w / (cur_w + w))
-                cur_w += w
-            else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                w_so_far += cur_w
-                q = min(w_so_far / total, 1.0)
-                k_limit = float(
-                    self._k_inv(np.asarray(self._k(np.asarray(q)) + 1.0))
-                ) * total
-                cur_m, cur_w = float(m), float(w)
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
+        i = 0
+        n = means.size
+        while i < n:
+            q_left = cum[i - 1] / total if i else 0.0
+            j = int(np.searchsorted(kq, self._k(np.asarray(q_left)) + 1.0,
+                                    side="right"))
+            j = max(j, i + 1)
+            w = cum[j - 1] - (cum[i - 1] if i else 0.0)
+            m = (wm[j - 1] - (wm[i - 1] if i else 0.0)) / w
+            out_means.append(float(m))
+            out_weights.append(float(w))
+            i = j
         self.means = np.asarray(out_means)
         self.weights = np.asarray(out_weights)
         self.total = total

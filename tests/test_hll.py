@@ -11,11 +11,14 @@ from raysketch.sketches.hll import HyperLogLog
 
 
 def test_sparse_is_exact():
-    h = HyperLogLog(p=14)
-    h.update_batch([f"item{i}" for i in range(5000)])
-    h.update_batch([f"item{i}" for i in range(2500)])  # duplicates
+    h = HyperLogLog(p=14)  # default sparse_limit = m//8 = 2048
+    h.update_batch([f"item{i}" for i in range(1500)])
+    h.update_batch([f"item{i}" for i in range(800)])  # duplicates
     assert h.is_sparse
-    assert h.estimate() == 5000.0
+    assert h.estimate() == 1500.0
+    # crossing the limit promotes to dense
+    h.update_batch([f"x{i}" for i in range(2000)])
+    assert not h.is_sparse
 
 
 def test_dense_within_published_bound():

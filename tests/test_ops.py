@@ -44,9 +44,8 @@ def test_minhash_jaccard_estimates():
     a = "the quick brown fox jumps over the lazy dog " * 5
     b = "the quick brown fox jumps over the lazy cat " * 5
     c = "completely different content with nothing shared at all zzz " * 5
-    sa = dd.minhash_signature(dd._shingle_set(a, 5), 128)
-    sb = dd.minhash_signature(dd._shingle_set(b, 5), 128)
-    sc = dd.minhash_signature(dd._shingle_set(c, 5), 128)
+    sigs = dd.batch_minhash_signatures([a, b, c], 5, 128)
+    sa, sb, sc = sigs[0], sigs[1], sigs[2]
     est_ab = (sa == sb).mean()
     true_ab = dd.jaccard(a, b, 5)
     assert abs(est_ab - true_ab) < 0.15
