@@ -495,6 +495,78 @@ def q_time_series_window(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_matrix_pcc(sf_dir: str) -> pa.Table:
+    """Per event_type: 24-hour-of-day count matrix over days; Pearson
+    correlation of the LAST day's profile vs each prior day (the
+    heka_message_monitor current-vs-history pcc pattern). Output: the
+    best-matching prior day per event_type (reference matrix:pcc semantics,
+    lua_binding/matrix.c:402-558)."""
+    from .sketches.matrix import MatrixInt
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    us_day, us_hour = 86_400_000_000, 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(),
+             "d": pc.divide(us, pa.scalar(us_day, pa.int64())).to_pylist(),
+             "h": pc.divide(pc.subtract(us, pc.multiply(pc.divide(us, pa.scalar(us_day, pa.int64())), pa.scalar(us_day, pa.int64()))), pa.scalar(us_hour, pa.int64())).to_pylist()}
+        )
+        g = df.groupby(["event_type", "d", "h"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts: dict[tuple, int] = defaultdict(int)
+    for b in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            counts[(row["event_type"], row["d"], row["h"])] += row["n"]
+    days = sorted({k[1] for k in counts})
+    day_idx = {d: i for i, d in enumerate(days)}
+    mats: dict[str, MatrixInt] = {}
+    for (et, d, h), n in counts.items():
+        m = mats.setdefault(et, MatrixInt(len(days), 24))
+        m.add(day_idx[d], h, n)
+    rows = []
+    last = len(days) - 1
+    for et in sorted(mats):
+        r = mats[et].pcc(last)
+        if r is None:
+            continue
+        pcc, idx = r
+        rows.append({"event_type": et, "best_day": int(days[idx]),
+                     "pcc": round(pcc, 6)})
+    return pa.Table.from_pylist(rows)
+
+
+def q_mp_anomaly(sf_dir: str) -> pa.Table:
+    """Per event_type: SCRIMP matrix-profile anomaly over the last 96
+    hourly buckets (reference ts:matrix_profile 'anomaly' result,
+    lua_binding/time_series.c:348-427)."""
+    from .ops.matrixprofile import matrix_profile_per_group
+    from .ops.window import time_series_window
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        v = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "ts_us": us, "v": v})
+
+    prepared = ds.map_batches(to_int, batch_format="pyarrow")
+    windowed = time_series_window(
+        prepared, "event_type", "ts_us", "v", ns_per_row=3_600_000_000, rows=96
+    )
+    out = matrix_profile_per_group(
+        windowed, "event_type", m=6, result="anomaly"
+    ).to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    out["discord_idx"] = out["discord_idx"].astype("int64")
+    out["pct"] = out["pct"].round(6)
+    out["dist"] = out["dist"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: synthesized media → stub decode → features."""
     import ray.data as rd
@@ -545,6 +617,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
+    "matrix_pcc": q_matrix_pcc,
+    "mp_anomaly": q_mp_anomaly,
     "media_features": q_media_features,
     "fingerprints": q_fingerprints,
 }
@@ -607,6 +681,34 @@ ORACLE_SQL: dict[str, str] = {
                CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
                CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "matrix_pcc": """
+        WITH bounds AS (
+          SELECT CAST(epoch_us(min(ts))//86400000000 AS BIGINT) lo,
+                 CAST(epoch_us(max(ts))//86400000000 AS BIGINT) hi FROM events),
+        counts AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts)//86400000000 AS BIGINT) d,
+                 CAST((epoch_us(ts)%86400000000)//3600000000 AS BIGINT) h,
+                 count(*) n
+          FROM events GROUP BY 1,2,3),
+        grid AS (
+          SELECT et.event_type, d.d, h.h
+          FROM (SELECT DISTINCT event_type FROM events) et
+          CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),(SELECT hi FROM bounds))) d) d
+          CROSS JOIN (SELECT unnest(generate_series(0,23)) h) h),
+        cells AS (
+          SELECT g.event_type, g.d, g.h, COALESCE(c.n, 0) n
+          FROM grid g LEFT JOIN counts c
+            ON g.event_type=c.event_type AND g.d=c.d AND g.h=c.h),
+        pccs AS (
+          SELECT a.event_type, a.d, corr(a.n, b.n) r
+          FROM cells a JOIN cells b ON a.event_type=b.event_type AND a.h=b.h
+          WHERE b.d=(SELECT hi FROM bounds) AND a.d<>(SELECT hi FROM bounds)
+          GROUP BY 1,2)
+        SELECT event_type, CAST(arg_max(d, r) AS BIGINT) best_day,
+               round(max(r), 6) AS pcc
+        FROM pccs WHERE r IS NOT NULL GROUP BY event_type ORDER BY event_type
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)

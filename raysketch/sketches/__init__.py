@@ -5,6 +5,7 @@ from .bloom import BloomFilter
 from .cms import CMSketch
 from .hll import HyperLogLog
 from .kll import KLL
+from .matrix import MatrixFlt, MatrixInt
 from .p2 import P2Histogram, P2Quantile
 from .running_stats import RunningStats
 from .tdigest import TDigest
@@ -15,12 +16,14 @@ SKETCH_KINDS = {
     "cms": CMSketch,
     "hll": HyperLogLog,
     "kll": KLL,
+    "matrix_int": MatrixInt,
+    "matrix_flt": MatrixFlt,
     "running_stats": RunningStats,
     "tdigest": TDigest,
 }
 
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
-    "P2Histogram", "P2Quantile", "RunningStats", "SKETCH_KINDS",
-    "SketchUDAF", "TDigest",
+    "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "RunningStats",
+    "SKETCH_KINDS", "SketchUDAF", "TDigest",
 ]
