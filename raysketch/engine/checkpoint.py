@@ -171,14 +171,14 @@ def run_with_checkpoint(
                 {"input_file": path, "input_rows": n_rows, "wall_sec": time.monotonic() - t0},
             )
 
-    # final fold over all persisted partials
+    # final fold over all persisted partials (bulk merge per key)
+    from .udaf import merge_payloads_obj
+
     table = store.load_partials()
-    acc: dict[tuple[str, str], Any] = {}
+    buckets: dict[tuple[str, str], list[bytes]] = {}
+    kinds: dict[tuple[str, str], str] = {}
     for row in table.to_pylist():
         key = (row["group"], row["spec"])
-        sk = SKETCH_KINDS[row["kind"]].from_bytes(row["payload"])
-        if key in acc:
-            acc[key].merge(sk)
-        else:
-            acc[key] = sk
-    return acc
+        buckets.setdefault(key, []).append(row["payload"])
+        kinds[key] = row["kind"]
+    return {k: merge_payloads_obj(kinds[k], v) for k, v in buckets.items()}

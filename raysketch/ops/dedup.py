@@ -377,6 +377,59 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def simhash_neardup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """SimHash near-dup: 64-bit simhash per doc, 4 tables of 16 bits for
+    candidate banding (any pair within Hamming distance 3 shares at least
+    one exact 16-bit band), Hamming verify on candidates. Banding rows are
+    (doc, table, 16-bit key) — narrow; the verify joins only simhashes.
+    """
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    sims = ds.select_columns([id_col, text_col]).map_batches(
+        SimHasher(text_col), **kwargs
+    ).select_columns([id_col, "simhash"]).materialize()
+
+    def band(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        h = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
+        tables = np.arange(4, dtype=np.uint64)
+        keys = ((h[:, None] >> (tables * np.uint64(16))) & np.uint64(0xFFFF))
+        # fold table idx into the key so one groupby covers all 4 tables
+        band_key = (keys | (tables << np.uint64(16)))
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ids, 4), pa.int64()),
+             pa.array(np.zeros(ids.size * 4, np.int32), pa.int32()),
+             pa.array(band_key.ravel(), pa.uint64())],
+            names=[id_col, "band", "band_hash"],
+        )
+
+    cand = lsh_candidate_pairs(sims.map_batches(band, batch_format="pyarrow"),
+                               id_col).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    hashes: dict[int, int] = {}
+    for b in sims.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, h in zip(b[id_col].to_pylist(), b["simhash"].to_pylist()):
+            hashes[i] = h
+    ha = np.fromiter((hashes[int(a)] for a in cand["id_a"]), dtype=np.uint64,
+                     count=len(cand))
+    hb = np.fromiter((hashes[int(b)] for b in cand["id_b"]), dtype=np.uint64,
+                     count=len(cand))
+    dist = hamming64(ha, hb)
+    out = cand.assign(hamming=dist)
+    out = out[out["hamming"] <= max_hamming]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -495,6 +495,77 @@ def q_time_series_window(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_window_stats(sf_dir: str) -> pa.Table:
+    """Reference ts:stats() over the last 24 hourly buckets per event_type
+    (zeros = missing data unless include_zero; lua_binding/
+    time_series.c:198-345). Exact: bucket values are event counts."""
+    from .ops.window import time_series_window, window_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        one = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        return pa.table({"event_type": batch["event_type"], "ts_us": us, "v": one})
+
+    prepared = ds.map_batches(to_counts, batch_format="pyarrow")
+    windowed = time_series_window(
+        prepared, "event_type", "ts_us", "v", ns_per_row=3_600_000_000, rows=24
+    ).to_pandas().sort_values("event_type")
+    rows = []
+    for _, r in windowed.iterrows():
+        v = np.asarray(r["values"], dtype=np.float64)
+        s, n = window_stats(v, "sum")
+        a, _ = window_stats(v, "avg")
+        sd, _ = window_stats(v, "sd")
+        usd, _ = window_stats(v, "usd")
+        rows.append({
+            "event_type": r["event_type"], "rows_used": n,
+            "w_sum": int(s), "w_avg": round(a, 6),
+            "w_sd": round(sd, 6), "w_usd": round(usd, 6),
+        })
+    return pa.Table.from_pylist(rows)
+
+
+def q_simhash_neardup(sf_dir: str) -> pa.Table:
+    from .ops.dedup import simhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_neardup_pairs(ds, max_hamming=3)
+    return pa.table(
+        {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
+         "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
+         "hamming": pa.array(pairs["hamming"].astype("int64"), pa.int64())}
+    )
+
+
+def q_p2_profile(sf_dir: str) -> pa.Table:
+    """Reference-parity P2 (Jain & Chlamtac) sequential quantile +
+    histogram over n_chars in doc_id order — the order-dependent test
+    oracle sketch (SURVEY.md §2.2); deterministic, driver-side by design."""
+    import pyarrow.parquet as pq
+
+    from .sketches import P2Histogram, P2Quantile
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    df = t.to_pandas().sort_values("doc_id")
+    q50, q95 = P2Quantile(0.5), P2Quantile(0.95)
+    hist = P2Histogram(10)
+    for v in df["n_chars"].to_numpy(np.float64):
+        q50.add(v)
+        q95.add(v)
+        hist.add(v)
+    return pa.table({
+        "p50_est": pa.array([round(q50.estimate(2), 6)], pa.float64()),
+        "p95_est": pa.array([round(q95.estimate(2), 6)], pa.float64()),
+        "hist_markers": pa.array(
+            [[round(hist.estimate(i), 6) for i in range(11)]],
+            pa.list_(pa.float64()),
+        ),
+    })
+
+
 def q_matrix_pcc(sf_dir: str) -> pa.Table:
     """Per event_type: 24-hour-of-day count matrix over days; Pearson
     correlation of the LAST day's profile vs each prior day (the
@@ -617,6 +688,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
+    "window_stats": q_window_stats,
+    "simhash_neardup": q_simhash_neardup,
+    "p2_profile": q_p2_profile,
     "matrix_pcc": q_matrix_pcc,
     "mp_anomaly": q_mp_anomaly,
     "media_features": q_media_features,
@@ -681,6 +755,22 @@ ORACLE_SQL: dict[str, str] = {
                CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
                CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "window_stats": """
+        WITH b AS (
+          SELECT event_type, CAST(epoch_us(ts)//3600000000 AS BIGINT) bucket,
+                 count(*) n
+          FROM events GROUP BY 1,2),
+        mx AS (SELECT event_type, max(bucket) mb FROM b GROUP BY 1)
+        SELECT b.event_type,
+               CAST(count(*) AS BIGINT) rows_used,
+               CAST(sum(n) AS BIGINT) w_sum,
+               round(avg(n), 6) w_avg,
+               round(stddev_samp(n), 6) w_sd,
+               round(stddev_pop(n), 6) w_usd
+        FROM b JOIN mx ON b.event_type = mx.event_type
+        WHERE b.bucket > mx.mb - 24
+        GROUP BY b.event_type ORDER BY b.event_type
     """,
     "matrix_pcc": """
         WITH bounds AS (
