@@ -434,6 +434,60 @@ def simhash_neardup_pairs(
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def exact_cosine_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine similarity join: one Ray task per block pair
+    (upper triangle), each a dense numpy matmul of two normalized blocks.
+
+    This is the raw-task escape hatch (Dataset API has no self-join):
+    blocks stay in the object store, tasks read two refs each, and only
+    over-threshold pairs come back. O(B²) tasks over B blocks — exact and
+    fine up to ~10^6 rows; beyond that use the LSH-bucketed
+    ``embedding_neardup_pairs`` recall path.
+    """
+    import ray
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        V = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        U = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pa.table({id_col: batch[id_col],
+                         "unit": pa.array(list(U), pa.list_(pa.float64()))})
+
+    refs = ds.map_batches(normalize, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        ia = np.asarray(ta[id_col].to_pylist(), dtype=np.int64)
+        ib = np.asarray(tb[id_col].to_pylist(), dtype=np.int64)
+        A = np.asarray(ta["unit"].to_pylist(), dtype=np.float64)
+        B = np.asarray(tb["unit"].to_pylist(), dtype=np.float64)
+        S = A @ B.T
+        if same:
+            np.fill_diagonal(S, -2.0)
+            r, c = np.where(np.triu(S >= threshold, k=1))
+        else:
+            r, c = np.where(S >= threshold)
+        id_a = np.minimum(ia[r], ib[c])
+        id_b = np.maximum(ia[r], ib[c])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
+                             "cosine": S[r, c]})
+
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(block_pair.remote(refs[i], refs[j], i == j))
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
 def embedding_neardup_pairs(
     ds,
     vec_col: str = "embedding",

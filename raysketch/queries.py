@@ -426,13 +426,17 @@ def q_neardup_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
-    from .ops.dedup import embedding_neardup_pairs
+    """Exact all-pairs cosine join at threshold 0.45 (block-pair tasks);
+    the LSH-bucketed recall path (ops.dedup.embedding_neardup_pairs) is
+    the 10^9-row variant of the same contract."""
+    from .ops.dedup import exact_cosine_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_neardup_pairs(ds, threshold=0.95, n_planes=6)
-    return pa.Table.from_pandas(pairs, preserve_index=False) if len(pairs) else pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
+    pairs = exact_cosine_pairs(ds, threshold=0.45)
+    return pa.table(
+        {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
+         "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
+         "cosine": pa.array(pairs["cosine"].round(6), pa.float64())}
     )
 
 
@@ -755,6 +759,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
                CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "embedding_neardup": """
+        SELECT a.vec_id id_a, b.vec_id id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY 1, 2
     """,
     "window_stats": """
         WITH b AS (
