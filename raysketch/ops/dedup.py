@@ -466,15 +466,18 @@ def exact_cosine_pairs(
         A = np.asarray(ta["unit"].to_pylist(), dtype=np.float64)
         B = np.asarray(tb["unit"].to_pylist(), dtype=np.float64)
         S = A @ B.T
+        # threshold on the 6-dp ROUNDED value so boundary pairs agree with
+        # an engine that computes the same cosine with different fp order
+        Sr = np.floor(np.abs(S) * 1e6 + 0.5) / 1e6 * np.sign(S)
         if same:
-            np.fill_diagonal(S, -2.0)
-            r, c = np.where(np.triu(S >= threshold, k=1))
+            np.fill_diagonal(Sr, -2.0)
+            r, c = np.where(np.triu(Sr >= threshold, k=1))
         else:
-            r, c = np.where(S >= threshold)
+            r, c = np.where(Sr >= threshold)
         id_a = np.minimum(ia[r], ib[c])
         id_b = np.maximum(ia[r], ib[c])
         return pd.DataFrame({"id_a": id_a, "id_b": id_b,
-                             "cosine": S[r, c]})
+                             "cosine": Sr[r, c]})
 
     tasks = []
     for i in range(len(refs)):

@@ -38,6 +38,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def round6(v):
+    """Round half-AWAY-from-zero to 6 dp — matches DuckDB/SQL ROUND so
+    oracle-gated float columns hash identically (numpy/python round
+    half-to-even and diverge on .xxxxxx5 boundaries)."""
+    a = np.asarray(v, dtype=np.float64)
+    out = np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    return out if out.ndim else float(out)
+
+
 # ---------------------------------------------------------------------------
 # exact grouped aggregates (map-side partial + driver fold over partials)
 # ---------------------------------------------------------------------------
@@ -436,7 +445,7 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return pa.table(
         {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
          "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
-         "cosine": pa.array(pairs["cosine"].round(6), pa.float64())}
+         "cosine": pa.array(pairs["cosine"].to_numpy(), pa.float64())}
     )
 
 
@@ -525,8 +534,8 @@ def q_window_stats(sf_dir: str) -> pa.Table:
         usd, _ = window_stats(v, "usd")
         rows.append({
             "event_type": r["event_type"], "rows_used": n,
-            "w_sum": int(s), "w_avg": round(a, 6),
-            "w_sd": round(sd, 6), "w_usd": round(usd, 6),
+            "w_sum": int(s), "w_avg": round6(a),
+            "w_sd": round6(sd), "w_usd": round6(usd),
         })
     return pa.Table.from_pylist(rows)
 
@@ -610,7 +619,7 @@ def q_matrix_pcc(sf_dir: str) -> pa.Table:
             continue
         pcc, idx = r
         rows.append({"event_type": et, "best_day": int(days[idx]),
-                     "pcc": round(pcc, 6)})
+                     "pcc": round6(pcc)})
     return pa.Table.from_pylist(rows)
 
 
@@ -761,11 +770,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "embedding_neardup": """
-        SELECT a.vec_id id_a, b.vec_id id_b,
-               round(list_cosine_similarity(a.embedding, b.embedding), 6) cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-        ORDER BY 1, 2
+        WITH sims AS (
+          SELECT a.vec_id id_a, b.vec_id id_b,
+                 round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.45 ORDER BY 1, 2
     """,
     "window_stats": """
         WITH b AS (
