@@ -1,0 +1,106 @@
+"""Job entry point for `ray job submit` — resumable flagship sketch build.
+
+    ray job submit -- python -m raysketch.run \
+        --input /data/corpus --job-id nightly-2026-08-17 \
+        --checkpoint-root /data/checkpoints --output /data/results
+
+Re-submitting with the SAME --job-id after a kill resumes from the
+checkpoint store: finished shards (manifest present + partial parses) are
+skipped, and because every kernel is deterministic the resumed run's final
+estimates are bit-identical to an uninterrupted one. Per-partition lineage
+and metrics live in `<checkpoint-root>/<job-id>/manifest/*.json`; a
+p50/p99 partition-wall summary prints at the end.
+
+Owns its Ray session (guarded init) — the driver-contract surfaces in
+__ray_entry__ never call ray.init; CLI entry points do (see repo README).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="parquet file, directory of shards, or glob")
+    ap.add_argument("--job-id", required=True)
+    ap.add_argument("--checkpoint-root", default="/tmp/raysketch_checkpoints")
+    ap.add_argument("--output", default=None,
+                    help="directory for the result parquet (optional)")
+    ap.add_argument("--group-key", default="lang")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--max-in-flight", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    try:
+        _run(args)
+    finally:
+        ray.shutdown()
+
+
+def _derive(t):
+    from .corpus import derive_columns, drop_content
+
+    return drop_content(derive_columns(t))
+
+
+def _run(args: argparse.Namespace) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .engine.checkpoint import CheckpointStore, run_with_checkpoint
+    from .engine.pipeline import default_specs
+
+    if os.path.isdir(args.input):
+        shards = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    else:
+        shards = sorted(glob.glob(args.input))
+    if not shards:
+        raise SystemExit(f"no parquet shards match {args.input!r}")
+
+    store = CheckpointStore(args.checkpoint_root, args.job_id)
+    already = len(store.done_partitions())
+    t0 = time.perf_counter()
+    merged = run_with_checkpoint(
+        shards,
+        default_specs(),
+        store,
+        group_key=args.group_key,
+        derive=_derive,
+        max_in_flight=args.max_in_flight,
+    )
+    wall = time.perf_counter() - t0
+
+    rows = []
+    for (group, spec), sketch in sorted(merged.items()):
+        rows.append({"group": group, "spec": spec, "kind": sketch.kind,
+                     "result": json.dumps(sketch.result(), default=float)})
+    result = pa.Table.from_pylist(rows)
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        pq.write_table(result, os.path.join(args.output, f"{args.job_id}.parquet"))
+
+    print(json.dumps({
+        "job_id": args.job_id,
+        "shards_total": len(shards),
+        "shards_skipped_resume": already,
+        "wall_sec": round(wall, 2),
+        "result_rows": result.num_rows,
+        "partition_metrics": store.metrics_summary(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
