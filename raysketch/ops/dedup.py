@@ -297,23 +297,34 @@ def minhash_dedup_pairs(
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
-    # vectorized signature-estimate pre-filter
+    # vectorized signature-estimate pre-filter (zero-copy sig matrix)
     sig_ids: list[np.ndarray] = []
     sig_mats: list[np.ndarray] = []
-    for batch in sigs_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    for batch in sigs_ds.iter_batches(batch_size=16384, batch_format="pyarrow"):
         sig_ids.append(np.asarray(batch[id_col].to_pylist(), dtype=np.int64))
-        sig_mats.append(np.asarray(batch["sig"].to_pylist(), dtype=np.uint64))
+        fsl = batch["sig"].combine_chunks()
+        sig_mats.append(
+            np.frombuffer(fsl.values.buffers()[1], dtype=np.uint64)[
+                : len(fsl) * num_perm
+            ].reshape(-1, num_perm)
+        )
     all_ids = np.concatenate(sig_ids)
     all_sigs = np.concatenate(sig_mats)
     pos = {int(i): j for j, i in enumerate(all_ids)}
-    ia = np.fromiter((pos[int(a)] for a in cand["id_a"]), dtype=np.int64, count=len(cand))
-    ib = np.fromiter((pos[int(b)] for b in cand["id_b"]), dtype=np.int64, count=len(cand))
+    ca = cand["id_a"].to_numpy(np.int64)
+    cb = cand["id_b"].to_numpy(np.int64)
+    ia = np.fromiter((pos[a] for a in ca), dtype=np.int64, count=ca.size)
+    ib = np.fromiter((pos[b] for b in cb), dtype=np.int64, count=cb.size)
     est = (all_sigs[ia] == all_sigs[ib]).mean(axis=1)
-    # keep a safety margin below threshold; exact verify decides the rest
-    keep = est >= max(0.0, threshold - 1.5 / np.sqrt(num_perm) - 0.05)
+    # 2.5-sigma safety margin below threshold; exact verify decides the rest
+    sigma = np.sqrt(threshold * (1 - threshold) / num_perm)
+    keep = est >= max(0.0, threshold - 2.5 * sigma)
     cand = cand[keep].reset_index(drop=True)
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    # exact shingle-Jaccard verify, parallelized over pair chunks
+    import ray
 
     cand_set = set(cand["id_a"]) | set(cand["id_b"])
     shingles: dict[int, np.ndarray] = {}
@@ -328,14 +339,44 @@ def minhash_dedup_pairs(
         h, offs = _batch_shingle_hashes([t for _, t in wanted], shingle_k)
         for j, (i, _) in enumerate(wanted):
             shingles[i] = np.unique(h[offs[j]:offs[j + 1]])
-    jac = np.empty(len(cand))
-    for r, (a, b) in enumerate(zip(cand["id_a"], cand["id_b"])):
-        sa, sb = shingles[int(a)], shingles[int(b)]
-        if sa.size == 0 and sb.size == 0:
-            jac[r] = 1.0
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        jac[r] = inter / (sa.size + sb.size - inter)
+
+    # pack all shingle sets into ONE contiguous array + offsets: ray.put of
+    # a single large numpy array is zero-copy shared memory, so every chunk
+    # task reads views instead of deserializing a dict of 10^4 small arrays
+    sh_ids = sorted(shingles)
+    sh_pos = {i: j for j, i in enumerate(sh_ids)}
+    sh_offs = np.zeros(len(sh_ids) + 1, dtype=np.int64)
+    for j, i in enumerate(sh_ids):
+        sh_offs[j + 1] = sh_offs[j] + shingles[i].size
+    sh_flat = np.concatenate([shingles[i] for i in sh_ids]) if sh_ids else np.zeros(0, np.uint64)
+
+    @ray.remote(num_cpus=1)
+    def verify_chunk(pa_idx, pb_idx, flat, offs) -> np.ndarray:
+        jac = np.empty(pa_idx.size)
+        for r in range(pa_idx.size):
+            a, b = pa_idx[r], pb_idx[r]
+            sa = flat[offs[a]:offs[a + 1]]
+            sb = flat[offs[b]:offs[b + 1]]
+            if sa.size == 0 and sb.size == 0:
+                jac[r] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[r] = inter / (sa.size + sb.size - inter)
+        return jac
+
+    ca = cand["id_a"].to_numpy(np.int64)
+    cb = cand["id_b"].to_numpy(np.int64)
+    pa_idx = np.fromiter((sh_pos[a] for a in ca), dtype=np.int64, count=ca.size)
+    pb_idx = np.fromiter((sh_pos[b] for b in cb), dtype=np.int64, count=cb.size)
+    flat_ref, offs_ref = ray.put(sh_flat), ray.put(sh_offs)
+    n_chunks = max(1, min(64, ca.size // 1000))
+    bounds = np.linspace(0, ca.size, n_chunks + 1, dtype=np.int64)
+    refs = [
+        verify_chunk.remote(pa_idx[lo:hi], pb_idx[lo:hi], flat_ref, offs_ref)
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    jac = np.concatenate(ray.get(refs)) if refs else np.zeros(0)
     out = cand.assign(jaccard=jac)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
