@@ -125,26 +125,44 @@ def _fold_partial_batch(batch: pa.Table) -> pa.Table:
 
 def merge_partials_tree(
     partials_ds,
-    fan_in_rows: int = 1024,
+    fan_in_rows: int = 512,
     max_driver_partials: int = 2048,
     max_levels: int = 8,
+    keys_bound: int = 4096,
 ):
     """Parallel log-depth reduction of a (materialized) partials Dataset.
 
     Each level coalesces ~fan_in_rows partial rows per task and folds them
-    per (group, spec); levels repeat until the driver's final fold is small.
-    Scales to any block count: the driver never sees more than
-    ``max_driver_partials`` payloads, and no level is an all-to-all
-    exchange (dense sketch partials can be 0.5-2 MB each, so per-block
-    partials over 10^5+ blocks are far too big to pull to one process).
+    per (group, spec); enough levels are CHAINED LAZILY (no materialize
+    barrier between levels — the whole tree streams in one execution) so
+    the driver's final fold sees at most ~``max_driver_partials`` rows.
+    Level count comes from the worst-case reduction factor: a fold batch
+    of ``fan_in_rows`` rows emits at most min(fan_in_rows, #distinct
+    (group, spec) keys ≤ ``keys_bound``) rows. Scales to any block count:
+    no level is an all-to-all exchange, and the driver never decodes more
+    than the final level (dense sketch partials can be 0.5-2 MB each, so
+    per-block partials over 10^5+ blocks are far too big for one process).
     """
+    import math
+
     ds = partials_ds
+    n = ds.count()  # cheap: partials_ds is materialized by sketch_aggregate
+    if n > max_driver_partials:
+        # exact distinct (group, spec) count: one narrow scan of the
+        # materialized partials (strings only, payloads never move)
+        keys = set()
+        for b in ds.select_columns(["group", "spec"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            keys.update(zip(b["group"].to_pylist(), b["spec"].to_pylist()))
+        keys_bound = max(1, len(keys))
     for _ in range(max_levels):
-        if ds.count() <= max_driver_partials:
+        if n <= max_driver_partials:
             break
         ds = ds.map_batches(
             _fold_partial_batch, batch_format="pyarrow", batch_size=fan_in_rows
-        ).materialize()
+        )
+        n = math.ceil(n / fan_in_rows) * min(fan_in_rows, keys_bound)
     return merge_partials_driver(ds)
 
 
