@@ -35,7 +35,7 @@ def default_specs(
         SketchSpec("distinct_paths", "path", functools.partial(HyperLogLog, p=hll_p)),
         SketchSpec("distinct_commits", "commit", functools.partial(HyperLogLog, p=hll_p)),
         SketchSpec("distinct_contents", "content_sha256", functools.partial(HyperLogLog, p=hll_p)),
-        SketchSpec("path_freq", "path", functools.partial(CMSketch, cms_epsilon, cms_delta)),
+        SketchSpec("path_freq", "path", functools.partial(CMSketch, cms_epsilon, cms_delta, fast_hash=True)),
         SketchSpec("len_tdigest", "content_length", functools.partial(TDigest, compression)),
         SketchSpec("len_kll", "content_length", functools.partial(KLL, kll_k)),
         SketchSpec("lines_tdigest", "line_count", functools.partial(TDigest, compression)),

@@ -45,7 +45,7 @@ def _block_partials(
     tokens = [tokens[i] for i in keep]
     counts = counts[keep]
 
-    cms = CMSketch(epsilon, delta)
+    cms = CMSketch(epsilon, delta, fast_hash=True)
     cms.update_batch(vals)
 
     order = np.lexsort((np.array(tokens, dtype=object), -counts))[:cand_per_block]

