@@ -8,6 +8,7 @@ from .kll import KLL
 from .matrix import MatrixFlt, MatrixInt
 from .p2 import P2Histogram, P2Quantile
 from .running_stats import RunningStats
+from .time_series import TimeSeriesInt
 from .tdigest import TDigest
 
 #: registry used by the engine's serialized-partial envelopes
@@ -19,11 +20,12 @@ SKETCH_KINDS = {
     "matrix_int": MatrixInt,
     "matrix_flt": MatrixFlt,
     "running_stats": RunningStats,
+    "time_series_int": TimeSeriesInt,
     "tdigest": TDigest,
 }
 
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
     "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "RunningStats",
-    "SKETCH_KINDS", "SketchUDAF", "TDigest",
+    "SKETCH_KINDS", "SketchUDAF", "TDigest", "TimeSeriesInt",
 ]
