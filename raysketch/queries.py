@@ -150,6 +150,38 @@ def q_hll_distinct(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hll_distinct_by_repo(sf_dir: str) -> pa.Table:
+    """Distinct paths/commits per REPO via the dataset-groupby merge with a
+    salted pre-level — the high-group-cardinality path (SURVEY.md §4.2):
+    partials shuffle by (group, spec, salt), never the rows. Sparse-exact
+    at this scale → oracle-gated."""
+    from .corpus import documents_to_corpus_batch
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import HyperLogLog
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+    corpus = docs.map_batches(documents_to_corpus_batch, batch_format="pyarrow")
+    specs = [
+        SketchSpec("dp", "path", functools.partial(HyperLogLog, 14)),
+        SketchSpec("dc", "commit", functools.partial(HyperLogLog, 14)),
+    ]
+    merged = sketch_aggregate(corpus, specs, group_key="repo",
+                              merge="dataset", salt_fan_in=4)
+    repos = sorted(merged)
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "distinct_paths": pa.array(
+                [int(round(merged[r]["dp"].estimate())) for r in repos], pa.int64()
+            ),
+            "distinct_commits": pa.array(
+                [int(round(merged[r]["dc"].estimate())) for r in repos], pa.int64()
+            ),
+        }
+    )
+
+
 def q_token_topk(sf_dir: str) -> pa.Table:
     """Top 20 whitespace tokens by exact count (partial counts per batch →
     groupby-sum → deterministic sort)."""
@@ -683,6 +715,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
     "hll_distinct": q_hll_distinct,
+    "hll_distinct_by_repo": q_hll_distinct_by_repo,
     "token_topk": q_token_topk,
     "token_count_per_doc": q_token_count_per_doc,
     "sha256_invariant": q_sha256_invariant,
@@ -731,6 +764,17 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
                CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "hll_distinct_by_repo": """
+        WITH c AS (
+          SELECT source || '/r' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS repo,
+                 'src/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) AS path_key,
+                 doc_id
+          FROM documents)
+        SELECT repo,
+               CAST(count(DISTINCT path_key) AS BIGINT) AS distinct_paths,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_commits
+        FROM c GROUP BY repo ORDER BY repo
     """,
     "token_topk": """
         SELECT token, CAST(count(*) AS BIGINT) AS n
