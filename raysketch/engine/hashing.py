@@ -72,6 +72,17 @@ def splitmix64(h: np.ndarray) -> np.ndarray:
 
 def sha256_batch(values: Any) -> list[str]:
     """Hex sha256 of each string/bytes element (None → None)."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            sha = hashlib.sha256
+            return [
+                None if v is None else sha(v.encode("utf-8")).hexdigest()
+                for v in values.to_pylist()
+            ]
+    except ImportError:  # pragma: no cover
+        pass
     s = _as_series(values)
     out: list[str | None] = []
     for v in s:
