@@ -166,36 +166,71 @@ def merge_partials_tree(
     return merge_partials_driver(ds)
 
 
-def merge_partials_ds(partials_ds, salt_fan_in: int | None = None):
-    """Reduce side as a Dataset groupby; optional salted pre-level.
+def merge_partials_ds(partials_ds, salt_fan_in: int | None = None,
+                      coarse_buckets: int = 256):
+    """Reduce side as a Dataset groupby over COARSE buckets.
 
-    ``salt_fan_in=k`` first merges each group's partials in chunks of k
-    under ``(group, spec, salt)`` — bounds any single reduce task's input
-    when one group received partials from a huge number of blocks.
+    The shuffle key is ``hash(group, spec) % coarse_buckets`` (plus a
+    round-robin salt level when ``salt_fan_in`` is set): group count per
+    shuffle stays bounded regardless of group cardinality, and each reduce
+    task folds the real (group, spec) keys inside its bucket with one
+    vectorized pandas groupby + ``merge_many`` — one map_groups call per
+    TINY group would dominate wall time at 10^6+ groups.
     """
+    import numpy as np
+
+    def _bucket(batch: pa.Table, with_salt: bool) -> pa.Table:
+        import pandas as pd
+
+        key = pd.util.hash_pandas_object(
+            pd.Series([f"{g}\x1f{s}" for g, s in
+                       zip(batch["group"].to_pylist(), batch["spec"].to_pylist())]),
+            index=False,
+        ).to_numpy()
+        bucket = (key % np.uint64(coarse_buckets)).astype(np.int64)
+        batch = batch.append_column("bucket", pa.array(bucket, pa.int64()))
+        if with_salt:
+            salt = np.arange(batch.num_rows, dtype=np.int64) % int(salt_fan_in)
+            batch = batch.append_column("salt", pa.array(salt, pa.int64()))
+        return batch
+
+    def _fold_bucket(df) -> "pd.DataFrame":  # noqa: F821
+        import pandas as pd
+
+        from .udaf import merge_payloads
+
+        drop = [c for c in ("bucket", "salt") if c in df.columns]
+        rows = []
+        for (g, s), sub in df.groupby(["group", "spec"], sort=False):
+            rows.append({
+                "group": g, "spec": s, "kind": sub["kind"].iloc[0],
+                "payload": merge_payloads(sub["kind"].iloc[0], list(sub["payload"])),
+                "rows": int(sub["rows"].sum()),
+            })
+        return pd.DataFrame(rows).drop(columns=drop, errors="ignore")
+
+    # compact the KB-sized partial blocks before shuffling: per-block task
+    # overhead on hundreds of tiny blocks otherwise dwarfs the fold work
+    if partials_ds.num_blocks() > 32:
+        partials_ds = partials_ds.repartition(16)
+
     if salt_fan_in:
-        fan = int(salt_fan_in)
-
-        def _salt(batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            n = batch.num_rows
-            # deterministic round-robin salt spreads one hot group's
-            # partials across `fan` parallel pre-merge tasks
-            salt = np.arange(n, dtype=np.int64) % fan
-            return batch.append_column("salt", pa.array(salt, pa.int64()))
-
-        salted = partials_ds.map_batches(_salt, batch_format="pyarrow")
-        pre = salted.groupby(["group", "spec", "salt"]).map_groups(
-            lambda df: _fold_group(df.drop(columns=["salt"])),
-            batch_format="pandas",
+        salted = partials_ds.map_batches(
+            lambda b: _bucket(b, True), batch_format="pyarrow"
         )
-        return pre.groupby(["group", "spec"]).map_groups(
-            _fold_group, batch_format="pandas"
+        pre = salted.groupby(["bucket", "salt"]).map_groups(
+            _fold_bucket, batch_format="pandas"
         )
-    return partials_ds.groupby(["group", "spec"]).map_groups(
-        _fold_group, batch_format="pandas"
+        rebucketed = pre.map_batches(
+            lambda b: _bucket(b, False), batch_format="pyarrow"
+        )
+        return rebucketed.groupby("bucket").map_groups(
+            _fold_bucket, batch_format="pandas"
+        )
+    bucketed = partials_ds.map_batches(
+        lambda b: _bucket(b, False), batch_format="pyarrow"
     )
+    return bucketed.groupby("bucket").map_groups(_fold_bucket, batch_format="pandas")
 
 
 def sketch_aggregate(

@@ -166,8 +166,9 @@ def q_hll_distinct_by_repo(sf_dir: str) -> pa.Table:
         SketchSpec("dp", "path", functools.partial(HyperLogLog, 14)),
         SketchSpec("dc", "commit", functools.partial(HyperLogLog, 14)),
     ]
-    merged = sketch_aggregate(corpus, specs, group_key="repo",
-                              merge="dataset", salt_fan_in=4)
+    # no salt level: partials-per-repo ~= block count here; salt_fan_in
+    # is for genuinely hot groups with 10^4+ contributing blocks
+    merged = sketch_aggregate(corpus, specs, group_key="repo", merge="dataset")
     repos = sorted(merged)
     return pa.table(
         {
