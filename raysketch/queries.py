@@ -53,24 +53,13 @@ def round6(v):
 
 def _fold_partials(partials_ds, keys: list[str], sum_cols: list[str],
                    min_cols: list[str], max_cols: list[str]) -> pd.DataFrame:
-    acc: dict[tuple, dict[str, Any]] = {}
-    for b in partials_ds.iter_batches(batch_size=8192, batch_format="pandas"):
-        for _, row in b.iterrows():
-            key = tuple(row[k] for k in keys)
-            slot = acc.get(key)
-            if slot is None:
-                acc[key] = {c: row[c] for c in sum_cols + min_cols + max_cols}
-            else:
-                for c in sum_cols:
-                    slot[c] += row[c]
-                for c in min_cols:
-                    slot[c] = min(slot[c], row[c])
-                for c in max_cols:
-                    slot[c] = max(slot[c], row[c])
-    rows = []
-    for key in sorted(acc):
-        rows.append(dict(zip(keys, key)) | acc[key])
-    return pd.DataFrame(rows)
+    """Driver-side fold of per-block partial aggregates (one vectorized
+    pandas groupby over the small partial stream)."""
+    parts = list(partials_ds.iter_batches(batch_size=65536, batch_format="pandas"))
+    df = pd.concat(parts, ignore_index=True)
+    agg = {c: "sum" for c in sum_cols} | {c: "min" for c in min_cols} | \
+          {c: "max" for c in max_cols}
+    return (df.groupby(keys, sort=True).agg(agg).reset_index())
 
 
 def q_doc_stats_by_lang(sf_dir: str) -> pa.Table:
