@@ -513,20 +513,27 @@ def q_lang_id(sf_dir: str) -> pa.Table:
 
 def q_time_series_window(sf_dir: str) -> pa.Table:
     """Reference circular-buffer windowing of events per event_type
-    (1h buckets, last 24 buckets, add-mode with int values)."""
+    (1h buckets, last 24 buckets, add-mode with int values). Window values
+    emit as a CSV string so the SQL oracle hashes identically; the
+    double->int conversion is floor(x*100 + 0.5) on BOTH sides (identical
+    IEEE ops, no round-mode divergence)."""
     from .ops.window import time_series_window
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def to_int(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch["ts"], pa.int64())
-        v = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        v = pc.cast(pc.floor(pc.add(pc.multiply(batch["value"], pa.scalar(100.0)),
+                                    pa.scalar(0.5))), pa.int64())
         return pa.table({"event_type": batch["event_type"], "ts_us": us, "v": v})
 
     prepared = ds.map_batches(to_int, batch_format="pyarrow")
     out = time_series_window(
         prepared, "event_type", "ts_us", "v", ns_per_row=3_600_000_000, rows=24
     ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    out["values_csv"] = [",".join(str(int(x)) for x in vs) for vs in out["values"]]
+    out = out.drop(columns=["values"])
+    out["current_time"] = out["current_time"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -811,6 +818,26 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(b.embedding AS DOUBLE[])), 6) cosine
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.45 ORDER BY 1, 2
+    """,
+    "time_series_window": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts)//3600000000 AS BIGINT) bucket,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) v
+          FROM events),
+        mx AS (SELECT event_type, max(bucket) mb FROM e GROUP BY 1),
+        grid AS (
+          SELECT m.event_type, m.mb, m.mb - 23 + g.i AS bucket
+          FROM mx m CROSS JOIN (SELECT unnest(generate_series(0, 23)) i) g),
+        sums AS (
+          SELECT event_type, bucket, sum(v) sv FROM e GROUP BY 1, 2)
+        SELECT g.event_type,
+               CAST(g.mb * 3600000000 AS BIGINT) AS current_time,
+               string_agg(CAST(COALESCE(s.sv, 0) AS VARCHAR), ','
+                          ORDER BY g.bucket) AS values_csv
+        FROM grid g LEFT JOIN sums s
+          ON g.event_type = s.event_type AND g.bucket = s.bucket
+        GROUP BY g.event_type, g.mb ORDER BY g.event_type
     """,
     "window_stats": """
         WITH b AS (
