@@ -414,8 +414,9 @@ def q_running_stats_by_lang(sf_dir: str) -> pa.Table:
     for lang in sorted(merged):
         st = merged[lang]["st"]
         rows.append(
-            {"lang": lang, "count": int(st.count), "mean": st.mean,
-             "sd": st.sd(), "usd": st.usd(), "variance": st.variance()}
+            {"lang": lang, "count": int(st.count), "mean": round6(st.mean),
+             "sd": round6(st.sd()), "usd": round6(st.usd()),
+             "variance": round6(st.variance())}
         )
     return pa.Table.from_pylist(rows)
 
@@ -818,6 +819,15 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(b.embedding AS DOUBLE[])), 6) cosine
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.45 ORDER BY 1, 2
+    """,
+    "running_stats_by_lang": """
+        SELECT lang,
+               CAST(count(n_chars) AS BIGINT) AS count,
+               round(avg(n_chars), 6) AS mean,
+               round(stddev_samp(n_chars), 6) AS sd,
+               round(stddev_pop(n_chars), 6) AS usd,
+               round(var_samp(n_chars), 6) AS variance
+        FROM documents GROUP BY lang ORDER BY lang
     """,
     "time_series_window": """
         WITH e AS (
