@@ -189,13 +189,28 @@ def q_token_topk(sf_dir: str) -> pa.Table:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"token": [df["token"].iloc[0]], "n": [int(df["n"].sum())]})
+    # coarse-bucket the shuffle (bounded group count at any vocabulary
+    # size); each reduce task sums its real tokens with one pandas groupby
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch["token"].to_pylist()), index=False
+        ).to_numpy()
+        return batch.append_column(
+            "tb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
+        )
 
-    totals = partials.groupby("token").map_groups(fold, batch_format="pandas")
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum().reset_index()
+        # emit only this bucket's top candidates: global top-20 tokens
+        # each live in exactly one bucket, so per-bucket top-20 suffices
+        return g.sort_values(["n", "token"], ascending=[False, True]).head(20)
+
+    totals = partials.map_batches(bucket, batch_format="pyarrow").groupby(
+        "tb"
+    ).map_groups(fold, batch_format="pandas")
     out = totals.sort(["n", "token"], descending=[True, False]).limit(20).to_pandas()
     out["n"] = out["n"].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out[["token", "n"]], preserve_index=False)
 
 
 def q_token_count_per_doc(sf_dir: str) -> pa.Table:
@@ -248,20 +263,39 @@ def q_events_hourly(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    counts: dict[tuple, int] = defaultdict(int)
-    users: dict[tuple, set] = defaultdict(set)
-    for b in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            key = (row["event_type"], row["bucket"])
-            counts[key] += row["n_events"]
-            users[key].update(row["user_id"])
-    keys = sorted(counts)
+
+    # one shuffle keyed on a coarse bucket of (event_type, bucket): the
+    # reduce side resolves exact counts + distinct users with vectorized
+    # pandas — no unbounded driver-side user sets
+    def coarse(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series([f"{e}\x1f{b}" for e, b in
+                       zip(batch["event_type"].to_pylist(),
+                           batch["bucket"].to_pylist())]),
+            index=False,
+        ).to_numpy()
+        return batch.append_column(
+            "cb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.explode("user_id")
+        g = ex.groupby(["event_type", "bucket"], sort=False).agg(
+            distinct_users=("user_id", "nunique")
+        ).reset_index()
+        n = df.groupby(["event_type", "bucket"], sort=False)["n_events"].sum().reset_index()
+        return n.merge(g, on=["event_type", "bucket"])
+
+    folded = partials.map_batches(coarse, batch_format="pyarrow").groupby(
+        "cb"
+    ).map_groups(lambda df: fold(df.drop(columns=["cb"])), batch_format="pandas")
+    out = folded.to_pandas().sort_values(["event_type", "bucket"]).reset_index(drop=True)
     return pa.table(
         {
-            "event_type": pa.array([k[0] for k in keys], pa.string()),
-            "bucket": pa.array([k[1] for k in keys], pa.int64()),
-            "n_events": pa.array([counts[k] for k in keys], pa.int64()),
-            "distinct_users": pa.array([len(users[k]) for k in keys], pa.int64()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "bucket": pa.array(out["bucket"].astype("int64"), pa.int64()),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+            "distinct_users": pa.array(out["distinct_users"].astype("int64"), pa.int64()),
         }
     )
 
