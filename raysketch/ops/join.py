@@ -1,0 +1,90 @@
+"""Broadcast joins/lookups — the shuffle-free join patterns.
+
+The reference has no relational joins (SURVEY.md §2.8); these are the
+engine's lookup primitives for pipelines that need them at corpus scale:
+
+- :func:`broadcast_semi_join` — EXACT semi/anti join when the small side's
+  keys fit in memory: ``ray.put`` the key set once, every map task reads
+  the shared-memory copy and filters its batch with one vectorized
+  ``pc.is_in``. No shuffle; big side streams.
+- :func:`bloom_semi_join` — the 10^9-key variant: broadcast a Bloom filter
+  of the small side instead (bits, not keys). One-sided error: keeps all
+  matching rows plus ~fpr false positives — a pre-filter that cuts the
+  big side before an exact join, never a final answer by itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_semi_join(
+    big_ds,
+    small_ds,
+    big_key: str,
+    small_key: str | None = None,
+    anti: bool = False,
+):
+    """Keep big-side rows whose ``big_key`` is (not, if ``anti``) in the
+    small side's key set. Small side materializes to one key array
+    (driver-bounded by construction), broadcast via the object store."""
+    import ray
+
+    small_key = small_key or big_key
+    keys: list = []
+    for b in small_ds.select_columns([small_key]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        keys.append(b[small_key].combine_chunks())
+    key_arr = pa.concat_arrays(keys) if keys else pa.array([], pa.int64())
+    key_ref = ray.put(pc.unique(key_arr))
+
+    class Filter:
+        def __init__(self) -> None:
+            self.keys = ray.get(key_ref)  # zero-copy shared-memory read
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[big_key], value_set=self.keys)
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return big_ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def bloom_semi_join(
+    big_ds,
+    small_ds,
+    big_key: str,
+    small_key: str | None = None,
+    capacity: int = 1_000_000,
+    fpr: float = 0.001,
+):
+    """Bloom pre-filter: big-side rows whose key *may* be in the small side
+    (no false negatives; ~fpr false positives survive). Broadcasts the
+    filter bits once; use before an exact join to cut shuffle volume."""
+    import ray
+
+    from ..sketches import BloomFilter
+
+    small_key = small_key or big_key
+    bloom = BloomFilter(capacity, fpr)
+    for b in small_ds.select_columns([small_key]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        bloom.update_batch(b[small_key])
+    blob_ref = ray.put(bloom.to_bytes())
+
+    class Filter:
+        def __init__(self) -> None:
+            self.bloom = BloomFilter.from_bytes(ray.get(blob_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hits = self.bloom.contains_batch(batch[big_key])
+            return batch.filter(pa.array(hits))
+
+    return big_ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))

@@ -572,6 +572,34 @@ def q_time_series_window(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_semijoin_pricing(sf_dir: str) -> pa.Table:
+    """Broadcast semi-join (ray.put small side, pc.is_in per batch — no
+    shuffle): lineitem rows whose order has o_totalprice > 400000, rolled
+    up per return flag. Exact; a bloom_semi_join pre-filter is the
+    10^9-key variant (ops/join.py)."""
+    from .ops.join import broadcast_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).filter(
+        lambda r: r["o_totalprice"] > 400000.0
+    )
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    joined = broadcast_semi_join(lineitem, orders, big_key="l_orderkey",
+                                 small_key="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(joined.map_batches(partial, batch_format="pyarrow"),
+                         ["l_returnflag"], ["n_items", "sum_qty"], [], [])
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg["sum_qty"] = agg["sum_qty"].round().astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def q_window_stats(sf_dir: str) -> pa.Table:
     """Reference ts:stats() over the last 24 hourly buckets per event_type
     (zeros = missing data unless include_zero; lua_binding/
@@ -753,6 +781,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sha256_invariant": q_sha256_invariant,
     "events_hourly": q_events_hourly,
     "lineitem_pricing": q_lineitem_pricing,
+    "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
     "corpus_profile": q_corpus_profile,
@@ -836,6 +865,14 @@ ORACLE_SQL: dict[str, str] = {
                CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "semijoin_pricing": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "quantiles_exact": """
         SELECT lang,

@@ -269,3 +269,30 @@ def test_frame_sampler():
     out = mm.FrameSampler(every_k=3)(t)
     for nf, idxs in zip(out["n_frames"].to_pylist(), out["frame_indices"].to_pylist()):
         assert idxs == list(range(0, nf, 3))
+
+
+# -- broadcast joins --------------------------------------------------------
+
+def test_broadcast_semi_and_anti_join(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raysketch.ops.join import bloom_semi_join, broadcast_semi_join
+
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"]).filter(
+        lambda r: r["o_totalprice"] > 300000.0
+    )
+    keys = set(orders.to_pandas()["o_orderkey"])
+    semi = broadcast_semi_join(lineitem, orders, "l_orderkey", "o_orderkey").to_pandas()
+    assert set(semi["l_orderkey"]).issubset(keys)
+    anti = broadcast_semi_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                               anti=True).to_pandas()
+    assert not (set(anti["l_orderkey"]) & keys)
+    assert len(semi) + len(anti) == lineitem.count()
+    # bloom variant: superset of the exact semi join (no false negatives)
+    bl = bloom_semi_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                         capacity=10000, fpr=0.01).to_pandas()
+    assert set(semi["l_orderkey"]).issubset(set(bl["l_orderkey"]))
+    assert len(bl) >= len(semi)
