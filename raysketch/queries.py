@@ -579,8 +579,11 @@ def q_semijoin_pricing(sf_dir: str) -> pa.Table:
     10^9-key variant (ops/join.py)."""
     from .ops.join import broadcast_semi_join
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).filter(
-        lambda r: r["o_totalprice"] > 400000.0
+    def big_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(400000.0)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        big_orders, batch_format="pyarrow"
     )
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
     joined = broadcast_semi_join(lineitem, orders, big_key="l_orderkey",

@@ -280,9 +280,12 @@ def test_broadcast_semi_and_anti_join(ray_session, sf_dir):
 
     lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_quantity"])
+    import pyarrow.compute as _pc
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_totalprice"]).filter(
-        lambda r: r["o_totalprice"] > 300000.0
+                             columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(_pc.greater(b["o_totalprice"], 300000.0)),
+        batch_format="pyarrow",
     )
     keys = set(orders.to_pandas()["o_orderkey"])
     semi = broadcast_semi_join(lineitem, orders, "l_orderkey", "o_orderkey").to_pandas()
