@@ -261,10 +261,11 @@ def sketch_aggregate(
         merged = merge_partials_tree(partials)
     elif merge == "dataset":
         out = merge_partials_ds(partials, salt_fan_in=salt_fan_in)
-        merged = {
-            (r["group"], r["spec"]): r["payload"]
-            for r in out.iter_rows()
-        }
+        merged = {}
+        for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for g, s, p in zip(b["group"].to_pylist(), b["spec"].to_pylist(),
+                               b["payload"].to_pylist()):
+                merged[(g, s)] = p
     else:
         raise ValueError(f"unknown merge mode {merge!r}")
 
