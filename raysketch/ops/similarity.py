@@ -109,6 +109,105 @@ def brute_force_topk(
     )
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Plain deterministic Lloyd's k-means on normalized vectors (numpy)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], size=min(k, X.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
+        newC = np.zeros_like(C)
+        for j in range(C.shape[0]):
+            members = X[assign == j]
+            newC[j] = members.mean(axis=0) if members.size else C[j]
+        newC = _normalize(newC)
+        if np.allclose(newC, C, atol=1e-9):
+            break
+        C = newC
+    return C
+
+
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 42,
+    exclude_self: bool = True,
+):
+    """IVF approximate top-k: a coarse k-means quantizer (trained on a
+    driver-side sample, broadcast once) splits the corpus into cells; each
+    query scans only its ``n_probe`` nearest cells. Per-query work is
+    ~``n_probe/n_cells`` of the corpus; recall rises with ``n_probe``
+    (``n_probe=n_cells`` degenerates to exact brute force).
+    """
+    import ray
+
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    # train the coarse quantizer on a bounded sample (one pass, no shuffle)
+    sample: list[np.ndarray] = []
+    seen = 0
+    for b in ds.select_columns([vec_col]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        sample.append(V)
+        seen += V.shape[0]
+        if seen >= train_sample:
+            break
+    C = _kmeans(_normalize(np.concatenate(sample)[:train_sample]), n_cells, seed=seed)
+
+    # queries per cell (n_probe nearest centroids each), broadcast
+    q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(Q.shape[0]):
+        for c in q_cells[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    ref = ray.put((qids, Q, C, cell_to_q))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        V = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        cell = np.argmax(V @ C.T, axis=1).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch[id_col], pa.array(cell, pa.int64()),
+             pa.array(list(V), pa.list_(pa.float64()))],
+            names=[id_col, "cell", "unit"],
+        )
+
+    tagged = ds.select_columns([id_col, vec_col]).map_batches(tag, batch_format="pyarrow")
+
+    def search_cell(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        q_ids_all, Qm, _, c2q = _ray.get(ref)
+        probes = c2q.get(int(df["cell"].iloc[0]), [])
+        if not probes:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        V = np.stack(df["unit"].to_numpy())
+        ids = df[id_col].to_numpy()
+        sims = Qm[probes] @ V.T
+        kk = min(k + 1, V.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for row_i, qi in enumerate(probes):
+            for c in part[row_i]:
+                rows.append((int(q_ids_all[qi]), int(ids[c]), float(sims[row_i, c])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    candidates = tagged.groupby("cell").map_groups(search_cell, batch_format="pandas")
+    return candidates.groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pandas"
+    )
+
+
 def lsh_bucketed_topk(
     ds,
     query_ids: np.ndarray,

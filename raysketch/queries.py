@@ -522,6 +522,29 @@ def q_lsh_ann(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_ivf_ann(sf_dir: str) -> pa.Table:
+    """IVF ANN: coarse k-means quantizer (driver-trained on a sample,
+    broadcast) + n_probe nearest cells per query (rows-only: recall-bound
+    operator, full-probe mode is exact and covered by tests)."""
+    import pyarrow.parquet as pq
+
+    from .ops.similarity import ivf_topk
+
+    head = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    qids = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
+    qvecs = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, qids, qvecs, k=10, n_cells=16, n_probe=6).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.table(
+        {"query_id": pa.array(out["query_id"].astype("int64"), pa.int64()),
+         "neighbor_id": pa.array(out["neighbor_id"].astype("int64"), pa.int64()),
+         "rank": pa.array(out["rank"].astype("int64"), pa.int64())}
+    )
+
+
 def q_quality_scores(sf_dir: str) -> pa.Table:
     from .ops.text import QualityScorer
 
@@ -795,6 +818,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "neardup_pairs": q_neardup_pairs,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,

@@ -299,3 +299,33 @@ def test_broadcast_semi_and_anti_join(ray_session, sf_dir):
                          capacity=10000, fpr=0.01).to_pandas()
     assert set(semi["l_orderkey"]).issubset(set(bl["l_orderkey"]))
     assert len(bl) >= len(semi)
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raysketch.ops.similarity import brute_force_topk, ivf_topk
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, 5)
+    qids = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
+    qvecs = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, qids, qvecs, k=10).to_pandas()
+    approx = ivf_topk(ds, qids, qvecs, k=10, n_cells=8, n_probe=4).to_pandas()
+    # n_probe=half the cells -> high recall on this data; deterministic
+    recall_hits = 0
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recall_hits += len(e & a)
+    assert recall_hits / (10 * len(qids)) >= 0.5
+    # full probe == exact
+    full = ivf_topk(ds, qids, qvecs, k=10, n_cells=8, n_probe=8).to_pandas()
+    for q in qids:
+        e = exact[exact.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        f = full[full.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert e == f
