@@ -545,6 +545,17 @@ def q_ivf_ann(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hash_sample(sf_dir: str) -> pa.Table:
+    """Deterministic exactly-50 uniform sample of documents (hash-order
+    sample; the heka message-matcher sampling pattern generalized)."""
+    from .ops.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_sample(ds, 50, "doc_id")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_quality_scores(sf_dir: str) -> pa.Table:
     from .ops.text import QualityScorer
 
@@ -819,6 +830,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "hash_sample": q_hash_sample,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,

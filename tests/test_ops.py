@@ -329,3 +329,28 @@ def test_ivf_topk_recall(ray_session, sf_dir):
         e = exact[exact.query_id == q].sort_values("rank")["neighbor_id"].tolist()
         f = full[full.query_id == q].sort_values("rank")["neighbor_id"].tolist()
         assert e == f
+
+
+# -- sampling ---------------------------------------------------------------
+
+def test_hash_sample_deterministic_uniform(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raysketch.ops.sample import hash_sample, hash_threshold_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    n = ds.count()
+    s1 = hash_sample(ds, 50, "doc_id")
+    s2 = hash_sample(ds, 50, "doc_id")
+    assert s1.num_rows == 50
+    assert s1["doc_id"].to_pylist() == s2["doc_id"].to_pylist()  # deterministic
+    s3 = hash_sample(ds, 50, "doc_id", seed=7)
+    assert s1["doc_id"].to_pylist() != s3["doc_id"].to_pylist()  # seed matters
+    # threshold filter: deterministic, near-expected rate
+    f1 = hash_threshold_filter(ds, 0.25, "doc_id").to_pandas()
+    f2 = hash_threshold_filter(ds, 0.25, "doc_id").to_pandas()
+    assert list(f1["doc_id"]) == list(f2["doc_id"])
+    assert abs(len(f1) / n - 0.25) < 0.1
+    # nested property: the 0.1 sample is a subset of the 0.25 sample
+    f3 = hash_threshold_filter(ds, 0.1, "doc_id").to_pandas()
+    assert set(f3["doc_id"]).issubset(set(f1["doc_id"]))
