@@ -355,6 +355,29 @@ def q_quantiles_exact(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_fixed_histogram(sf_dir: str) -> pa.Table:
+    """Distributed fixed-bin histogram of n_chars per lang — the exact
+    corpus-scale analog of the P2 equal-probability histogram (SURVEY.md
+    §2.2 mapping): per-batch vectorized bincount partials + a tiny fold."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    lo, width, nbins = 0, 200, 20  # fixed grid: bin = clamp((x-lo)//width)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        b = np.clip((df["n_chars"].to_numpy(np.int64) - lo) // width, 0, nbins - 1)
+        g = pd.DataFrame({"lang": df["lang"], "bin": b}).groupby(
+            ["lang", "bin"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["lang", "bin"], ["n"], [], [])
+    agg["bin"] = agg["bin"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return pa.Table.from_pandas(
+        agg.sort_values(["lang", "bin"]).reset_index(drop=True), preserve_index=False
+    )
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     """Exact brute-force cosine top-10 for the first 5 embedding rows
     (float64 matmul per batch vs the broadcast query matrix)."""
@@ -821,6 +844,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
+    "fixed_histogram": q_fixed_histogram,
     "corpus_profile": q_corpus_profile,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "sketch_quantiles": q_sketch_quantiles,
@@ -904,6 +928,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "fixed_histogram": """
+        SELECT lang,
+               CAST(least(greatest((n_chars - 0) // 200, 0), 19) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, bin ORDER BY lang, bin
     """,
     "semijoin_pricing": """
         SELECT l_returnflag,
