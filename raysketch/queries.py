@@ -775,6 +775,56 @@ def q_matrix_pcc(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def q_matrix_flt_profile(sf_dir: str) -> pa.Table:
+    """Float matrix with NaN-as-missing (reference float-matrix semantics,
+    matrix.c:102-135): per event_type a (day x 24h) matrix of MEAN event
+    value — hours with no events stay NaN and are skipped by sum/merge —
+    then row sums and the pcc match of the last day vs history."""
+    from .sketches.matrix import MatrixFlt
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    us_day, us_hour = 86_400_000_000, 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(),
+             "d": pc.divide(us, pa.scalar(us_day, pa.int64())).to_pylist(),
+             "h": pc.divide(pc.subtract(us, pc.multiply(pc.divide(us, pa.scalar(us_day, pa.int64())), pa.scalar(us_day, pa.int64()))), pa.scalar(us_hour, pa.int64())).to_pylist(),
+             "v": batch["value"].to_pylist()}
+        )
+        g = df.groupby(["event_type", "d", "h"], sort=False)["v"].agg(["sum", "size"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums: dict[tuple, float] = defaultdict(float)
+    cnts: dict[tuple, int] = defaultdict(int)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        for row in b.to_pylist():
+            key = (row["event_type"], row["d"], row["h"])
+            sums[key] += row["sum"]
+            cnts[key] += row["size"]
+    days = sorted({k[1] for k in sums})
+    day_idx = {d: i for i, d in enumerate(days)}
+    mats: dict[str, MatrixFlt] = {}
+    for (et, d, h), s in sums.items():
+        m = mats.setdefault(et, MatrixFlt(len(days), 24))
+        m.set(day_idx[d], h, s / cnts[(et, d, h)])
+    rows = []
+    last = len(days) - 1
+    for et in sorted(mats):
+        m = mats[et]
+        r = m.pcc(last)
+        rows.append({
+            "event_type": et,
+            "last_day_sum": round6(m.sum(last)),
+            "pcc": round6(r[0]) if r else math.nan,
+            "best_day": int(days[r[1]]) if r else -1,
+        })
+    return pa.Table.from_pylist(rows)
+
+
 def q_mp_anomaly(sf_dir: str) -> pa.Table:
     """Per event_type: SCRIMP matrix-profile anomaly over the last 96
     hourly buckets (reference ts:matrix_profile 'anomaly' result,
@@ -863,6 +913,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "p2_profile": q_p2_profile,
     "matrix_pcc": q_matrix_pcc,
     "mp_anomaly": q_mp_anomaly,
+    "matrix_flt_profile": q_matrix_flt_profile,
     "media_features": q_media_features,
     "fingerprints": q_fingerprints,
 }
