@@ -132,20 +132,31 @@ def matrix_profile_per_group(
     if result not in ("anomaly", "anomaly_current", "mp", "mpi"):
         raise ValueError(f"unknown result {result!r}")
 
+    def _empty() -> pd.DataFrame:
+        # schema-stable empty frame (a group with no finite profile must
+        # not drop columns, or an all-empty result loses its schema)
+        if result in ("mp", "mpi"):
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 result: pd.Series([], dtype=object)})
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "discord_idx": pd.Series([], dtype="int64"),
+                             "pct": pd.Series([], dtype="float64"),
+                             "dist": pd.Series([], dtype="float64")})
+
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
         key = df[key_col].iloc[0]
         v = np.asarray(df[values_col].iloc[0], dtype=np.float64)
         try:
             mp, mpi = matrix_profile(v, m, percent)
         except ValueError:
-            return pd.DataFrame({key_col: pd.Series([], dtype=object)})
+            return _empty()
         if result == "mp":
             return pd.DataFrame({key_col: [key], "mp": [mp.tolist()]})
         if result == "mpi":
             return pd.DataFrame({key_col: [key], "mpi": [mpi.tolist()]})
         an = mp_anomaly(mp, m, current_only=result == "anomaly_current")
         if an is None:
-            return pd.DataFrame({key_col: pd.Series([], dtype=object)})
+            return _empty()
         idx, pct, dist = an
         return pd.DataFrame(
             {key_col: [key], "discord_idx": [idx], "pct": [pct], "dist": [dist]}

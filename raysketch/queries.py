@@ -846,6 +846,11 @@ def q_mp_anomaly(sf_dir: str) -> pa.Table:
     out = matrix_profile_per_group(
         windowed, "event_type", m=6, result="anomaly"
     ).to_pandas()
+    if out.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "discord_idx": pa.array([], pa.int64()),
+                         "pct": pa.array([], pa.float64()),
+                         "dist": pa.array([], pa.float64())})
     out = out.sort_values("event_type").reset_index(drop=True)
     out["discord_idx"] = out["discord_idx"].astype("int64")
     out["pct"] = out["pct"].round(6)
