@@ -386,7 +386,9 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash per doc from word-level hashes (actor-pool stage)."""
+    """64-bit simhash per doc from word-level hashes, vectorized across the
+    whole batch: one hash pass over every word + one segmented bit-vote
+    (reduceat) per doc."""
 
     def __init__(self, text_col: str = "text", out_col: str = "simhash") -> None:
         self.text_col, self.out_col = text_col, out_col
@@ -395,17 +397,30 @@ class SimHasher:
     def simhash64(words: list[str]) -> int:
         if not words:
             return 0
-        h = pd.util.hash_pandas_object(
-            pd.Series(words), index=False, hash_key="raysketch-determin"[:16]
-        ).to_numpy()
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(SimHasher._batch([words])[0])
+
+    @staticmethod
+    def _batch(word_lists: list[list[str]]) -> np.ndarray:
+        counts = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
+                             count=len(word_lists))
+        flat: list[str] = [w for ws in word_lists for w in ws]
+        out = np.zeros(len(word_lists), dtype=np.uint64)
+        if not flat:
+            return out
+        h = hash64_batch(pa.array(flat, pa.string()))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = 2 * bits - 1  # (nwords, 64)
+        nonempty = counts > 0
+        seg_starts = np.concatenate([[0], np.cumsum(counts)])[:-1][nonempty]
+        acc = np.add.reduceat(votes, seg_starts, axis=0)  # (ndocs_nonempty, 64)
+        sims = ((acc > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        out[nonempty] = sims
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = [
-            self.simhash64((t or "").split()) for t in batch[self.text_col].to_pylist()
-        ]
+        word_lists = [(t or "").split() for t in batch[self.text_col].to_pylist()]
+        out = self._batch(word_lists)
         return batch.append_column(self.out_col, pa.array(out, pa.uint64()))
 
 
