@@ -43,9 +43,11 @@ def hash_sample(ds, k: int, id_col: str, seed: int = 42):
     merged = pa.concat_tables(
         list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
     )
+    # canonical output order = ascending sample key: block arrival order
+    # varies run to run, the key order never does (keys are unique w.h.p.)
     order = np.argsort(merged["__sample_key"].to_numpy(zero_copy_only=False),
                        kind="stable")[:k]
-    return merged.take(pa.array(np.sort(order))).drop_columns(["__sample_key"])
+    return merged.take(pa.array(order)).drop_columns(["__sample_key"])
 
 
 def hash_threshold_filter(ds, rate: float, id_col: str, seed: int = 42):
