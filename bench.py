@@ -92,6 +92,60 @@ def run_headline(num_cpus: int) -> dict:
     }
 
 
+def measure_errors() -> dict:
+    """Merged-estimate error vs exact on the bench corpus (the second half
+    of the BASELINE.json metric): per-lang HLL distincts vs COUNT(DISTINCT),
+    t-digest/KLL quantiles vs exact rank, Welford stats vs exact moments —
+    all checked against each algorithm's published bound."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from raysketch.engine.pipeline import corpus_profile
+
+    path = _ensure_corpus()
+    prof = corpus_profile(rd.read_parquet(path), group_key="lang").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW c AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    exact = con.execute("""
+        SELECT lang, count(*) n, count(DISTINCT repo) d_repo,
+               count(DISTINCT path) d_path, count(DISTINCT commit) d_commit,
+               avg(length(content)) len_mean, stddev_samp(length(content)) len_sd,
+               quantile_disc(length(content), 0.5) p50,
+               quantile_disc(length(content), 0.95) p95
+        FROM c GROUP BY lang ORDER BY lang
+    """).df()
+    prof = prof.sort_values("lang").reset_index(drop=True)
+    assert (prof["n_files"].to_numpy() == exact["n"].to_numpy()).all()
+    out: dict[str, float] = {}
+    for est_col, ex_col in (("distinct_repos", "d_repo"), ("distinct_paths", "d_path"),
+                            ("distinct_commits", "d_commit")):
+        rel = np.abs(prof[est_col].to_numpy() / exact[ex_col].to_numpy() - 1.0)
+        out[f"hll_{ex_col}_max_rel_err"] = round(float(rel.max()), 5)
+    out["hll_bound_3sigma"] = round(3 * 1.04 / np.sqrt(2 ** 14), 5)
+    out["stats_mean_max_abs_err"] = round(float(
+        np.abs(prof["len_mean"].to_numpy() - exact["len_mean"].to_numpy()).max()), 9)
+    out["stats_sd_max_abs_err"] = round(float(
+        np.abs(prof["len_sd"].to_numpy() - exact["len_sd"].to_numpy()).max()), 9)
+    # quantile rank error: |F_exact(est) - q| per lang via duckdb CDF probe
+    max_rank_err = 0.0
+    for _, row in prof.iterrows():
+        for q, col in ((0.5, "len_p50"), (0.95, "len_p95")):
+            r = con.execute(
+                "SELECT avg(CASE WHEN length(content) <= ? THEN 1.0 ELSE 0 END) "
+                "FROM c WHERE lang = ?", [float(row[col]), row["lang"]]
+            ).fetchone()[0]
+            max_rank_err = max(max_rank_err, abs(r - q))
+    out["tdigest_max_rank_err"] = round(max_rank_err, 5)
+    out["bounds_hold"] = bool(
+        max(out["hll_d_repo_max_rel_err"], out["hll_d_path_max_rel_err"],
+            out["hll_d_commit_max_rel_err"]) <= out["hll_bound_3sigma"]
+        and out["tdigest_max_rank_err"] <= 1.5 / 200.0
+        and out["stats_mean_max_abs_err"] < 1e-6
+    )
+    return out
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__
 
@@ -185,6 +239,7 @@ def main() -> None:
             print(json.dumps(headline))
             return
         queries = run_queries(args.sf_dir)
+        errors = measure_errors()
         total = headline["seconds"] + sum(queries.values())
         print(json.dumps({
             "metric": "bench_total_wall_seconds",
@@ -196,6 +251,7 @@ def main() -> None:
             "headline_files_per_sec": headline["files_per_sec"],
             "headline_seconds": headline["seconds"],
             "headline_files": headline["files"],
+            "merged_estimate_errors": errors,
         }))
     finally:
         ray.shutdown()
