@@ -71,22 +71,27 @@ def matrix_profile(
     rng.shuffle(diags)
     stop = int(percent / 100 * mp_len + 1)
 
-    for ri, diag in enumerate(diags):
-        prod = v[diag:] * v[: n - diag]
-        cs = np.concatenate([[0.0], np.cumsum(prod)])
-        j = np.arange(diag, mp_len)
-        i = j - diag
-        z = cs[i + m] - cs[i]  # sliding dot product along the diagonal
-        with np.errstate(divide="ignore", invalid="ignore"):
-            d = 2 * (m - (z - m * mu[j] * mu[i]) / (sd[j] * sd[i]))
-        upd_j = d < mp[j]
-        mp[j[upd_j]] = d[upd_j]
-        mpi[j[upd_j]] = i[upd_j]
-        upd_i = d < mp[i]
-        mp[i[upd_i]] = d[upd_i]
-        mpi[i[upd_i]] = j[upd_i]
-        if ri == stop:
-            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for ri, diag in enumerate(diags):
+            # everything on a diagonal is contiguous: slices, not gathers
+            i_len = mp_len - diag
+            prod = v[diag:] * v[: n - diag]
+            cs = np.cumsum(prod)
+            z = np.empty(i_len)
+            z[0] = cs[m - 1]
+            z[1:] = cs[m:m + i_len - 1] - cs[:i_len - 1]
+            d = 2 * (m - (z - m * mu[diag:] * mu[:i_len])
+                     / (sd[diag:] * sd[:i_len]))
+            mp_j = mp[diag:]
+            upd = d < mp_j
+            mp_j[upd] = d[upd]
+            mpi[diag:][upd] = np.flatnonzero(upd)
+            mp_i = mp[:i_len]
+            upd = d < mp_i
+            mp_i[upd] = d[upd]
+            mpi[:i_len][upd] = np.flatnonzero(upd) + diag
+            if ri == stop:
+                break
     return np.sqrt(np.abs(mp)), mpi
 
 
