@@ -48,14 +48,25 @@ def build_partials(
     """
     needed = sorted({s.column for s in specs} | ({group_key} if group_key else set()))
     ds = ds.select_columns(needed)
-    kwargs: dict[str, Any] = {}
     if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+        # opt-in actor pool (PartialBuilder): specs construct once per
+        # actor. NOT the default — a class UDF breaks Ray Data's operator
+        # fusion, so read→derive→build would materialize the content-heavy
+        # intermediate blocks through the object store (measured 3x slower
+        # than the fused stateless-task form on the bench corpus).
+        from .udaf import PartialBuilder
+
+        return ds.map_batches(
+            PartialBuilder,
+            fn_constructor_kwargs={"specs": specs, "group_key": group_key},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         lambda b: partials_for_block(b, specs, group_key),
         batch_format="pyarrow",
         batch_size=batch_size,
-        **kwargs,
     )
 
 
@@ -240,6 +251,7 @@ def sketch_aggregate(
     merge: str = "auto",
     batch_size: int | None = None,
     salt_fan_in: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> dict[str, dict[str, Any]]:
     """End-to-end: build partials, merge, decode.
 
@@ -247,7 +259,8 @@ def sketch_aggregate(
     for ungrouped). The result is small by construction — sketches, not
     data — so driver materialization here is sound at any input scale.
     """
-    partials = build_partials(ds, specs, group_key, batch_size=batch_size)
+    partials = build_partials(ds, specs, group_key, batch_size=batch_size,
+                              concurrency=concurrency)
     # Materialize the partials exactly once: they are KB-sized by
     # construction (sparse codecs), so this pins MBs in the object store —
     # never the input — and lets count() + the merge pass read the same

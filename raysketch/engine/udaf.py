@@ -138,6 +138,22 @@ def partials_for_block(
     )
 
 
+class PartialBuilder:
+    """Actor-pool form of the partial-build stage: spec factories unpickle
+    and validate ONCE per actor (map_batches class UDF), every batch then
+    runs the same vectorized ``partials_for_block``. Use through
+    ``build_partials(..., concurrency=...)``."""
+
+    def __init__(self, specs: list[SketchSpec], group_key: str | None) -> None:
+        self.specs = specs
+        self.group_key = group_key
+        for s in specs:
+            s.factory()  # fail fast in the actor, not per batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return partials_for_block(batch, self.specs, self.group_key)
+
+
 def merge_payloads(kind: str, payloads: list[bytes]) -> bytes:
     """Associative fold of serialized partials of one kind."""
     return merge_payloads_obj(kind, payloads).to_bytes()

@@ -133,3 +133,22 @@ def test_generated_corpus_partials_scale(ray_session, tmp_path):
         est = h.estimate()
         true = len(dist[lang])
         assert abs(est - true) / max(true, 1) < 0.05, (lang, est, true)
+
+
+def test_actor_pool_partial_builder(ray_session, sf_dir):
+    """Opt-in PartialBuilder actor pool produces the same partials."""
+    import functools
+
+    import ray.data as rd
+
+    from raysketch.engine.aggregate import sketch_aggregate
+    from raysketch.engine.udaf import SketchSpec
+    from raysketch.sketches import HyperLogLog
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    specs = [SketchSpec("d", "text", functools.partial(HyperLogLog, 14))]
+    a = sketch_aggregate(ds, specs, group_key="lang", merge="driver")
+    b = sketch_aggregate(ds, specs, group_key="lang", merge="driver",
+                         concurrency=(1, 2))
+    assert {k: v["d"].estimate() for k, v in a.items()} == \
+           {k: v["d"].estimate() for k, v in b.items()}
