@@ -17,7 +17,7 @@ from typing import Any
 import pyarrow as pa
 
 from ..corpus import derive_columns, drop_content, load_corpus
-from ..sketches import BloomFilter, CMSketch, HyperLogLog, KLL, RunningStats, TDigest
+from ..sketches import REQ, BloomFilter, CMSketch, HyperLogLog, KLL, RunningStats, TDigest
 from .aggregate import sketch_aggregate
 from .udaf import SketchSpec
 
@@ -38,6 +38,7 @@ def default_specs(
         SketchSpec("path_freq", "path", functools.partial(CMSketch, cms_epsilon, cms_delta, fast_hash=True)),
         SketchSpec("len_tdigest", "content_length", functools.partial(TDigest, compression)),
         SketchSpec("len_kll", "content_length", functools.partial(KLL, kll_k)),
+        SketchSpec("len_req", "content_length", functools.partial(REQ, 32)),
         SketchSpec("lines_tdigest", "line_count", functools.partial(TDigest, compression)),
         SketchSpec("len_stats", "content_length", RunningStats),
         SketchSpec("path_bloom", "path", functools.partial(BloomFilter, bloom_capacity, 0.01)),
@@ -76,6 +77,7 @@ def corpus_profile(
             "len_p95": sk["len_tdigest"].quantile(0.95),
             "len_p99": sk["len_tdigest"].quantile(0.99),
             "len_p50_kll": sk["len_kll"].quantile(0.5),
+            "len_p999": sk["len_req"].quantile(0.999),
             "lines_p50": sk["lines_tdigest"].quantile(0.5),
             "path_total": int(sk["path_freq"].item_count),
             "bloom_fill": sk["path_bloom"].fill_ratio(),

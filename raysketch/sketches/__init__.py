@@ -7,6 +7,7 @@ from .hll import HyperLogLog
 from .kll import KLL
 from .matrix import MatrixFlt, MatrixInt
 from .p2 import P2Histogram, P2Quantile
+from .req import REQ
 from .running_stats import RunningStats
 from .time_series import TimeSeriesInt
 from .tdigest import TDigest
@@ -19,6 +20,7 @@ SKETCH_KINDS = {
     "kll": KLL,
     "matrix_int": MatrixInt,
     "matrix_flt": MatrixFlt,
+    "req": REQ,
     "running_stats": RunningStats,
     "time_series_int": TimeSeriesInt,
     "tdigest": TDigest,
@@ -26,6 +28,6 @@ SKETCH_KINDS = {
 
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
-    "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "RunningStats",
+    "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "REQ", "RunningStats",
     "SKETCH_KINDS", "SketchUDAF", "TDigest", "TimeSeriesInt",
 ]

@@ -120,3 +120,57 @@ def test_tdigest_small_merge_keeps_sorted_quantiles():
     data = np.concatenate([rng.uniform(300, 400, 40), rng.uniform(0, 100, 30)])
     assert abs(a.quantile(1.0) - a.max) < 1e-9
     assert a.total == 70
+
+
+# -- REQ (Relative Error Streaming Quantiles, PODS 2021) --------------------
+
+def test_req_relative_tail_error():
+    import numpy as np
+
+    from raysketch.sketches.req import REQ
+
+    rng = np.random.default_rng(7)
+    for vals in (rng.lognormal(5, 2, 300_000), np.arange(300_000, dtype=float)):
+        r = REQ(32)
+        for lo in range(0, vals.size, 30_000):
+            r.update_batch(vals[lo:lo + 30_000])
+        sv = np.sort(vals)
+        for q in (0.9, 0.99, 0.999, 0.9999):
+            est = r.quantile(q)
+            rank = np.searchsorted(sv, est, side="right") / sv.size
+            # relative rank error tightens toward the max (the REQ property)
+            assert abs(rank - q) <= 0.02 * (1 - q) + 5e-4, (q, rank)
+        # far fewer retained items than n
+        assert sum(l.size for l in r.levels) < vals.size // 20
+
+
+def test_req_merge_and_codec():
+    import numpy as np
+    import pytest
+
+    from raysketch.sketches.base import CodecError
+    from raysketch.sketches.req import REQ
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(5, 1, 120_000)
+    parts = []
+    for i in range(5):
+        p = REQ(32)
+        p.update_batch(vals[i::5])
+        parts.append(p.to_bytes())
+    m1 = REQ.merge_many(parts)
+    order = [3, 1, 4, 0, 2]
+    m2 = REQ.merge_many([parts[i] for i in order])
+    sv = np.sort(vals)
+    for q in (0.5, 0.99, 0.999):
+        for m in (m1, m2):
+            rank = np.searchsorted(sv, m.quantile(q), side="right") / sv.size
+            assert abs(rank - q) <= 0.03 * max(1 - q, 0.01) + 1e-3
+    rt = REQ.from_bytes(m1.to_bytes())
+    assert rt.n == m1.n and rt.quantile(0.999) == m1.quantile(0.999)
+    with pytest.raises(CodecError):
+        REQ.from_bytes(m1.to_bytes()[:-3])
+    with pytest.raises(ValueError):
+        REQ(32).merge(REQ(64))
+    with pytest.raises(ValueError):
+        REQ(5)
