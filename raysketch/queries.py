@@ -434,12 +434,13 @@ def q_sketch_quantiles(sf_dir: str) -> pa.Table:
     bound columns (not SQL-expressible; validated by bound in tests)."""
     from .engine.aggregate import sketch_aggregate
     from .engine.udaf import SketchSpec
-    from .sketches import KLL, TDigest
+    from .sketches import KLL, REQ, TDigest
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     specs = [
         SketchSpec("td", "n_chars", functools.partial(TDigest, 200.0)),
         SketchSpec("kll", "n_chars", functools.partial(KLL, 200)),
+        SketchSpec("req", "n_chars", functools.partial(REQ, 32)),
     ]
     merged = sketch_aggregate(ds, specs, group_key="lang", merge="driver")
     rows = []
@@ -453,6 +454,8 @@ def q_sketch_quantiles(sf_dir: str) -> pa.Table:
                 "td_p95": td.quantile(0.95),
                 "kll_p50": kl.quantile(0.5),
                 "kll_p95": kl.quantile(0.95),
+                "req_p99": merged[lang]["req"].quantile(0.99),
+                "req_p999": merged[lang]["req"].quantile(0.999),
             }
         )
     return pa.Table.from_pylist(rows)
