@@ -152,3 +152,48 @@ def test_actor_pool_partial_builder(ray_session, sf_dir):
                          concurrency=(1, 2))
     assert {k: v["d"].estimate() for k, v in a.items()} == \
            {k: v["d"].estimate() for k, v in b.items()}
+
+
+def test_merge_topologies_agree(ray_session, sf_dir):
+    """driver / tree / dataset merges of the same partials must produce
+    identical estimates (bit-identical payload folds for CMS/HLL/Bloom)."""
+    import functools
+
+    import ray.data as rd
+
+    from raysketch.engine.aggregate import (
+        build_partials,
+        merge_partials_driver,
+        merge_partials_ds,
+        merge_partials_tree,
+    )
+    from raysketch.engine.udaf import SketchSpec
+    from raysketch.sketches import SKETCH_KINDS, BloomFilter, CMSketch, HyperLogLog
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text", "source"])
+    specs = [
+        SketchSpec("h", "text", functools.partial(HyperLogLog, 12)),
+        SketchSpec("c", "source", functools.partial(CMSketch, 0.01, 0.1)),
+        SketchSpec("b", "source", functools.partial(BloomFilter, 10_000, 0.01)),
+    ]
+    partials = build_partials(ds, specs, "lang").materialize()
+    a = merge_partials_driver(partials)
+    b = merge_partials_tree(partials, fan_in_rows=8, max_driver_partials=4)
+    out = merge_partials_ds(partials)
+    c = {}
+    for batch in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for g, s, p in zip(batch["group"].to_pylist(), batch["spec"].to_pylist(),
+                           batch["payload"].to_pylist()):
+            c[(g, s)] = p
+    assert set(a) == set(b) == set(c)
+    kind_of = {s.name: s.kind for s in specs}
+    for key in a:
+        cls = SKETCH_KINDS[kind_of[key[1]]]
+        sa, sb, sc = (cls.from_bytes(x[key]) for x in (a, b, c))
+        if key[1] == "h":
+            assert sa.estimate() == sb.estimate() == sc.estimate()
+        elif key[1] == "c":
+            assert (sa.counts == sb.counts).all() and (sa.counts == sc.counts).all()
+        else:
+            sa._flush_pending(); sb._flush_pending(); sc._flush_pending()
+            assert (sa.bits == sb.bits).all() and (sa.bits == sc.bits).all()
