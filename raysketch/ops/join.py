@@ -40,7 +40,12 @@ def broadcast_semi_join(
         batch_size=65536, batch_format="pyarrow"
     ):
         keys.append(b[small_key].combine_chunks())
-    key_arr = pa.concat_arrays(keys) if keys else pa.array([], pa.int64())
+    if keys:
+        key_arr = pa.concat_arrays(keys)
+    else:  # empty small side: typed empty set (semi -> nothing, anti -> all)
+        sch = small_ds.schema()
+        key_type = dict(zip(sch.names, sch.types))[small_key]
+        key_arr = pa.array([], type=key_type)
     key_ref = ray.put(pc.unique(key_arr))
 
     class Filter:
