@@ -775,7 +775,9 @@ def q_matrix_pcc(sf_dir: str) -> pa.Table:
         pcc, idx = r
         rows.append({"event_type": et, "best_day": int(days[idx]),
                      "pcc": round6(pcc)})
-    return pa.Table.from_pylist(rows)
+    schema = pa.schema([("event_type", pa.string()), ("best_day", pa.int64()),
+                        ("pcc", pa.float64())])
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def q_matrix_flt_profile(sf_dir: str) -> pa.Table:
@@ -825,7 +827,9 @@ def q_matrix_flt_profile(sf_dir: str) -> pa.Table:
             "pcc": round6(r[0]) if r else math.nan,
             "best_day": int(days[r[1]]) if r else -1,
         })
-    return pa.Table.from_pylist(rows)
+    schema = pa.schema([("event_type", pa.string()), ("last_day_sum", pa.float64()),
+                        ("pcc", pa.float64()), ("best_day", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def q_mp_anomaly(sf_dir: str) -> pa.Table:
