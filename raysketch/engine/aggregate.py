@@ -76,13 +76,19 @@ def merge_partials_driver(partials_ds) -> dict[tuple[str, str], bytes]:
     recompression). Payload volume is KBs per partial by construction."""
     from .udaf import merge_payloads_obj
 
+    from .udaf import check_family
+
     buckets: dict[tuple[str, str], list[bytes]] = {}
     kinds: dict[tuple[str, str], str] = {}
+    families: set[str] = set()
     for batch in partials_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for row in batch.to_pylist():
             key = (row["group"], row["spec"])
             buckets.setdefault(key, []).append(row["payload"])
             kinds[key] = row["kind"]
+            families.add(row["family"])
+    if families:
+        check_family(families)
     return {
         k: merge_payloads_obj(kinds[k], payloads).to_bytes()
         for k, payloads in buckets.items()
@@ -90,6 +96,8 @@ def merge_partials_driver(partials_ds) -> dict[tuple[str, str], bytes]:
 
 
 def _fold_group(df: pd.DataFrame) -> pd.DataFrame:
+    from .udaf import check_family
+
     payload = merge_payloads(df["kind"].iloc[0], list(df["payload"]))
     return pd.DataFrame(
         {
@@ -98,6 +106,7 @@ def _fold_group(df: pd.DataFrame) -> pd.DataFrame:
             "kind": [df["kind"].iloc[0]],
             "payload": [payload],
             "rows": [int(df["rows"].sum())],
+            "family": [check_family(df["family"])],
         }
     )
 
@@ -109,19 +118,21 @@ def _fold_partial_batch(batch: pa.Table) -> pa.Table:
     consecutive partial blocks to each fold task, so every level is a
     node-local reduction that shrinks partial volume by the fan-in factor.
     """
-    from .udaf import merge_payloads
+    from .udaf import check_family, merge_payloads
 
     rows = batch.to_pylist()
     buckets: dict[tuple[str, str], list[dict]] = {}
     for r in rows:
         buckets.setdefault((r["group"], r["spec"]), []).append(r)
-    out = {"group": [], "spec": [], "kind": [], "payload": [], "rows": []}
+    out = {"group": [], "spec": [], "kind": [], "payload": [], "rows": [],
+           "family": []}
     for (g, s), rs in buckets.items():
         out["group"].append(g)
         out["spec"].append(s)
         out["kind"].append(rs[0]["kind"])
         out["payload"].append(merge_payloads(rs[0]["kind"], [r["payload"] for r in rs]))
         out["rows"].append(sum(r["rows"] for r in rs))
+        out["family"].append(check_family(r["family"] for r in rs))
     return pa.Table.from_arrays(
         [
             pa.array(out["group"], pa.string()),
@@ -129,6 +140,7 @@ def _fold_partial_batch(batch: pa.Table) -> pa.Table:
             pa.array(out["kind"], pa.string()),
             pa.array(out["payload"], pa.large_binary()),
             pa.array(out["rows"], pa.int64()),
+            pa.array(out["family"], pa.string()),
         ],
         schema=PARTIAL_SCHEMA,
     )
@@ -208,7 +220,7 @@ def merge_partials_ds(partials_ds, salt_fan_in: int | None = None,
     def _fold_bucket(df) -> "pd.DataFrame":  # noqa: F821
         import pandas as pd
 
-        from .udaf import merge_payloads
+        from .udaf import check_family, merge_payloads
 
         drop = [c for c in ("bucket", "salt") if c in df.columns]
         rows = []
@@ -217,6 +229,7 @@ def merge_partials_ds(partials_ds, salt_fan_in: int | None = None,
                 "group": g, "spec": s, "kind": sub["kind"].iloc[0],
                 "payload": merge_payloads(sub["kind"].iloc[0], list(sub["payload"])),
                 "rows": int(sub["rows"].sum()),
+                "family": check_family(sub["family"]),
             })
         return pd.DataFrame(rows).drop(columns=drop, errors="ignore")
 

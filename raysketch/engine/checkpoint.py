@@ -172,13 +172,19 @@ def run_with_checkpoint(
             )
 
     # final fold over all persisted partials (bulk merge per key)
-    from .udaf import merge_payloads_obj
+    from .udaf import check_family, merge_payloads_obj
 
     table = store.load_partials()
     buckets: dict[tuple[str, str], list[bytes]] = {}
     kinds: dict[tuple[str, str], str] = {}
+    families: set[str] = set()
     for row in table.to_pylist():
         key = (row["group"], row["spec"])
         buckets.setdefault(key, []).append(row["payload"])
         kinds[key] = row["kind"]
+        families.add(row["family"])
+    if families:
+        # a resumed run whose hash backend changed (e.g. polars upgraded
+        # between submit and resume) must recompute, not silently merge
+        check_family(families)
     return {k: merge_payloads_obj(kinds[k], v) for k, v in buckets.items()}

@@ -23,6 +23,23 @@ import pandas as pd
 _HASH_KEY = "raysketch-determin"[:16]  # fixed 16-byte key → stable across runs
 
 
+def _resolve_hash_family() -> str:
+    """Resolve the 64-bit hash backend ONCE per process and name the
+    family. Hash-fed partials (HLL/Bloom/MinHash) record this tag, and
+    merges refuse mismatched tags: on a heterogeneous cluster (polars
+    missing or a different version on some workers) incompatible partials
+    would otherwise combine into silently wrong estimates."""
+    try:
+        import polars as pl
+
+        return f"polars-{pl.__version__}|pandas-{pd.__version__}"
+    except Exception:
+        return f"pandas-{pd.__version__}"
+
+
+HASH_FAMILY = _resolve_hash_family()
+
+
 def _as_series(values: Any) -> pd.Series:
     try:
         import pyarrow as pa
@@ -41,26 +58,33 @@ def _as_series(values: Any) -> pd.Series:
 def _polars_hash(values: Any) -> tuple[np.ndarray, np.ndarray] | None:
     """Vectorized 64-bit hash straight off the Arrow buffers via polars
     (~20 ns/key vs ~850 ns for the pandas object path). Fixed seed →
-    deterministic across processes within one polars version, which is
-    what task-retry safety needs; returns None when polars can't take
-    the input (caller falls back to pandas)."""
-    try:
-        import os
-
-        os.environ.setdefault("POLARS_MAX_THREADS", "1")  # Ray owns the cores
-        import polars as pl
-        import pyarrow as pa
-
-        if isinstance(values, pa.ChunkedArray):
-            values = values.combine_chunks()
-        if not isinstance(values, pa.Array):
-            return None
-        s = pl.from_arrow(values)
-        h = s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
-        valid = s.is_not_null().to_numpy()
-        return h, valid
-    except Exception:  # pragma: no cover - fallback path
+    deterministic across processes within one polars version. The
+    polars-vs-pandas branch is a pure function of (backend availability,
+    column TYPE) — never a swallowed runtime error — so every process
+    running the same software hashes a given column identically; software
+    differences across processes are caught by the HASH_FAMILY tag that
+    partial envelopes carry."""
+    if not HASH_FAMILY.startswith("polars"):
         return None
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")  # Ray owns the cores
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        return None
+    t = values.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)):
+        return None  # nested/binary types take the pandas path by TYPE
+    s = pl.from_arrow(values)
+    h = s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    valid = s.is_not_null().to_numpy()
+    return h, valid
 
 
 def hash64_batch(values: Any) -> np.ndarray:
@@ -110,7 +134,8 @@ def sha256_batch(values: Any) -> list[str]:
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
             sha = hashlib.sha256
             return [
-                None if v is None else sha(v.encode("utf-8")).hexdigest()
+                None if v is None
+                else sha(v if isinstance(v, bytes) else v.encode("utf-8")).hexdigest()
                 for v in values.to_pylist()
             ]
     except ImportError:  # pragma: no cover

@@ -55,8 +55,23 @@ PARTIAL_SCHEMA = pa.schema(
         ("kind", pa.string()),
         ("payload", pa.large_binary()),
         ("rows", pa.int64()),
+        # hash backend fingerprint of the building process: merges refuse
+        # mismatched families (see engine.hashing.HASH_FAMILY)
+        ("family", pa.string()),
     ]
 )
+
+
+def check_family(families) -> str:
+    """Raise if partials built under different hash backends would merge."""
+    fams = set(families)
+    if len(fams) > 1:
+        raise ValueError(
+            f"refusing to merge sketch partials from mismatched hash "
+            f"families {sorted(fams)}: estimates would be silently wrong "
+            f"(heterogeneous polars/pandas versions across workers?)"
+        )
+    return next(iter(fams))
 
 
 _HASH_FED_KINDS = {"hll", "bloom"}  # sketches fed precomputed 64-bit hashes
@@ -74,7 +89,7 @@ def partials_for_block(
     """
     import pyarrow.compute as pc
 
-    from .hashing import hash64_batch_aligned
+    from .hashing import HASH_FAMILY, hash64_batch_aligned
 
     groups: list[str] = []
     spec_names: list[str] = []
@@ -133,6 +148,7 @@ def partials_for_block(
             pa.array(kinds, pa.string()),
             pa.array(payloads, pa.large_binary()),
             pa.array(rows, pa.int64()),
+            pa.array([HASH_FAMILY] * len(groups), pa.string()),
         ],
         schema=PARTIAL_SCHEMA,
     )

@@ -73,15 +73,17 @@ _ROLL_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 def _batch_shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized k-byte rolling hashes for a whole batch of texts.
 
-    Every doc is padded with k-1 zero bytes so windows never cross into the
-    next doc (hashes are position- and batch-independent → deterministic
-    under re-batching/retries). Returns (shingle_hashes, doc_offsets) where
-    doc i owns hashes[offsets[i]:offsets[i+1]] (>=1 per doc; an empty doc
-    hashes its padding). splitmix64 finalization fixes the low-bit bias of
-    the polynomial roll.
+    Every doc is followed by k zero pad bytes, so every window of every doc
+    — including the all-zero sentinel window an EMPTY doc hashes — stays
+    inside its own segment (hashes are position- and batch-independent →
+    deterministic under re-batching/retries; a doc's last window covers its
+    final byte plus k-1 pad zeros, identical regardless of neighbors).
+    Returns (shingle_hashes, doc_offsets) where doc i owns
+    hashes[offsets[i]:offsets[i+1]] (>=1 per doc). splitmix64 finalization
+    fixes the low-bit bias of the polynomial roll.
     """
     enc = [(t or "").encode("utf-8") for t in texts]
-    pad = b"\x00" * (k - 1)
+    pad = b"\x00" * k
     blob = pad.join(enc) + pad if enc else pad
     # window count per doc = max(len, 1); doc windows start at its offset
     lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
@@ -95,7 +97,7 @@ def _batch_shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
             h += arr[j : j + n_win] * mult
             mult *= _ROLL_BASE
     h = splitmix64(h)
-    starts = np.concatenate([[0], np.cumsum(lens[:-1] + (k - 1))]) if len(enc) else np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1] + k)]) if len(enc) else np.zeros(0, np.int64)
     # flatten each doc's window range into one index vector
     offsets = np.concatenate([[0], np.cumsum(counts)])
     idx = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, counts)]) if len(enc) else np.zeros(0, np.int64)

@@ -20,12 +20,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..engine.hashing import hash64_batch, splitmix64
+from ..engine.hashing import hash64_batch_aligned, splitmix64
 
 
 def _keys(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
-    h = hash64_batch(batch[id_col])
-    return splitmix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    """Row-ALIGNED sample keys: one key per batch row (null ids get the max
+    key, so they sort last / fail every threshold and are never silently
+    swapped for a neighboring row)."""
+    h, valid = hash64_batch_aligned(batch[id_col])
+    key = splitmix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    key[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return key
 
 
 def hash_sample(ds, k: int, id_col: str, seed: int = 42):

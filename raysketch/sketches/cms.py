@@ -130,10 +130,25 @@ class CMSketch:
         h2 = (h64 >> np.uint64(32)).astype(np.uint32)
         return self._km_indices(h1, h2), n_per_key
 
+    def _indices_scalar(self, key: Any) -> np.ndarray:
+        """Row indices for ONE key, honoring the sketch's hash mode: a
+        fast_hash sketch must index scalar updates/queries with the same
+        hash64 family as its batch path (a scalar XXH32 update into a
+        fast_hash sketch would land in different cells and read back 0)."""
+        if self.fast_hash:
+            import pyarrow as pa
+
+            from ..engine.hashing import hash64_batch
+
+            h64 = hash64_batch(pa.array([key]))
+            h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            h2 = (h64 >> np.uint64(32)).astype(np.uint32)
+            return self._km_indices(h1, h2)[:, 0]
+        return self._indices(_as_bytes(key))
+
     # -- scalar path (reference parity, cm_sketch.c:66-121) ----------------
     def update(self, key: Any, n: int = 1) -> int:
-        data = _as_bytes(key)
-        idx = self._indices(data)
+        idx = self._indices_scalar(key)
         rows = np.arange(self.depth)
         cells = self.counts[rows, idx]
         est = int(cells.min()) if self.depth else 0
@@ -164,18 +179,7 @@ class CMSketch:
         return est
 
     def point_query(self, key: Any) -> int:
-        if self.fast_hash:
-            import pyarrow as pa
-
-            from ..engine.hashing import hash64_batch
-
-            h64 = hash64_batch(pa.array([key if isinstance(key, str) else str(key)]))
-            h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            h2 = (h64 >> np.uint64(32)).astype(np.uint32)
-            idx = self._km_indices(h1, h2)[:, 0]
-        else:
-            data = _as_bytes(key)
-            idx = self._indices(data)
+        idx = self._indices_scalar(key)
         return int(self.counts[np.arange(self.depth), idx].min())
 
     # -- batch path --------------------------------------------------------
@@ -208,7 +212,7 @@ class CMSketch:
             from ..engine.hashing import hash64_batch
 
             if not isinstance(values, (pa.Array, pa.ChunkedArray)):
-                values = pa.array([v if isinstance(v, str) else str(v) for v in values])
+                values = pa.array(list(values))
             h64 = hash64_batch(values)
             h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             h2 = (h64 >> np.uint64(32)).astype(np.uint32)
