@@ -203,13 +203,11 @@ def merge_partials_ds(partials_ds, salt_fan_in: int | None = None,
     import numpy as np
 
     def _bucket(batch: pa.Table, with_salt: bool) -> pa.Table:
-        import pandas as pd
+        from .hashing import combine_hash64, hash64_batch_aligned
 
-        key = pd.util.hash_pandas_object(
-            pd.Series([f"{g}\x1f{s}" for g, s in
-                       zip(batch["group"].to_pylist(), batch["spec"].to_pylist())]),
-            index=False,
-        ).to_numpy()
+        hg, _ = hash64_batch_aligned(batch["group"])
+        hs, _ = hash64_batch_aligned(batch["spec"])
+        key = combine_hash64(hg, hs)
         bucket = (key % np.uint64(coarse_buckets)).astype(np.int64)
         batch = batch.append_column("bucket", pa.array(bucket, pa.int64()))
         if with_salt:

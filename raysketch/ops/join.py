@@ -48,17 +48,17 @@ def broadcast_semi_join(
         key_arr = pa.array([], type=key_type)
     key_ref = ray.put(pc.unique(key_arr))
 
-    class Filter:
-        def __init__(self) -> None:
-            self.keys = ray.get(key_ref)  # zero-copy shared-memory read
+    # stateless task fn (NOT an actor pool): keeps Ray Data operator fusion
+    # with the upstream read, and the per-call ray.get is a zero-copy
+    # shared-memory read of the broadcast key set
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = pc.is_in(batch[big_key], value_set=keys)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[big_key], value_set=self.keys)
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return big_ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return big_ds.map_batches(keep, batch_format="pyarrow")
 
 
 def bloom_semi_join(
@@ -84,12 +84,11 @@ def bloom_semi_join(
         bloom.update_batch(b[small_key])
     blob_ref = ray.put(bloom.to_bytes())
 
-    class Filter:
-        def __init__(self) -> None:
-            self.bloom = BloomFilter.from_bytes(ray.get(blob_ref))
+    # stateless task fn: preserves operator fusion; from_bytes on the
+    # shared-memory blob is one cheap frombuffer per call
+    def keep(batch: pa.Table) -> pa.Table:
+        bl = BloomFilter.from_bytes(ray.get(blob_ref))
+        hits = bl.contains_batch(batch[big_key])
+        return batch.filter(pa.array(hits))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            hits = self.bloom.contains_batch(batch[big_key])
-            return batch.filter(pa.array(hits))
-
-    return big_ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return big_ds.map_batches(keep, batch_format="pyarrow")

@@ -80,36 +80,60 @@ def q_doc_stats_by_lang(sf_dir: str) -> pa.Table:
     agg = _fold_partials(partials, ["lang"], ["n_docs", "total_chars"],
                          ["min_chars"], ["max_chars"])
 
-    # exact distinct sources: per-batch unique (lang, source) pairs → fold
+    # exact distinct sources, DISTRIBUTED: per-batch unique (lang, source)
+    # pairs → coarse-bucket shuffle on hash(lang, source) (each pair lands
+    # in exactly one bucket) → per-bucket vectorized nunique per lang →
+    # driver sums ≤ buckets × langs tiny rows (never the pair stream)
+    from .engine.hashing import combine_hash64, hash64_batch_aligned
+
     def pair_partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["lang", "source"]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def pbucket(batch: pa.Table) -> pa.Table:
+        hl, _ = hash64_batch_aligned(batch["lang"])
+        hs, _ = hash64_batch_aligned(batch["source"])
+        key = combine_hash64(hl, hs)
+        return batch.append_column(
+            "pb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
+        )
+
+    def src_fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["lang", "source"])
+        return u.groupby("lang", sort=False).size().reset_index(name="nsrc")
+
     pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
-    seen: dict[str, set] = defaultdict(set)
-    for b in pairs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for lang, src in zip(b["lang"].to_pylist(), b["source"].to_pylist()):
-            seen[lang].add(src)
-    agg["distinct_sources"] = [len(seen[l]) for l in agg["lang"]]
+    nsrc = pairs.map_batches(pbucket, batch_format="pyarrow").groupby(
+        "pb"
+    ).map_groups(lambda df: src_fold(df.drop(columns=["pb"])),
+                 batch_format="pandas").to_pandas()
+    per_lang = nsrc.groupby("lang")["nsrc"].sum()
+    agg["distinct_sources"] = [int(per_lang[l]) for l in agg["lang"]]
     for c in ("n_docs", "total_chars", "min_chars", "max_chars", "distinct_sources"):
         agg[c] = agg[c].astype("int64")
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 def q_dedup_doc_counts(sf_dir: str) -> pa.Table:
-    """Exact dedup on text (keep min doc_id) → per-lang surviving counts."""
+    """Exact dedup on text (keep min doc_id) → per-lang surviving counts.
+
+    The count is a distributed fold: per-block lang counts after the dedup
+    reduce, then one driver groupby over ≤ blocks × langs tiny partial
+    rows — the surviving rows themselves never stream to the driver."""
     from .ops.dedup import exact_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     kept = exact_dedup(ds, text_col="text", id_col="doc_id")
-    counts = Counter()
-    for b in kept.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        counts.update(b["lang"].to_pylist())
-    langs = sorted(counts)
-    return pa.table(
-        {"lang": pa.array(langs, pa.string()),
-         "n_docs": pa.array([counts[l] for l in langs], pa.int64())}
-    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang"]).to_pandas().groupby(
+            "lang", sort=False).size().reset_index(name="n_docs")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(kept.map_batches(count_partial, batch_format="pyarrow"),
+                         ["lang"], ["n_docs"], [], [])
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 def q_hll_distinct(sf_dir: str) -> pa.Table:
@@ -191,10 +215,10 @@ def q_token_topk(sf_dir: str) -> pa.Table:
 
     # coarse-bucket the shuffle (bounded group count at any vocabulary
     # size); each reduce task sums its real tokens with one pandas groupby
+    from .engine.hashing import hash64_batch_aligned
+
     def bucket(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(batch["token"].to_pylist()), index=False
-        ).to_numpy()
+        h, _ = hash64_batch_aligned(batch["token"])
         return batch.append_column(
             "tb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
         )
@@ -267,15 +291,14 @@ def q_events_hourly(sf_dir: str) -> pa.Table:
     # one shuffle keyed on a coarse bucket of (event_type, bucket): the
     # reduce side resolves exact counts + distinct users with vectorized
     # pandas — no unbounded driver-side user sets
+    from .engine.hashing import combine_hash64, hash64_batch_aligned
+
     def coarse(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series([f"{e}\x1f{b}" for e, b in
-                       zip(batch["event_type"].to_pylist(),
-                           batch["bucket"].to_pylist())]),
-            index=False,
-        ).to_numpy()
+        he, _ = hash64_batch_aligned(batch["event_type"])
+        hb = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = combine_hash64(he, hb)
         return batch.append_column(
-            "cb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
+            "cb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
         )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -333,23 +356,43 @@ def q_quantiles_exact(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    counters: dict[str, Counter] = defaultdict(Counter)
-    for b in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            counters[row["lang"]][row["n_chars"]] += row["cnt"]
-    rows = []
-    for lang in sorted(counters):
-        vals = np.array(sorted(counters[lang]))
-        cnts = np.array([counters[lang][v] for v in vals])
-        cum = np.cumsum(cnts)
+
+    # two distributed fold levels (no driver counter over values):
+    # 1. coarse-bucket on hash(lang, value) → per-bucket sum → one row per
+    #    distinct (lang, value) regardless of block count;
+    # 2. groupby(lang) → per-lang quantile calc from its value counts →
+    #    the driver sees only the final one-row-per-lang result.
+    from .engine.hashing import combine_hash64, hash64_batch_aligned
+
+    def vbucket(batch: pa.Table) -> pa.Table:
+        hl, _ = hash64_batch_aligned(batch["lang"])
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = combine_hash64(hl, v)
+        return batch.append_column(
+            "vb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
+        )
+
+    def vfold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum().reset_index()
+
+    vc = partials.map_batches(vbucket, batch_format="pyarrow").groupby(
+        "vb"
+    ).map_groups(lambda df: vfold(df.drop(columns=["vb"])), batch_format="pandas")
+
+    def qcalc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars")["cnt"].sum().sort_index()
+        vals = g.index.to_numpy()
+        cum = np.cumsum(g.to_numpy())
         n = int(cum[-1])
-        row: dict[str, Any] = {"lang": lang}
+        row: dict[str, Any] = {"lang": df["lang"].iloc[0]}
         for q in _QUANTILES:
             target = math.ceil(q * n) - 1  # duckdb quantile_disc index
             j = int(np.searchsorted(cum, target + 1, side="left"))
             row[f"p{int(q*100)}"] = int(vals[j])
-        rows.append(row)
-    df = pd.DataFrame(rows)
+        return pd.DataFrame([row])
+
+    df = vc.groupby("lang").map_groups(qcalc, batch_format="pandas").to_pandas()
+    df = df.sort_values("lang").reset_index(drop=True)
     for q in _QUANTILES:
         df[f"p{int(q*100)}"] = df[f"p{int(q*100)}"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
