@@ -74,8 +74,15 @@ def _polars_hash(values: Any) -> tuple[np.ndarray, np.ndarray] | None:
 
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
-    if not isinstance(values, pa.Array):
-        return None
+    elif not isinstance(values, pa.Array):
+        # normalize lists/ndarrays/Series to Arrow FIRST: a python list of
+        # strings must hash in the SAME family as an Arrow string column
+        # (a Bloom built from a column would otherwise never match probes
+        # passed as a list — found by the bloom_membership oracle gate)
+        try:
+            values = pa.array(values)
+        except Exception:
+            return None  # unconvertible input shapes take the pandas path
     t = values.type
     if not (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_integer(t) or pa.types.is_floating(t)

@@ -33,16 +33,44 @@ def _keys(batch: pa.Table, id_col: str, seed: int) -> np.ndarray:
     return key
 
 
-def hash_sample(ds, k: int, id_col: str, seed: int = 42):
-    """Exactly-k deterministic uniform sample (all original columns)."""
+def _sha_keys(batch: pa.Table, id_col: str) -> np.ndarray:
+    """Hex-sha256-of-str(id) sample keys (object array of str; nulls sort
+    last). Slower than the hash64 path but reproducible by any engine —
+    ``ORDER BY sha256(CAST(id AS VARCHAR))`` selects the same rows."""
+    from ..engine.hashing import sha256_batch
+
+    ids = batch[id_col].to_pylist()
+    keys = sha256_batch(pa.array([None if i is None else str(i) for i in ids]))
+    return np.array(["￿" if s is None else s for s in keys], dtype=object)
+
+
+def hash_sample(ds, k: int, id_col: str, seed: int = 42, key: str = "hash64"):
+    """Exactly-k deterministic uniform sample (all original columns).
+
+    ``key="hash64"`` (default) uses the engine's vectorized hash;
+    ``key="sha256"`` keys rows by ``sha256(str(id))`` hex — slower, but the
+    selection is cross-engine checkable (a SQL oracle reproduces it with
+    ``ORDER BY sha256(CAST(id AS VARCHAR)) LIMIT k``).
+    """
+    if key not in ("hash64", "sha256"):
+        raise ValueError("key must be 'hash64' or 'sha256'")
 
     def block_candidates(batch: pa.Table) -> pa.Table:
-        key = _keys(batch, id_col, seed)
         kk = min(k, batch.num_rows)
-        idx = np.argpartition(key, kk - 1)[:kk] if batch.num_rows > kk else \
-            np.arange(batch.num_rows)
+        if key == "hash64":
+            kv = _keys(batch, id_col, seed)
+            idx = np.argpartition(kv, kk - 1)[:kk] if batch.num_rows > kk else \
+                np.arange(batch.num_rows)
+            out = batch.take(pa.array(np.sort(idx)))
+            return out.append_column(
+                "__sample_key", pa.array(kv[np.sort(idx)], pa.uint64())
+            )
+        kv = _sha_keys(batch, id_col)
+        idx = np.argsort(kv, kind="stable")[:kk]
         out = batch.take(pa.array(np.sort(idx)))
-        return out.append_column("__sample_key", pa.array(key[np.sort(idx)], pa.uint64()))
+        return out.append_column(
+            "__sample_key", pa.array(list(kv[np.sort(idx)]), pa.string())
+        )
 
     cand = ds.map_batches(block_candidates, batch_format="pyarrow")
     merged = pa.concat_tables(
@@ -50,8 +78,10 @@ def hash_sample(ds, k: int, id_col: str, seed: int = 42):
     )
     # canonical output order = ascending sample key: block arrival order
     # varies run to run, the key order never does (keys are unique w.h.p.)
-    order = np.argsort(merged["__sample_key"].to_numpy(zero_copy_only=False),
-                       kind="stable")[:k]
+    keys_np = merged["__sample_key"].to_numpy(zero_copy_only=False)
+    if key == "hash64":
+        keys_np = keys_np.astype(np.uint64)
+    order = np.argsort(keys_np, kind="stable")[:k]
     return merged.take(pa.array(order)).drop_columns(["__sample_key"])
 
 

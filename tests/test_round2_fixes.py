@@ -140,6 +140,24 @@ class TestSha256Binary:
         assert out[0] == hashlib.sha256(b"abc").hexdigest()
 
 
+class TestListArrowHashConsistency:
+    def test_list_and_arrow_inputs_hash_identically(self):
+        from raysketch.engine.hashing import hash64_batch
+
+        vals = ["alpha", "beta", "gamma"]
+        np.testing.assert_array_equal(
+            hash64_batch(vals), hash64_batch(pa.array(vals, pa.string()))
+        )
+
+    def test_bloom_probes_list_after_arrow_build(self):
+        from raysketch.sketches import BloomFilter
+
+        bl = BloomFilter(1000, 0.001)
+        bl.update_batch(pa.array([f"src{i}" for i in range(20)]))
+        hits = bl.contains_batch([f"src{i}" for i in range(8)])
+        assert all(bool(h) for h in hits), "present keys must probe True"
+
+
 class TestHashFamilyEnvelope:
     def test_partials_carry_family(self):
         import functools
