@@ -949,6 +949,68 @@ def q_mp_anomaly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_schema_monitor(sf_dir: str) -> pa.Table:
+    """The reference's production composite (heka_message_monitor.lua)
+    over the events stream: per (event_type, field) subtype inference
+    (unknown → set|sparse|range|unique), interval rotation into matrix
+    rows, P2 histogram snapshots, HLL duplicate-%, pcc-vs-history.
+    24h intervals so the P2 histogram fills per interval at this scale.
+    State machine is order-dependent → golden-tested; the SQL-expressible
+    rollup is gated separately (monitor_rollup)."""
+    from .ops.monitor import (TYPE_DOUBLE, TYPE_STRING, MonitorConfig,
+                              schema_monitor)
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ns = pc.multiply(pc.cast(batch["ts"], pa.int64()), pa.scalar(1000, pa.int64()))
+        return pa.table({"event_type": batch["event_type"], "ns": ns,
+                         "user_id": pc.cast(batch["user_id"], pa.string()),
+                         "value": batch["value"]})
+
+    cfg = MonitorConfig(sample_interval_ns=24 * 3600 * 10**9)
+    out = schema_monitor(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", "ns",
+        [("user_id", TYPE_STRING), ("value", TYPE_DOUBLE)], cfg=cfg,
+    ).to_pandas().sort_values(["event_type", "field"]).reset_index(drop=True)
+    for col in ("pcc", "duplicate_pct", "duplicate_min", "duplicate_max",
+                "range_min", "range_max"):
+        out[col] = round6(out[col].to_numpy(np.float64))
+    out["closest_row"] = out["closest_row"].astype("int64")
+    out["alerted"] = out["alerted"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_monitor_rollup(sf_dir: str) -> pa.Table:
+    """ORACLE-GATED slice of the monitor: per event_type, the row count
+    and the subtype the state machine settles on for the numeric `value`
+    field — SQL can replay the promotion rule exactly (first-255 distinct
+    ratio < 2 → range; else set, which converts to range iff a 256th
+    distinct value ever arrives; heka_message_monitor.lua:492-560)."""
+    from .ops.monitor import (TYPE_DOUBLE, TYPE_STRING, MonitorConfig,
+                              schema_monitor)
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ns = pc.multiply(pc.cast(batch["ts"], pa.int64()), pa.scalar(1000, pa.int64()))
+        return pa.table({"event_type": batch["event_type"], "ns": ns,
+                         "user_id": pc.cast(batch["user_id"], pa.string()),
+                         "value": batch["value"]})
+
+    cfg = MonitorConfig(sample_interval_ns=24 * 3600 * 10**9)
+    out = schema_monitor(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", "ns",
+        [("user_id", TYPE_STRING), ("value", TYPE_DOUBLE)], cfg=cfg,
+    ).to_pandas()
+    out = out[out["field"] == "value"].sort_values("event_type")
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "cnt": pa.array(out["cnt"].astype("int64"), pa.int64()),
+        "subtype": pa.array(out["subtype"], pa.string()),
+    })
+
+
 def q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: synthesized media → stub decode → features."""
     import ray.data as rd
@@ -1009,6 +1071,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "simhash_neardup": q_simhash_neardup,
     "p2_profile": q_p2_profile,
     "matrix_pcc": q_matrix_pcc,
+    "schema_monitor": q_schema_monitor,
+    "monitor_rollup": q_monitor_rollup,
     "mp_anomaly": q_mp_anomaly,
     "matrix_flt_profile": q_matrix_flt_profile,
     "media_features": q_media_features,
@@ -1152,6 +1216,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM b JOIN mx ON b.event_type = mx.event_type
         WHERE b.bucket > mx.mb - 24
         GROUP BY b.event_type ORDER BY b.event_type
+    """,
+    "monitor_rollup": """
+        WITH ordered AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts), CAST(user_id AS VARCHAR), value) rn
+          FROM events WHERE value IS NOT NULL),
+        tot AS (SELECT event_type, count(*) cnt, count(DISTINCT value) dv_all
+                FROM ordered GROUP BY 1),
+        f AS (SELECT event_type, count(DISTINCT value) dv
+              FROM ordered WHERE rn <= 255 GROUP BY 1)
+        SELECT t.event_type,
+               CAST(t.cnt AS BIGINT) AS cnt,
+               CASE WHEN t.cnt < 255 THEN 'unknown'
+                    WHEN 255.0 / f.dv < 2 THEN 'range'
+                    WHEN t.dv_all > 255 THEN 'range'
+                    ELSE 'set' END AS subtype
+        FROM tot t JOIN f USING (event_type) ORDER BY t.event_type
     """,
     "matrix_pcc": """
         WITH bounds AS (
