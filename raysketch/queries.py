@@ -595,13 +595,16 @@ def q_neardup_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
-    """Exact all-pairs cosine join at threshold 0.45 (block-pair tasks);
-    the LSH-bucketed recall path (ops.dedup.embedding_neardup_pairs) is
-    the 10^9-row variant of the same contract."""
-    from .ops.dedup import exact_cosine_pairs
+    """Cosine near-dup at threshold 0.45 via the OR-amplified LSH path +
+    exact verify of candidates — NO O(B²) stage; precision is exact (the
+    verify computes true cosines) and the amplification (L=32 tables × 4
+    planes, p_miss ≈ 1e-4 at the threshold) keeps the oracle green; the
+    recall-vs-exact gate lives in tests (exact_cosine_pairs remains the
+    ≤10^6-row exact checker)."""
+    from .ops.dedup import embedding_neardup_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = exact_cosine_pairs(ds, threshold=0.45)
+    pairs = embedding_neardup_lsh(ds, threshold=0.45)
     return pa.table(
         {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
          "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
@@ -840,16 +843,22 @@ def q_matrix_pcc(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    counts: dict[tuple, int] = defaultdict(int)
-    for b in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            counts[(row["event_type"], row["d"], row["h"])] += row["n"]
-    days = sorted({k[1] for k in counts})
+    # one vectorized pandas fold over the (event_type, day, hour) partial
+    # rows — bounded by event_types × days × 24 at any input size
+    folded = pd.concat(
+        list(partials.iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    ).groupby(["event_type", "d", "h"], sort=False)["n"].sum().reset_index()
+    days = sorted(folded["d"].unique())
     day_idx = {d: i for i, d in enumerate(days)}
     mats: dict[str, MatrixInt] = {}
-    for (et, d, h), n in counts.items():
+    for et, sub in folded.groupby("event_type", sort=False):
         m = mats.setdefault(et, MatrixInt(len(days), 24))
-        m.add(day_idx[d], h, n)
+        m._scatter_add(
+            np.fromiter((day_idx[d] for d in sub["d"]), np.int64, len(sub)),
+            sub["h"].to_numpy(np.int64),
+            sub["n"].to_numpy(np.int64),
+        )
     rows = []
     last = len(days) - 1
     for et in sorted(mats):
@@ -885,21 +894,20 @@ def q_matrix_flt_profile(sf_dir: str) -> pa.Table:
         g = df.groupby(["event_type", "d", "h"], sort=False)["v"].agg(["sum", "size"]).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    sums: dict[tuple, float] = defaultdict(float)
-    cnts: dict[tuple, int] = defaultdict(int)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for row in b.to_pylist():
-            key = (row["event_type"], row["d"], row["h"])
-            sums[key] += row["sum"]
-            cnts[key] += row["size"]
-    days = sorted({k[1] for k in sums})
+    folded = pd.concat(
+        list(ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    ).groupby(["event_type", "d", "h"], sort=False).agg(
+        s=("sum", "sum"), c=("size", "sum")
+    ).reset_index()
+    days = sorted(folded["d"].unique())
     day_idx = {d: i for i, d in enumerate(days)}
     mats: dict[str, MatrixFlt] = {}
-    for (et, d, h), s in sums.items():
+    for et, sub in folded.groupby("event_type", sort=False):
         m = mats.setdefault(et, MatrixFlt(len(days), 24))
-        m.set(day_idx[d], h, s / cnts[(et, d, h)])
+        for d, h, s, c in zip(sub["d"], sub["h"], sub["s"], sub["c"]):
+            m.set(day_idx[d], h, s / c)
     rows = []
     last = len(days) - 1
     for et in sorted(mats):
@@ -947,6 +955,28 @@ def q_mp_anomaly(sf_dir: str) -> pa.Table:
     out["pct"] = out["pct"].round(6)
     out["dist"] = out["dist"].round(6)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_sink_roundtrip(sf_dir: str) -> pa.Table:
+    """Result-sink loop (SURVEY §2.8): per-doc token counts are WRITTEN
+    to a partitioned parquet sink (one file per block) and the returned
+    result is the READ-BACK of those files — the oracle therefore
+    verifies the written bytes, not the in-memory pipeline."""
+    from .engine.sinks import read_back, write_dataset
+    from .ops.text import TokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TokenCounter(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    )
+    path = os.path.join(
+        "/tmp/raysketch_sinks", f"token_counts_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_dataset(out, path)
+    back = read_back(path).sort("doc_id")
+    return pa.concat_tables(
+        back.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
 
 
 def q_schema_monitor(sf_dir: str) -> pa.Table:
@@ -1073,6 +1103,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "matrix_pcc": q_matrix_pcc,
     "schema_monitor": q_schema_monitor,
     "monitor_rollup": q_monitor_rollup,
+    "sink_roundtrip": q_sink_roundtrip,
     "mp_anomaly": q_mp_anomaly,
     "matrix_flt_profile": q_matrix_flt_profile,
     "media_features": q_media_features,
@@ -1216,6 +1247,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM b JOIN mx ON b.event_type = mx.event_type
         WHERE b.bucket > mx.mb - 24
         GROUP BY b.event_type ORDER BY b.event_type
+    """,
+    "sink_roundtrip": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+                 AS n_tokens_ws
+        FROM documents ORDER BY doc_id
     """,
     "monitor_rollup": """
         WITH ordered AS (

@@ -107,6 +107,67 @@ def test_flt_merge_nan_rules():
     assert math.isnan(c.get(0, 1))
 
 
+def test_flt_pcc_goldens_with_nan_cells():
+    """Float-matrix pcc suite with NaN cells (test.lua:675-701): NaN
+    products are skipped, so the goldens match the all-finite variant;
+    a merge whose NaN source cell meets a real dest cell keeps the dest."""
+    import math
+
+    from raysketch.sketches.matrix import MatrixFlt
+
+    data = [[1, 2, 5, 10],
+            [math.nan, 1, 2, 3],
+            [-1, math.nan, 7, 26],
+            [1, 2, 3, 4]]
+    m = MatrixFlt(4, 4)
+    for r, row in enumerate(data):
+        for c, v in enumerate(row):
+            m.add(r, c, v)
+    pcc, idx = m.pcc(3)
+    assert abs(1 - pcc) < 1e-9 and idx == 1  # test.lua:686-688
+    pcc, idx = m.pcc(3, "min")
+    assert abs(0.90765069670774 - pcc) < 1e-9 and idx == 2  # :689-691
+    m.clear_row(1)
+    pcc, idx = m.pcc(3)
+    assert abs(0.95831484749991 - pcc) < 1e-9 and idx == 0  # :692-695
+    m1 = MatrixFlt(4, 4)
+    m1.set(0, 0, 1.0)
+    m.set(0, 0, math.nan)
+    m1.merge(m)  # NaN source cell keeps dest's 1.0 (add-mode skip)
+    pcc, idx = m1.pcc(3)
+    assert abs(0.95831484749991 - pcc) < 1e-9  # :696-701
+
+
+def test_flt_pcc_constant_tail_rows():
+    """{4e6,0,0,0,0} vs {8e6,0,0,0,0} correlate exactly 1 (test.lua:705-716)."""
+    from raysketch.sketches.matrix import MatrixFlt
+
+    m = MatrixFlt(2, 5)
+    for c, v in enumerate([4000000, 0, 0, 0, 0]):
+        m.add(0, c, v)
+    for c, v in enumerate([8000000, 0, 0, 0, 0]):
+        m.add(1, c, v)
+    pcc, closest = m.pcc(1)
+    assert abs(1 - pcc) < 1e-9 and closest == 0
+
+
+def test_flt_pcc_empty_matrix_none():
+    """All-NaN float matrix: pcc returns None (test.lua:718-721)."""
+    from raysketch.sketches.matrix import MatrixFlt
+
+    assert MatrixFlt(2, 5).pcc(1) is None
+
+
+def test_flt_single_row_sum():
+    """1-row partial fill: sum skips untouched NaN cells (test.lua:723-736)."""
+    from raysketch.sketches.matrix import MatrixFlt
+
+    m = MatrixFlt(1, 5)
+    for c, v in enumerate([1, 2, 3, 4]):
+        m.add(0, c, v)
+    assert m.sum(0) == 10
+
+
 def test_serialize_roundtrip_and_errors():
     m = _fill(MatrixInt(4, 4), _PCC_DATA)
     rt = MatrixInt.from_bytes(m.to_bytes())

@@ -158,6 +158,28 @@ class TestListArrowHashConsistency:
         assert all(bool(h) for h in hits), "present keys must probe True"
 
 
+class TestEmbeddingLshRecall:
+    def test_lsh_path_recall_vs_exact(self, ray_session, sf_dir):
+        """The OR-amplified LSH route must recover (essentially) every
+        exact pair at the query threshold; precision is exact by
+        construction (candidates get true-cosine verification)."""
+        import ray.data as rd
+
+        from raysketch.ops.dedup import embedding_neardup_lsh, exact_cosine_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        exact = exact_cosine_pairs(ds, threshold=0.45)
+        lsh = embedding_neardup_lsh(ds, threshold=0.45)
+        e = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
+        l = set(map(tuple, lsh[["id_a", "id_b"]].values.tolist()))
+        assert l <= e, "LSH route must never invent pairs (exact verify)"
+        recall = len(l & e) / max(len(e), 1)
+        assert recall >= 0.95
+        # at this scale with L=32 r=4 amplification, recall is total
+        assert l == e
+
+
 class TestHashFamilyEnvelope:
     def test_partials_carry_family(self):
         import functools
