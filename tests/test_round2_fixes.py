@@ -158,25 +158,46 @@ class TestListArrowHashConsistency:
         assert all(bool(h) for h in hits), "present keys must probe True"
 
 
-class TestEmbeddingLshRecall:
-    def test_lsh_path_recall_vs_exact(self, ray_session, sf_dir):
-        """The OR-amplified LSH route must recover (essentially) every
-        exact pair at the query threshold; precision is exact by
-        construction (candidates get true-cosine verification)."""
+class TestEmbeddingNeardupRouting:
+    def test_dense_threshold_routes_exact(self, ray_session, sf_dir):
+        """Below the sparse-output threshold the dispatcher uses the exact
+        block-pair join — identical to exact_cosine_pairs by construction."""
         import ray.data as rd
 
-        from raysketch.ops.dedup import embedding_neardup_lsh, exact_cosine_pairs
+        from raysketch.ops.dedup import embedding_neardup, exact_cosine_pairs
 
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
         exact = exact_cosine_pairs(ds, threshold=0.45)
-        lsh = embedding_neardup_lsh(ds, threshold=0.45)
+        routed = embedding_neardup(ds, threshold=0.45)
+        assert routed.values.tolist() == exact.values.tolist()
+
+    def test_lsh_sparse_regime_planted_neardups(self, ray_session):
+        """Planted near-duplicates (cos ≈ 0.98) in a random corpus: the
+        LSH route must equal the exact join at threshold 0.9 — total
+        recall for true near-dups, exact precision from the verify, and
+        candidate volume tracking the true pair count."""
+        import ray.data as rd
+
+        from raysketch.ops.dedup import embedding_neardup_lsh, exact_cosine_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(2000, 32))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        planted = base[:30] + 0.03 * rng.normal(size=(30, 32))
+        planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+        vecs = np.vstack([base, planted])
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        })
+        ds = rd.from_arrow(t)
+        exact = exact_cosine_pairs(ds, threshold=0.9)
+        lsh = embedding_neardup_lsh(ds, threshold=0.9)
         e = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
         l = set(map(tuple, lsh[["id_a", "id_b"]].values.tolist()))
-        assert l <= e, "LSH route must never invent pairs (exact verify)"
-        recall = len(l & e) / max(len(e), 1)
-        assert recall >= 0.95
-        # at this scale with L=32 r=4 amplification, recall is total
+        assert len(e) >= 25  # the plant worked
         assert l == e
 
 
