@@ -88,15 +88,18 @@ def cms_topk(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    cms: CMSketch | None = None
+    payloads: list[bytes] = []
     cand: set[str] = set()
     for b in partials.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for row in b.to_pylist():
             if row["part_kind"] == "cms":
-                part = CMSketch.from_bytes(row["payload"])
-                cms = part if cms is None else cms.merge(part)
+                payloads.append(row["payload"])
             else:
                 cand.add(row["token"])
+    # one bulk merge: sparse payloads scatter-add into a single dense
+    # accumulator (O(total nnz)), instead of densifying every partial in a
+    # pairwise loop (O(partials × width × depth))
+    cms = CMSketch.merge_many(payloads) if payloads else None
     if cms is None or not cand:
         return pa.table({"token": pa.array([], pa.string()), "est": pa.array([], pa.int64())})
     tokens = sorted(cand)

@@ -53,7 +53,7 @@ def tumbling_window(
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_bucket(batch, ts_col, width_s)
-        df = batch.select([key_col, "bucket", value_col, "user_id"]).to_pandas()
+        df = batch.select([key_col, "bucket", value_col]).to_pandas()
         g = (
             df.groupby([key_col, "bucket"], sort=False)
             .agg(
@@ -67,18 +67,31 @@ def tumbling_window(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [df[key_col].iloc[0]],
-                "bucket": [df["bucket"].iloc[0]],
-                "n_events": [int(df["n_events"].sum())],
-                "vmin": [float(df["vmin"].min())],
-                "vmax": [float(df["vmax"].max())],
-            }
+    # coarse-bucket shuffle (bounded group count at any key×bucket
+    # cardinality); each reduce task folds its real windows with ONE
+    # vectorized pandas groupby — per-tiny-group map_groups calls would
+    # dominate at scale
+    def coarse(batch: pa.Table) -> pa.Table:
+        from ..engine.hashing import combine_hash64, hash64_batch_aligned
+
+        hk, _ = hash64_batch_aligned(batch[key_col])
+        hb = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = combine_hash64(hk, hb)
+        return batch.append_column(
+            "wb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
         )
 
-    return partials.groupby([key_col, "bucket"]).map_groups(fold, batch_format="pandas")
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([key_col, "bucket"], sort=False)
+            .agg(n_events=("n_events", "sum"), vmin=("vmin", "min"),
+                 vmax=("vmax", "max"))
+            .reset_index()
+        )
+
+    return partials.map_batches(coarse, batch_format="pyarrow").groupby(
+        "wb"
+    ).map_groups(lambda df: fold(df.drop(columns=["wb"])), batch_format="pandas")
 
 
 def time_series_window(

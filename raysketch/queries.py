@@ -958,6 +958,58 @@ def q_mp_anomaly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_tumbling_window(sf_dir: str) -> pa.Table:
+    """Per (event_type, 1h bucket) exact count/min/max via the
+    tumbling-window operator (map-side partials + coarse-bucket fold).
+    min/max of stored doubles pass through both engines bit-for-bit."""
+    from .ops.window import tumbling_window
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = tumbling_window(ds, "event_type", "ts", "value", width_s=3600).to_pandas()
+    out = out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "bucket": pa.array(out["bucket"].astype("int64"), pa.int64()),
+        "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+        "vmin": pa.array(out["vmin"].astype("float64"), pa.float64()),
+        "vmax": pa.array(out["vmax"].astype("float64"), pa.float64()),
+    })
+
+
+def q_bloom_prefilter_pricing(sf_dir: str) -> pa.Table:
+    """semijoin_pricing through the 10^9-key join plan: a broadcast BLOOM
+    pre-filter (bits, not keys) cuts the big side first, then the exact
+    broadcast semi-join removes the ~fpr false positives — identical
+    answer, shuffle-free, and the small side ships as a filter at any key
+    cardinality (ops/join.py bloom_semi_join docstring)."""
+    from .ops.join import bloom_semi_join, broadcast_semi_join
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(400000.0)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        big_orders, batch_format="pyarrow"
+    ).materialize()  # tiny; both join stages read it
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    pre = bloom_semi_join(lineitem, orders, big_key="l_orderkey",
+                          small_key="o_orderkey", capacity=100_000, fpr=0.01)
+    joined = broadcast_semi_join(pre, orders, big_key="l_orderkey",
+                                 small_key="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(joined.map_batches(partial, batch_format="pyarrow"),
+                         ["l_returnflag"], ["n_items", "sum_qty"], [], [])
+    agg["n_items"] = agg["n_items"].astype("int64")
+    agg["sum_qty"] = agg["sum_qty"].round().astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def q_sink_roundtrip(sf_dir: str) -> pa.Table:
     """Result-sink loop (SURVEY §2.8): per-doc token counts are WRITTEN
     to a partitioned parquet sink (one file per block) and the returned
@@ -1105,6 +1157,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "schema_monitor": q_schema_monitor,
     "monitor_rollup": q_monitor_rollup,
     "sink_roundtrip": q_sink_roundtrip,
+    "tumbling_window": q_tumbling_window,
+    "bloom_prefilter_pricing": q_bloom_prefilter_pricing,
     "mp_anomaly": q_mp_anomaly,
     "matrix_flt_profile": q_matrix_flt_profile,
     "media_features": q_media_features,
@@ -1248,6 +1302,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM b JOIN mx ON b.event_type = mx.event_type
         WHERE b.bucket > mx.mb - 24
         GROUP BY b.event_type ORDER BY b.event_type
+    """,
+    "tumbling_window": """
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(value) AS vmin,
+               max(value) AS vmax
+        FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+    "bloom_prefilter_pricing": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "sink_roundtrip": """
         SELECT doc_id,
