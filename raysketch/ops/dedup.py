@@ -464,17 +464,19 @@ def simhash_neardup_pairs(
 ) -> pd.DataFrame:
     """SimHash near-dup: 64-bit simhash per doc, 4 tables of 16 bits for
     candidate banding (any pair within Hamming distance 3 shares at least
-    one exact 16-bit band), Hamming verify on candidates. Banding rows are
-    (doc, table, 16-bit key) — narrow; the verify is a bucket-wise gather
-    join of the candidates against the (8 B/doc) simhash rows — no driver
-    dict of per-doc hashes, driver-unbounded at corpus scale.
+    one exact 16-bit band). The per-doc state is just 8 bytes, so each
+    banding row CARRIES the full simhash and the Hamming verify runs
+    vectorized inside the bucket fold -- no gather join, no driver dict,
+    and only verified (near-dup) pairs ever leave a bucket. One coarse
+    groupby for the buckets + one for cross-band pair dedup;
+    driver-unbounded at corpus scale.
     """
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if concurrency:
         kwargs["concurrency"] = concurrency
     sims = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher(text_col), **kwargs
-    ).select_columns([id_col, "simhash"]).materialize()
+    ).select_columns([id_col, "simhash"])
 
     def band(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -485,50 +487,68 @@ def simhash_neardup_pairs(
         band_key = (keys | (tables << np.uint64(16)))
         return pa.Table.from_arrays(
             [pa.array(np.repeat(ids, 4), pa.int64()),
-             pa.array(np.zeros(ids.size * 4, np.int32), pa.int32()),
-             pa.array(band_key.ravel(), pa.uint64())],
-            names=[id_col, "band", "band_hash"],
+             pa.array(band_key.ravel(), pa.uint64()),
+             pa.array(np.repeat(h, 4), pa.uint64())],
+            names=[id_col, "band_hash", "simhash"],
         )
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "hamming": pd.Series([], dtype="int64")})
-    cand = lsh_candidate_pairs(sims.map_batches(band, batch_format="pyarrow"),
-                               id_col).materialize()
-    if cand.count() == 0:
-        return empty
+    band_rows = sims.map_batches(band, batch_format="pyarrow")
 
-    def sim_payload(b: pa.Table) -> pa.Table:
-        h = np.asarray(b["simhash"].to_pylist(), dtype=np.uint64)
-        return pa.table({"join_id": b[id_col],
-                         "payload": pa.array([x.tobytes() for x in h],
-                                             pa.large_binary())})
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    # join side cut to candidate ids first (output-scale broadcast set)
-    from .join import broadcast_semi_join
+        coarse = pc.cast(
+            pc.bit_wise_and(batch["band_hash"],
+                            pa.scalar(_COARSE_BUCKETS - 1, pa.uint64())),
+            pa.int64(),
+        )
+        return batch.append_column("coarse", coarse)
 
-    def ids_of(b: pa.Table) -> pa.Table:
-        return pa.table({"did": pa.concat_arrays(
-            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])})
-
-    sims_needed = broadcast_semi_join(
-        sims, cand.map_batches(ids_of, batch_format="pyarrow"),
-        big_key=id_col, small_key="did",
-    )
-
-    def ham_keep(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
+    def verified_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, sub in df.groupby("band_hash", sort=False):
+            u = sub.drop_duplicates(id_col)
+            ids = u[id_col].to_numpy(np.int64)
+            if ids.size < 2:
+                continue
+            hs = u["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(ids.size, k=1)
+            ham = hamming64(hs[ia], hs[ib])
+            keep = ham <= max_hamming
+            out_a.append(np.minimum(ids[ia[keep]], ids[ib[keep]]))
+            out_b.append(np.maximum(ids[ia[keep]], ids[ib[keep]]))
+            out_h.append(ham[keep])
+        if not out_a:
             return empty
-        ha = np.frombuffer(b"".join(df["payload_a"]), np.uint64)
-        hb = np.frombuffer(b"".join(df["payload_b"]), np.uint64)
-        out = df[["id_a", "id_b"]].assign(hamming=hamming64(ha, hb))
-        return out[out["hamming"] <= max_hamming]
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)}).drop_duplicates(
+            ["id_a", "id_b"])
 
-    joined = attach_pair_payloads(
-        cand,
-        sims_needed.map_batches(sim_payload, batch_format="pyarrow").materialize(),
-    )
-    out = joined.map_batches(ham_keep, batch_format="pandas").to_pandas()
+    cand = band_rows.map_batches(add_coarse, batch_format="pyarrow").groupby(
+        "coarse"
+    ).map_groups(lambda df: verified_pairs(df.drop(columns=["coarse"])),
+                 batch_format="pandas")
+
+    def pair_coarse(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = splitmix64(ia * np.uint64(0x9E3779B97F4A7C15) ^ ib)
+        return batch.append_column(
+            "pc", pa.array((key % np.uint64(_COARSE_BUCKETS)).astype(np.int64),
+                           pa.int64())
+        )
+
+    out = cand.map_batches(pair_coarse, batch_format="pyarrow").groupby(
+        "pc"
+    ).map_groups(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(columns=["pc"]),
+        batch_format="pandas",
+    ).to_pandas()
     if out.empty:
         return empty
     out["hamming"] = out["hamming"].astype("int64")
