@@ -193,6 +193,9 @@ class MatrixInt(_MatrixBase):
         return float(self.v[row].astype(np.float64).sum())
 
     def merge(self, other: "MatrixInt", op: str = "add") -> "MatrixInt":
+        if getattr(other, "kind", None) != self.kind:
+            # mismatched matrix types refuse to merge (test.lua:459-463)
+            raise TypeError("matrix merge: mismatched matrix types")
         rows = min(self.rows, other.rows)
         cols = min(self.cols, other.cols)
         src = other.v[:rows, :cols]
@@ -240,6 +243,9 @@ class MatrixFlt(_MatrixBase):
         return float(np.nansum(self.v[row].astype(np.float64)))
 
     def merge(self, other: "MatrixFlt", op: str = "add") -> "MatrixFlt":
+        if getattr(other, "kind", None) != self.kind:
+            # mismatched matrix types refuse to merge (test.lua:602-606)
+            raise TypeError("matrix merge: mismatched matrix types")
         rows = min(self.rows, other.rows)
         cols = min(self.cols, other.cols)
         src = other.v[:rows, :cols]

@@ -52,8 +52,8 @@ class P2Quantile:
     MARKERS = 5
 
     def __init__(self, p: float) -> None:
-        if not (0.0 <= p <= 1.0):
-            raise ValueError("p must be in [0,1]")
+        if not (0.0 < p < 1.0):
+            raise ValueError("0 < quantile < 1")  # lua_binding/p2.c:36 (exclusive)
         # the reference stores p as C float; keep that precision for parity
         self.p = struct.unpack("<f", struct.pack("<f", p))[0]
         self._init()
@@ -158,7 +158,7 @@ class P2Histogram:
 
     def __init__(self, buckets: int) -> None:
         if buckets < 4 or buckets > 65534:
-            raise ValueError("buckets must be in [4, 65534]")
+            raise ValueError("4 <= buckets < 65535")  # lua_binding/p2.c:131
         self.b = int(buckets)
         self._init()
 
