@@ -1,13 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
-decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The image/audio codec libraries are NOT in this
-container, so the decode kernels are STUBS: ``DecodeImage(real=True)``
-raises ``NotImplementedError`` exactly where a codec would run, and the
-default deterministic fake derives pixels from the payload hash — the
-Ray-side plumbing (schema, batch sizing, actor signature, output layout)
-is real and tested either way.
+decode / resize / feature-extract / frame-sample are ``map_batches``
+stages (actor pools when ``concurrency`` is set).
+
+Codec status — REAL where the container allows, stubbed where it can't:
+
+- **PPM (P6) images** — decoded and encoded for real (pure numpy header
+  parse + frombuffer; no codec library needed). The synthesized corpus
+  writes genuine P6 payloads, so decode → resize → features is a true
+  end-to-end pixel path.
+- **WAV (PCM16) audio** — decoded and encoded for real via the stdlib
+  ``wave`` module + numpy; RMS/ZCR/frame-energy features run on actual
+  samples.
+- **JPEG/PNG/MP3/video codecs** — NOT in this container.
+  ``DecodeImage(real=True)`` raises ``NotImplementedError`` exactly
+  where libjpeg/PIL would run; the default deterministic fake derives
+  pixels from the payload hash so downstream stages still exercise real
+  array plumbing.
 
 Scale notes: binary payloads are wide — callers should cap ``batch_size``
 (e.g. 64–256 rows) and let ``concurrency × num_cpus`` match the node; the
@@ -17,6 +27,8 @@ stages never hold more than one batch of decoded arrays.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -34,24 +46,123 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+MIME_PPM = "image/x-portable-pixmap"
+MIME_WAV = "audio/wav"
+
+
+# ---------------------------------------------------------------------------
+# real codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 (h, w, 3). Pure numpy; handles comments
+    and arbitrary whitespace in the header per the PPM spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # parse three header tokens (width, height, maxval) after the magic
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval 255 PPM supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+    return arr.reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        raw = f.readframes(n)
+        width = f.getsampwidth()
+        ch = f.getnchannels()
+    if width != 2:
+        raise ValueError("only PCM16 WAV supported")
+    s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        s = s.reshape(-1, ch).mean(axis=1)
+    return s, sr
+
+
+# ---------------------------------------------------------------------------
+# synthesis (deterministic; REAL formats for ppm/wav)
+# ---------------------------------------------------------------------------
 
 def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
-    """Deterministic fake media rows for plumbing tests (payload bytes are
-    seeded by media_id; sizes vary deterministically)."""
-    payloads, w, h, nf, sr = [], [], [], [], []
+    """Deterministic media rows. ``image`` rows carry genuine binary PPM
+    payloads and ``audio`` rows genuine PCM16 WAV (both decodable by any
+    standard tool); ``video`` payloads stay opaque fakes (no container
+    codec available)."""
+    payloads, w, h, nf, sr, mime = [], [], [], [], [], []
     for i in ids:
         seed = hashlib.sha256(f"media{i}".encode()).digest()
-        payloads.append(seed * (64 + (i % 17)))
-        w.append(32 + (i % 7) * 16)
-        h.append(32 + (i % 5) * 16)
-        nf.append(1 if kind == "image" else 8 + i % 8)
-        sr.append(0 if kind != "audio" else 16000)
+        rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+        wi = 32 + (i % 7) * 16
+        hi = 32 + (i % 5) * 16
+        if kind == "image":
+            # gradient + seeded noise: realistic-ish pixels, deterministic
+            gx = np.linspace(0, 255, wi, dtype=np.float64)
+            gy = np.linspace(0, 255, hi, dtype=np.float64)
+            base = (gy[:, None] + gx[None, :]) / 2
+            px = np.stack([base, base[::-1], 255 - base], axis=2)
+            px = np.clip(px + rng.normal(0, 20, (hi, wi, 3)), 0, 255).astype(np.uint8)
+            payloads.append(encode_ppm(px))
+            mime.append(MIME_PPM)
+            nf.append(1)
+            sr.append(0)
+        elif kind == "audio":
+            rate = 16000
+            t = np.arange(rate // 4) / rate  # 250 ms
+            freq = 200 + (i % 20) * 50
+            s = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.normal(0, 1, t.size)
+            payloads.append(encode_wav((s * 32767).astype(np.int16), rate))
+            mime.append(MIME_WAV)
+            nf.append(1)
+            sr.append(rate)
+        else:
+            payloads.append(seed * (64 + (i % 17)))
+            mime.append(f"{kind}/x-fake")
+            nf.append(8 + i % 8)
+            sr.append(0)
+        w.append(wi)
+        h.append(hi)
     return pa.Table.from_arrays(
         [
             pa.array(ids, pa.int64()),
             pa.array([kind] * len(ids), pa.string()),
             pa.array(payloads, pa.large_binary()),
-            pa.array([f"{kind}/x-fake"] * len(ids), pa.string()),
+            pa.array(mime, pa.string()),
             pa.array(w, pa.int32()),
             pa.array(h, pa.int32()),
             pa.array(nf, pa.int32()),
@@ -61,18 +172,24 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
     )
 
 
-class DecodeImage:
-    """Actor stage: payload → pixel tensor (stubbed decode).
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
 
-    real=True marks where a libjpeg/libpng/PIL call would go; the fake
-    path derives a deterministic uint8 (h, w, 3) tensor from the payload
-    sha256 so downstream stages exercise real array plumbing.
+class DecodeImage:
+    """Actor stage: payload → pixel tensor.
+
+    PPM payloads decode FOR REAL; other mimes use the deterministic fake
+    (payload-hash pixels) unless ``real=True``, which raises
+    ``NotImplementedError`` exactly where libjpeg/PIL would plug in.
     """
 
     def __init__(self, real: bool = False) -> None:
         self.real = real
 
-    def _decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
+    def _decode_one(self, payload: bytes, mime: str, w: int, h: int) -> np.ndarray:
+        if mime == MIME_PPM:
+            return decode_ppm(payload)
         if self.real:
             raise NotImplementedError(
                 "image codecs are not available in this environment; "
@@ -84,15 +201,43 @@ class DecodeImage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels = []
-        for payload, w, h in zip(
+        for payload, mime, w, h in zip(
             batch["payload"].to_pylist(),
+            batch["mime"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            pixels.append(self._decode_one(payload, w, h).ravel())
+            pixels.append(self._decode_one(payload, mime, w, h).ravel())
         return batch.append_column(
             "pixels", pa.array([p.tolist() for p in pixels], pa.list_(pa.uint8()))
         )
+
+
+class ResizeImage:
+    """Actor stage: nearest-neighbor resize to (out_h, out_w) — real
+    pixel work (numpy index grids), fixed-size output for model input."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32) -> None:
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        ow, oh = self.out_w, self.out_h
+        for pix, w, h in zip(
+            batch["pixels"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            a = np.asarray(pix, dtype=np.uint8).reshape(h, w, 3)
+            yi = (np.arange(oh) * h // oh)
+            xi = (np.arange(ow) * w // ow)
+            out.append(a[yi[:, None], xi[None, :]].ravel().tolist())
+        batch = batch.drop_columns(["pixels"])
+        batch = batch.append_column("pixels", pa.array(out, pa.list_(pa.uint8())))
+        batch = batch.set_column(batch.schema.get_field_index("width"), "width",
+                                 pa.array([ow] * batch.num_rows, pa.int32()))
+        return batch.set_column(batch.schema.get_field_index("height"), "height",
+                                pa.array([oh] * batch.num_rows, pa.int32()))
 
 
 class ImageFeatures:
@@ -118,9 +263,35 @@ class ImageFeatures:
         )
 
 
+class DecodeAudio:
+    """Actor stage: WAV payload → real sample array + per-row features:
+    duration, RMS energy, zero-crossing rate, peak, dominant-bin of an
+    8-point frame-energy profile."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, mime in zip(batch["payload"].to_pylist(),
+                                 batch["mime"].to_pylist()):
+            if mime != MIME_WAV:
+                feats.append([0.0] * 12)
+                continue
+            s, sr = decode_wav(payload)
+            rms = float(np.sqrt(np.mean(s**2)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(s)))))
+            peak = float(np.abs(s).max(initial=0.0))
+            n8 = (s.size // 8) * 8
+            frames = s[:n8].reshape(8, -1)
+            energy = np.sqrt((frames**2).mean(axis=1))
+            feats.append([s.size / sr, rms, zcr, peak] + energy.tolist())
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
 class FrameSampler:
     """Actor stage for video rows: pick ``every_k``-th frame index up to
-    n_frames (metadata-level sampling — the decode itself is stubbed)."""
+    n_frames (metadata-level sampling — the video decode itself is
+    stubbed)."""
 
     def __init__(self, every_k: int = 4) -> None:
         self.every_k = every_k
@@ -135,7 +306,7 @@ class FrameSampler:
 
 
 def media_feature_pipeline(ds, batch_size: int = 128, concurrency: int | None = None):
-    """payload → decode(stub) → features, with wide-row-safe batch sizing."""
+    """payload → decode (REAL for ppm) → features, wide-row-safe batches."""
     kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
     if concurrency:
         kwargs["concurrency"] = concurrency
@@ -143,3 +314,12 @@ def media_feature_pipeline(ds, batch_size: int = 128, concurrency: int | None = 
         DecodeImage(), batch_format="pyarrow", batch_size=batch_size
     )
     return decoded.map_batches(ImageFeatures(), batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_feature_pipeline(ds, batch_size: int = 128, concurrency: int | None = None):
+    """WAV payload → real decode + signal features."""
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+        return ds.map_batches(DecodeAudio, **kwargs)
+    return ds.map_batches(DecodeAudio(), batch_format="pyarrow", batch_size=batch_size)

@@ -1095,15 +1095,26 @@ def q_monitor_rollup(sf_dir: str) -> pa.Table:
 
 
 def q_media_features(sf_dir: str) -> pa.Table:
-    """Multimodal plumbing: synthesized media → stub decode → features."""
+    """Multimodal pipelines over synthesized media: images carry GENUINE
+    binary PPM payloads (decode → nearest-neighbor resize → channel/
+    histogram features, all real pixel work) and audio carries genuine
+    PCM16 WAV (stdlib decode → RMS/ZCR/frame-energy features); only the
+    jpeg/mp3/video codecs remain documented stubs (not in container)."""
     import ray.data as rd
 
-    from .ops.multimodal import media_feature_pipeline, synthesize_media_batch
+    from .ops.multimodal import (DecodeImage, ImageFeatures, ResizeImage,
+                                 audio_feature_pipeline, synthesize_media_batch)
 
-    ds = rd.from_arrow(synthesize_media_batch(list(range(64))))
-    out = media_feature_pipeline(ds, batch_size=16).to_pandas()
-    out = out.sort_values("media_id").reset_index(drop=True)
-    return pa.Table.from_pandas(out[["media_id", "kind", "features"]], preserve_index=False)
+    imgs = rd.from_arrow(synthesize_media_batch(list(range(64)), kind="image"))
+    img_out = imgs.map_batches(DecodeImage(), batch_format="pyarrow", batch_size=16) \
+        .map_batches(ResizeImage(32, 32), batch_format="pyarrow", batch_size=16) \
+        .map_batches(ImageFeatures(), batch_format="pyarrow", batch_size=16).to_pandas()
+    aud = rd.from_arrow(synthesize_media_batch(list(range(64, 96)), kind="audio"))
+    aud_out = audio_feature_pipeline(aud, batch_size=16).to_pandas()
+    out = pd.concat([img_out[["media_id", "kind", "features"]],
+                     aud_out[["media_id", "kind", "features"]]],
+                    ignore_index=True).sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_fingerprints(sf_dir: str) -> pa.Table:
