@@ -106,13 +106,19 @@ class QualityScorer:
         n_words = words.str.len().fillna(0).to_numpy(np.float64)
         punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
         digits = s.str.count(r"\d").to_numpy(np.float64)
-        stop_hits = words.map(
-            lambda ws: sum(w.lower() in self.stop for w in ws) if ws else 0
-        ).to_numpy(np.float64)
-        mean_wlen = np.divide(
-            words.map(lambda ws: sum(map(len, ws)) if ws else 0).to_numpy(np.float64),
-            np.maximum(n_words, 1),
-        )
+        # vectorized per-word passes: ONE explode over the batch's whole
+        # word stream, then index-grouped sums (no per-doc python lambdas)
+        ex = words.explode().dropna()
+        if len(ex):
+            hit = ex.str.lower().isin(self.stop)
+            stop_sum = hit.groupby(level=0).sum()
+            wlen_sum = ex.str.len().groupby(level=0).sum()
+            stop_hits = stop_sum.reindex(s.index, fill_value=0).to_numpy(np.float64)
+            total_wlen = wlen_sum.reindex(s.index, fill_value=0).to_numpy(np.float64)
+        else:
+            stop_hits = np.zeros(len(s))
+            total_wlen = np.zeros(len(s))
+        mean_wlen = np.divide(total_wlen, np.maximum(n_words, 1))
         safe_chars = np.maximum(n_chars, 1)
         punct_ratio = punct / safe_chars
         digit_ratio = digits / safe_chars
