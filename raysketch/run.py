@@ -58,7 +58,6 @@ def _derive(t):
 
 def _run(args: argparse.Namespace) -> None:
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from .engine.checkpoint import CheckpointStore, run_with_checkpoint
     from .engine.pipeline import default_specs
@@ -89,8 +88,9 @@ def _run(args: argparse.Namespace) -> None:
                      "result": json.dumps(sketch.result(), default=float)})
     result = pa.Table.from_pylist(rows)
     if args.output:
-        os.makedirs(args.output, exist_ok=True)
-        pq.write_table(result, os.path.join(args.output, f"{args.job_id}.parquet"))
+        from .engine.sinks import write_table
+
+        write_table(result, os.path.join(args.output, f"{args.job_id}.parquet"))
 
     print(json.dumps({
         "job_id": args.job_id,
