@@ -50,9 +50,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", buckets: int
     free in practice, so group-by-hash == group-by-content.
     """
     def hash_and_bucket(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import hash64_batch_aligned
+
         b = add_content_hash(b, text_col)
-        hb = [int(h[:4], 16) % buckets for h in b["content_hash"].to_pylist()]
-        return b.append_column("hash_bucket", pa.array(hb, pa.int64()))
+        h, _ = hash64_batch_aligned(b["content_hash"])  # vectorized, no hex parse
+        return b.append_column(
+            "hash_bucket", pa.array((h % np.uint64(buckets)).astype(np.int64),
+                                    pa.int64())
+        )
 
     hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
