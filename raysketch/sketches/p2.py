@@ -62,8 +62,20 @@ class P2Quantile:
         self.cnt = self.MARKERS
         self.q = [0.0] * 5
         self.n = [1.0, 2.0, 3.0, 4.0, 5.0]
-        p = self.p
-        self.n1 = [1.0, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5.0]
+        # the reference stores p as a C float, so every n1 expression
+        # mixing ints with p (init: 1+2p, 1+4p, 3+2p, p2.c:79-82; add:
+        # (1+p)/2, p2.c:125) evaluates in FLOAT32 before widening to the
+        # double n1 array — the rounding must happen at float32 here too,
+        # or desired marker positions drift ~1e-8/obs and the d>=1
+        # adjustment eventually fires on a different observation
+        # (found by the live compiled-C fuzz, not by fixed goldens)
+        import numpy as np
+
+        p32 = np.float32(self.p)
+        f = np.float32
+        self.n1 = [1.0, float(f(1) + f(2) * p32), float(f(1) + f(4) * p32),
+                   float(f(3) + f(2) * p32), 5.0]
+        self._inc3 = float(f(1) + p32) / 2.0
 
     def add(self, x: float) -> float:
         x = float(x)
@@ -98,7 +110,7 @@ class P2Quantile:
         p = self.p
         self.n1[1] += p / 2
         self.n1[2] += p
-        self.n1[3] += (1 + p) / 2
+        self.n1[3] += self._inc3  # float32 (1+p)/2, see _init
         self.n1[4] += 1
 
         for i in range(1, self.MARKERS - 1):
