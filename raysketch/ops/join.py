@@ -61,6 +61,66 @@ def broadcast_semi_join(
     return big_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def broadcast_lookup_join(
+    big_ds,
+    small_ds,
+    big_key: str,
+    small_key: str,
+    value_cols: list[str],
+    how: str = "inner",
+):
+    """Attach small-side columns to the big side by key — the broadcast
+    form of an equi-join: the small side's (key, values) arrays ship once
+    via ``ray.put``; every map task resolves its batch with one vectorized
+    ``pc.index_in`` + ``take`` (no shuffle; the big side streams and
+    fuses with its upstream read). ``how="inner"`` drops unmatched big
+    rows, ``"left"`` keeps them with nulls. For small sides beyond
+    memory, use the native partitioned hash join instead
+    (``Dataset.join`` — see ops/dedup.attach_pair_payloads)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    keys: list = []
+    vals: dict[str, list] = {c: [] for c in value_cols}
+    for b in small_ds.select_columns([small_key] + value_cols).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        keys.append(b[small_key].combine_chunks())
+        for c in value_cols:
+            vals[c].append(b[c].combine_chunks())
+    if keys:
+        key_arr = pa.concat_arrays(keys)
+        val_arrs = {c: pa.concat_arrays(v) for c, v in vals.items()}
+    else:
+        # empty small side; schema may be unknowable (e.g. a fully
+        # filtered row-based dataset) — type the key per batch instead
+        sch = small_ds.schema(fetch_if_missing=True)
+        if sch is not None and sch.names:
+            types = dict(zip(sch.names, sch.types))
+            key_arr = pa.array([], type=types[small_key])
+            val_arrs = {c: pa.array([], type=types[c]) for c in value_cols}
+        else:
+            key_arr = None
+            val_arrs = {c: pa.array([], type=pa.null()) for c in value_cols}
+    ref = ray.put((key_arr, val_arrs))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)  # zero-copy shared-memory read
+        if k is None:
+            k = pa.array([], type=batch.schema.field(big_key).type)
+        idx = pc.index_in(batch[big_key], value_set=k)
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            batch = batch.filter(mask)
+            idx = idx.filter(mask)
+        for c in value_cols:
+            batch = batch.append_column(c, pc.take(v[c], idx))
+        return batch
+
+    return big_ds.map_batches(attach, batch_format="pyarrow")
+
+
 def bloom_semi_join(
     big_ds,
     small_ds,

@@ -1008,6 +1008,62 @@ def q_bloom_prefilter_pricing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+def q_nation_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-shaped revenue rollup across FIVE tables with the engine's
+    join plan: dimension tables (region⋈nation, ≤25 rows) assemble on the
+    driver; customer's (custkey → nationkey) attaches to orders via the
+    broadcast LOOKUP join (no shuffle, big side streams); lineitem — the
+    genuinely big side — joins orders through Ray Data's native
+    PARTITIONED hash join (the 100-TB-honest path: neither side
+    broadcast); the rollup is map-side partials + a 25-row driver fold.
+    Revenue is per-row integer cents (floor(x·100+0.5), identical IEEE
+    ops in SQL) so distributed float summation order can't diverge."""
+    from .ops.join import broadcast_lookup_join
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dims = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_nk = broadcast_lookup_join(
+        orders, customer, "o_custkey", "c_custkey", ["c_nationkey"]
+    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"], "cents": rev})
+
+    li = lineitem.map_batches(to_cents, batch_format="pyarrow")
+    joined = li.join(orders_nk, "inner", 8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_nationkey", sort=False).agg(
+            n_items=("cents", "size"), revenue_cents=("cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(joined.map_batches(partial, batch_format="pyarrow"),
+                         ["c_nationkey"], ["n_items", "revenue_cents"], [], [])
+    out = agg.merge(dims[["n_nationkey", "n_name", "r_name"]],
+                    left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.table({
+        "r_name": pa.array(out["r_name"], pa.string()),
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "n_items": pa.array(out["n_items"].astype("int64"), pa.int64()),
+        "revenue_cents": pa.array(out["revenue_cents"].astype("int64"), pa.int64()),
+    })
+
+
 def q_sink_roundtrip(sf_dir: str) -> pa.Table:
     """Result-sink loop (SURVEY §2.8): per-doc token counts are WRITTEN
     to a partitioned parquet sink (one file per block) and the returned
@@ -1167,6 +1223,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "monitor_rollup": q_monitor_rollup,
     "sink_roundtrip": q_sink_roundtrip,
     "tumbling_window": q_tumbling_window,
+    "nation_revenue": q_nation_revenue,
     "bloom_prefilter_pricing": q_bloom_prefilter_pricing,
     "mp_anomaly": q_mp_anomaly,
     "matrix_flt_profile": q_matrix_flt_profile,
@@ -1311,6 +1368,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM b JOIN mx ON b.event_type = mx.event_type
         WHERE b.bucket > mx.mb - 24
         GROUP BY b.event_type ORDER BY b.event_type
+    """,
+    "nation_revenue": """
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
     """,
     "tumbling_window": """
         SELECT event_type,

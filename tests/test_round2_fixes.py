@@ -12,6 +12,7 @@
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -199,6 +200,49 @@ class TestEmbeddingNeardupRouting:
         l = set(map(tuple, lsh[["id_a", "id_b"]].values.tolist()))
         assert len(e) >= 25  # the plant worked
         assert l == e
+
+
+class TestBroadcastLookupJoin:
+    @pytest.fixture()
+    def sides(self, ray_session):
+        import ray.data as rd
+
+        big = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 9], pa.int64()),
+                                      "x": pa.array(list("abcd"))}))
+        small = rd.from_arrow(pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                                        "v": pa.array([10, 20, 30], pa.int64()),
+                                        "w": pa.array(list("xyz"))}))
+        return big, small
+
+    def test_inner_drops_unmatched(self, sides):
+        from raysketch.ops.join import broadcast_lookup_join
+
+        big, small = sides
+        out = broadcast_lookup_join(big, small, "k", "id", ["v", "w"]).to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == [1, 2, 3]
+        assert out["v"].tolist() == [10, 20, 30]
+        assert out["w"].tolist() == ["x", "y", "z"]
+
+    def test_left_keeps_nulls(self, sides):
+        from raysketch.ops.join import broadcast_lookup_join
+
+        big, small = sides
+        out = broadcast_lookup_join(big, small, "k", "id", ["v"],
+                                    how="left").to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == [1, 2, 3, 9]
+        assert pd.isna(out["v"].iloc[3])
+
+    def test_empty_small_side(self, ray_session, sides):
+        import ray.data as rd
+
+        from raysketch.ops.join import broadcast_lookup_join
+
+        big, small = sides
+        empty = small.filter(lambda r: False)
+        out = broadcast_lookup_join(big, empty, "k", "id", ["v"]).to_pandas()
+        assert len(out) == 0
 
 
 class TestHashFamilyEnvelope:
