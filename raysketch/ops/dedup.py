@@ -352,6 +352,9 @@ def minhash_dedup_pairs(
                                              pa.large_binary())})
 
     sig_side = docs_needed.map_batches(sig_payload, batch_format="pyarrow").materialize()
+    # join partitions track candidate volume: bounded per-partition state
+    # at any corpus size, minimal actor spawn at small sizes
+    npart = int(max(8, min(64, cand.count() // 250_000 + 8)))
     # 2.5-sigma safety margin below threshold; exact verify decides the rest
     sigma = float(np.sqrt(threshold * (1 - threshold) / num_perm))
     cut = max(0.0, threshold - 2.5 * sigma)
@@ -365,7 +368,7 @@ def minhash_dedup_pairs(
         est = (A == B).mean(axis=1)
         return df.loc[est >= cut, ["id_a", "id_b"]]
 
-    surv = attach_pair_payloads(cand, sig_side).map_batches(
+    surv = attach_pair_payloads(cand, sig_side, num_partitions=npart).map_batches(
         est_keep, batch_format="pandas"
     ).materialize()
     if surv.count() == 0:
@@ -400,7 +403,7 @@ def minhash_dedup_pairs(
         out = df[["id_a", "id_b"]].assign(jaccard=jac)
         return out[out["jaccard"] >= threshold]
 
-    out = attach_pair_payloads(surv, sh_side).map_batches(
+    out = attach_pair_payloads(surv, sh_side, num_partitions=npart).map_batches(
         verify, batch_format="pandas"
     ).to_pandas()
     if out.empty:
@@ -718,6 +721,7 @@ def embedding_neardup_lsh(
                                              pa.large_binary())})
 
     side = vecs_needed.map_batches(unit_payload, batch_format="pyarrow").materialize()
+    npart = int(max(8, min(64, cand.count() // 250_000 + 8)))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -730,7 +734,7 @@ def embedding_neardup_lsh(
         out = df[["id_a", "id_b"]].assign(cosine=Sr)
         return out[out["cosine"] >= threshold]
 
-    out = attach_pair_payloads(cand, side).map_batches(
+    out = attach_pair_payloads(cand, side, num_partitions=npart).map_batches(
         verify, batch_format="pandas"
     ).to_pandas()
     if out.empty:
