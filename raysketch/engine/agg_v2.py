@@ -24,6 +24,21 @@ from ray.data.block import Block, BlockAccessor
 from ..sketches import SKETCH_KINDS
 
 
+def _wrap(payload: bytes) -> bytes:
+    """Prefix the payload with this process's hash-family tag so partials
+    built under different backends refuse to merge (same contract as the
+    engine's partial envelope; see engine.hashing.HASH_FAMILY)."""
+    from .hashing import HASH_FAMILY
+
+    fam = HASH_FAMILY.encode()
+    return len(fam).to_bytes(2, "little") + fam + payload
+
+
+def _unwrap(buf: bytes) -> tuple[str, bytes]:
+    n = int.from_bytes(buf[:2], "little")
+    return buf[2:2 + n].decode(), buf[2 + n:]
+
+
 class SketchAgg(AggregateFnV2):
     """Aggregate a column into a mergeable sketch; the output cell is the
     sketch's ``result()`` dict (set ``raw_bytes=True`` for the serialized
@@ -50,17 +65,21 @@ class SketchAgg(AggregateFnV2):
         table = BlockAccessor.for_block(block).to_arrow()
         sk = self._factory()
         sk.update_batch(table[self._target_col_name])
-        return sk.to_bytes()
+        return _wrap(sk.to_bytes())
 
     def combine(self, current: bytes, new: bytes) -> bytes:
-        from .udaf import merge_payloads
+        from .udaf import check_family, merge_payloads
 
-        return merge_payloads(self._kind, [current, new])
+        fam_a, pay_a = _unwrap(current)
+        fam_b, pay_b = _unwrap(new)
+        check_family([fam_a, fam_b])
+        return _wrap(merge_payloads(self._kind, [pay_a, pay_b]))
 
     def finalize(self, accumulator: bytes):
+        _, payload = _unwrap(accumulator)
         if self._raw:
-            return accumulator
-        return SKETCH_KINDS[self._kind].from_bytes(accumulator).result()
+            return payload
+        return SKETCH_KINDS[self._kind].from_bytes(payload).result()
 
 
 class _ZeroPayload:
@@ -70,4 +89,4 @@ class _ZeroPayload:
         self._factory = factory
 
     def __call__(self) -> bytes:
-        return self._factory().to_bytes()
+        return _wrap(self._factory().to_bytes())
