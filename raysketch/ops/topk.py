@@ -5,9 +5,15 @@ count-based decay (heka_message_monitor.lua:562-590) recast for batch:
 each block emits (a) a CMS partial over ALL its keys and (b) its local
 top candidates (2k by in-block count — any global heavy hitter is a local
 heavy hitter in at least one block by pigeonhole when candidates ≥ k per
-block). The merged CMS then scores the union of candidates and the top-k
-by estimate wins (`sort(est desc, key asc).limit(k)` semantics,
-deterministic tie-break).
+block). Every reduction is DISTRIBUTED:
+
+1. CMS partials fold through coalescing map_batches levels (bulk sparse
+   ``merge_many`` per task) until the driver merges a handful of
+   payloads — never one payload per block on the driver.
+2. Candidate rows dedupe through a coarse-bucket groupby, are scored
+   against the BROADCAST merged sketch (``ray.put`` once, point-query
+   batch per block), and each bucket emits only its local top-k — the
+   driver sees ≤ buckets × k rows regardless of block count.
 
 Shuffle volume: one CMS partial + ≤2k candidate rows per block.
 """
@@ -63,6 +69,14 @@ def _block_partials(
     )
 
 
+def _fold_cms_batch(batch: pa.Table) -> pa.Table:
+    """One tree level: bulk-merge this coalesced batch of CMS payloads."""
+    payloads = batch["payload"].to_pylist()
+    merged = CMSketch.merge_many(payloads) if payloads else None
+    out = [merged.to_bytes()] if merged else []
+    return pa.table({"payload": pa.array(out, pa.large_binary())})
+
+
 def cms_topk(
     ds,
     col: str,
@@ -70,12 +84,15 @@ def cms_topk(
     epsilon: float = 1e-4,
     delta: float = 1e-3,
     batch_size: int | None = None,
+    coarse_buckets: int = 256,
 ) -> pa.Table:
     """Top-k values of ``col`` by merged-CMS estimate.
 
     Returns (token, est) sorted est desc, token asc. Estimates are upper
     bounds within eps*N of truth w.p. 1-delta.
     """
+    import ray
+
     cand_per_block = max(2 * k, 64)
     partials = ds.select_columns([col]).map_batches(
         functools.partial(
@@ -87,27 +104,56 @@ def cms_topk(
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
+    ).materialize()
+
+    # 1. distributed CMS fold: two coalescing levels of 64-way bulk
+    # merges shrink blocks → blocks/4096 payloads before the driver merge
+    cms_rows = partials.filter(lambda r: r["part_kind"] == "cms")
+    folded = cms_rows.map_batches(
+        _fold_cms_batch, batch_format="pyarrow", batch_size=64
+    ).map_batches(_fold_cms_batch, batch_format="pyarrow", batch_size=64)
+    final_payloads = [
+        p for b in folded.iter_batches(batch_size=1024, batch_format="pyarrow")
+        for p in b["payload"].to_pylist()
+    ]
+    if not final_payloads:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "est": pa.array([], pa.int64())})
+    cms = CMSketch.merge_many(final_payloads)
+    cms_ref = ray.put(cms.to_bytes())
+
+    # 2. candidates: coarse-bucket dedupe → broadcast-CMS scoring →
+    # per-bucket top-k → tiny driver top-k
+    cand_rows = partials.filter(lambda r: r["part_kind"] == "cand").select_columns(
+        ["token"]
     )
-    payloads: list[bytes] = []
-    cand: set[str] = set()
-    for b in partials.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            if row["part_kind"] == "cms":
-                payloads.append(row["payload"])
-            else:
-                cand.add(row["token"])
-    # one bulk merge: sparse payloads scatter-add into a single dense
-    # accumulator (O(total nnz)), instead of densifying every partial in a
-    # pairwise loop (O(partials × width × depth))
-    cms = CMSketch.merge_many(payloads) if payloads else None
-    if cms is None or not cand:
-        return pa.table({"token": pa.array([], pa.string()), "est": pa.array([], pa.int64())})
-    tokens = sorted(cand)
-    ests = cms.point_query_batch(tokens).astype(np.int64)
-    order = np.lexsort((np.array(tokens, dtype=object), -ests))[:k]
-    return pa.table(
-        {
-            "token": pa.array([tokens[i] for i in order], pa.string()),
-            "est": pa.array([int(ests[i]) for i in order], pa.int64()),
-        }
-    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from ..engine.hashing import hash64_batch_aligned
+
+        h, _ = hash64_batch_aligned(batch["token"])
+        return batch.append_column(
+            "tb", pa.array((h % np.uint64(coarse_buckets)).astype(np.int64),
+                           pa.int64())
+        )
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["token"].drop_duplicates().tolist()
+        sk = CMSketch.from_bytes(ray.get(cms_ref))
+        ests = sk.point_query_batch(toks).astype(np.int64)
+        order = np.lexsort((np.array(toks, dtype=object), -ests))[:k]
+        return pd.DataFrame({"token": [toks[i] for i in order],
+                             "est": ests[order]})
+
+    scored = cand_rows.map_batches(bucket, batch_format="pyarrow").groupby(
+        "tb"
+    ).map_groups(lambda df: score_topk(df.drop(columns=["tb"])),
+                 batch_format="pandas").to_pandas()
+    if scored.empty:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "est": pa.array([], pa.int64())})
+    order = np.lexsort((scored["token"].to_numpy(dtype=object),
+                        -scored["est"].to_numpy()))[:k]
+    out = scored.iloc[order]
+    return pa.table({"token": pa.array(out["token"].tolist(), pa.string()),
+                     "est": pa.array(out["est"].to_numpy(np.int64), pa.int64())})
