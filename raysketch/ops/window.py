@@ -119,24 +119,69 @@ def time_series_window(
         raise ValueError("mode must be 'add' or 'set'")
     imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
 
+    # stage 1 — map-side per-(key, bucket) partials: the raw event stream
+    # collapses to bucket granularity BEFORE any shuffle, so per-key work
+    # downstream is bounded by the key's time span / ns_per_row, never by
+    # its event count (a hot key's raw rows would otherwise all land in
+    # one reduce task). "set" keeps the (ts, value)-max write per bucket —
+    # last-write-wins with a deterministic value tiebreak for equal ts.
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: b[key_col].to_pylist(),
+            "bucket": b[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            // ns_per_row,
+            "ts": b[ts_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "v": b[value_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        if mode == "add":
+            g = df.groupby([key_col, "bucket"], sort=False)["v"].sum().reset_index()
+            g["ts"] = 0
+        else:
+            g = df.sort_values(["ts", "v"]).groupby(
+                [key_col, "bucket"], sort=False).last().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    # stage 2 — coarse-bucket fold to one row per (key, bucket)
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import combine_hash64, hash64_batch_aligned
+
+        hk, _ = hash64_batch_aligned(b[key_col])
+        hb = b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = combine_hash64(hk, hb)
+        return b.append_column(
+            "cb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if mode == "add":
+            out = df.groupby([key_col, "bucket"], sort=False)["v"].sum().reset_index()
+            out["ts"] = 0
+            return out
+        return df.sort_values(["ts", "v"]).groupby(
+            [key_col, "bucket"], sort=False).last().reset_index()
+
+    bucketed = partials.map_batches(coarse, batch_format="pyarrow").groupby(
+        "cb"
+    ).map_groups(lambda df: fold(df.drop(columns=["cb"])), batch_format="pandas")
+
+    # stage 3 — per-key window assembly over bucket-level rows only
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df[ts_col].to_numpy(np.int64)
-        vals = df[value_col].to_numpy(np.int64)
-        bucket = ns // ns_per_row
+        bucket = df["bucket"].to_numpy(np.int64)
+        vals = df["v"].to_numpy(np.int64)
         cur = int(bucket.max())
         lo = cur - rows + 1
-        keep = bucket >= lo
-        bucket, ns_k, vals = bucket[keep], ns[keep], vals[keep]
+        keep = bucket >= lo  # older-than-window data drops (ts.c:54-56)
+        bucket, vals = bucket[keep], vals[keep]
         out = np.zeros(rows, dtype=np.int64)
         idx = (bucket - lo).astype(np.int64)
         if mode == "add":
-            # saturating add per bucket
             sums = np.zeros(rows, dtype=np.float64)
             np.add.at(sums, idx, vals.astype(np.float64))
-            out = np.clip(sums, imin, imax).astype(np.int64)
+            out = np.clip(sums, imin, imax).astype(np.int64)  # saturation
         else:
-            order = np.argsort(ns_k, kind="stable")
-            out[idx[order]] = vals[order]
+            out[idx] = vals
         return pd.DataFrame(
             {
                 key_col: [df[key_col].iloc[0]],
@@ -145,7 +190,7 @@ def time_series_window(
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
 def window_stats(
