@@ -40,32 +40,46 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "conten
     return batch.append_column(out, pa.array(sha256_batch(batch[text_col]), pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", buckets: int = 256):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 256, num_partitions: int = 16):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
     Returns a Dataset of the surviving rows (all original columns).
-    Partitioning: ONE shuffle keyed on a coarse bucket of the content
-    sha256 (bounded group count at any scale); each reduce task resolves
-    its bucket with a vectorized pandas idxmin per full hash — collision-
-    free in practice, so group-by-hash == group-by-content.
+    Two-phase plan so CONTENT never rides the dedup shuffle:
+
+    1. winner decision — a NARROW (content_hash, id) projection (content
+       dropped in the same fused map that hashes it) shuffles on a coarse
+       bucket of the hash; each reduce task resolves its bucket with one
+       vectorized pandas idxmin per full sha256 (collision-free in
+       practice, so group-by-hash == group-by-content).
+    2. output — the original dataset streams through Ray's native
+       partitioned LEFT-SEMI hash join against the winner-id table, so
+       full rows move exactly once, through a spill-capable join, and
+       only for survivors.
     """
     def hash_and_bucket(b: pa.Table) -> pa.Table:
         from ..engine.hashing import hash64_batch_aligned
 
         b = add_content_hash(b, text_col)
         h, _ = hash64_batch_aligned(b["content_hash"])  # vectorized, no hex parse
-        return b.append_column(
-            "hash_bucket", pa.array((h % np.uint64(buckets)).astype(np.int64),
-                                    pa.int64())
-        )
+        return pa.table({
+            "content_hash": b["content_hash"],
+            id_col: b[id_col],
+            "hash_bucket": pa.array((h % np.uint64(buckets)).astype(np.int64),
+                                    pa.int64()),
+        })
 
-    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
+    narrow = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
         winners = df.loc[df.groupby("content_hash", sort=False)[id_col].idxmin()]
-        return winners.drop(columns=["content_hash", "hash_bucket"])
+        return winners[[id_col]].rename(columns={id_col: "__win_id"})
 
-    return hashed.groupby("hash_bucket").map_groups(keep_first, batch_format="pandas")
+    winners = narrow.groupby("hash_bucket").map_groups(
+        keep_first, batch_format="pandas"
+    )
+    return ds.join(winners, "left_semi", num_partitions,
+                   on=(id_col,), right_on=("__win_id",))
 
 
 # ---------------------------------------------------------------------------
