@@ -3,9 +3,9 @@ embedding-cosine near-dup.
 
 Scale design notes (the part that must survive 100 TB):
 
-- **exact_dedup** — hash-partition on a content hash then keep the
-  min-id row per group. The shuffle carries only (hash, id); content
-  never moves. ``groupby(hash).map_groups(head)`` over narrow columns.
+- **exact_dedup** — winner decision on a NARROW (content_hash, id)
+  shuffle, output via a native left-semi join — content moves once,
+  through a spill-capable join, never through the dedup groupby.
 - **minhash_lsh** — per-batch vectorized shingle→minhash (one
   deterministic 64-bit base hash per shingle remixed into ``num_perm``
   families via splitmix64), banded into ``bands`` keys; candidate pairs
@@ -340,9 +340,12 @@ def minhash_dedup_pairs(
     if cand.count() == 0:
         return empty
 
-    # payloads only for candidate docs: broadcast semi-join on the
-    # output-scale candidate id set (bloom_semi_join is the 10^9-pair form)
-    from .join import broadcast_semi_join
+    # payloads only for candidate docs, restricted by a BLOOM of the
+    # candidate ids (bits broadcast, never an id set — the driver holds
+    # ~1.2 MB/10^6 ids at any pair count). No false negatives, and the
+    # ~fpr false-positive docs are harmless: the pair joins simply never
+    # probe their payload rows.
+    from .join import bloom_semi_join
 
     def ids_of(b: pa.Table) -> pa.Table:
         return pa.table({"did": pa.concat_arrays(
@@ -350,10 +353,12 @@ def minhash_dedup_pairs(
 
     # candidate docs (with text) materialize ONCE at candidate scale; both
     # payload sides derive from this in-memory set
-    docs_needed = broadcast_semi_join(
+    n_pairs = cand.count()
+    docs_needed = bloom_semi_join(
         ds.select_columns([id_col, text_col]),
         cand.map_batches(ids_of, batch_format="pyarrow"),
         big_key=id_col, small_key="did",
+        capacity=max(1024, 2 * n_pairs), fpr=0.01,
     ).materialize()
 
     def sig_payload(batch: pa.Table) -> pa.Table:
@@ -390,9 +395,10 @@ def minhash_dedup_pairs(
 
     # exact shingle-Jaccard verify on the est-survivors only: shingle sets
     # (KBs/doc) are shipped for survivor docs alone, never per candidate
-    surv_docs = broadcast_semi_join(
+    surv_docs = bloom_semi_join(
         docs_needed, surv.map_batches(ids_of, batch_format="pyarrow"),
         big_key=id_col, small_key="did",
+        capacity=max(1024, 2 * n_pairs), fpr=0.01,
     )
 
     def shingle_payload(batch: pa.Table) -> pa.Table:
@@ -715,16 +721,17 @@ def embedding_neardup_lsh(
     if cand.count() == 0:
         return empty
 
-    from .join import broadcast_semi_join
+    from .join import bloom_semi_join
 
     def ids_of(b: pa.Table) -> pa.Table:
         return pa.table({"did": pa.concat_arrays(
             [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])})
 
-    vecs_needed = broadcast_semi_join(
+    vecs_needed = bloom_semi_join(
         ds.select_columns([id_col, vec_col]),
         cand.map_batches(ids_of, batch_format="pyarrow"),
         big_key=id_col, small_key="did",
+        capacity=max(1024, 2 * cand.count()), fpr=0.01,
     )
 
     def unit_payload(batch: pa.Table) -> pa.Table:

@@ -72,7 +72,21 @@ def hash_sample(ds, k: int, id_col: str, seed: int = 42, key: str = "hash64"):
             "__sample_key", pa.array(list(kv[np.sort(idx)]), pa.string())
         )
 
-    cand = ds.map_batches(block_candidates, batch_format="pyarrow")
+    def refold(batch: pa.Table) -> pa.Table:
+        """Tree level: keep this coalesced batch's k smallest keys, so the
+        driver sees ≤ (blocks / fan-in) × k rows per level instead of
+        blocks × k — candidates stay bounded at any block count."""
+        kv = batch["__sample_key"].to_numpy(zero_copy_only=False)
+        if key == "hash64":
+            kv = kv.astype(np.uint64)
+        if batch.num_rows <= k:
+            return batch
+        order = np.argsort(kv, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    cand = ds.map_batches(block_candidates, batch_format="pyarrow").map_batches(
+        refold, batch_format="pyarrow", batch_size=64 * max(k, 1)
+    )
     merged = pa.concat_tables(
         list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
     )
