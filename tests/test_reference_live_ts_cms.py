@@ -124,6 +124,23 @@ class TestTimeSeriesLive:
             ref.sa_destroy_time_series_int(ud)
 
 
+class TestXXH32Live:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_buffers_bit_exact(self, ref, seed):
+        """Our pure-python/numpy XXH32 must equal the vendored C for
+        arbitrary byte strings and both reference seeds."""
+        from raysketch.sketches.xxh32 import xxh32
+
+        ref.XXH32.restype = ctypes.c_uint32
+        ref.XXH32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        rng = np.random.default_rng(seed)
+        for _ in range(200):
+            n = int(rng.integers(0, 100))
+            buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            for s in (0, 1, 2, 12345):
+                assert xxh32(buf, s) == ref.XXH32(buf, len(buf), s)
+
+
 class TestCMSLive:
     @pytest.mark.parametrize("seed", range(4))
     def test_random_scalar_updates(self, ref, seed):
