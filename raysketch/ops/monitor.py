@@ -351,37 +351,49 @@ def replay_key(rows: pd.DataFrame, ts_col: str, fields: list[tuple[str, int]],
 
 def schema_monitor(
     ds,
-    key_col: str,
+    key_col: str | list[str],
     ts_col: str,
     fields: list[tuple[str, int]],
     cfg: MonitorConfig | None = None,
     coarse_buckets: int = 64,
 ):
     """Distributed monitor: coarse-bucket shuffle on the hierarchy key,
-    per-key sequential replay in the reduce task. ``fields`` is
-    [(column, value_type)] with the reference's type codes. ``ts_col``
-    must be int64 nanoseconds. Returns a Dataset with one row per
-    (key, field)."""
+    per-key sequential replay in the reduce task.
+
+    ``key_col`` may be one column or a LIST of columns — the reference's
+    multi-level ``hierarchy`` config (lua :71-73, e.g. ``{"Logger",
+    "Type"}``): each distinct key combination gets its own independent
+    field entries, and the output carries one column per hierarchy level.
+    ``fields`` is [(column, value_type)] with the reference's type codes;
+    ``ts_col`` must be int64 nanoseconds. Returns a Dataset with one row
+    per (key..., field). Null key levels report as "NIL" (lua :625)."""
     cfg = cfg or MonitorConfig()
-    needed = [key_col, ts_col] + [f for f, _ in fields]
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    needed = key_cols + [ts_col] + [f for f, _ in fields]
 
     def bucket(batch: pa.Table) -> pa.Table:
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import combine_hash64, hash64_batch_aligned
 
-        h, _ = hash64_batch_aligned(batch[key_col])
+        h, _ = hash64_batch_aligned(batch[key_cols[0]])
+        for kc in key_cols[1:]:
+            h2, _ = hash64_batch_aligned(batch[kc])
+            h = combine_hash64(h, h2)
         return batch.append_column(
             "kb", pa.array((h % np.uint64(coarse_buckets)).astype(np.int64),
                            pa.int64())
         )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
+        for kc in key_cols:
+            df[kc] = df[kc].fillna("NIL")
         rows = []
-        for key, sub in df.groupby(key_col, sort=True):
+        for key, sub in df.groupby(key_cols, sort=True):
+            key_tuple = key if isinstance(key, tuple) else (key,)
             # deterministic replay order: ts, then field values break ties
             sub = sub.sort_values([ts_col] + [f for f, _ in fields],
                                   kind="mergesort")
             for r in replay_key(sub, ts_col, fields, cfg):
-                rows.append({key_col: key, **r})
+                rows.append({**dict(zip(key_cols, key_tuple)), **r})
         return pd.DataFrame(rows)
 
     return ds.select_columns(needed).map_batches(

@@ -295,6 +295,36 @@ class TestDistributedMonitor:
         assert set(a["field"]) == {"s", "d"}
         assert len(a) == 6
 
+    def test_multi_level_hierarchy(self, ray_session):
+        """A two-level hierarchy monitors each (level1, level2) key
+        combination independently, matching the reference's nested
+        hierarchy tables (lua :71-73, :627-632); null keys read "NIL"."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        n = 1200
+        t = pa.table({
+            "logger": pa.array(rng.choice(["app", "web"], n)),
+            "typ": pa.array([None if i % 97 == 0 else v for i, v in
+                             enumerate(rng.choice(["err", "ok"], n))],
+                            pa.string()),
+            "ns": pa.array((rng.integers(0, 5, n) * H
+                            + rng.integers(0, H, n)).astype(np.int64)),
+            "s": pa.array([f"s{v}" for v in rng.integers(0, 20, n)], pa.string()),
+        })
+        out = schema_monitor(rd.from_arrow(t), ["logger", "typ"], "ns",
+                             [("s", TYPE_STRING)]).to_pandas()
+        assert set(out.columns) >= {"logger", "typ", "field", "subtype"}
+        assert "NIL" in set(out["typ"])
+        # every observed (logger, typ) combination has its own entry
+        assert len(out) == out[["logger", "typ"]].drop_duplicates().shape[0]
+        # determinism under repartition
+        out2 = schema_monitor(rd.from_arrow(t).repartition(5), ["logger", "typ"],
+                              "ns", [("s", TYPE_STRING)]).to_pandas()
+        a = out.sort_values(["logger", "typ"]).reset_index(drop=True)
+        b = out2.sort_values(["logger", "typ"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_matches_sequential_replay(self, ray_session):
         """Distributed result == single-process sequential replay."""
         import ray.data as rd
