@@ -56,6 +56,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
        partitioned LEFT-SEMI hash join against the winner-id table, so
        full rows move exactly once, through a spill-capable join, and
        only for survivors.
+
+    Assumes ``id_col`` values are unique (the corpus contract); with
+    duplicate ids the semi join would keep every row sharing a winner id.
     """
     def hash_and_bucket(b: pa.Table) -> pa.Table:
         from ..engine.hashing import hash64_batch_aligned
