@@ -18,12 +18,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def write_dataset(ds, path: str) -> str:
+def write_dataset(ds, path: str, partition_cols: list[str] | None = None) -> str:
     """Distributed sink: one parquet file per block under ``path``
-    (overwrite semantics: any previous output at ``path`` is replaced)."""
+    (overwrite semantics: any previous output at ``path`` is replaced).
+    ``partition_cols`` writes hive-style key directories
+    (``path/col=value/...``) so a re-run or downstream consumer can skip
+    or target finished key ranges."""
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    ds.write_parquet(path)
+    if partition_cols:
+        ds.write_parquet(path, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(path)
     return path
 
 

@@ -245,6 +245,23 @@ class TestBroadcastLookupJoin:
         assert len(out) == 0
 
 
+class TestPartitionedSink:
+    def test_hive_partition_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from raysketch.engine.sinks import read_back, write_dataset
+
+        t = pa.table({"lang": pa.array(["en", "de", "en", "fr"]),
+                      "v": pa.array([1, 2, 3, 4], pa.int64())})
+        p = write_dataset(rd.from_arrow(t), str(tmp_path / "out"),
+                          partition_cols=["lang"])
+        import os
+
+        assert sorted(os.listdir(p)) == ["lang=de", "lang=en", "lang=fr"]
+        back = read_back(p).to_pandas().sort_values("v").reset_index(drop=True)
+        assert back["v"].tolist() == [1, 2, 3, 4]
+
+
 class TestHashFamilyEnvelope:
     def test_partials_carry_family(self):
         import functools
