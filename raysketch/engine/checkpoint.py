@@ -82,19 +82,36 @@ class CheckpointStore:
             try:
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     json.load(f)
-                pq.read_schema(path)
+                sch = pq.read_schema(path)
+                # schema-incompatible partials (e.g. written by an older
+                # engine version without the hash-family column) degrade
+                # to recompute HERE, before the skip decision — otherwise
+                # the final concat/fold would crash after skipping them
+                from .udaf import PARTIAL_SCHEMA
+
+                if set(PARTIAL_SCHEMA.names) - set(sch.names):
+                    continue
             except Exception:
                 continue  # degrade gracefully: recompute this partition
             done.add(pid)
         return done
 
     def load_partials(self) -> pa.Table:
+        from .udaf import PARTIAL_SCHEMA
+
         files = sorted(
             os.path.join(self.partials_dir, n)
             for n in os.listdir(self.partials_dir)
             if n.endswith(".parquet")
         )
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        tables = []
+        for f in files:
+            # stale files from an incompatible engine version are ignored
+            # (their partitions were recomputed; see done_partitions)
+            if set(PARTIAL_SCHEMA.names) - set(pq.read_schema(f).names):
+                continue
+            tables.append(pq.read_table(f))
+        return pa.concat_tables(tables)
 
     def manifests(self) -> list[dict[str, Any]]:
         out = []

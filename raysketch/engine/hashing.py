@@ -30,6 +30,12 @@ def _resolve_hash_family() -> str:
     missing or a different version on some workers) incompatible partials
     would otherwise combine into silently wrong estimates."""
     try:
+        import os
+
+        # MUST precede the first polars import: polars pins its rayon
+        # pool size at import time, and Ray owns the cores — without this
+        # every worker would spawn a full-width thread pool
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 
         return f"polars-{pl.__version__}|pandas-{pd.__version__}"
@@ -66,10 +72,7 @@ def _polars_hash(values: Any) -> tuple[np.ndarray, np.ndarray] | None:
     partial envelopes carry."""
     if not HASH_FAMILY.startswith("polars"):
         return None
-    import os
-
-    os.environ.setdefault("POLARS_MAX_THREADS", "1")  # Ray owns the cores
-    import polars as pl
+    import polars as pl  # thread cap set before first import in _resolve
     import pyarrow as pa
 
     if isinstance(values, pa.ChunkedArray):

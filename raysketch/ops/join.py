@@ -91,6 +91,14 @@ def broadcast_lookup_join(
             vals[c].append(b[c].combine_chunks())
     if keys:
         key_arr = pa.concat_arrays(keys)
+        # LOOKUP semantics require unique small-side keys: index_in takes
+        # the first match, which would silently drop duplicate-key rows a
+        # real equi-join would emit — refuse instead of guessing
+        if len(pc.unique(key_arr)) != len(key_arr):
+            raise ValueError(
+                "broadcast_lookup_join: small-side keys must be unique "
+                "(duplicate keys need a real equi-join, e.g. Dataset.join)"
+            )
         val_arrs = {c: pa.concat_arrays(v) for c, v in vals.items()}
     else:
         # empty small side; schema may be unknowable (e.g. a fully

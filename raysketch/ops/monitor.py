@@ -383,6 +383,12 @@ def schema_monitor(
                            pa.int64())
         )
 
+    _OUT_COLS = key_cols + [
+        "field", "cnt", "type", "subtype", "values_cnt", "pcc", "closest_row",
+        "duplicate_pct", "duplicate_min", "duplicate_max", "range_min",
+        "range_max", "alerted", "alert",
+    ]
+
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         for kc in key_cols:
             df[kc] = df[kc].fillna("NIL")
@@ -394,7 +400,8 @@ def schema_monitor(
                                   kind="mergesort")
             for r in replay_key(sub, ts_col, fields, cfg):
                 rows.append({**dict(zip(key_cols, key_tuple)), **r})
-        return pd.DataFrame(rows)
+        # schema-stable even when every field value in the bucket was null
+        return pd.DataFrame(rows, columns=_OUT_COLS)
 
     return ds.select_columns(needed).map_batches(
         bucket, batch_format="pyarrow"

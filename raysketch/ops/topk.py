@@ -108,7 +108,17 @@ def cms_topk(
 
     # 1. distributed CMS fold: two coalescing levels of 64-way bulk
     # merges shrink blocks → blocks/4096 payloads before the driver merge
-    cms_rows = partials.filter(lambda r: r["part_kind"] == "cms")
+    import pyarrow.compute as pc
+
+    def take_cms(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["part_kind"], "cms")).select(["payload"])
+
+    def take_cand(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["part_kind"], "cand")).select(["token"])
+
+    # vectorized splits (an expression mask per block); a per-row python
+    # filter would copy every MB-sized CMS payload through a row dict
+    cms_rows = partials.map_batches(take_cms, batch_format="pyarrow")
     folded = cms_rows.map_batches(
         _fold_cms_batch, batch_format="pyarrow", batch_size=64
     ).map_batches(_fold_cms_batch, batch_format="pyarrow", batch_size=64)
@@ -124,9 +134,7 @@ def cms_topk(
 
     # 2. candidates: coarse-bucket dedupe → broadcast-CMS scoring →
     # per-bucket top-k → tiny driver top-k
-    cand_rows = partials.filter(lambda r: r["part_kind"] == "cand").select_columns(
-        ["token"]
-    )
+    cand_rows = partials.map_batches(take_cand, batch_format="pyarrow")
 
     def bucket(batch: pa.Table) -> pa.Table:
         from ..engine.hashing import hash64_batch_aligned

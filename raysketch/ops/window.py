@@ -46,10 +46,11 @@ def tumbling_window(
     value_col: str = "value",
     width_s: int = 3600,
 ):
-    """Per (key, bucket): n_events, distinct users (exact), min/max value.
+    """Per (key, bucket): n_events + min/max value (exact).
 
     Map-side partial aggregation inside map_batches keeps the shuffle at
-    one row per (batch, key, bucket)."""
+    one row per (batch, key, bucket); the fold is a coarse-bucket
+    groupby. Only ``key_col``/``ts_col``/``value_col`` are read."""
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_bucket(batch, ts_col, width_s)

@@ -12,6 +12,7 @@ import ctypes
 import math
 import os
 import subprocess
+import zlib
 
 import numpy as np
 import pytest
@@ -74,7 +75,7 @@ class TestP2QuantileLive:
     def test_bit_exact_vs_c(self, ref, dist, gen, n, p):
         from raysketch.sketches.p2 import P2Quantile
 
-        rng = np.random.default_rng(hash((dist, n, int(p * 100))) & 0xFFFF)
+        rng = np.random.default_rng(zlib.crc32(f"{dist}-{n}-{p}".encode()))
         xs = gen(rng, n)
         ours = P2Quantile(p)
         ud = ref.sa_create_p2_quantile(p)
@@ -98,7 +99,7 @@ class TestP2HistogramLive:
     def test_bit_exact_vs_c(self, ref, dist, gen, n, buckets):
         from raysketch.sketches.p2 import P2Histogram
 
-        rng = np.random.default_rng(hash((dist, n, buckets)) & 0xFFFF)
+        rng = np.random.default_rng(zlib.crc32(f"{dist}-{n}-{buckets}".encode()))
         xs = gen(rng, n)
         ours = P2Histogram(buckets)
         ud = ref.sa_create_p2_histogram(buckets)
