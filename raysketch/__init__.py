@@ -13,6 +13,19 @@ Layers:
 - ``raysketch.queries`` — the query registry exposed via __ray_entry__.
 """
 
+import os as _os
+
+# Cap the polars rayon pool BEFORE anyone imports polars: Ray owns the
+# cores, and polars pins its thread-pool width at first import. Setting
+# this at package import (raysketch is imported in every Ray worker
+# before any of its polars-using code runs) closes the window where
+# engine.hashing's setdefault lost the race to an earlier polars import
+# elsewhere in the process. If user code imported polars before
+# raysketch, the pool is already pinned — hashing RESULTS are unaffected
+# (thread count never changes hash values); only per-worker thread
+# over-subscription is at stake.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 from raysketch.sketches.bloom import BloomFilter
 from raysketch.sketches.cms import CMSketch
 from raysketch.sketches.hll import HyperLogLog

@@ -56,8 +56,15 @@ class CheckpointStore:
         pq.write_table(partials, tmp)
         os.replace(tmp, final)  # atomic publish
         digest = hashlib.sha256(b"".join(partials["payload"].to_pylist())).hexdigest()
+        from .hashing import HASH_FAMILY
+
         manifest = {
             "partition_id": pid,
+            # the hash backend that produced these partials — resume runs
+            # whose backend changed treat this partition as NOT done and
+            # recompute it (degrade-gracefully contract), instead of
+            # hard-failing in the final fold after all work finished
+            "hash_family": HASH_FAMILY,
             # input rows, if the caller provided them; else sum of the first
             # spec's per-group rows (each spec repeats the same row counts)
             "rows": int(pa.compute.sum(partials["rows"]).as_py() or 0)
@@ -73,6 +80,8 @@ class CheckpointStore:
 
     # -- read --------------------------------------------------------------
     def done_partitions(self) -> set[str]:
+        from .hashing import HASH_FAMILY
+
         done = set()
         for name in os.listdir(self.manifest_dir):
             if not name.endswith(".json"):
@@ -81,7 +90,7 @@ class CheckpointStore:
             path = os.path.join(self.partials_dir, f"part-{pid}.parquet")
             try:
                 with open(os.path.join(self.manifest_dir, name)) as f:
-                    json.load(f)
+                    manifest = json.load(f)
                 sch = pq.read_schema(path)
                 # schema-incompatible partials (e.g. written by an older
                 # engine version without the hash-family column) degrade
@@ -90,6 +99,20 @@ class CheckpointStore:
                 from .udaf import PARTIAL_SCHEMA
 
                 if set(PARTIAL_SCHEMA.names) - set(sch.names):
+                    continue
+                # hash-backend drift between submit and resume (e.g. a
+                # polars upgrade): hash-fed partials from the old family
+                # cannot merge with new ones — recompute, don't hard-fail
+                # in the final fold. Manifests predating the hash_family
+                # key fall back to the partial's own family column.
+                family = manifest.get("hash_family")
+                if family is None:
+                    fams = set(
+                        pq.read_table(path, columns=["family"])["family"].to_pylist()
+                    )
+                    if fams and fams != {HASH_FAMILY}:
+                        continue
+                elif family != HASH_FAMILY:
                     continue
             except Exception:
                 continue  # degrade gracefully: recompute this partition

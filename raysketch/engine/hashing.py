@@ -32,9 +32,14 @@ def _resolve_hash_family() -> str:
     try:
         import os
 
-        # MUST precede the first polars import: polars pins its rayon
-        # pool size at import time, and Ray owns the cores — without this
-        # every worker would spawn a full-width thread pool
+        # Belt-and-braces: raysketch/__init__.py sets this before ANY
+        # raysketch module can import polars (closing the race where some
+        # other module imported polars first); repeated here so importing
+        # engine.hashing standalone still caps the pool. The cap is a
+        # thread-oversubscription guard only — hash VALUES are identical
+        # at any pool width, so a pre-pinned wide pool cannot corrupt
+        # results, and cross-process version skew is what HASH_FAMILY
+        # envelopes catch.
         os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 

@@ -13,9 +13,12 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+SUCCESS_MARKER = "_SUCCESS"
 
 
 def write_dataset(ds, path: str, partition_cols: list[str] | None = None) -> str:
@@ -23,13 +26,37 @@ def write_dataset(ds, path: str, partition_cols: list[str] | None = None) -> str
     (overwrite semantics: any previous output at ``path`` is replaced).
     ``partition_cols`` writes hive-style key directories
     (``path/col=value/...``) so a re-run or downstream consumer can skip
-    or target finished key ranges."""
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    if partition_cols:
-        ds.write_parquet(path, partition_cols=partition_cols)
-    else:
-        ds.write_parquet(path)
+    or target finished key ranges.
+
+    Publication is ATOMIC: blocks write into a staging directory next to
+    ``path``; only after every block lands is a ``_SUCCESS`` marker
+    written and the staging dir renamed into place. A crash mid-write
+    leaves a ``.staging-*`` dir that ``read_back`` never sees (and a
+    later successful write cleans up); a crash between rmtree and rename
+    leaves no ``path`` at all — never a half-written directory that
+    parses as complete."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(
+        parent, f".staging-{os.path.basename(path)}-{uuid.uuid4().hex[:12]}"
+    )
+    # prune orphans from earlier crashed writes of the same target
+    for name in os.listdir(parent):
+        if name.startswith(f".staging-{os.path.basename(path)}-"):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    os.makedirs(staging)
+    try:
+        if partition_cols:
+            ds.write_parquet(staging, partition_cols=partition_cols)
+        else:
+            ds.write_parquet(staging)
+        with open(os.path.join(staging, SUCCESS_MARKER), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(staging, path)  # atomic publish (same filesystem)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return path
 
 
@@ -43,7 +70,20 @@ def write_table(table: pa.Table, path: str) -> str:
 
 
 def read_back(path: str):
-    """Dataset over a sink output (directory of part files or one file)."""
+    """Dataset over a sink output (directory of part files or one file).
+
+    Directory outputs must carry the ``_SUCCESS`` marker
+    :func:`write_dataset` publishes — a directory without it is a
+    partial/crashed write and is refused rather than read as complete."""
     import ray.data as rd
 
-    return rd.read_parquet(path)
+    if os.path.isdir(path) and not os.path.exists(
+        os.path.join(path, SUCCESS_MARKER)
+    ):
+        raise FileNotFoundError(
+            f"{path}: no {SUCCESS_MARKER} marker — incomplete sink output "
+            "(crashed write or a directory not produced by write_dataset)"
+        )
+    return rd.read_parquet(
+        path, file_extensions=["parquet"]
+    )

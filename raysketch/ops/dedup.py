@@ -41,7 +41,8 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "conten
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                buckets: int = 256, num_partitions: int = 16):
+                buckets: int = 256, num_partitions: int = 16,
+                broadcast_limit: int = 2_000_000):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
     Returns a Dataset of the surviving rows (all original columns).
@@ -52,10 +53,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
        bucket of the hash; each reduce task resolves its bucket with one
        vectorized pandas idxmin per full sha256 (collision-free in
        practice, so group-by-hash == group-by-content).
-    2. output — the original dataset streams through Ray's native
-       partitioned LEFT-SEMI hash join against the winner-id table, so
-       full rows move exactly once, through a spill-capable join, and
-       only for survivors.
+    2. output — routed by WINNER-TABLE SIZE: when the surviving-id set
+       fits comfortably in memory (≤ ``broadcast_limit`` ids, ~8 B each),
+       a broadcast semi-join (``ray.put`` the id set once, vectorized
+       ``is_in`` per batch) keeps the big side streaming with NO shuffle
+       and no join-actor pool; above the limit, Ray's native partitioned
+       LEFT-SEMI hash join — full rows move exactly once, through a
+       spill-capable join, only for survivors. (The partitioned join
+       spawns aggregator actors per call — measurably the wrong tool
+       when the winner side is driver-small.)
 
     Assumes ``id_col`` values are unique (the corpus contract); with
     duplicate ids the semi join would keep every row sharing a winner id.
@@ -80,7 +86,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     winners = narrow.groupby("hash_bucket").map_groups(
         keep_first, batch_format="pandas"
-    )
+    ).materialize()  # narrow ids only; needed twice (count + join side)
+    if winners.count() <= broadcast_limit:
+        from .join import broadcast_semi_join
+
+        return broadcast_semi_join(ds, winners, big_key=id_col,
+                                   small_key="__win_id")
     return ds.join(winners, "left_semi", num_partitions,
                    on=(id_col,), right_on=("__win_id",))
 
@@ -271,6 +282,15 @@ def attach_pair_payloads(pairs_ds, side_ds, num_partitions: int = 8):
                    left_suffix="_a", right_suffix="_b")
 
 
+def _as_pairs_ds(df: pd.DataFrame):
+    """Typed (possibly empty) pandas frame → a one-block Dataset, so every
+    pair-producing op returns a Dataset uniformly (empty results keep
+    their schema)."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
 def shingle_hash_set(text: str, k: int = 5) -> np.ndarray:
     """Unique shingle hashes of one text (same family as the MinHash)."""
     h, _ = _batch_shingle_hashes([text], k)
@@ -295,7 +315,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     shingle_k: int = 5,
     concurrency: int | None = None,
-) -> pd.DataFrame:
+):
     """Full near-dup pipeline, driver-unbounded at every stage:
 
     1. ONE fused text pass: shingle-hash → minhash signature → band rows
@@ -311,8 +331,10 @@ def minhash_dedup_pairs(
        Jaccard on the survivors — per-doc state never materializes in one
        process.
 
-    Returns a pandas DataFrame (id_a, id_b, jaccard) of verified pairs —
-    the RESULT is driver-sized; no intermediate is.
+    Returns a DATASET of verified pairs (id_a, id_b, jaccard) — near-dup
+    pairs over 10^9 docs need not be driver-sized, so the result streams:
+    sink it with ``engine.sinks.write_dataset`` or ``.to_pandas()`` it at
+    sf scale (the query layer's convenience).
     """
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if concurrency:
@@ -341,7 +363,7 @@ def minhash_dedup_pairs(
                           "jaccard": pd.Series([], dtype="float64")})
     cand = lsh_candidate_pairs(band_rows, id_col).materialize()
     if cand.count() == 0:
-        return empty
+        return _as_pairs_ds(empty)
 
     # payloads only for candidate docs, restricted by a BLOOM of the
     # candidate ids (bits broadcast, never an id set — the driver holds
@@ -394,7 +416,7 @@ def minhash_dedup_pairs(
         est_keep, batch_format="pandas"
     ).materialize()
     if surv.count() == 0:
-        return empty
+        return _as_pairs_ds(empty)
 
     # exact shingle-Jaccard verify on the est-survivors only: shingle sets
     # (KBs/doc) are shipped for survivor docs alone, never per candidate
@@ -426,12 +448,9 @@ def minhash_dedup_pairs(
         out = df[["id_a", "id_b"]].assign(jaccard=jac)
         return out[out["jaccard"] >= threshold]
 
-    out = attach_pair_payloads(surv, sh_side, num_partitions=npart).map_batches(
+    return attach_pair_payloads(surv, sh_side, num_partitions=npart).map_batches(
         verify, batch_format="pandas"
-    ).to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +511,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     concurrency: int | None = None,
-) -> pd.DataFrame:
+):
     """SimHash near-dup: 64-bit simhash per doc, 4 tables of 16 bits for
     candidate banding (any pair within Hamming distance 3 shares at least
     one exact 16-bit band). The per-doc state is just 8 bytes, so each
@@ -501,6 +520,9 @@ def simhash_neardup_pairs(
     and only verified (near-dup) pairs ever leave a bucket. One coarse
     groupby for the buckets + one for cross-band pair dedup;
     driver-unbounded at corpus scale.
+
+    Returns a DATASET of (id_a, id_b, hamming) pairs — sink or
+    ``.to_pandas()`` at the caller's scale.
     """
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if concurrency:
@@ -574,16 +596,13 @@ def simhash_neardup_pairs(
                            pa.int64())
         )
 
-    out = cand.map_batches(pair_coarse, batch_format="pyarrow").groupby(
+    def dedupe_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["id_a", "id_b"]).drop(columns=["pc"])
+        return out.assign(hamming=out["hamming"].astype("int64"))
+
+    return cand.map_batches(pair_coarse, batch_format="pyarrow").groupby(
         "pc"
-    ).map_groups(
-        lambda df: df.drop_duplicates(["id_a", "id_b"]).drop(columns=["pc"]),
-        batch_format="pandas",
-    ).to_pandas()
-    if out.empty:
-        return empty
-    out["hamming"] = out["hamming"].astype("int64")
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ).map_groups(dedupe_fold, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -651,10 +670,11 @@ def embedding_neardup(
     ds,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.9,
+    threshold: float = 0.95,
     lsh_threshold: float = 0.8,
-) -> pd.DataFrame:
-    """Cosine near-dup join, routed by OUTPUT DENSITY.
+):
+    """Cosine near-dup join, routed by OUTPUT DENSITY. Returns a DATASET
+    of (id_a, id_b, cosine) pairs on both routes.
 
     - ``threshold >= lsh_threshold`` (sparse-output regime, the real
       near-dup setting): the OR-amplified LSH path — sublinear candidate
@@ -665,10 +685,20 @@ def embedding_neardup(
       algorithm beats quadratic work there (LSH banding degenerates to
       emitting every pair), so the exact block-pair join is the right
       tool and is used directly (documented ≤10^6-row escape hatch).
+
+    Boundary recall: the LSH route's miss probability is highest for
+    pairs sitting exactly AT the routing boundary — p_miss ≈ 0.13 at
+    cosine 0.80 with the default tables, falling to ≈3e-5 by 0.98 (see
+    :func:`embedding_neardup_lsh`). The default ``threshold`` therefore
+    sits well above ``lsh_threshold`` (0.95, p_miss ≈ 5e-3 at the
+    threshold itself and ~0 for the near-1.0 cosines true duplicates
+    have); callers pinning ``threshold == lsh_threshold`` accept the
+    worst-case boundary recall or should pass a lower ``lsh_threshold``
+    to shift the routing point.
     """
     if threshold >= lsh_threshold:
         return embedding_neardup_lsh(ds, vec_col, id_col, threshold)
-    return exact_cosine_pairs(ds, vec_col, id_col, threshold)
+    return _as_pairs_ds(exact_cosine_pairs(ds, vec_col, id_col, threshold))
 
 
 def embedding_neardup_lsh(
@@ -679,7 +709,7 @@ def embedding_neardup_lsh(
     n_tables: int = 24,
     planes_per_table: int = 16,
     seed: int = 42,
-) -> pd.DataFrame:
+):
     """Cosine near-dup via OR-amplified random-hyperplane LSH + exact
     verify — the corpus-scale route of ``embedding_neardup`` for
     SPARSE-OUTPUT thresholds (no O(B²) block-pair stage anywhere).
@@ -722,7 +752,7 @@ def embedding_neardup_lsh(
         band_stage, batch_format="pyarrow")
     cand = lsh_candidate_pairs(band_rows, id_col).materialize()
     if cand.count() == 0:
-        return empty
+        return _as_pairs_ds(empty)
 
     from .join import bloom_semi_join
 
@@ -758,12 +788,9 @@ def embedding_neardup_lsh(
         out = df[["id_a", "id_b"]].assign(cosine=Sr)
         return out[out["cosine"] >= threshold]
 
-    out = attach_pair_payloads(cand, side, num_partitions=npart).map_batches(
+    return attach_pair_payloads(cand, side, num_partitions=npart).map_batches(
         verify, batch_format="pandas"
-    ).to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
 
 
 def embedding_neardup_pairs(

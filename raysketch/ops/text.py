@@ -69,23 +69,37 @@ class LangId:
         self.cjk_re = re.compile(r"[一-鿿぀-ヿ]")
 
     def classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        if len(self.cjk_re.findall(text)) / max(len(text), 1) > 0.05:
-            return "zh"
-        words = [w.lower() for w in self.word_re.findall(text)]
-        if not words:
-            return "und"
-        best_lang, best = "und", 0.0
-        for lang in self.LANGS:
-            sw = _STOPWORDS[lang]
-            score = sum(w in sw for w in words) / len(words)
-            if score > best:
-                best_lang, best = lang, score
-        return best_lang if best > 0.0 else "und"
+        """Single-doc convenience — same kernel as the batch path."""
+        t = pa.table({self.text_col: pa.array([text], pa.string())})
+        return self(t)[self.out_col][0].as_py()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch[self.text_col].to_pylist()]
+        """Fully vectorized: ONE findall+explode over the batch's whole
+        word stream, one ``isin`` per language with index-grouped sums
+        (the QualityScorer pattern) — no per-doc python loop. Tie-break
+        preserved: ``argmax`` takes the FIRST language at the max score,
+        identical to the strictly-greater scan over (en, de, es, fr)."""
+        s = pd.Series(batch[self.text_col].to_pylist(), dtype="object").fillna("")
+        n_chars = s.str.len().to_numpy(np.float64)
+        cjk = s.str.count(self.cjk_re).to_numpy(np.float64)
+        words = s.str.findall(self.word_re)
+        n_words = words.str.len().to_numpy(np.float64)
+        hits = np.zeros((len(s), len(self.LANGS)))
+        ex = words.explode().dropna()
+        if len(ex):
+            low = ex.str.lower()
+            for i, lang in enumerate(self.LANGS):
+                h = low.isin(_STOPWORDS[lang])
+                hits[:, i] = h.groupby(level=0).sum().reindex(
+                    s.index, fill_value=0).to_numpy(np.float64)
+        scores = hits / np.maximum(n_words, 1)[:, None]
+        best_idx = np.argmax(scores, axis=1)
+        best = scores[np.arange(len(s)), best_idx]
+        preds = np.array(self.LANGS, dtype=object)[best_idx]
+        preds[best <= 0.0] = "und"          # all-zero hit rates
+        preds[n_words == 0] = "und"         # no latin-ish words at all
+        preds[cjk / np.maximum(n_chars, 1) > 0.05] = "zh"  # CJK overrides
+        preds[n_chars == 0] = "und"         # empty text
         return batch.append_column(self.out_col, pa.array(preds, pa.string()))
 
 
@@ -153,30 +167,54 @@ def fingerprint_batch(
     """Rabin–Karp rolling-hash fingerprints: hash every `window`-byte
     sliding window, keep the `keep` smallest hashes (min-sampling → a
     containment-comparable fingerprint), plus their min as a single
-    ``fingerprint`` column. Deterministic."""
-    fps: list[list[int]] = []
-    mins: list[int] = []
-    for t in batch[text_col].to_pylist():
-        data = (t or "").encode("utf-8")
-        if len(data) < window:
-            h = np.uint64(0)
-            for b in data:
-                h = h * _FP_BASE + np.uint64(b)
-            fps.append([int(h)])
-            mins.append(int(h))
-            continue
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            # vectorized rolling hash: h[i] = sum(base^(w-1-j) * byte[i+j])
-            pows = _FP_BASE ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-            n = len(arr) - window + 1
-            # stride trick windows × pows
-            win = np.lib.stride_tricks.sliding_window_view(arr, window)
-            hashes = (win * pows).sum(axis=1)
-        smallest = np.sort(np.unique(hashes))[:keep]
-        fps.append([int(x) for x in smallest])
-        mins.append(int(smallest[0]))
-    batch = batch.append_column(
-        "fingerprints", pa.array(fps, pa.list_(pa.uint64()))
-    )
+    ``fingerprint`` column. Deterministic.
+
+    Fully vectorized across the batch (the padded-blob trick from
+    ``dedup._batch_shingle_hashes``): docs shorter than ``window`` are
+    LEFT-zero-padded to ``window`` bytes — leading zeros contribute 0 to
+    every polynomial term, so the single padded window hashes to exactly
+    the short-doc polynomial hash — then ONE rolling-hash pass covers the
+    whole batch blob and per-doc unique/top-``keep`` selection runs as a
+    segmented sort (lexsort + run-boundary masks), no per-doc loop."""
+    enc = [(t or "").encode("utf-8") for t in batch[text_col].to_pylist()]
+    ndocs = len(enc)
+    if ndocs == 0:
+        batch = batch.append_column(
+            "fingerprints", pa.array([], pa.list_(pa.uint64())))
+        return batch.append_column("fingerprint", pa.array([], pa.uint64()))
+    enc = [e if len(e) >= window else b"\x00" * (window - len(e)) + e
+           for e in enc]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=ndocs)
+    counts = lens - window + 1  # windows per doc (>= 1)
+    arr = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    n_win = arr.size - window + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # h[i] = sum_j base^(w-1-j) * byte[i+j], O(window) passes over the
+        # blob instead of a (n_win, window) materialized product
+        pows = _FP_BASE ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+        for j in range(window):
+            h += arr[j : j + n_win] * pows[j]
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+    idx = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, counts)])
+    hw = h[idx]  # only windows fully inside their own doc
+    seg = np.repeat(np.arange(ndocs), counts)
+    order = np.lexsort((hw, seg))  # sort by (doc, hash)
+    hs, ss = hw[order], seg[order]
+    uniq = np.ones(hs.size, dtype=bool)  # drop within-doc duplicate hashes
+    uniq[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    hu, su = hs[uniq], ss[uniq]
+    first = np.ones(su.size, dtype=bool)
+    first[1:] = su[1:] != su[:-1]
+    gidx = np.arange(su.size)
+    rank = gidx - np.maximum.accumulate(np.where(first, gidx, 0))
+    keepmask = rank < keep  # smallest `keep` per doc (sorted ascending)
+    hk, sk = hu[keepmask], su[keepmask]
+    kept_counts = np.bincount(sk, minlength=ndocs)
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+    fps = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(hk, pa.uint64()))
+    mins = hu[first]  # first unique per doc == its min hash
+    batch = batch.append_column("fingerprints", fps)
     return batch.append_column("fingerprint", pa.array(mins, pa.uint64()))

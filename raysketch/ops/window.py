@@ -27,6 +27,25 @@ import pyarrow as pa
 
 from ..sketches.running_stats import RunningStats
 
+_I64_MIN, _I64_MAX = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+
+
+def _sat64(sums) -> np.ndarray:
+    """Saturating float64 → int64 (reference ts.c per-add saturation).
+
+    Values at or beyond the int64 range clamp to the exact bounds; a plain
+    ``np.clip(...).astype(np.int64)`` would clip to float64(INT64_MAX) ==
+    2^63 and then WRAP on the cast."""
+    s = np.asarray(sums, dtype=np.float64)
+    out = np.empty(s.shape, dtype=np.int64)
+    hi = s >= np.float64(_I64_MAX)  # float64(_I64_MAX) == 2^63: catches all >= 2^63-1024
+    lo = s <= np.float64(_I64_MIN)
+    mid = ~(hi | lo)
+    out[hi] = _I64_MAX
+    out[lo] = _I64_MIN
+    out[mid] = s[mid].astype(np.int64)
+    return out
+
 
 def add_bucket(
     batch: pa.Table, ts_col: str = "ts", width_s: int = 3600, out: str = "bucket"
@@ -118,7 +137,6 @@ def time_series_window(
         raise ValueError("rows must be >= 2")  # time_series.c:63
     if mode not in ("add", "set"):
         raise ValueError("mode must be 'add' or 'set'")
-    imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
 
     # stage 1 — map-side per-(key, bucket) partials: the raw event stream
     # collapses to bucket granularity BEFORE any shuffle, so per-key work
@@ -135,7 +153,12 @@ def time_series_window(
             "v": b[value_col].to_numpy(zero_copy_only=False).astype(np.int64),
         })
         if mode == "add":
+            # accumulate in float64 and saturate per partial sum: a plain
+            # int64 pandas sum near the bound would silently WRAP before
+            # stage 3's clamp ever runs (reference ts.c saturates per add)
+            df["v"] = df["v"].astype(np.float64)
             g = df.groupby([key_col, "bucket"], sort=False)["v"].sum().reset_index()
+            g["v"] = _sat64(g["v"].to_numpy())
             g["ts"] = 0
         else:
             g = df.sort_values(["ts", "v"]).groupby(
@@ -157,7 +180,9 @@ def time_series_window(
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if mode == "add":
+            df = df.assign(v=df["v"].astype(np.float64))
             out = df.groupby([key_col, "bucket"], sort=False)["v"].sum().reset_index()
+            out["v"] = _sat64(out["v"].to_numpy())  # saturate, don't wrap
             out["ts"] = 0
             return out
         return df.sort_values(["ts", "v"]).groupby(
@@ -180,7 +205,7 @@ def time_series_window(
         if mode == "add":
             sums = np.zeros(rows, dtype=np.float64)
             np.add.at(sums, idx, vals.astype(np.float64))
-            out = np.clip(sums, imin, imax).astype(np.int64)  # saturation
+            out = _sat64(sums)  # saturation (no wrap at the float64 bound)
         else:
             out[idx] = vals
         return pd.DataFrame(

@@ -38,6 +38,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _pairs_df(pairs_ds, dtypes: dict[str, str]) -> pd.DataFrame:
+    """Pair-op Datasets → canonically-sorted driver pandas (the sf-scale
+    convenience; at corpus scale pair results stream to a sink instead).
+    An all-empty Dataset loses its schema on to_pandas → rebuild typed."""
+    df = pairs_ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in dtypes.items()})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def round6(v):
     """Round half-AWAY-from-zero to 6 dp — matches DuckDB/SQL ROUND so
     oracle-gated float columns hash identically (numpy/python round
@@ -579,15 +589,30 @@ def q_bloom_membership(sf_dir: str) -> pa.Table:
 
 
 def q_neardup_pairs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs with exact shingle-Jaccard verify.
+
+    ORACLE-GATED end-to-end: the DuckDB oracle computes ALL-PAIRS exact
+    5-gram Jaccard (chr(1)-padded windows mirroring the engine's
+    zero-padded byte windows — the corpus is pure ASCII with no control
+    chars, so char windows == byte windows and pad identity is
+    preserved), and the engine must find every pair ≥ threshold — i.e.
+    the gate also proves LSH recall is total on this corpus, not just
+    that verified pairs are correct. Jaccard emits round6 on both sides
+    (the division inputs |A∩B|, |A∪B| are identical integers, so the
+    raw quotients already agree bit-for-bit)."""
     from .ops.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16)
+    pairs = _pairs_df(
+        minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16),
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"},
+    )
     return pa.table(
         {
-            "id_a": pa.array(pairs["id_a"].astype("int64") if len(pairs) else [], pa.int64()),
-            "id_b": pa.array(pairs["id_b"].astype("int64") if len(pairs) else [], pa.int64()),
-            "jaccard": pa.array(pairs["jaccard"] if len(pairs) else [], pa.float64()),
+            "id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
+            "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
+            "jaccard": pa.array(round6(pairs["jaccard"].to_numpy(np.float64)),
+                                pa.float64()),
         }
     )
 
@@ -603,7 +628,8 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     from .ops.dedup import embedding_neardup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_neardup(ds, threshold=0.45)
+    pairs = _pairs_df(embedding_neardup(ds, threshold=0.45),
+                      {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
     return pa.table(
         {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
          "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
@@ -669,15 +695,24 @@ def q_hash_sample(sf_dir: str) -> pa.Table:
 
 
 def q_quality_scores(sf_dir: str) -> pa.Table:
+    """Per-doc pretraining-quality heuristics, ORACLE-GATED: the ratio
+    definitions (whitespace-token count, [^\\w\\s] punctuation ratio,
+    stopword hit ratio, and the composite score) are replicated in DuckDB
+    with identical IEEE expression order; floats emit round6 on both
+    sides. ASCII corpus → python-re \\w ≡ RE2 \\w."""
     from .ops.text import QualityScorer
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(QualityScorer(), batch_format="pyarrow").select_columns(
         ["doc_id", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_score"]
     ).sort("doc_id")
-    return pa.concat_tables(
+    t = pa.concat_tables(
         [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
     )
+    for c in ("q_punct_ratio", "q_stop_ratio", "q_score"):
+        t = t.set_column(t.schema.get_field_index(c), c,
+                         pa.array(round6(t[c].to_numpy()), pa.float64()))
+    return t
 
 
 def q_lang_id(sf_dir: str) -> pa.Table:
@@ -785,7 +820,8 @@ def q_simhash_neardup(sf_dir: str) -> pa.Table:
     from .ops.dedup import simhash_neardup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simhash_neardup_pairs(ds, max_hamming=3)
+    pairs = _pairs_df(simhash_neardup_pairs(ds, max_hamming=3),
+                      {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
     return pa.table(
         {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
          "id_b": pa.array(pairs["id_b"].astype("int64"), pa.int64()),
@@ -1026,9 +1062,20 @@ def q_nation_revenue(sf_dir: str) -> pa.Table:
 
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # SIZE CONTRACT: the orders (orderkey, nationkey) projection is
+    # materialized because it feeds the join AND is ~10x narrower/smaller
+    # than lineitem (TPC-H shape: ~4 lineitems/order, 2 int64 cols). It
+    # pins |orders| x 16 B in the object store — distributed and
+    # spill-capable, so correct at any scale, but at ~100x data a planner
+    # may prefer re-deriving it per join partition instead of pinning;
+    # the guard below makes the assumption explicit rather than silent.
     orders_nk = broadcast_lookup_join(
         orders, customer, "o_custkey", "c_custkey", ["c_nationkey"]
     ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+    assert orders_nk.size_bytes() < 8 << 30, (
+        "orders projection exceeds the documented pin budget (8 GiB); "
+        "drop the materialize and let the join re-read orders"
+    )
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1076,8 +1123,14 @@ def q_sink_roundtrip(sf_dir: str) -> pa.Table:
     out = ds.map_batches(TokenCounter(), batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens_ws"]
     )
+    # per-process path: two concurrent sessions over the same corpus must
+    # not race on one sink directory (uuid, not just pid: pids recycle)
+    import uuid
+
     path = os.path.join(
-        "/tmp/raysketch_sinks", f"token_counts_{os.path.basename(os.path.normpath(sf_dir))}"
+        "/tmp/raysketch_sinks",
+        f"token_counts_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}",
     )
     write_dataset(out, path)
     back = read_back(path).sort("doc_id")
@@ -1231,6 +1284,16 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprints": q_fingerprints,
 }
 
+def _sw_sql(langs: list[str] | None = None) -> str:
+    """SQL IN-list of the text-ops stopwords (same source of truth as
+    ops.text._STOPWORDS, so the oracle can never drift from the engine)."""
+    from .ops.text import _STOPWORDS
+
+    words = (sorted(set().union(*_STOPWORDS.values())) if langs is None
+             else sorted(set().union(*(_STOPWORDS[l] for l in langs))))
+    return ", ".join(f"'{w}'" for w in words)
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_stats_by_lang": """
         SELECT lang,
@@ -1314,6 +1377,33 @@ ORACLE_SQL: dict[str, str] = {
                CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
                CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
         FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "neardup_pairs": """
+        -- exact all-pairs 5-gram Jaccard >= 0.5: the engine's byte-window
+        -- shingles over text + 4 zero pad bytes map 1:1 to char windows of
+        -- text || chr(1)-pad on this ASCII corpus (no \\x00/\\x01 in text),
+        -- so distinct-window SETS are identical; 64-bit shingle hashing is
+        -- collision-free at this vocabulary (sparse-exact rule). The gate
+        -- also proves LSH recall: the oracle enumerates EVERY pair.
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               round(ninter::DOUBLE / (sa.n + sb.n - ninter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
+        ORDER BY id_a, id_b
     """,
     "embedding_neardup": """
         WITH sims AS (
@@ -1402,6 +1492,62 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
                  AS n_tokens_ws
         FROM documents ORDER BY doc_id
+    """,
+    "quality_scores": f"""
+        -- the engine's QualityScorer ratio definitions with identical
+        -- IEEE expression order (ASCII corpus: python-re \\w == RE2 \\w);
+        -- round6 both sides
+        WITH w AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+                 length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n_chars, punct, len(ws) AS n_words,
+                 len(list_filter(ws, x -> lower(x) IN ({_sw_sql()}))) AS stop_hits,
+                 coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS total_wlen
+          FROM w
+        )
+        SELECT doc_id,
+          CAST(n_words AS BIGINT) AS q_n_words,
+          round(punct::DOUBLE / greatest(n_chars, 1), 6) AS q_punct_ratio,
+          round(stop_hits::DOUBLE / greatest(n_words, 1), 6) AS q_stop_ratio,
+          round(least(greatest(
+              0.5 * least(greatest((stop_hits::DOUBLE / greatest(n_words,1)) * 3, 0), 1)
+            + 0.3 * least(greatest(1 - abs((total_wlen::DOUBLE / greatest(n_words,1)) - 5) / 5, 0), 1)
+            + 0.2 * least(greatest(1 - (punct::DOUBLE / greatest(n_chars,1)) * 4, 0), 1),
+            0), 1), 6) AS q_score
+        FROM s ORDER BY doc_id
+    """,
+    "lang_id": f"""
+        -- the engine's stopword-hit-rate classifier: scores share one
+        -- denominator, so comparing hit COUNTS reproduces the strict
+        -- first-wins tie-break over (en, de, es, fr); all-zero hits (or
+        -- no words) -> 'und'. The CJK branch cannot fire on this ASCII
+        -- corpus (zero CJK chars), matching the engine's behavior on it.
+        WITH w AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                x -> lower(x)) AS ws
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, len(ws) AS nw,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['en'])}))) AS en_h,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['de'])}))) AS de_h,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['es'])}))) AS es_h,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['fr'])}))) AS fr_h
+          FROM w
+        )
+        SELECT doc_id,
+          CASE WHEN nw = 0 THEN 'und'
+               WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+               WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h THEN 'en'
+               WHEN de_h >= es_h AND de_h >= fr_h THEN 'de'
+               WHEN es_h >= fr_h THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM s ORDER BY doc_id
     """,
     "monitor_rollup": """
         WITH ordered AS (

@@ -61,7 +61,7 @@ def test_minhash_dedup_finds_injected_neardups(ray_session):
     texts = base + [base[i].replace("detail", "detaiL") for i in range(5)]
     ids = list(range(len(texts)))
     ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
-    pairs = dd.minhash_dedup_pairs(ds, threshold=0.6, num_perm=64, bands=16)
+    pairs = dd.minhash_dedup_pairs(ds, threshold=0.6, num_perm=64, bands=16).to_pandas()
     found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     for i in range(5):
         assert (i, 40 + i) in found, (i, found)

@@ -170,7 +170,8 @@ class TestEmbeddingNeardupRouting:
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
         exact = exact_cosine_pairs(ds, threshold=0.45)
-        routed = embedding_neardup(ds, threshold=0.45)
+        routed = embedding_neardup(ds, threshold=0.45).to_pandas()
+        routed = routed.sort_values(["id_a", "id_b"]).reset_index(drop=True)
         assert routed.values.tolist() == exact.values.tolist()
 
     def test_lsh_sparse_regime_planted_neardups(self, ray_session):
@@ -195,7 +196,7 @@ class TestEmbeddingNeardupRouting:
         })
         ds = rd.from_arrow(t)
         exact = exact_cosine_pairs(ds, threshold=0.9)
-        lsh = embedding_neardup_lsh(ds, threshold=0.9)
+        lsh = embedding_neardup_lsh(ds, threshold=0.9).to_pandas()
         e = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
         l = set(map(tuple, lsh[["id_a", "id_b"]].values.tolist()))
         assert len(e) >= 25  # the plant worked
@@ -257,7 +258,8 @@ class TestPartitionedSink:
                           partition_cols=["lang"])
         import os
 
-        assert sorted(os.listdir(p)) == ["lang=de", "lang=en", "lang=fr"]
+        assert sorted(os.listdir(p)) == ["_SUCCESS", "lang=de", "lang=en",
+                                         "lang=fr"]
         back = read_back(p).to_pandas().sort_values("v").reset_index(drop=True)
         assert back["v"].tolist() == [1, 2, 3, 4]
 
