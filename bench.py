@@ -167,9 +167,24 @@ def measure_errors() -> dict:
     return out
 
 
+def _warm_join_pool() -> None:
+    """Spawn the hash-shuffle aggregator actor pool once before any timed
+    join query: Ray's native partitioned join creates its aggregators per
+    call, and the first join in a fresh session otherwise pays multi-
+    second worker spawn that a long-lived cluster's pool never sees
+    (CLAUDE.md round-2 facts). One tiny 8-partition join matches the
+    npart the query joins use."""
+    import ray.data as rd
+
+    a = rd.from_items([{"k": 1, "x": 1}])
+    b = rd.from_items([{"k": 1, "y": 2}])
+    a.join(b, "inner", 8, on=("k",)).materialize()
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__
 
+    _warm_join_pool()
     out: dict[str, float] = {}
     for name, fn in __ray_entry__.queries().items():
         if name in SKIP_QUERIES:

@@ -21,6 +21,9 @@ Scale design notes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import json
+import os
+import time
 from typing import Any
 
 import numpy as np
@@ -358,12 +361,27 @@ def minhash_dedup_pairs(
         )
 
     band_rows = ds.select_columns([id_col, text_col]).map_batches(band_stage, **kwargs)
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
     cand = lsh_candidate_pairs(band_rows, id_col).materialize()
     if cand.count() == 0:
-        return _as_pairs_ds(empty)
+        return _as_pairs_ds(_EMPTY_JACCARD_PAIRS())
+    return _minhash_verify_candidates(ds, cand, text_col, id_col, threshold,
+                                      num_perm, shingle_k)
+
+
+def _EMPTY_JACCARD_PAIRS() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                         "id_b": pd.Series([], dtype="int64"),
+                         "jaccard": pd.Series([], dtype="float64")})
+
+
+def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
+                               threshold: float, num_perm: int,
+                               shingle_k: int):
+    """Stages 3-4 of :func:`minhash_dedup_pairs` (payload gather joins +
+    estimate filter + exact shingle-Jaccard verify) — shared by the
+    one-shot pipeline and the checkpointed one, so resume runs verify
+    byte-identically. ``cand`` must be materialized and non-empty."""
+    empty = _EMPTY_JACCARD_PAIRS()
 
     # payloads only for candidate docs, restricted by a BLOOM of the
     # candidate ids (bits broadcast, never an id set — the driver holds
@@ -451,6 +469,142 @@ def minhash_dedup_pairs(
     return attach_pair_payloads(surv, sh_side, num_partitions=npart).map_batches(
         verify, batch_format="pandas"
     )
+
+
+def minhash_dedup_pairs_checkpointed(
+    shard_paths: list[str],
+    checkpoint_root: str,
+    job_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    max_in_flight: int = 16,
+    _fail_after: str | None = None,
+):
+    """Resumable near-dup pipeline with stage-keyed checkpoints (the
+    dedup analog of ``engine.checkpoint.run_with_checkpoint``; BASELINE.md
+    §2 resumability contract). A killed run re-submitted with the same
+    ``job_id`` skips finished work and produces identical final pairs.
+
+    Checkpoint layout under ``checkpoint_root/job_id``:
+
+    - ``stage_bands/part-<pid>.parquet`` + ``manifest/bands-<pid>.json``
+      — per input SHARD band rows (deterministic per shard: the minhash
+      families are seed-fixed, so a shard's band rows are identical on
+      every run). Lineage + metrics (input file, rows, wall seconds) ride
+      the manifest; partials publish atomically (tmp + rename).
+    - ``stage_candidates/`` / ``stage_verified/`` — the two GLOBAL-
+      shuffle stage outputs as ``engine.sinks.write_dataset`` directories
+      (atomic ``_SUCCESS`` publish); a stage directory with a marker is
+      skipped wholesale on resume. Candidate/verify shuffles are not
+      shard-decomposable (any pair may span shards), so stage granularity
+      is the honest resume unit for them.
+
+    Returns the verified-pairs DATASET read back from the final stage
+    sink. ``_fail_after`` (tests only) raises after the named stage
+    commits, simulating a mid-job kill."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq_mod
+
+    from ..engine import sinks
+
+    base = os.path.join(checkpoint_root, job_id)
+    bands_dir = os.path.join(base, "stage_bands")
+    manifest_dir = os.path.join(base, "manifest")
+    cand_dir = os.path.join(base, "stage_candidates")
+    ver_dir = os.path.join(base, "stage_verified")
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(manifest_dir, exist_ok=True)
+
+    # -- stage A: per-shard band rows (skip finished shards) ---------------
+    def shard_done(pid: str) -> bool:
+        mpath = os.path.join(manifest_dir, f"bands-{pid}.json")
+        ppath = os.path.join(bands_dir, f"part-{pid}.parquet")
+        try:
+            with open(mpath) as f:
+                json.load(f)
+            pq_mod.read_schema(ppath)
+            return True
+        except Exception:
+            return False  # degrade gracefully: recompute this shard
+
+    hasher = MinHasher(text_col, id_col, num_perm, bands, shingle_k)
+
+    @ray.remote(num_cpus=1)
+    def build_shard(pid: str, path: str) -> tuple[str, int, float]:
+        t0 = time.monotonic()
+        t = pq_mod.read_table(path, columns=[id_col, text_col])
+        rows = hasher(t)
+        final = os.path.join(bands_dir, f"part-{pid}.parquet")
+        tmp = final + ".tmp"
+        pq_mod.write_table(rows, tmp)
+        os.replace(tmp, final)  # atomic publish
+        return pid, t.num_rows, time.monotonic() - t0
+
+    todo = []
+    for p in shard_paths:
+        pid = os.path.basename(p).replace(".parquet", "")
+        if not shard_done(pid):
+            todo.append((pid, p))
+    pending = {}
+    idx = 0
+    while idx < len(todo) or pending:
+        while idx < len(todo) and len(pending) < max_in_flight:
+            pid, path = todo[idx]
+            pending[build_shard.remote(pid, path)] = path
+            idx += 1
+        ready, _ = ray.wait(list(pending), num_returns=1)
+        for ref in ready:
+            path = pending.pop(ref)
+            pid, n_rows, wall = ray.get(ref)
+            mtmp = os.path.join(manifest_dir, f"bands-{pid}.json.tmp")
+            with open(mtmp, "w") as f:
+                json.dump({"stage": "bands", "partition_id": pid,
+                           "input_file": path, "rows": int(n_rows),
+                           "wall_sec": wall}, f)
+            os.replace(mtmp, os.path.join(manifest_dir, f"bands-{pid}.json"))
+    if _fail_after == "bands":
+        raise RuntimeError("simulated kill after stage bands")
+
+    def _write_stage(pairs_ds, path: str, empty_df: pd.DataFrame) -> None:
+        """Sink a stage output atomically; an empty result still publishes
+        a typed parquet file so read_back keeps the schema."""
+        m = pairs_ds.materialize()
+        if m.count() > 0:
+            sinks.write_dataset(m, path)
+        else:
+            sinks.write_dataset(_as_pairs_ds(empty_df), path)
+
+    def _stage_complete(path: str) -> bool:
+        return os.path.exists(os.path.join(path, sinks.SUCCESS_MARKER))
+
+    # -- stage B: LSH candidate pairs (global shuffle) ---------------------
+    if not _stage_complete(cand_dir):
+        band_ds = rd.read_parquet(bands_dir)
+        _write_stage(
+            lsh_candidate_pairs(band_ds, id_col), cand_dir,
+            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")}))
+    if _fail_after == "candidates":
+        raise RuntimeError("simulated kill after stage candidates")
+
+    # -- stage C: payload gather + estimate filter + exact verify ----------
+    if not _stage_complete(ver_dir):
+        cand = sinks.read_back(cand_dir).materialize()
+        if cand.count() == 0:
+            _write_stage(_as_pairs_ds(_EMPTY_JACCARD_PAIRS()), ver_dir,
+                         _EMPTY_JACCARD_PAIRS())
+        else:
+            docs = rd.read_parquet(shard_paths, columns=[id_col, text_col])
+            _write_stage(
+                _minhash_verify_candidates(docs, cand, text_col, id_col,
+                                           threshold, num_perm, shingle_k),
+                ver_dir, _EMPTY_JACCARD_PAIRS())
+    return sinks.read_back(ver_dir)
 
 
 # ---------------------------------------------------------------------------

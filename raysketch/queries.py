@@ -1225,12 +1225,23 @@ def q_media_features(sf_dir: str) -> pa.Table:
 
 
 def q_fingerprints(sf_dir: str) -> pa.Table:
+    """Rabin–Karp min-sampled document fingerprints, ORACLE-GATED: the
+    64-bit polynomial window hash is replicated in DuckDB with HUGEINT
+    modular arithmetic (precomputed base powers mod 2^64; ASCII corpus →
+    ord(char) == byte, and every doc is ≥ window bytes so the short-doc
+    path never fires). The gate covers the min AND the full sorted top-8
+    sample (as a CSV column), so every kept window hash is checked."""
     from .ops.text import fingerprint_batch
 
+    def with_csv(b: pa.Table) -> pa.Table:
+        b = fingerprint_batch(b)
+        csv = [",".join(str(x) for x in fp) for fp in b["fingerprints"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "fingerprint": b["fingerprint"],
+                         "fingerprints_csv": pa.array(csv, pa.string())})
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(
-        lambda b: fingerprint_batch(b), batch_format="pyarrow"
-    ).select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+    out = ds.map_batches(with_csv, batch_format="pyarrow").sort("doc_id")
     return pa.concat_tables(
         [b for b in out.iter_batches(batch_size=65536, batch_format="pyarrow")]
     )
@@ -1283,6 +1294,22 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_features": q_media_features,
     "fingerprints": q_fingerprints,
 }
+
+def _fp_window_hash_sql(window: int = 16) -> str:
+    """SQL expression for the engine's Rabin–Karp window hash at char
+    position ``i``: sum_j ord(text[i+j]) * BASE^(w-1-j) mod 2^64, with the
+    base powers precomputed mod 2^64 (same source of truth as
+    ops.text._FP_BASE) and the sum carried in HUGEINT before the mod."""
+    from .ops.text import _FP_BASE
+
+    m = 1 << 64
+    terms = " + ".join(
+        f"CAST(ord(substr(text, CAST(i + {j} AS INTEGER), 1)) AS HUGEINT)"
+        f" * {pow(int(_FP_BASE), window - 1 - j, m)}::HUGEINT"
+        for j in range(window)
+    )
+    return f"CAST((({terms}) % 18446744073709551616::HUGEINT) AS UBIGINT)"
+
 
 def _sw_sql(langs: list[str] | None = None) -> str:
     """SQL IN-list of the text-ops stopwords (same source of truth as
@@ -1548,6 +1575,27 @@ ORACLE_SQL: dict[str, str] = {
                WHEN es_h >= fr_h THEN 'es'
                ELSE 'fr' END AS lang_pred
         FROM s ORDER BY doc_id
+    """,
+    "fingerprints": f"""
+        -- the engine's 64-bit Rabin-Karp window hash in HUGEINT modular
+        -- arithmetic (powers of the base precomputed mod 2^64); gates the
+        -- min AND the sorted top-8 min-sample per doc. Assumes the corpus
+        -- contract this table satisfies: ASCII text, every doc >= 16 chars.
+        WITH win AS (
+          SELECT doc_id, {_fp_window_hash_sql()} AS h
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 15)) AS i
+                FROM documents)
+        ),
+        u AS (SELECT DISTINCT doc_id, h FROM win),
+        r AS (SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+              FROM u)
+        SELECT doc_id,
+               min(h) AS fingerprint,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprints_csv
+        FROM r WHERE rn <= 8
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "monitor_rollup": """
         WITH ordered AS (

@@ -1,0 +1,310 @@
+"""Round-3 items: Dataset-returning pair ops + pair sinks, checkpointed
+minhash dedup with kill/resume, atomic sink markers, checkpoint
+hash-family recompute, window partial saturation, and the vectorized
+fingerprint/lang-id kernels (pinned against the former per-doc
+reference implementations)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import raysketch.ops.dedup as dd
+from raysketch.ops.text import _FP_BASE, LangId, fingerprint_batch
+
+
+# ---------------------------------------------------------------------------
+# pair ops return Datasets; pair results sink + read back
+# ---------------------------------------------------------------------------
+
+class TestPairDatasets:
+    def test_minhash_pairs_dataset_sinks_and_reads_back(
+        self, ray_session, sf_dir, tmp_path
+    ):
+        import ray.data as rd
+
+        from raysketch.engine.sinks import read_back, write_dataset
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        pairs = dd.minhash_dedup_pairs(docs, threshold=0.5, num_perm=64,
+                                       bands=16)
+        assert isinstance(pairs, rd.Dataset)
+        direct = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(
+            drop=True)
+        p = str(tmp_path / "pairs")
+        write_dataset(pairs, p)
+        back = read_back(p).to_pandas().sort_values(["id_a", "id_b"]).reset_index(
+            drop=True)
+        assert back.equals(direct)
+        assert len(back) > 0
+
+    def test_simhash_and_embedding_lsh_return_datasets(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["aaa bbb ccc", "zzz yyy xxx"])})
+        assert isinstance(dd.simhash_neardup_pairs(rd.from_arrow(t)), rd.Dataset)
+        rng = np.random.default_rng(3)
+        v = rng.standard_normal((20, 8))
+        e = pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                      "embedding": pa.array([x.tolist() for x in v],
+                                            pa.list_(pa.float64()))})
+        assert isinstance(dd.embedding_neardup_lsh(rd.from_arrow(e)), rd.Dataset)
+        assert isinstance(dd.embedding_neardup(rd.from_arrow(e), threshold=0.2),
+                          rd.Dataset)  # exact route wraps to a Dataset too
+
+
+# ---------------------------------------------------------------------------
+# checkpointed minhash dedup: kill/resume with identical final pairs
+# ---------------------------------------------------------------------------
+
+class TestMinhashCheckpointed:
+    @pytest.fixture(scope="class")
+    def shards(self, sf_dir, tmp_path_factory):
+        """sf0.001 documents split into 3 shard files (the resume unit)."""
+        root = tmp_path_factory.mktemp("shards")
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        paths = []
+        n = t.num_rows
+        for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                      (2 * n // 3, n)]):
+            p = str(root / f"shard-{i}.parquet")
+            pq.write_table(t.slice(lo, hi - lo), p)
+            paths.append(p)
+        return paths
+
+    def test_uninterrupted_equals_oneshot(self, ray_session, shards, tmp_path):
+        import ray.data as rd
+
+        out = dd.minhash_dedup_pairs_checkpointed(
+            shards, str(tmp_path), "job-full", threshold=0.5, num_perm=64,
+            bands=16,
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        oneshot = dd.minhash_dedup_pairs(
+            rd.read_parquet(shards, columns=["doc_id", "text"]),
+            threshold=0.5, num_perm=64, bands=16,
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert out.equals(oneshot)
+        assert len(out) > 0
+        # lineage manifests cover every shard
+        mdir = os.path.join(str(tmp_path), "job-full", "manifest")
+        manifests = [json.load(open(os.path.join(mdir, f)))
+                     for f in sorted(os.listdir(mdir))]
+        assert {m["input_file"] for m in manifests} == set(shards)
+        assert all(m["rows"] > 0 and "wall_sec" in m for m in manifests)
+
+    def test_kill_after_bands_resumes_without_recompute(
+        self, ray_session, shards, tmp_path
+    ):
+        root = str(tmp_path)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            dd.minhash_dedup_pairs_checkpointed(
+                shards, root, "job-killed", threshold=0.5, num_perm=64,
+                bands=16, _fail_after="bands",
+            )
+        bands_dir = os.path.join(root, "job-killed", "stage_bands")
+        before = {f: os.stat(os.path.join(bands_dir, f)).st_mtime_ns
+                  for f in os.listdir(bands_dir)}
+        assert len(before) == 3  # all shards finished before the kill
+        assert not os.path.exists(os.path.join(
+            root, "job-killed", "stage_verified", "_SUCCESS"))
+        resumed = dd.minhash_dedup_pairs_checkpointed(
+            shards, root, "job-killed", threshold=0.5, num_perm=64, bands=16,
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        after = {f: os.stat(os.path.join(bands_dir, f)).st_mtime_ns
+                 for f in os.listdir(bands_dir)}
+        assert after == before  # finished shard work was SKIPPED, not redone
+        fresh = dd.minhash_dedup_pairs_checkpointed(
+            shards, root, "job-fresh", threshold=0.5, num_perm=64, bands=16,
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert resumed.equals(fresh)  # identical final pairs
+
+    def test_kill_after_candidates_skips_both_stages(
+        self, ray_session, shards, tmp_path
+    ):
+        root = str(tmp_path)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            dd.minhash_dedup_pairs_checkpointed(
+                shards, root, "job-k2", threshold=0.5, num_perm=64,
+                bands=16, _fail_after="candidates",
+            )
+        cdir = os.path.join(root, "job-k2", "stage_candidates")
+        assert os.path.exists(os.path.join(cdir, "_SUCCESS"))
+        stamp = os.stat(os.path.join(cdir, "_SUCCESS")).st_mtime_ns
+        out = dd.minhash_dedup_pairs_checkpointed(
+            shards, root, "job-k2", threshold=0.5, num_perm=64, bands=16,
+        ).to_pandas()
+        assert os.stat(os.path.join(cdir, "_SUCCESS")).st_mtime_ns == stamp
+        assert len(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# sink atomicity
+# ---------------------------------------------------------------------------
+
+class TestSinkAtomicity:
+    def test_read_back_refuses_unmarked_dir(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from raysketch.engine.sinks import read_back, write_dataset
+
+        t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+        p = str(tmp_path / "out")
+        write_dataset(rd.from_arrow(t), p)
+        assert read_back(p).count() == 3
+        os.remove(os.path.join(p, "_SUCCESS"))
+        with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+            read_back(p)
+
+    def test_overwrite_leaves_no_staging(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from raysketch.engine.sinks import read_back, write_dataset
+
+        p = str(tmp_path / "out")
+        for vals in ([1, 2], [7, 8, 9]):
+            write_dataset(
+                rd.from_arrow(pa.table({"a": pa.array(vals, pa.int64())})), p)
+        assert read_back(p).count() == 3
+        leftovers = [n for n in os.listdir(str(tmp_path))
+                     if n.startswith(".staging-")]
+        assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# checkpoint hash-family drift degrades to recompute
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_family_drift_recomputes(ray_session, sf_dir, tmp_path):
+    import functools
+    import glob
+
+    from raysketch.engine.checkpoint import CheckpointStore, run_with_checkpoint
+    from raysketch.engine.udaf import SketchSpec
+    from raysketch.sketches import HyperLogLog
+
+    store = CheckpointStore(str(tmp_path), "fam-job")
+    shards = [os.path.join(sf_dir, "documents.parquet")]
+    specs = [SketchSpec("d", "text", functools.partial(HyperLogLog, 14))]
+    res1 = run_with_checkpoint(shards, specs, store)
+    assert len(store.done_partitions()) == 1
+    # simulate a hash-backend change between submit and resume
+    mf = glob.glob(os.path.join(store.manifest_dir, "*.json"))[0]
+    m = json.load(open(mf))
+    m["hash_family"] = "polars-0.0.1|pandas-0.0.1"
+    with open(mf, "w") as f:
+        json.dump(m, f)
+    assert store.done_partitions() == set()  # stale family => not done
+    res2 = run_with_checkpoint(shards, specs, store)  # recomputes, no raise
+    key = next(iter(res1))
+    assert res1[key].estimate() == res2[key].estimate()
+    assert len(store.done_partitions()) == 1  # manifest re-stamped current
+
+
+# ---------------------------------------------------------------------------
+# windowed-add partial sums saturate (never wrap) at the int64 bound
+# ---------------------------------------------------------------------------
+
+def test_time_series_window_partial_saturation(ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.window import time_series_window
+
+    big = 2 ** 62
+    t = pa.table({
+        "k": pa.array(["a"] * 6),
+        "ts": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "v": pa.array([big, big, big, big, 5, 7], pa.int64()),
+    })
+    out = time_series_window(rd.from_arrow(t), "k", "ts", "v",
+                             ns_per_row=100, rows=2).to_pandas()
+    vals = out["values"].iloc[0]
+    assert vals[-1] == 2 ** 63 - 1  # 4*2^62 + 12 saturates at INT64_MAX
+
+
+def test_sat64_boundary_values():
+    from raysketch.ops.window import _sat64
+
+    imax, imin = 2 ** 63 - 1, -(2 ** 63)
+    got = _sat64(np.array([0.0, 1e19, -1e19, float(imax), float(imin), 42.5]))
+    assert got.tolist() == [0, imax, imin, imax, imin, 42]
+
+
+# ---------------------------------------------------------------------------
+# vectorized fingerprint == the former per-doc reference implementation
+# ---------------------------------------------------------------------------
+
+def _fingerprint_reference(texts, window=16, keep=8):
+    """The pre-vectorization per-doc implementation, kept as the golden
+    pin for the padded-blob rewrite."""
+    fps, mins = [], []
+    for t in texts:
+        data = (t or "").encode("utf-8")
+        if len(data) < window:
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for b in data:
+                    h = h * _FP_BASE + np.uint64(b)
+            fps.append([int(h)])
+            mins.append(int(h))
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pows = _FP_BASE ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(arr, window)
+            hashes = (win * pows).sum(axis=1)
+        smallest = np.sort(np.unique(hashes))[:keep]
+        fps.append([int(x) for x in smallest])
+        mins.append(int(smallest[0]))
+    return fps, mins
+
+
+def test_fingerprint_vectorized_matches_reference(sf_dir):
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text"])
+    texts = t["text"].to_pylist() + [
+        "", "x", "short", "exactly16bytes!!", "a" * 15, "a" * 16, "a" * 17,
+        None, "répété çà et là",  # multi-byte utf-8 crosses the pad logic
+    ]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = fingerprint_batch(batch)
+    ref_fps, ref_mins = _fingerprint_reference(texts)
+    assert out["fingerprints"].to_pylist() == ref_fps
+    assert out["fingerprint"].to_pylist() == ref_mins
+
+
+def test_fingerprint_empty_batch():
+    out = fingerprint_batch(pa.table({"text": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out["fingerprints"].type == pa.list_(pa.uint64())
+
+
+# ---------------------------------------------------------------------------
+# vectorized LangId keeps the scan semantics (first-wins ties, zh, und)
+# ---------------------------------------------------------------------------
+
+def test_langid_vectorized_semantics():
+    li = LangId()
+    cases = {
+        "": "und",
+        "the and of to a in": "en",
+        "der die das und ist": "de",
+        "el la que y en un": "es",
+        "le les des et une pour": "fr",
+        "zzz qqq www": "und",            # words but zero stopword hits
+        "12345 !!! ???": "und",          # no latin words at all
+        "中文中文中文中文中文 x": "zh",     # CJK ratio over 5%
+        "the der": "en",                 # tie -> first language in order
+        "der the": "en",
+        "und der die el": "de",          # de 3/4 beats es 1/4
+    }
+    batch = pa.table({"text": pa.array(list(cases), pa.string())})
+    preds = li(batch)["lang_pred"].to_pylist()
+    assert preds == list(cases.values())
+    assert li.classify("the and of") == "en"  # single-doc path shares kernel
