@@ -83,13 +83,34 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     narrow = ds.map_batches(hash_and_bucket, batch_format="pyarrow")
 
+    # map-side pre-reduce BEFORE any shuffle: one winner row per
+    # (block, content_hash) — min-of-mins associativity makes the global
+    # fold correct over these partials, and the shuffle/fold input drops
+    # from N rows to <= blocks x distinct-per-block.
+    def block_winners(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df.groupby("content_hash", sort=False)[id_col].idxmin()]
+
+    partials = narrow.map_batches(block_winners, batch_format="pandas").materialize()
+
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
         winners = df.loc[df.groupby("content_hash", sort=False)[id_col].idxmin()]
         return winners[[id_col]].rename(columns={id_col: "__win_id"})
 
-    winners = narrow.groupby("hash_bucket").map_groups(
-        keep_first, batch_format="pandas"
-    ).materialize()  # narrow ids only; needed twice (count + join side)
+    n_partials = partials.count()
+    if n_partials == 0:
+        return ds  # empty input dedups to itself
+    if n_partials <= broadcast_limit:
+        # small partial volume: ONE vectorized driver fold replaces the
+        # sort shuffle (same size contract as the broadcast output join —
+        # the fold input is the narrow winner-partial table, not rows)
+        import ray.data as rd
+
+        winners = rd.from_arrow(pa.Table.from_pandas(
+            keep_first(partials.to_pandas()), preserve_index=False))
+    else:
+        winners = partials.groupby("hash_bucket").map_groups(
+            keep_first, batch_format="pandas"
+        ).materialize()  # narrow ids only; needed twice (count + join side)
     if winners.count() <= broadcast_limit:
         from .join import broadcast_semi_join
 
@@ -202,14 +223,23 @@ class MinHasher:
 _COARSE_BUCKETS = 256
 
 
-def lsh_candidate_pairs(band_rows_ds, id_col: str = "doc_id"):
-    """(band, band_hash) buckets → unique candidate id pairs (a < b).
+def lsh_candidate_pairs(band_rows_ds, id_col: str = "doc_id",
+                        dedupe: bool = True):
+    """(band, band_hash) buckets → candidate id pairs (a < b).
 
     The shuffle key is a COARSE bucket (band_hash mod 256), not the raw
     bucket: group count stays bounded regardless of corpus size, and each
     reduce task resolves its real buckets with one vectorized pandas
     groupby (per-tiny-bucket map_groups calls would dominate at scale).
-    Pair dedup is a second coarse groupby on the pair key.
+
+    ``dedupe=True`` adds a second coarse groupby on the pair key to drop
+    cross-band duplicates. Verify pipelines pass ``dedupe=False`` and
+    dedupe AFTER verification instead (:func:`_dedupe_pairs`): a pair
+    colliding in b bands appears ~E[b | ≥1] ≈ 1.3× on average, so
+    deduping the RESULT-scale verified set costs a tiny shuffle while
+    deduping the candidate set costs a full candidate-volume sort — the
+    ~30% duplicated verify work is vectorized and cheaper than the
+    shuffle it replaces at every scale measured.
     """
 
     def add_coarse(batch: pa.Table) -> pa.Table:
@@ -244,20 +274,30 @@ def lsh_candidate_pairs(band_rows_ds, id_col: str = "doc_id"):
     cand = band_rows_ds.map_batches(add_coarse, batch_format="pyarrow").groupby(
         "coarse"
     ).map_groups(pairs, batch_format="pandas")
+    if not dedupe:
+        return cand
+    return _dedupe_pairs(cand)
 
-    def pair_coarse(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
-        key = pc.bit_wise_and(
-            pc.bit_wise_xor(
-                pc.multiply(batch["id_a"], pa.scalar(2654435761, pa.int64())),
-                batch["id_b"],
-            ),
-            pa.scalar(_COARSE_BUCKETS - 1, pa.int64()),
-        )
-        return batch.append_column("pc", key)
+def _add_pair_coarse(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
 
-    return cand.map_batches(pair_coarse, batch_format="pyarrow").groupby("pc").map_groups(
+    key = pc.bit_wise_and(
+        pc.bit_wise_xor(
+            pc.multiply(batch["id_a"], pa.scalar(2654435761, pa.int64())),
+            batch["id_b"],
+        ),
+        pa.scalar(_COARSE_BUCKETS - 1, pa.int64()),
+    )
+    return batch.append_column("pc", key)
+
+
+def _dedupe_pairs(pairs_ds):
+    """Global (id_a, id_b) dedup via one coarse pair-key groupby; keeps
+    every non-key column of the first occurrence."""
+    return pairs_ds.map_batches(_add_pair_coarse, batch_format="pyarrow").groupby(
+        "pc"
+    ).map_groups(
         lambda df: df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pc"]),
         batch_format="pandas",
     )
@@ -361,7 +401,10 @@ def minhash_dedup_pairs(
         )
 
     band_rows = ds.select_columns([id_col, text_col]).map_batches(band_stage, **kwargs)
-    cand = lsh_candidate_pairs(band_rows, id_col).materialize()
+    # dedupe=False: cross-band duplicate candidates are cheaper to carry
+    # through the (vectorized) verify than to sort out of the full
+    # candidate stream; the verify stage dedupes at result scale
+    cand = lsh_candidate_pairs(band_rows, id_col, dedupe=False).materialize()
     if cand.count() == 0:
         return _as_pairs_ds(_EMPTY_JACCARD_PAIRS())
     return _minhash_verify_candidates(ds, cand, text_col, id_col, threshold,
@@ -374,13 +417,61 @@ def _EMPTY_JACCARD_PAIRS() -> pd.DataFrame:
                          "jaccard": pd.Series([], dtype="float64")})
 
 
+_DIRECT_VERIFY_LIMIT = 100_000
+_SIG_BROADCAST_DOCS = 500_000        # × num_perm × 8 B → ≤ ~256 MB broadcast
+_SHINGLE_BROADCAST_BYTES = 256 << 20
+
+
+def _collect_payload_index(payload_ds, key: str = "join_id"):
+    """Materialize a (join_id, payload) side into driver arrays for
+    broadcast: (sorted ids, one concatenated uint64 buffer, offsets).
+    ONLY called behind an explicit size gate — the broadcast analog of
+    ``broadcast_lookup_join``'s small-side collect."""
+    ids_parts: list[np.ndarray] = []
+    pay_parts: list[bytes] = []
+    lens: list[int] = []
+    for b in payload_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_parts.append(np.asarray(b[key].to_pylist(), dtype=np.int64))
+        for p in b["payload"].to_pylist():
+            pay_parts.append(p)
+            lens.append(len(p) // 8)
+    ids = (np.concatenate(ids_parts) if ids_parts
+           else np.zeros(0, dtype=np.int64))
+    vals = np.frombuffer(b"".join(pay_parts), dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum(np.asarray(lens, dtype=np.int64))])
+    order = np.argsort(ids, kind="stable")
+    # re-pack values in sorted-id order so offsets stay aligned
+    starts, stops = offs[:-1][order], offs[1:][order]
+    new_vals = np.concatenate(
+        [vals[s:e] for s, e in zip(starts, stops)]) if ids.size else vals
+    new_offs = np.concatenate([[0], np.cumsum(stops - starts)])
+    return ids[order], new_vals, new_offs
+
+
 def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
                                threshold: float, num_perm: int,
                                shingle_k: int):
-    """Stages 3-4 of :func:`minhash_dedup_pairs` (payload gather joins +
+    """Stages 3-4 of :func:`minhash_dedup_pairs` (payload gather +
     estimate filter + exact shingle-Jaccard verify) — shared by the
     one-shot pipeline and the checkpointed one, so resume runs verify
-    byte-identically. ``cand`` must be materialized and non-empty."""
+    byte-identically. ``cand`` must be materialized and non-empty (it may
+    carry cross-band duplicate pairs; the output is deduped).
+
+    Double size routing, coarse to fine:
+
+    - below ``_DIRECT_VERIFY_LIMIT`` candidate pairs the signature
+      estimate pre-filter is pure overhead (its only job is to avoid
+      shipping shingle sets for pairs that would fail anyway) — go
+      straight to the exact verify;
+    - each payload gather (signatures for the estimate filter, shingle
+      sets for the exact verify) BROADCASTS its side when it fits the
+      documented budget (``ray.put`` once, ``searchsorted`` lookup per
+      batch — no join actors, the pair stream never shuffles) and falls
+      back to the partitioned hash-join gather above it. All routes run
+      the same filter/verify kernels, so results are identical.
+    """
+    import ray
+
     empty = _EMPTY_JACCARD_PAIRS()
 
     # payloads only for candidate docs, restricted by a BLOOM of the
@@ -403,46 +494,80 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
         big_key=id_col, small_key="did",
         capacity=max(1024, 2 * n_pairs), fpr=0.01,
     ).materialize()
-
-    def sig_payload(batch: pa.Table) -> pa.Table:
-        """num_perm×8-byte signature per candidate doc — same hash families
-        as band_stage, so the estimate filter sees the banding signatures
-        bit-for-bit."""
-        sig = batch_minhash_signatures(batch[text_col].to_pylist(), shingle_k, num_perm)
-        return pa.table({"join_id": batch[id_col],
-                         "payload": pa.array([sig[i].tobytes() for i in range(sig.shape[0])],
-                                             pa.large_binary())})
-
-    sig_side = docs_needed.map_batches(sig_payload, batch_format="pyarrow").materialize()
     # join partitions track candidate volume: bounded per-partition state
     # at any corpus size, minimal actor spawn at small sizes
-    npart = int(max(8, min(64, cand.count() // 250_000 + 8)))
-    # 2.5-sigma safety margin below threshold; exact verify decides the rest
-    sigma = float(np.sqrt(threshold * (1 - threshold) / num_perm))
-    cut = max(0.0, threshold - 2.5 * sigma)
+    npart = int(max(8, min(64, n_pairs // 250_000 + 8)))
 
-    def est_keep(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        A = np.frombuffer(b"".join(df["payload_a"]), np.uint64).reshape(-1, num_perm)
-        B = np.frombuffer(b"".join(df["payload_b"]), np.uint64).reshape(-1, num_perm)
-        est = (A == B).mean(axis=1)
-        return df.loc[est >= cut, ["id_a", "id_b"]]
+    n_docs = docs_needed.count()
 
-    surv = attach_pair_payloads(cand, sig_side, num_partitions=npart).map_batches(
-        est_keep, batch_format="pandas"
-    ).materialize()
-    if surv.count() == 0:
-        return _as_pairs_ds(empty)
+    if n_pairs <= _DIRECT_VERIFY_LIMIT:
+        # small-volume route: exact verify on every candidate — no
+        # signature pass, no estimate-filter round
+        surv, shingle_docs = cand, docs_needed
+    else:
+        def sig_payload(batch: pa.Table) -> pa.Table:
+            """num_perm×8-byte signature per candidate doc — same hash
+            families as band_stage, so the estimate filter sees the
+            banding signatures bit-for-bit."""
+            sig = batch_minhash_signatures(batch[text_col].to_pylist(),
+                                           shingle_k, num_perm)
+            return pa.table({
+                "join_id": batch[id_col],
+                "payload": pa.array(
+                    [sig[i].tobytes() for i in range(sig.shape[0])],
+                    pa.large_binary()),
+            })
 
-    # exact shingle-Jaccard verify on the est-survivors only: shingle sets
-    # (KBs/doc) are shipped for survivor docs alone, never per candidate
-    surv_docs = bloom_semi_join(
-        docs_needed, surv.map_batches(ids_of, batch_format="pyarrow"),
-        big_key=id_col, small_key="did",
-        capacity=max(1024, 2 * n_pairs), fpr=0.01,
-    )
+        # 2.5-sigma safety margin below threshold; exact verify decides
+        # the rest
+        sigma = float(np.sqrt(threshold * (1 - threshold) / num_perm))
+        cut = max(0.0, threshold - 2.5 * sigma)
+        sig_side = docs_needed.map_batches(
+            sig_payload, batch_format="pyarrow")
+
+        if n_docs <= _SIG_BROADCAST_DOCS:
+            # broadcast the signature matrix (≤ n_docs × num_perm × 8 B,
+            # gated): the candidate stream est-filters in ONE fused map —
+            # no join actors, no pair shuffle
+            ids_s, vals, offs = _collect_payload_index(sig_side)
+            mat = vals.reshape(-1, num_perm)
+            sig_ref = ray.put((ids_s, mat))
+
+            def est_keep_bcast(batch: pa.Table) -> pa.Table:
+                ids_sorted, m = ray.get(sig_ref)  # shared-memory read
+                a = batch["id_a"].to_numpy(zero_copy_only=False)
+                b = batch["id_b"].to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(ids_sorted, a)
+                ib = np.searchsorted(ids_sorted, b)
+                est = (m[ia] == m[ib]).mean(axis=1)
+                return batch.filter(pa.array(est >= cut))
+
+            surv = cand.map_batches(
+                est_keep_bcast, batch_format="pyarrow").materialize()
+        else:
+            def est_keep(df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty:
+                    return pd.DataFrame(
+                        {"id_a": pd.Series([], dtype="int64"),
+                         "id_b": pd.Series([], dtype="int64")})
+                A = np.frombuffer(b"".join(df["payload_a"]), np.uint64).reshape(-1, num_perm)
+                B = np.frombuffer(b"".join(df["payload_b"]), np.uint64).reshape(-1, num_perm)
+                est = (A == B).mean(axis=1)
+                return df.loc[est >= cut, ["id_a", "id_b"]]
+
+            surv = attach_pair_payloads(
+                cand, sig_side.materialize(), num_partitions=npart
+            ).map_batches(est_keep, batch_format="pandas").materialize()
+        if surv.count() == 0:
+            return _as_pairs_ds(empty)
+
+        # exact shingle-Jaccard verify on the est-survivors only: shingle
+        # sets (KBs/doc) ship for survivor docs alone, never per candidate
+        shingle_docs = bloom_semi_join(
+            docs_needed, surv.map_batches(ids_of, batch_format="pyarrow"),
+            big_key=id_col, small_key="did",
+            capacity=max(1024, 2 * n_pairs), fpr=0.01,
+        )
 
     def shingle_payload(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -451,24 +576,62 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
         return pa.table({"join_id": batch[id_col],
                          "payload": pa.array(pay, pa.large_binary())})
 
-    sh_side = surv_docs.map_batches(shingle_payload, batch_format="pyarrow").materialize()
+    sh_side = shingle_docs.map_batches(shingle_payload, batch_format="pyarrow").materialize()
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return empty
-        jac = np.empty(len(df))
-        for r, (ba, bb) in enumerate(zip(df["payload_a"], df["payload_b"])):
-            sa = np.frombuffer(ba, np.uint64)
-            sb = np.frombuffer(bb, np.uint64)
+    def _jaccard_rows(ids_a, ids_b, get_set) -> pd.DataFrame:
+        jac = np.empty(len(ids_a))
+        for r in range(len(ids_a)):
+            sa, sb = get_set(r, 0), get_set(r, 1)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             jac[r] = inter / union if union else 1.0
-        out = df[["id_a", "id_b"]].assign(jaccard=jac)
+        out = pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "jaccard": jac})
         return out[out["jaccard"] >= threshold]
 
-    return attach_pair_payloads(surv, sh_side, num_partitions=npart).map_batches(
-        verify, batch_format="pandas"
-    )
+    if sh_side.size_bytes() <= _SHINGLE_BROADCAST_BYTES:
+        # broadcast the shingle sets (gated by actual byte size): verify
+        # is one fused map over the survivor pair stream
+        ids_s, vals, offs = _collect_payload_index(sh_side)
+        sh_ref = ray.put((ids_s, vals, offs))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_pandas(empty, preserve_index=False)
+            ids_sorted, v, o = ray.get(sh_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_sorted, a)
+            ib = np.searchsorted(ids_sorted, b)
+
+            def get_set(r, side):
+                i = ia[r] if side == 0 else ib[r]
+                return v[o[i]:o[i + 1]]
+
+            out = _jaccard_rows(a, b, get_set)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        verified = surv.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return empty
+            pays_a = df["payload_a"].to_numpy()
+            pays_b = df["payload_b"].to_numpy()
+
+            def get_set(r, side):
+                return np.frombuffer(
+                    pays_a[r] if side == 0 else pays_b[r], np.uint64)
+
+            return _jaccard_rows(df["id_a"].to_numpy(),
+                                 df["id_b"].to_numpy(), get_set)
+
+        verified = attach_pair_payloads(
+            surv, sh_side, num_partitions=npart
+        ).map_batches(verify, batch_format="pandas")
+
+    # candidates may carry cross-band duplicates (lsh_candidate_pairs
+    # dedupe=False); dedup at RESULT scale — a tiny shuffle
+    return _dedupe_pairs(verified)
 
 
 def minhash_dedup_pairs_checkpointed(
@@ -586,7 +749,7 @@ def minhash_dedup_pairs_checkpointed(
     if not _stage_complete(cand_dir):
         band_ds = rd.read_parquet(bands_dir)
         _write_stage(
-            lsh_candidate_pairs(band_ds, id_col), cand_dir,
+            lsh_candidate_pairs(band_ds, id_col, dedupe=False), cand_dir,
             pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64")}))
     if _fail_after == "candidates":
@@ -904,9 +1067,11 @@ def embedding_neardup_lsh(
                           "cosine": pd.Series([], dtype="float64")})
     band_rows = ds.select_columns([id_col, vec_col]).map_batches(
         band_stage, batch_format="pyarrow")
-    cand = lsh_candidate_pairs(band_rows, id_col).materialize()
+    cand = lsh_candidate_pairs(band_rows, id_col, dedupe=False).materialize()
     if cand.count() == 0:
         return _as_pairs_ds(empty)
+
+    import ray
 
     from .join import bloom_semi_join
 
@@ -931,20 +1096,46 @@ def embedding_neardup_lsh(
     side = vecs_needed.map_batches(unit_payload, batch_format="pyarrow").materialize()
     npart = int(max(8, min(64, cand.count() // 250_000 + 8)))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return empty
-        A = np.frombuffer(b"".join(df["payload_a"]), np.float64).reshape(len(df), -1)
-        B = np.frombuffer(b"".join(df["payload_b"]), np.float64).reshape(len(df), -1)
+    def _cosine_keep(df: pd.DataFrame, A: np.ndarray, B: np.ndarray) -> pd.DataFrame:
         S = np.einsum("ij,ij->i", A, B)
         # 6-dp half-away rounding before thresholding (exact_cosine_pairs)
         Sr = np.floor(np.abs(S) * 1e6 + 0.5) / 1e6 * np.sign(S)
-        out = df[["id_a", "id_b"]].assign(cosine=Sr)
+        out = df.assign(cosine=Sr)
         return out[out["cosine"] >= threshold]
 
-    return attach_pair_payloads(cand, side, num_partitions=npart).map_batches(
-        verify, batch_format="pandas"
-    )
+    if side.size_bytes() <= _SHINGLE_BROADCAST_BYTES:
+        # broadcast the unit vectors (gated by byte size): verify is one
+        # fused map over the candidate stream — no join actors
+        ids_s, vals, offs = _collect_payload_index(side)
+        dim = int(offs[1] - offs[0]) if ids_s.size else 1
+        mat = vals.view(np.float64).reshape(-1, dim)
+        ref = ray.put((ids_s, mat))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_pandas(empty, preserve_index=False)
+            ids_sorted, m = ray.get(ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"id_a": a, "id_b": b})
+            out = _cosine_keep(df, m[np.searchsorted(ids_sorted, a)],
+                               m[np.searchsorted(ids_sorted, b)])
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        verified = cand.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return empty
+            A = np.frombuffer(b"".join(df["payload_a"]), np.float64).reshape(len(df), -1)
+            B = np.frombuffer(b"".join(df["payload_b"]), np.float64).reshape(len(df), -1)
+            return _cosine_keep(df[["id_a", "id_b"]], A, B)
+
+        verified = attach_pair_payloads(cand, side, num_partitions=npart).map_batches(
+            verify, batch_format="pandas"
+        )
+    # cross-band duplicate candidates dedup at result scale
+    return _dedupe_pairs(verified)
 
 
 def embedding_neardup_pairs(

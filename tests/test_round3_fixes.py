@@ -145,6 +145,59 @@ class TestMinhashCheckpointed:
 
 
 # ---------------------------------------------------------------------------
+# verify-route equivalence: direct / broadcast / partitioned-join gathers
+# ---------------------------------------------------------------------------
+
+class TestVerifyRouteEquivalence:
+    def test_minhash_all_routes_identical(self, ray_session, sf_dir,
+                                          monkeypatch):
+        """The size-routed verify (direct, broadcast est/shingles, join
+        fallbacks) must produce byte-identical pairs on every route."""
+        import ray.data as rd
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+        def run():
+            return dd.minhash_dedup_pairs(
+                docs, threshold=0.5, num_perm=64, bands=16
+            ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+        base = run()  # direct route (few candidates at sf0.001)
+        assert len(base) > 0
+        monkeypatch.setattr(dd, "_DIRECT_VERIFY_LIMIT", 0)
+        monkeypatch.setattr(dd, "_SIG_BROADCAST_DOCS", 0)
+        monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_BYTES", 0)
+        assert run().equals(base)  # full partitioned-join route
+        monkeypatch.setattr(dd, "_SIG_BROADCAST_DOCS", 500_000)
+        monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_BYTES", 256 << 20)
+        assert run().equals(base)  # est+verify broadcast route
+
+    def test_embedding_lsh_routes_identical(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        base_v = rng.normal(size=(500, 16))
+        base_v /= np.linalg.norm(base_v, axis=1, keepdims=True)
+        planted = base_v[:10] + 0.02 * rng.normal(size=(10, 16))
+        planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+        vecs = np.vstack([base_v, planted])
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))}))
+
+        def run():
+            return dd.embedding_neardup_lsh(ds, threshold=0.9).to_pandas(
+            ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+        bcast = run()
+        assert len(bcast) >= 8
+        monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_BYTES", 0)
+        assert run().equals(bcast)
+
+
+# ---------------------------------------------------------------------------
 # sink atomicity
 # ---------------------------------------------------------------------------
 
