@@ -122,6 +122,7 @@ def time_series_window(
     ns_per_row: int,
     rows: int,
     mode: str = "add",
+    single_shuffle_limit: int = 2_000_000,
 ):
     """Reference circular-buffer semantics per key (time_series.c:34-121):
 
@@ -132,6 +133,17 @@ def time_series_window(
     reference, "set" keeps the last write in timestamp order.
 
     Returns one row per key: (key, current_time, values list[int64]).
+
+    Plan is routed by PARTIAL VOLUME: the bucket-level partial stream is
+    counted after the map-side collapse; at or under
+    ``single_shuffle_limit`` rows, ONE coarse shuffle keyed by
+    hash(key) co-locates each key's bucket partials and the fold +
+    window assembly run in the same reduce task (a second sort saves
+    nothing at that volume). Above the limit the 3-stage plan holds:
+    first a (key, bucket)-keyed coarse fold — which bounds per-task rows
+    even for a hot key with an arbitrarily long history, because no
+    single task ever sees all of a key's buckets — then the per-key
+    assembly over collapsed bucket rows only.
     """
     if rows < 2:
         raise ValueError("rows must be >= 2")  # time_series.c:63
@@ -165,7 +177,7 @@ def time_series_window(
                 [key_col, "bucket"], sort=False).last().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
 
     # stage 2 — coarse-bucket fold to one row per (key, bucket)
     def coarse(b: pa.Table) -> pa.Table:
@@ -187,10 +199,6 @@ def time_series_window(
             return out
         return df.sort_values(["ts", "v"]).groupby(
             [key_col, "bucket"], sort=False).last().reset_index()
-
-    bucketed = partials.map_batches(coarse, batch_format="pyarrow").groupby(
-        "cb"
-    ).map_groups(lambda df: fold(df.drop(columns=["cb"])), batch_format="pandas")
 
     # stage 3 — per-key window assembly over bucket-level rows only
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
@@ -216,6 +224,33 @@ def time_series_window(
             }
         )
 
+    if partials.count() <= single_shuffle_limit:
+        # single-shuffle route: shuffle partials once on hash(key), fold
+        # and assemble in the same reduce task (fold is associative over
+        # bucket partials, so skipping the intermediate (key,bucket)
+        # shuffle changes nothing but the plan)
+        def key_coarse(b: pa.Table) -> pa.Table:
+            from ..engine.hashing import hash64_batch_aligned
+
+            hk, _ = hash64_batch_aligned(b[key_col])
+            return b.append_column(
+                "kb", pa.array((hk % np.uint64(256)).astype(np.int64), pa.int64())
+            )
+
+        def fold_assemble(df: pd.DataFrame) -> pd.DataFrame:
+            folded = fold(df.drop(columns=["kb"]))
+            return pd.concat(
+                [per_key(g) for _, g in folded.groupby(key_col, sort=False)],
+                ignore_index=True,
+            )
+
+        return partials.map_batches(key_coarse, batch_format="pyarrow").groupby(
+            "kb"
+        ).map_groups(fold_assemble, batch_format="pandas")
+
+    bucketed = partials.map_batches(coarse, batch_format="pyarrow").groupby(
+        "cb"
+    ).map_groups(lambda df: fold(df.drop(columns=["cb"])), batch_format="pandas")
     return bucketed.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 

@@ -281,6 +281,34 @@ def test_time_series_window_partial_saturation(ray_session):
     assert vals[-1] == 2 ** 63 - 1  # 4*2^62 + 12 saturates at INT64_MAX
 
 
+def test_time_series_window_routes_identical(ray_session, sf_dir):
+    """Single-shuffle and 3-stage plans must agree in both modes."""
+    import ray.data as rd
+
+    from raysketch.ops.window import time_series_window
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type", "ts", "value"])
+    t = pa.table({
+        "k": ev["event_type"],
+        "ts": pa.array(ev["ts"].cast(pa.int64()).to_numpy(), pa.int64()),
+        "v": pa.array((ev["value"].to_numpy() * 100).astype(np.int64),
+                      pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    for mode in ("add", "set"):
+        one = time_series_window(ds, "k", "ts", "v", ns_per_row=3_600_000_000,
+                                 rows=24, mode=mode).to_pandas()
+        three = time_series_window(ds, "k", "ts", "v", ns_per_row=3_600_000_000,
+                                   rows=24, mode=mode,
+                                   single_shuffle_limit=0).to_pandas()
+        one = one.sort_values("k").reset_index(drop=True)
+        three = three.sort_values("k").reset_index(drop=True)
+        assert one["k"].tolist() == three["k"].tolist()
+        assert one["current_time"].tolist() == three["current_time"].tolist()
+        assert [list(v) for v in one["values"]] == [list(v) for v in three["values"]]
+
+
 def test_sat64_boundary_values():
     from raysketch.ops.window import _sat64
 
