@@ -1,15 +1,23 @@
-"""Job entry point for `ray job submit` — resumable flagship sketch build.
+"""Job entry point for `ray job submit` — resumable pipelines.
 
+    # flagship sketch build (default)
     ray job submit -- python -m raysketch.run \
         --input /data/corpus --job-id nightly-2026-08-17 \
         --checkpoint-root /data/checkpoints --output /data/results
 
+    # resumable MinHash near-dup pipeline
+    ray job submit -- python -m raysketch.run --pipeline dedup \
+        --input /data/corpus --job-id dedup-2026-08-17 \
+        --checkpoint-root /data/checkpoints
+
 Re-submitting with the SAME --job-id after a kill resumes from the
 checkpoint store: finished shards (manifest present + partial parses) are
-skipped, and because every kernel is deterministic the resumed run's final
-estimates are bit-identical to an uninterrupted one. Per-partition lineage
-and metrics live in `<checkpoint-root>/<job-id>/manifest/*.json`; a
-p50/p99 partition-wall summary prints at the end.
+skipped — for the dedup pipeline, finished global stages (candidates,
+verify) are skipped wholesale via their _SUCCESS markers — and because
+every kernel is deterministic the resumed run's final results are
+bit-identical to an uninterrupted one. Per-partition lineage and metrics
+live in `<checkpoint-root>/<job-id>/manifest/*.json`; a p50/p99
+partition-wall summary prints at the end (sketch pipeline).
 
 Owns its Ray session (guarded init) — the driver-contract surfaces in
 __ray_entry__ never call ray.init; CLI entry points do (see repo README).
@@ -35,6 +43,12 @@ def main() -> None:
     ap.add_argument("--group-key", default="lang")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--max-in-flight", type=int, default=32)
+    ap.add_argument("--pipeline", choices=["sketch", "dedup"], default="sketch",
+                    help="sketch = flagship profile build; dedup = resumable "
+                         "MinHash near-dup pairs over the corpus text")
+    ap.add_argument("--dedup-threshold", type=float, default=0.7)
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--id-col", default="doc_id")
     args = ap.parse_args()
 
     import ray
@@ -69,6 +83,10 @@ def _run(args: argparse.Namespace) -> None:
     if not shards:
         raise SystemExit(f"no parquet shards match {args.input!r}")
 
+    if args.pipeline == "dedup":
+        _run_dedup(args, shards)
+        return
+
     store = CheckpointStore(args.checkpoint_root, args.job_id)
     already = len(store.done_partitions())
     t0 = time.perf_counter()
@@ -99,6 +117,29 @@ def _run(args: argparse.Namespace) -> None:
         "wall_sec": round(wall, 2),
         "result_rows": result.num_rows,
         "partition_metrics": store.metrics_summary(),
+    }))
+
+
+def _run_dedup(args: argparse.Namespace, shards: list[str]) -> None:
+    """Resumable MinHash near-dup pairs (ops.dedup stage checkpoints)."""
+    from .ops.dedup import minhash_dedup_pairs_checkpointed
+
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs_checkpointed(
+        shards, args.checkpoint_root, args.job_id,
+        text_col=args.text_col, id_col=args.id_col,
+        threshold=args.dedup_threshold, max_in_flight=args.max_in_flight,
+    )
+    n = pairs.count()
+    wall = time.perf_counter() - t0
+    base = os.path.join(args.checkpoint_root, args.job_id)
+    print(json.dumps({
+        "job_id": args.job_id,
+        "pipeline": "dedup",
+        "shards_total": len(shards),
+        "verified_pairs": int(n),
+        "wall_sec": round(wall, 2),
+        "pairs_path": os.path.join(base, "stage_verified"),
     }))
 
 
