@@ -39,6 +39,19 @@ from ..sketches import SKETCH_KINDS
 from .udaf import SketchSpec, partials_for_block
 
 
+def shard_partition_id(path: str) -> str:
+    """Stable partition id: shard basename + a short hash of the full
+    path. Same-named shards from different directories (the standard
+    sharded layout ``/data/*/part-00000.parquet``) must never collide in
+    the checkpoint store — a bare-basename id would skip the second
+    shard on resume and race both writers onto one partial file."""
+    base = os.path.basename(path)
+    if base.endswith(".parquet"):
+        base = base[: -len(".parquet")]
+    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+    return f"{base}-{digest}"
+
+
 class CheckpointStore:
     def __init__(self, root: str, job_id: str) -> None:
         self.dir = os.path.join(root, job_id)
@@ -190,9 +203,9 @@ def run_with_checkpoint(
     remote_fn = ray.remote(num_cpus=1)(_build_shard_partials)
     pending: dict[Any, tuple[str, str, float]] = {}
     todo = [
-        (os.path.basename(p).replace(".parquet", ""), p)
+        (pid, p)
         for p in shard_paths
-        if os.path.basename(p).replace(".parquet", "") not in done
+        if (pid := shard_partition_id(p)) not in done
     ]
     idx = 0
     while idx < len(todo) or pending:

@@ -40,9 +40,17 @@ def write_dataset(ds, path: str, partition_cols: list[str] | None = None) -> str
     staging = os.path.join(
         parent, f".staging-{os.path.basename(path)}-{uuid.uuid4().hex[:12]}"
     )
-    # prune orphans from earlier crashed writes of the same target
+    # prune orphans from earlier crashed writes of the SAME target only —
+    # match the exact ".staging-<basename>-<12 hex>" shape so a sibling
+    # target whose basename extends this one (pairs vs pairs-v2) never
+    # has its live staging dir deleted mid-write
+    import re
+
+    orphan = re.compile(
+        re.escape(f".staging-{os.path.basename(path)}-") + r"[0-9a-f]{12}$"
+    )
     for name in os.listdir(parent):
-        if name.startswith(f".staging-{os.path.basename(path)}-"):
+        if orphan.fullmatch(name):
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     os.makedirs(staging)
     try:

@@ -21,6 +21,7 @@ Scale design notes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -418,8 +419,21 @@ def _EMPTY_JACCARD_PAIRS() -> pd.DataFrame:
 
 
 _DIRECT_VERIFY_LIMIT = 100_000
-_SIG_BROADCAST_DOCS = 500_000        # × num_perm × 8 B → ≤ ~256 MB broadcast
+_SIG_BROADCAST_BYTES = 256 << 20     # gate on n_docs × num_perm × 8 B
 _SHINGLE_BROADCAST_BYTES = 256 << 20
+
+
+def _lookup_sorted(ids_sorted: np.ndarray, keys: np.ndarray):
+    """searchsorted with a membership mask: (positions, found). Broadcast
+    gathers must DROP pairs whose id has no payload row — the invariant
+    the partitioned-join route gets from inner-join semantics — instead
+    of indexing out of range or silently comparing a neighbor's payload."""
+    pos = np.searchsorted(ids_sorted, keys)
+    inb = pos < ids_sorted.size
+    ok = np.zeros(keys.shape, dtype=bool)
+    ok[inb] = ids_sorted[pos[inb]] == keys[inb]
+    pos[~inb] = 0  # safe placeholder; masked out by callers
+    return pos, ok
 
 
 def _collect_payload_index(payload_ds, key: str = "join_id"):
@@ -525,10 +539,11 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
         sig_side = docs_needed.map_batches(
             sig_payload, batch_format="pyarrow")
 
-        if n_docs <= _SIG_BROADCAST_DOCS:
-            # broadcast the signature matrix (≤ n_docs × num_perm × 8 B,
-            # gated): the candidate stream est-filters in ONE fused map —
-            # no join actors, no pair shuffle
+        if n_docs * num_perm * 8 <= _SIG_BROADCAST_BYTES:
+            # broadcast the signature matrix (gated on its ACTUAL byte
+            # size, n_docs × num_perm × 8 B): the candidate stream
+            # est-filters in ONE fused map — no join actors, no pair
+            # shuffle
             ids_s, vals, offs = _collect_payload_index(sig_side)
             mat = vals.reshape(-1, num_perm)
             sig_ref = ray.put((ids_s, mat))
@@ -537,10 +552,14 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
                 ids_sorted, m = ray.get(sig_ref)  # shared-memory read
                 a = batch["id_a"].to_numpy(zero_copy_only=False)
                 b = batch["id_b"].to_numpy(zero_copy_only=False)
-                ia = np.searchsorted(ids_sorted, a)
-                ib = np.searchsorted(ids_sorted, b)
-                est = (m[ia] == m[ib]).mean(axis=1)
-                return batch.filter(pa.array(est >= cut))
+                ia, ok_a = _lookup_sorted(ids_sorted, a)
+                ib, ok_b = _lookup_sorted(ids_sorted, b)
+                keep = ok_a & ok_b  # id with no payload -> pair dropped,
+                est = np.zeros(len(a))  # matching the join route's inner-join
+                both = keep.nonzero()[0]
+                if both.size:
+                    est[both] = (m[ia[both]] == m[ib[both]]).mean(axis=1)
+                return batch.filter(pa.array(keep & (est >= cut)))
 
             surv = cand.map_batches(
                 est_keep_bcast, batch_format="pyarrow").materialize()
@@ -600,8 +619,10 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
             ids_sorted, v, o = ray.get(sh_ref)
             a = batch["id_a"].to_numpy(zero_copy_only=False)
             b = batch["id_b"].to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(ids_sorted, a)
-            ib = np.searchsorted(ids_sorted, b)
+            ia, ok_a = _lookup_sorted(ids_sorted, a)
+            ib, ok_b = _lookup_sorted(ids_sorted, b)
+            keep = ok_a & ok_b  # missing payload -> pair dropped
+            a, b, ia, ib = a[keep], b[keep], ia[keep], ib[keep]
 
             def get_set(r, side):
                 i = ia[r] if side == 0 else ib[r]
@@ -696,6 +717,15 @@ def minhash_dedup_pairs_checkpointed(
             return False  # degrade gracefully: recompute this shard
 
     hasher = MinHasher(text_col, id_col, num_perm, bands, shingle_k)
+    # path-hashed pids (engine.checkpoint.shard_partition_id): same-named
+    # shards from different directories must not collide. NOTE the minhash
+    # band families are pure-numpy polynomial hashes (seed-fixed), NOT the
+    # polars/pandas hash64 backend — band partials are therefore valid
+    # across hash-backend upgrades and need no HASH_FAMILY guard here.
+    from ..engine.checkpoint import shard_partition_id
+
+    cur_pids = [shard_partition_id(p) for p in shard_paths]
+    inputs_key = hashlib.sha1("\n".join(sorted(cur_pids)).encode()).hexdigest()
 
     @ray.remote(num_cpus=1)
     def build_shard(pid: str, path: str) -> tuple[str, int, float]:
@@ -709,8 +739,7 @@ def minhash_dedup_pairs_checkpointed(
         return pid, t.num_rows, time.monotonic() - t0
 
     todo = []
-    for p in shard_paths:
-        pid = os.path.basename(p).replace(".parquet", "")
+    for pid, p in zip(cur_pids, shard_paths):
         if not shard_done(pid):
             todo.append((pid, p))
     pending = {}
@@ -735,19 +764,35 @@ def minhash_dedup_pairs_checkpointed(
 
     def _write_stage(pairs_ds, path: str, empty_df: pd.DataFrame) -> None:
         """Sink a stage output atomically; an empty result still publishes
-        a typed parquet file so read_back keeps the schema."""
+        a typed parquet file so read_back keeps the schema. The stage
+        records the SHARD SET it was computed from (inputs_key) so a
+        resume whose input glob changed invalidates it instead of
+        silently reusing pairs that miss the new shards' docs."""
         m = pairs_ds.materialize()
         if m.count() > 0:
             sinks.write_dataset(m, path)
         else:
             sinks.write_dataset(_as_pairs_ds(empty_df), path)
+        with open(os.path.join(path, "STAGE_INPUTS.json"), "w") as f:
+            json.dump({"inputs_key": inputs_key,
+                       "n_shards": len(cur_pids)}, f)
 
     def _stage_complete(path: str) -> bool:
-        return os.path.exists(os.path.join(path, sinks.SUCCESS_MARKER))
+        if not os.path.exists(os.path.join(path, sinks.SUCCESS_MARKER)):
+            return False
+        try:
+            with open(os.path.join(path, "STAGE_INPUTS.json")) as f:
+                return json.load(f).get("inputs_key") == inputs_key
+        except Exception:
+            return False  # missing/corrupt stage meta -> recompute stage
 
     # -- stage B: LSH candidate pairs (global shuffle) ---------------------
     if not _stage_complete(cand_dir):
-        band_ds = rd.read_parquet(bands_dir)
+        # read ONLY the current shards' band files: stale partials from a
+        # removed shard must not feed ghost doc ids into the candidates
+        band_ds = rd.read_parquet(
+            [os.path.join(bands_dir, f"part-{pid}.parquet")
+             for pid in cur_pids])
         _write_stage(
             lsh_candidate_pairs(band_ds, id_col, dedupe=False), cand_dir,
             pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -1117,9 +1162,12 @@ def embedding_neardup_lsh(
             ids_sorted, m = ray.get(ref)
             a = batch["id_a"].to_numpy(zero_copy_only=False)
             b = batch["id_b"].to_numpy(zero_copy_only=False)
+            ia, ok_a = _lookup_sorted(ids_sorted, a)
+            ib, ok_b = _lookup_sorted(ids_sorted, b)
+            keep = ok_a & ok_b  # missing payload -> pair dropped
+            a, b, ia, ib = a[keep], b[keep], ia[keep], ib[keep]
             df = pd.DataFrame({"id_a": a, "id_b": b})
-            out = _cosine_keep(df, m[np.searchsorted(ids_sorted, a)],
-                               m[np.searchsorted(ids_sorted, b)])
+            out = _cosine_keep(df, m[ia], m[ib])
             return pa.Table.from_pandas(out, preserve_index=False)
 
         verified = cand.map_batches(verify_bcast, batch_format="pyarrow")

@@ -1072,10 +1072,11 @@ def q_nation_revenue(sf_dir: str) -> pa.Table:
     orders_nk = broadcast_lookup_join(
         orders, customer, "o_custkey", "c_custkey", ["c_nationkey"]
     ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
-    assert orders_nk.size_bytes() < 8 << 30, (
-        "orders projection exceeds the documented pin budget (8 GiB); "
-        "drop the materialize and let the join re-read orders"
-    )
+    if orders_nk.size_bytes() >= 8 << 30:  # explicit raise: survives -O,
+        raise RuntimeError(               # unlike an assert
+            "orders projection exceeds the documented pin budget (8 GiB); "
+            "drop the materialize and let the join re-read orders"
+        )
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1134,9 +1135,15 @@ def q_sink_roundtrip(sf_dir: str) -> pa.Table:
     )
     write_dataset(out, path)
     back = read_back(path).sort("doc_id")
-    return pa.concat_tables(
+    t = pa.concat_tables(
         back.iter_batches(batch_size=65536, batch_format="pyarrow")
     )
+    # the unique-per-invocation dir would otherwise accumulate forever on
+    # a long-lived host; the result is fully read back, so drop it
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return t
 
 
 def q_schema_monitor(sf_dir: str) -> pa.Table:

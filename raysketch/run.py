@@ -5,10 +5,12 @@
         --input /data/corpus --job-id nightly-2026-08-17 \
         --checkpoint-root /data/checkpoints --output /data/results
 
-    # resumable MinHash near-dup pipeline
+    # resumable MinHash near-dup pipeline (needs an int64 id column and a
+    # text column; the raysketch corpus schema has no integer id, so name
+    # yours explicitly)
     ray job submit -- python -m raysketch.run --pipeline dedup \
-        --input /data/corpus --job-id dedup-2026-08-17 \
-        --checkpoint-root /data/checkpoints
+        --input /data/docs --id-col doc_id --text-col text \
+        --job-id dedup-2026-08-17 --checkpoint-root /data/checkpoints
 
 Re-submitting with the SAME --job-id after a kill resumes from the
 checkpoint store: finished shards (manifest present + partial parses) are
@@ -47,8 +49,10 @@ def main() -> None:
                     help="sketch = flagship profile build; dedup = resumable "
                          "MinHash near-dup pairs over the corpus text")
     ap.add_argument("--dedup-threshold", type=float, default=0.7)
-    ap.add_argument("--text-col", default="content")
-    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id",
+                    help="int64 id column (validated against the first "
+                         "shard's schema before any work is scheduled)")
     args = ap.parse_args()
 
     import ray
@@ -122,7 +126,26 @@ def _run(args: argparse.Namespace) -> None:
 
 def _run_dedup(args: argparse.Namespace, shards: list[str]) -> None:
     """Resumable MinHash near-dup pairs (ops.dedup stage checkpoints)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from .ops.dedup import minhash_dedup_pairs_checkpointed
+
+    # fail fast with a usable message BEFORE scheduling any shard work:
+    # the pipeline needs an integer id column, which e.g. the raysketch
+    # corpus schema (repo/path/commit/lang/content) does not have
+    schema = pq.read_schema(shards[0])
+    for col, what in ((args.id_col, "--id-col"), (args.text_col, "--text-col")):
+        if col not in schema.names:
+            raise SystemExit(
+                f"{what}={col!r} not in shard schema {schema.names} "
+                f"(first shard: {shards[0]})"
+            )
+    if not pa.types.is_integer(schema.field(args.id_col).type):
+        raise SystemExit(
+            f"--id-col={args.id_col!r} must be an integer column, got "
+            f"{schema.field(args.id_col).type}"
+        )
 
     t0 = time.perf_counter()
     pairs = minhash_dedup_pairs_checkpointed(

@@ -125,6 +125,25 @@ class TestMinhashCheckpointed:
         ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         assert resumed.equals(fresh)  # identical final pairs
 
+    def test_resume_with_changed_shard_set_recomputes_stages(
+        self, ray_session, shards, tmp_path
+    ):
+        """Global stages record the shard set; resuming after the input
+        glob changed must invalidate them, not silently reuse pairs that
+        miss (or ghost-include) docs."""
+        root = str(tmp_path)
+        dd.minhash_dedup_pairs_checkpointed(
+            shards, root, "j-chg", threshold=0.5, num_perm=64, bands=16)
+        sub = shards[:2]  # one shard removed before re-submit
+        out = dd.minhash_dedup_pairs_checkpointed(
+            sub, root, "j-chg", threshold=0.5, num_perm=64, bands=16
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        fresh = dd.minhash_dedup_pairs_checkpointed(
+            sub, str(tmp_path / "f"), "j-f", threshold=0.5, num_perm=64,
+            bands=16
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert out.equals(fresh)
+
     def test_kill_after_candidates_skips_both_stages(
         self, ray_session, shards, tmp_path
     ):
@@ -166,10 +185,10 @@ class TestVerifyRouteEquivalence:
         base = run()  # direct route (few candidates at sf0.001)
         assert len(base) > 0
         monkeypatch.setattr(dd, "_DIRECT_VERIFY_LIMIT", 0)
-        monkeypatch.setattr(dd, "_SIG_BROADCAST_DOCS", 0)
+        monkeypatch.setattr(dd, "_SIG_BROADCAST_BYTES", 0)
         monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_BYTES", 0)
         assert run().equals(base)  # full partitioned-join route
-        monkeypatch.setattr(dd, "_SIG_BROADCAST_DOCS", 500_000)
+        monkeypatch.setattr(dd, "_SIG_BROADCAST_BYTES", 256 << 20)
         monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_BYTES", 256 << 20)
         assert run().equals(base)  # est+verify broadcast route
 
@@ -195,6 +214,14 @@ class TestVerifyRouteEquivalence:
         assert len(bcast) >= 8
         monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_BYTES", 0)
         assert run().equals(bcast)
+
+
+def test_lookup_sorted_membership():
+    """Broadcast gathers must flag missing ids, not index a neighbor."""
+    ids = np.array([2, 5, 9], dtype=np.int64)
+    pos, ok = dd._lookup_sorted(ids, np.array([2, 3, 9, 11], dtype=np.int64))
+    assert ok.tolist() == [True, False, True, False]
+    assert pos[ok].tolist() == [0, 2]
 
 
 # ---------------------------------------------------------------------------
