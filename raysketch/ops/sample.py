@@ -99,6 +99,68 @@ def hash_sample(ds, k: int, id_col: str, seed: int = 42, key: str = "hash64"):
     return merged.take(pa.array(order)).drop_columns(["__sample_key"])
 
 
+def stratified_hash_sample(ds, k: int, group_col: str, id_col: str,
+                           seed: int = 42, key: str = "hash64"):
+    """Exactly-k-per-group deterministic sample (all original columns) —
+    the stratified form of :func:`hash_sample` (per-language /
+    per-source training-data subsets with reproducible selection).
+
+    Map side keeps each block's k smallest keys PER GROUP (one vectorized
+    pandas sort + grouped head, no per-group loop); a coalescing refold
+    level bounds candidates at any block count; the driver fold touches
+    ≤ groups × k narrow-candidate rows. That driver bound is the size
+    contract: at extreme group cardinality (groups × k beyond driver
+    memory) use a ``groupby(group).map_groups`` plan instead — this
+    operator targets the stratification case (languages, sources, time
+    buckets: group counts in the thousands).
+
+    ``key="sha256"`` keys rows by ``sha256(str(id))`` so a SQL oracle
+    reproduces the selection with ``row_number() OVER (PARTITION BY g
+    ORDER BY sha256(CAST(id AS VARCHAR))) <= k``.
+    """
+    import pandas as pd
+
+    if key not in ("hash64", "sha256"):
+        raise ValueError("key must be 'hash64' or 'sha256'")
+
+    def _group_head(batch: pa.Table, kv: np.ndarray) -> pa.Table:
+        df = pd.DataFrame({
+            "g": pd.Series(batch[group_col].to_pylist(), dtype="object"),
+            "k": kv,
+            "i": np.arange(batch.num_rows),
+        })
+        keep = (df.sort_values(["g", "k"], kind="stable")
+                .groupby("g", sort=False).head(k)["i"].to_numpy())
+        out = batch.take(pa.array(np.sort(keep)))
+        return out
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        kv = (_keys(batch, id_col, seed) if key == "hash64"
+              else _sha_keys(batch, id_col))
+        out = _group_head(batch, kv)
+        kv2 = (_keys(out, id_col, seed) if key == "hash64"
+               else _sha_keys(out, id_col))
+        typ = pa.uint64() if key == "hash64" else pa.string()
+        return out.append_column("__sample_key", pa.array(list(kv2), typ))
+
+    def refold(batch: pa.Table) -> pa.Table:
+        kv = batch["__sample_key"].to_numpy(zero_copy_only=False)
+        if key == "hash64":
+            kv = kv.astype(np.uint64)
+        return _group_head(batch, kv)
+
+    cand = ds.map_batches(block_candidates, batch_format="pyarrow").map_batches(
+        refold, batch_format="pyarrow", batch_size=64 * max(k, 1)
+    )
+    merged = pa.concat_tables(
+        list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    kv = merged["__sample_key"].to_numpy(zero_copy_only=False)
+    if key == "hash64":
+        kv = kv.astype(np.uint64)
+    return _group_head(merged, kv).drop_columns(["__sample_key"])
+
+
 def hash_threshold_filter(ds, rate: float, id_col: str, seed: int = 42):
     """Expected-``rate`` deterministic Bernoulli sample as a streaming
     filter stage (consistent across runs/tables for the same id)."""

@@ -694,6 +694,19 @@ def q_hash_sample(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Exactly-10-per-language deterministic sample (stratified
+    training-data subset). sha256-keyed so the oracle reproduces the
+    selection with a windowed row_number; the production default is the
+    faster hash64 keying (same machinery, engine-internal key)."""
+    from .ops.sample import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_hash_sample(ds, 10, "lang", "doc_id", key="sha256")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_quality_scores(sf_dir: str) -> pa.Table:
     """Per-doc pretraining-quality heuristics, ORACLE-GATED: the ratio
     definitions (whitespace-token count, [^\\w\\s] punctuation ratio,
@@ -1283,6 +1296,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
@@ -1680,6 +1694,15 @@ ORACLE_SQL: dict[str, str] = {
     "hash_sample": """
         SELECT doc_id, lang FROM documents
         ORDER BY sha256(CAST(doc_id AS VARCHAR)) LIMIT 50
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY sha256(CAST(doc_id AS VARCHAR))) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id
     """,
     "ivf_ann": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)

@@ -216,6 +216,27 @@ class TestVerifyRouteEquivalence:
         assert run().equals(bcast)
 
 
+def test_stratified_hash_sample(ray_session, sf_dir):
+    """Exactly-k rows per group, deterministic across runs, both keys."""
+    import ray.data as rd
+
+    from raysketch.ops.sample import stratified_hash_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    counts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    ).to_pandas()["lang"].value_counts()
+    for key in ("hash64", "sha256"):
+        a = stratified_hash_sample(ds, 10, "lang", "doc_id", key=key).to_pandas()
+        b = stratified_hash_sample(ds, 10, "lang", "doc_id", key=key).to_pandas()
+        assert a.sort_values("doc_id").reset_index(drop=True).equals(
+            b.sort_values("doc_id").reset_index(drop=True))
+        per = a["lang"].value_counts()
+        for lang, n in counts.items():
+            assert per.get(lang, 0) == min(10, n), (key, lang)
+
+
 def test_lookup_sorted_membership():
     """Broadcast gathers must flag missing ids, not index a neighbor."""
     ids = np.array([2, 5, 9], dtype=np.int64)
