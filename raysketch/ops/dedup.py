@@ -816,6 +816,157 @@ def minhash_dedup_pairs_checkpointed(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                     driver_limit: int = 5_000_000, max_rounds: int = 64):
+    """Connected components over a near-dup pair graph → one row per doc
+    that appears in at least one pair: ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the MIN doc id in the component (the canonical
+    survivor a dedup keep-one-per-cluster pass retains). Docs with no
+    near-dups form no row (they are their own cluster trivially).
+
+    Size-routed like every gather in this module:
+
+    - ≤ ``driver_limit`` pairs: union-find on the driver (path-halving);
+      near-dup pair sets are sparse by construction at real thresholds,
+      so this is the common route and is exact and cheap.
+    - above the limit: distributed min-label propagation — each round is
+      one coarse groupby folding ``min(label of self, labels of
+      neighbors)``; labels only ever DECREASE, so ``sum(label)`` is a
+      monotone convergence witness (one tiny aggregate per round, no
+      driver-side table compare). Rounds needed = O(component diameter);
+      near-dup components are shallow (dup clusters, not paths), and
+      ``max_rounds`` guards pathological chains.
+
+    Both routes produce identical labels (route-identity test).
+    """
+    import ray.data as rd
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cluster_id": pd.Series([], dtype="int64")})
+    pairs_ds = pairs_ds.select_columns([id_a, id_b]).materialize()
+    n = pairs_ds.count()
+    if n == 0:
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+
+    if n <= driver_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for b in pairs_ds.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+            for a_, b_ in zip(b[id_a].to_pylist(), b[id_b].to_pylist()):
+                ra, rb = find(int(a_)), find(int(b_))
+                if ra != rb:  # union by MIN id keeps labels canonical
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        out = pd.DataFrame(
+            {"doc_id": sorted(parent),
+             "cluster_id": [find(x) for x in sorted(parent)]}
+        ).astype("int64")
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+    # -- distributed route: iterative min-label propagation ----------------
+    # Each round is TWO coarse hash(node) groupbys, no joins: bucket fold
+    # 1 co-locates every node's current labels WITH its incident edge
+    # rows and emits (a) the node's folded min label and (b) one message
+    # per edge carrying that label to the neighbor; bucket fold 2 folds
+    # messages+labels to the new per-node min. Shuffle volume per round =
+    # edges + labels narrow int rows; labels only DECREASE, so
+    # ``sum(label)`` is a monotone convergence witness (one tiny
+    # aggregate per round). (Dataset.join is avoided deliberately: with
+    # near-empty key partitions the partitioned hash join cannot infer
+    # the right-side schema.)
+    def seed_and_edges(b: pa.Table) -> pa.Table:
+        a = b[id_a].combine_chunks()
+        c = b[id_b].combine_chunks()
+        both = pa.concat_arrays([a, c])
+        # label rows: (node, label, peer=null); edge rows: (node, null, peer)
+        return pa.table({
+            "node": pa.concat_arrays([both, both]),
+            "label": pa.concat_arrays(
+                [both, pa.nulls(len(both), pa.int64())]),
+            "peer": pa.concat_arrays(
+                [pa.nulls(len(both), pa.int64()),
+                 pa.concat_arrays([c, a])]),
+        })
+
+    def node_coarse(b: pa.Table) -> pa.Table:
+        v = b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = splitmix64(v) % np.uint64(_COARSE_BUCKETS)
+        return b.append_column("nc", pa.array(k.astype(np.int64), pa.int64()))
+
+    def fold_and_message(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["nc"])
+        lab = df[df["label"].notna()].groupby("node", sort=False)["label"] \
+            .min().reset_index()
+        ed = df[df["peer"].notna()][["node", "peer"]]
+        msg = ed.merge(lab, on="node", how="inner")  # vectorized per bucket
+        out_lab = lab.assign(peer=np.int64(0))[["node", "label"]]
+        out_msg = pd.DataFrame({"node": msg["peer"].to_numpy(np.int64),
+                                "label": msg["label"].to_numpy(np.int64)})
+        out = pd.concat([out_lab, out_msg], ignore_index=True)
+        out["node"] = out["node"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def min_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns=["nc"]).groupby("node", sort=False)["label"] \
+            .min().reset_index()
+        return out.astype({"node": "int64", "label": "int64"})
+
+    edges_keyed = pairs_ds.map_batches(
+        seed_and_edges, batch_format="pyarrow"
+    ).map_batches(node_coarse, batch_format="pyarrow").materialize()
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b["peer"]))
+
+    state = edges_keyed
+    prev_sum = None
+    for _ in range(max_rounds):
+        folded = state.groupby("nc").map_groups(
+            fold_and_message, batch_format="pandas"
+        ).map_batches(node_coarse, batch_format="pyarrow")
+        labels = folded.groupby("nc").map_groups(
+            min_fold, batch_format="pandas").materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
+            break
+        prev_sum = cur_sum
+
+        # next round's state: folded labels + the static edge rows
+        def as_state(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "label": b["label"],
+                "peer": pa.nulls(b.num_rows, pa.int64()),
+            })
+
+        state = labels.map_batches(as_state, batch_format="pyarrow").union(
+            edges_keyed.map_batches(edge_rows, batch_format="pyarrow")
+            .drop_columns(["nc"])
+        ).map_batches(node_coarse, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_id": b["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -617,6 +617,28 @@ def q_neardup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERS: the verified minhash pair graph collapsed to
+    connected components — (doc_id, cluster_id = min doc id in the
+    component), i.e. the keep-one-per-cluster dedup decision. The oracle
+    recomputes the same pair graph in SQL (the neardup_pairs oracle's
+    shingle CTE) and resolves components with a recursive min-label CTE,
+    so the WHOLE chain — LSH recall, exact verify, clustering — is gated
+    end-to-end."""
+    from .ops.dedup import minhash_dedup_pairs, neardup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16)
+    out = neardup_clusters(pairs).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "cluster_id": pd.Series([], dtype="int64")})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+                     "cluster_id": pa.array(out["cluster_id"].astype("int64"),
+                                            pa.int64())})
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     """Cosine near-dup at threshold 0.45, via the density-routed
     dispatcher (ops.dedup.embedding_neardup): 0.45 lies in the BULK of
@@ -1292,6 +1314,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "running_stats_by_lang": q_running_stats_by_lang,
     "bloom_membership": q_bloom_membership,
     "neardup_pairs": q_neardup_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1452,6 +1475,41 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
         WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "neardup_clusters": """
+        -- same pair graph as the neardup_pairs oracle, collapsed to
+        -- connected components by a recursive min-label reachability CTE:
+        -- cluster_id = min doc id reachable in the undirected pair graph
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id,
+                 substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+          WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u
+        )
+        SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u ORDER BY doc_id
     """,
     "embedding_neardup": """
         WITH sims AS (

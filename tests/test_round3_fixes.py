@@ -237,6 +237,36 @@ def test_stratified_hash_sample(ray_session, sf_dir):
             assert per.get(lang, 0) == min(10, n), (key, lang)
 
 
+def test_neardup_clusters_routes_identical(ray_session):
+    """Driver union-find and distributed min-label propagation must agree
+    on chains, triangles, singleton-pair components, and merged clusters."""
+    import ray.data as rd
+
+    # components: {1..5 chain}, {10,11,12 triangle}, {20,21}, {30,31,32}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+             (20, 21), (31, 30), (31, 32)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(t)
+    drv = dd.neardup_clusters(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    dist = dd.neardup_clusters(ds, driver_limit=0).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert drv.equals(dist)
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+    assert dict(zip(drv["doc_id"], drv["cluster_id"])) == want
+
+
+def test_neardup_clusters_empty(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64())}))
+    out = dd.neardup_clusters(ds).to_pandas()
+    assert len(out) == 0
+
+
 def test_lookup_sorted_membership():
     """Broadcast gathers must flag missing ids, not index a neighbor."""
     ids = np.array([2, 5, 9], dtype=np.int64)
