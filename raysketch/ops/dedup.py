@@ -966,6 +966,33 @@ def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     return labels.map_batches(finish, batch_format="pyarrow")
 
 
+def neardup_filter(ds, clusters_ds, id_col: str = "doc_id",
+                   broadcast_limit: int = 50_000_000):
+    """Keep-one-per-cluster corpus filter: drop every doc whose cluster
+    label is NOT itself (the canonical min-id survivor stays; docs in no
+    cluster are untouched). The loser-id set is at most the clustered-doc
+    count — near-dup losers are sparse at real thresholds — so it
+    broadcasts (anti semi-join, big side streams) under the documented
+    limit and falls back to a Bloom pre-filter + exact partitioned
+    LEFT-SEMI join above it."""
+    import pyarrow.compute as pc
+
+    from .join import broadcast_semi_join
+
+    def losers(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["doc_id"], b["cluster_id"])
+        return pa.table({"__loser": b.filter(keep)["doc_id"]})
+
+    loser_ds = clusters_ds.map_batches(losers, batch_format="pyarrow").materialize()
+    n_losers = loser_ds.count()
+    if n_losers <= broadcast_limit:
+        return broadcast_semi_join(ds, loser_ds, big_key=id_col,
+                                   small_key="__loser", anti=True)
+    npart = int(max(8, min(64, n_losers // 10_000_000 + 8)))
+    return ds.join(loser_ds, "left_anti", npart,
+                   on=(id_col,), right_on=("__loser",))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -639,6 +639,32 @@ def q_neardup_clusters(sf_dir: str) -> pa.Table:
                                             pa.int64())})
 
 
+def q_neardup_doc_counts(sf_dir: str) -> pa.Table:
+    """Per-lang doc counts AFTER near-dup dedup (keep the min-id doc per
+    near-dup cluster) — the full dedup application end to end: minhash →
+    LSH → exact verify → connected components → keep-one filter → count.
+    Distributed fold as in dedup_doc_counts; the oracle replays the
+    identical chain in SQL (shingle Jaccard pairs → recursive components
+    → anti-join on losers → per-lang counts)."""
+    from .ops.dedup import minhash_dedup_pairs, neardup_clusters, neardup_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pairs = minhash_dedup_pairs(ds.select_columns(["doc_id", "text"]),
+                                threshold=0.5, num_perm=64, bands=16)
+    clusters = neardup_clusters(pairs)
+    kept = neardup_filter(ds, clusters)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang"]).to_pandas().groupby(
+            "lang", sort=False).size().reset_index(name="n_docs")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(kept.map_batches(count_partial, batch_format="pyarrow"),
+                         ["lang"], ["n_docs"], [], [])
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     """Cosine near-dup at threshold 0.45, via the density-routed
     dispatcher (ops.dedup.embedding_neardup): 0.45 lies in the BULK of
@@ -1315,6 +1341,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bloom_membership": q_bloom_membership,
     "neardup_pairs": q_neardup_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_doc_counts": q_neardup_doc_counts,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
@@ -1510,6 +1537,46 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY u ORDER BY doc_id
+    """,
+    "neardup_doc_counts": """
+        -- the full near-dup dedup application: shingle-Jaccard pair
+        -- graph -> recursive components -> drop non-canonical members ->
+        -- per-lang counts
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id,
+                 substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+          WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u
+        ),
+        losers AS (
+          SELECT u AS doc_id FROM reach GROUP BY u HAVING min(r) <> u
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY d.lang ORDER BY d.lang
     """,
     "embedding_neardup": """
         WITH sims AS (
