@@ -258,6 +258,25 @@ def test_neardup_clusters_routes_identical(ray_session):
     assert dict(zip(drv["doc_id"], drv["cluster_id"])) == want
 
 
+def test_neardup_filter_routes_identical(ray_session, sf_dir):
+    """Broadcast anti-join and partitioned LEFT-ANTI join agree, and
+    exactly the non-canonical cluster members are dropped."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5, num_perm=64,
+                                   bands=16).materialize()
+    clusters = dd.neardup_clusters(pairs).materialize()
+    cdf = clusters.to_pandas()
+    losers = set(cdf.loc[cdf["doc_id"] != cdf["cluster_id"], "doc_id"])
+    a = dd.neardup_filter(docs, clusters).to_pandas()
+    b = dd.neardup_filter(docs, clusters, broadcast_limit=0).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert set(a["doc_id"]).isdisjoint(losers)
+    assert len(a) == docs.count() - len(losers)
+
+
 def test_neardup_clusters_empty(ray_session):
     import ray.data as rd
 
