@@ -597,13 +597,26 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
 
     sh_side = shingle_docs.map_batches(shingle_payload, batch_format="pyarrow").materialize()
 
-    def _jaccard_rows(ids_a, ids_b, get_set) -> pd.DataFrame:
-        jac = np.empty(len(ids_a))
-        for r in range(len(ids_a)):
-            sa, sb = get_set(r, 0), get_set(r, 1)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jac[r] = inter / union if union else 1.0
+    def _jaccard_rows(ids_a, ids_b, sets_a, sets_b) -> pd.DataFrame:
+        """Batch Jaccard over per-pair UNIQUE hash sets, fully vectorized:
+        one lexsort over the batch's whole (pair, value) stream, adjacent
+        duplicates = intersections (each side is unique within itself, so
+        a value can repeat within a pair only across sides)."""
+        npairs = len(ids_a)
+        sizes_a = np.fromiter((s.size for s in sets_a), np.int64, npairs)
+        sizes_b = np.fromiter((s.size for s in sets_b), np.int64, npairs)
+        values = np.concatenate(
+            [v for pair in zip(sets_a, sets_b) for v in pair]
+        ) if npairs else np.zeros(0, np.uint64)
+        segs = np.repeat(
+            np.arange(npairs, dtype=np.int64),
+            (sizes_a + sizes_b) if npairs else np.zeros(0, np.int64))
+        order = np.lexsort((values, segs))
+        v, s = values[order], segs[order]
+        dup = (v[1:] == v[:-1]) & (s[1:] == s[:-1])
+        inter = np.bincount(s[1:][dup], minlength=npairs)
+        union = sizes_a + sizes_b - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         out = pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "jaccard": jac})
         return out[out["jaccard"] >= threshold]
 
@@ -623,12 +636,10 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
             ib, ok_b = _lookup_sorted(ids_sorted, b)
             keep = ok_a & ok_b  # missing payload -> pair dropped
             a, b, ia, ib = a[keep], b[keep], ia[keep], ib[keep]
-
-            def get_set(r, side):
-                i = ia[r] if side == 0 else ib[r]
-                return v[o[i]:o[i + 1]]
-
-            out = _jaccard_rows(a, b, get_set)
+            out = _jaccard_rows(
+                a, b,
+                [v[o[i]:o[i + 1]] for i in ia],
+                [v[o[i]:o[i + 1]] for i in ib])
             return pa.Table.from_pandas(out, preserve_index=False)
 
         verified = surv.map_batches(verify_bcast, batch_format="pyarrow")
@@ -636,15 +647,10 @@ def _minhash_verify_candidates(ds, cand, text_col: str, id_col: str,
         def verify(df: pd.DataFrame) -> pd.DataFrame:
             if df.empty:
                 return empty
-            pays_a = df["payload_a"].to_numpy()
-            pays_b = df["payload_b"].to_numpy()
-
-            def get_set(r, side):
-                return np.frombuffer(
-                    pays_a[r] if side == 0 else pays_b[r], np.uint64)
-
-            return _jaccard_rows(df["id_a"].to_numpy(),
-                                 df["id_b"].to_numpy(), get_set)
+            return _jaccard_rows(
+                df["id_a"].to_numpy(), df["id_b"].to_numpy(),
+                [np.frombuffer(p, np.uint64) for p in df["payload_a"]],
+                [np.frombuffer(p, np.uint64) for p in df["payload_b"]])
 
         verified = attach_pair_payloads(
             surv, sh_side, num_partitions=npart
