@@ -892,18 +892,25 @@ def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     # aggregate per round). (Dataset.join is avoided deliberately: with
     # near-empty key partitions the partitioned hash join cannot infer
     # the right-side schema.)
+    #
+    # Rows are (node, kind, val) with NO nulls — kind 0 = label row
+    # (val=label), kind 1 = edge row (val=peer). A nullable int64 column
+    # would become float64 inside the pandas map_groups batches and
+    # silently ROUND ids above 2^53 (hash-derived 64-bit ids), breaking
+    # route identity with the driver union-find.
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+
     def seed_and_edges(b: pa.Table) -> pa.Table:
         a = b[id_a].combine_chunks()
         c = b[id_b].combine_chunks()
         both = pa.concat_arrays([a, c])
-        # label rows: (node, label, peer=null); edge rows: (node, null, peer)
+        n2 = len(both)
         return pa.table({
             "node": pa.concat_arrays([both, both]),
-            "label": pa.concat_arrays(
-                [both, pa.nulls(len(both), pa.int64())]),
-            "peer": pa.concat_arrays(
-                [pa.nulls(len(both), pa.int64()),
-                 pa.concat_arrays([c, a])]),
+            "kind": pa.array(np.repeat(np.array([0, 1], np.int8), n2),
+                             pa.int8()),
+            "val": pa.concat_arrays([both, pa.concat_arrays([c, a])]),
         })
 
     def node_coarse(b: pa.Table) -> pa.Table:
@@ -914,22 +921,21 @@ def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
 
     def fold_and_message(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["nc"])
-        lab = df[df["label"].notna()].groupby("node", sort=False)["label"] \
+        lab = df[df["kind"] == 0].groupby("node", sort=False)["val"] \
             .min().reset_index()
-        ed = df[df["peer"].notna()][["node", "peer"]]
+        ed = df[df["kind"] == 1][["node", "val"]].rename(columns={"val": "peer"})
         msg = ed.merge(lab, on="node", how="inner")  # vectorized per bucket
-        out_lab = lab.assign(peer=np.int64(0))[["node", "label"]]
-        out_msg = pd.DataFrame({"node": msg["peer"].to_numpy(np.int64),
-                                "label": msg["label"].to_numpy(np.int64)})
-        out = pd.concat([out_lab, out_msg], ignore_index=True)
-        out["node"] = out["node"].astype("int64")
-        out["label"] = out["label"].astype("int64")
-        return out
+        out = pd.concat(
+            [lab[["node", "val"]],
+             pd.DataFrame({"node": msg["peer"].to_numpy(np.int64),
+                           "val": msg["val"].to_numpy(np.int64)})],
+            ignore_index=True)
+        return out.astype({"node": "int64", "val": "int64"})
 
     def min_fold(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop(columns=["nc"]).groupby("node", sort=False)["label"] \
+        out = df.drop(columns=["nc"]).groupby("node", sort=False)["val"] \
             .min().reset_index()
-        return out.astype({"node": "int64", "label": "int64"})
+        return out.astype({"node": "int64", "val": "int64"})
 
     edges_keyed = pairs_ds.map_batches(
         seed_and_edges, batch_format="pyarrow"
@@ -938,18 +944,21 @@ def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     def edge_rows(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return b.filter(pc.is_valid(b["peer"]))
+        return b.filter(pc.equal(b["kind"], pa.scalar(1, pa.int8())))
 
     state = edges_keyed
+    labels = None
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         folded = state.groupby("nc").map_groups(
             fold_and_message, batch_format="pandas"
         ).map_batches(node_coarse, batch_format="pyarrow")
         labels = folded.groupby("nc").map_groups(
             min_fold, batch_format="pandas").materialize()
-        cur_sum = labels.sum("label")
+        cur_sum = labels.sum("val")
         if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
+            converged = True
             break
         prev_sum = cur_sum
 
@@ -957,8 +966,8 @@ def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         def as_state(b: pa.Table) -> pa.Table:
             return pa.table({
                 "node": b["node"],
-                "label": b["label"],
-                "peer": pa.nulls(b.num_rows, pa.int64()),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                "val": b["val"],
             })
 
         state = labels.map_batches(as_state, batch_format="pyarrow").union(
@@ -966,8 +975,16 @@ def neardup_clusters(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
             .drop_columns(["nc"])
         ).map_batches(node_coarse, batch_format="pyarrow")
 
+    if not converged:
+        # returning a partially-propagated labeling would be silently
+        # WRONG (labels not yet component minima) — fail loudly instead
+        raise RuntimeError(
+            f"neardup_clusters: no fixpoint after {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); raise max_rounds"
+        )
+
     def finish(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b["node"], "cluster_id": b["label"]})
+        return pa.table({"doc_id": b["node"], "cluster_id": b["val"]})
 
     return labels.map_batches(finish, batch_format="pyarrow")
 
@@ -978,9 +995,11 @@ def neardup_filter(ds, clusters_ds, id_col: str = "doc_id",
     label is NOT itself (the canonical min-id survivor stays; docs in no
     cluster are untouched). The loser-id set is at most the clustered-doc
     count — near-dup losers are sparse at real thresholds — so it
-    broadcasts (anti semi-join, big side streams) under the documented
-    limit and falls back to a Bloom pre-filter + exact partitioned
-    LEFT-SEMI join above it."""
+    broadcasts (anti semi-join, big side streams, no shuffle) under the
+    documented limit and falls back to Ray's partitioned LEFT-ANTI hash
+    join above it (every corpus row must be checked against the loser
+    set either way, so there is no Bloom shortcut: a Bloom "maybe"
+    cannot drop a row from an ANTI join without an exact verify)."""
     import pyarrow.compute as pc
 
     from .join import broadcast_semi_join

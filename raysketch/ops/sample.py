@@ -87,9 +87,12 @@ def hash_sample(ds, k: int, id_col: str, seed: int = 42, key: str = "hash64"):
     cand = ds.map_batches(block_candidates, batch_format="pyarrow").map_batches(
         refold, batch_format="pyarrow", batch_size=64 * max(k, 1)
     )
-    merged = pa.concat_tables(
-        list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    )
+    parts = list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not parts:  # empty input: empty typed result, original schema
+        sch = ds.schema()
+        return pa.table({n: pa.array([], t)
+                         for n, t in zip(sch.names, sch.types)})
+    merged = pa.concat_tables(parts)
     # canonical output order = ascending sample key: block arrival order
     # varies run to run, the key order never does (keys are unique w.h.p.)
     keys_np = merged["__sample_key"].to_numpy(zero_copy_only=False)
@@ -123,42 +126,49 @@ def stratified_hash_sample(ds, k: int, group_col: str, id_col: str,
     if key not in ("hash64", "sha256"):
         raise ValueError("key must be 'hash64' or 'sha256'")
 
-    def _group_head(batch: pa.Table, kv: np.ndarray) -> pa.Table:
+    def _group_head_idx(batch: pa.Table, kv: np.ndarray) -> np.ndarray:
+        """Row indices of each group's k smallest keys (sorted ascending).
+        ``dropna=False``: a NULL group value is a real stratum exactly as
+        in the SQL oracle's PARTITION BY (a null-dropping groupby would
+        silently lose the whole stratum)."""
         df = pd.DataFrame({
-            "g": pd.Series(batch[group_col].to_pylist(), dtype="object"),
+            "g": batch[group_col].to_pandas(),  # Arrow-backed, no boxing
             "k": kv,
             "i": np.arange(batch.num_rows),
         })
         keep = (df.sort_values(["g", "k"], kind="stable")
-                .groupby("g", sort=False).head(k)["i"].to_numpy())
-        out = batch.take(pa.array(np.sort(keep)))
-        return out
+                .groupby("g", sort=False, dropna=False).head(k)["i"].to_numpy())
+        return np.sort(keep)
 
     def block_candidates(batch: pa.Table) -> pa.Table:
         kv = (_keys(batch, id_col, seed) if key == "hash64"
               else _sha_keys(batch, id_col))
-        out = _group_head(batch, kv)
-        kv2 = (_keys(out, id_col, seed) if key == "hash64"
-               else _sha_keys(out, id_col))
+        idx = _group_head_idx(batch, kv)
+        out = batch.take(pa.array(idx))
         typ = pa.uint64() if key == "hash64" else pa.string()
-        return out.append_column("__sample_key", pa.array(list(kv2), typ))
+        # slice the already-computed keys — never a second hash pass
+        return out.append_column("__sample_key", pa.array(list(kv[idx]), typ))
 
     def refold(batch: pa.Table) -> pa.Table:
         kv = batch["__sample_key"].to_numpy(zero_copy_only=False)
         if key == "hash64":
             kv = kv.astype(np.uint64)
-        return _group_head(batch, kv)
+        return batch.take(pa.array(_group_head_idx(batch, kv)))
 
     cand = ds.map_batches(block_candidates, batch_format="pyarrow").map_batches(
         refold, batch_format="pyarrow", batch_size=64 * max(k, 1)
     )
-    merged = pa.concat_tables(
-        list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    )
+    parts = list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not parts:  # empty input: empty typed result, original schema
+        sch = ds.schema()
+        return pa.table({n: pa.array([], t)
+                         for n, t in zip(sch.names, sch.types)})
+    merged = pa.concat_tables(parts)
     kv = merged["__sample_key"].to_numpy(zero_copy_only=False)
     if key == "hash64":
         kv = kv.astype(np.uint64)
-    return _group_head(merged, kv).drop_columns(["__sample_key"])
+    return merged.take(pa.array(_group_head_idx(merged, kv))).drop_columns(
+        ["__sample_key"])
 
 
 def hash_threshold_filter(ds, rate: float, id_col: str, seed: int = 42):

@@ -588,7 +588,6 @@ def q_bloom_membership(sf_dir: str) -> pa.Table:
     )
 
 
-@functools.lru_cache(maxsize=4)
 def _minhash_pairs_df(sf_dir: str) -> pd.DataFrame:
     """Canonical verified minhash pairs for ``sf_dir`` (threshold 0.5,
     64 perms, 16 bands) as driver pandas, memoized per process: three
@@ -596,8 +595,17 @@ def _minhash_pairs_df(sf_dir: str) -> pd.DataFrame:
     deterministic pair set, and each query callable must stay
     independently runnable — caching the sf-scale RESULT (never a
     session-bound Dataset handle) re-derives nothing while surviving
-    Ray session restarts. At corpus scale the analogous reuse is the
-    checkpointed pipeline's persisted stage_verified sink."""
+    Ray session restarts. The cache key includes the parquet's
+    (mtime, size), so regenerated data at the same path is never served
+    stale. At corpus scale the analogous reuse is the checkpointed
+    pipeline's persisted stage_verified sink."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return _minhash_pairs_df_cached(sf_dir, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=4)
+def _minhash_pairs_df_cached(sf_dir: str, _mtime_ns: int,
+                             _size: int) -> pd.DataFrame:
     from .ops.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -277,6 +277,57 @@ def test_neardup_filter_routes_identical(ray_session, sf_dir):
     assert len(a) == docs.count() - len(losers)
 
 
+def test_neardup_clusters_big_ids_route_identity(ray_session):
+    """Ids above 2^53 must survive the distributed route intact: a
+    nullable-int64 state column would round-trip through float64 in the
+    pandas folds and round them (found in review, reproduced, fixed via
+    the null-free (node, kind, val) encoding)."""
+    import ray.data as rd
+
+    base = 2 ** 60
+    edges = [(base + 1, base + 2), (base + 2, base + 3), (7, base + 9)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(t)
+    drv = dd.neardup_clusters(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    dist = dd.neardup_clusters(ds, driver_limit=0).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert drv.equals(dist)
+    assert dict(zip(drv["doc_id"], drv["cluster_id"])) == {
+        base + 1: base + 1, base + 2: base + 1, base + 3: base + 1,
+        7: 7, base + 9: 7}
+
+
+def test_stratified_sample_null_group_is_a_stratum(ray_session):
+    """NULL group values form a real partition (SQL PARTITION BY
+    semantics), not silently dropped rows."""
+    import ray.data as rd
+
+    from raysketch.ops.sample import stratified_hash_sample
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "lang": pa.array(["en", None, "en", None, None])})
+    out = stratified_hash_sample(rd.from_arrow(t), 2, "lang", "doc_id")
+    df = out.to_pandas()
+    assert (df["lang"].isna()).sum() == 2  # k of the 3 null-lang rows kept
+    assert (df["lang"] == "en").sum() == 2
+
+
+def test_samplers_empty_input(ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.sample import hash_sample, stratified_hash_sample
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "lang": pa.array([], pa.string())})
+    ds = rd.from_arrow(t)
+    for out in (hash_sample(ds, 5, "doc_id"),
+                stratified_hash_sample(ds, 5, "lang", "doc_id")):
+        assert out.num_rows == 0
+        assert set(out.schema.names) == {"doc_id", "lang"}
+
+
 def test_neardup_clusters_empty(ray_session):
     import ray.data as rd
 
