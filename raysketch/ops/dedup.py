@@ -1396,7 +1396,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
-) -> pd.DataFrame:
+):
     """Cosine near-duplicates via random-hyperplane LSH buckets + exact
     cosine within buckets. Bucket key = sign bits of `n_planes`
     projections → 2^n_planes buckets; only same-bucket pairs compared
@@ -1437,10 +1437,6 @@ def embedding_neardup_pairs(
             {"id_a": ids[ia[mask]], "id_b": ids[ib[mask]], "cosine": sims[ia, ib][mask]}
         )
 
-    out = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    if out.empty:
-        # an all-empty Dataset loses its schema on to_pandas
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # Dataset out (pandas conversion is the caller's choice, like every
+    # other pair-producing op in this module)
+    return rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

@@ -89,7 +89,7 @@ def test_embedding_neardup(ray_session):
     ds = rd.from_arrow(
         pa.table({"vec_id": list(range(35)), "embedding": [v.tolist() for v in vecs]})
     )
-    pairs = dd.embedding_neardup_pairs(ds, threshold=0.99, n_planes=4)
+    pairs = dd.embedding_neardup_pairs(ds, threshold=0.99, n_planes=4).to_pandas()
     found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     hits = sum((i, 30 + i) in found for i in range(5))
     assert hits >= 4  # LSH bucketing may split at most ~1 pair at 4 planes
