@@ -1025,10 +1025,19 @@ def neardup_filter(ds, clusters_ds, id_col: str = "doc_id",
 class SimHasher:
     """64-bit simhash per doc from word-level hashes, vectorized across the
     whole batch: one hash pass over every word + one segmented bit-vote
-    (reduceat) per doc."""
+    (reduceat) per doc.
 
-    def __init__(self, text_col: str = "text", out_col: str = "simhash") -> None:
-        self.text_col, self.out_col = text_col, out_col
+    ``hasher="hash64"`` (default) uses the engine's fast vectorized hash;
+    ``hasher="sha256"`` derives the word hash from the first 16 hex chars
+    of sha256(word) — slower, but cross-engine reproducible, so a SQL
+    oracle can recompute the identical simhash (the hash_sample
+    precedent)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash",
+                 hasher: str = "hash64") -> None:
+        if hasher not in ("hash64", "sha256"):
+            raise ValueError("hasher must be 'hash64' or 'sha256'")
+        self.text_col, self.out_col, self.hasher = text_col, out_col, hasher
 
     @staticmethod
     def simhash64(words: list[str]) -> int:
@@ -1037,14 +1046,21 @@ class SimHasher:
         return int(SimHasher._batch([words])[0])
 
     @staticmethod
-    def _batch(word_lists: list[list[str]]) -> np.ndarray:
+    def _batch(word_lists: list[list[str]], hasher: str = "hash64") -> np.ndarray:
         counts = np.fromiter((len(w) for w in word_lists), dtype=np.int64,
                              count=len(word_lists))
         flat: list[str] = [w for ws in word_lists for w in ws]
         out = np.zeros(len(word_lists), dtype=np.uint64)
         if not flat:
             return out
-        h = hash64_batch(pa.array(flat, pa.string()))
+        if hasher == "sha256":
+            sha = hashlib.sha256
+            h = np.fromiter(
+                (int(sha(w.encode("utf-8")).hexdigest()[:16], 16)
+                 for w in flat),
+                dtype=np.uint64, count=len(flat))
+        else:
+            h = hash64_batch(pa.array(flat, pa.string()))
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         votes = 2 * bits - 1  # (nwords, 64)
         nonempty = counts > 0
@@ -1057,7 +1073,7 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         word_lists = [(t or "").split() for t in batch[self.text_col].to_pylist()]
-        out = self._batch(word_lists)
+        out = self._batch(word_lists, self.hasher)
         return batch.append_column(self.out_col, pa.array(out, pa.uint64()))
 
 
@@ -1076,24 +1092,27 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     concurrency: int | None = None,
+    hasher: str = "hash64",
 ):
     """SimHash near-dup: 64-bit simhash per doc, 4 tables of 16 bits for
-    candidate banding (any pair within Hamming distance 3 shares at least
-    one exact 16-bit band). The per-doc state is just 8 bytes, so each
-    banding row CARRIES the full simhash and the Hamming verify runs
-    vectorized inside the bucket fold -- no gather join, no driver dict,
-    and only verified (near-dup) pairs ever leave a bucket. One coarse
-    groupby for the buckets + one for cross-band pair dedup;
+    candidate banding — by pigeonhole, any pair within Hamming distance 3
+    shares at least one EXACT 16-bit band, so recall is total (not
+    probabilistic) at max_hamming <= 3. The per-doc state is just 8
+    bytes, so each banding row CARRIES the full simhash and the Hamming
+    verify runs vectorized inside the bucket fold -- no gather join, no
+    driver dict, and only verified (near-dup) pairs ever leave a bucket.
+    One coarse groupby for the buckets + one for cross-band pair dedup;
     driver-unbounded at corpus scale.
 
     Returns a DATASET of (id_a, id_b, hamming) pairs — sink or
-    ``.to_pandas()`` at the caller's scale.
+    ``.to_pandas()`` at the caller's scale. ``hasher="sha256"`` keys the
+    simhash so a SQL oracle reproduces the whole pipeline.
     """
     kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
     if concurrency:
         kwargs["concurrency"] = concurrency
     sims = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher(text_col), **kwargs
+        SimHasher(text_col, hasher=hasher), **kwargs
     ).select_columns([id_col, "simhash"])
 
     def band(batch: pa.Table) -> pa.Table:

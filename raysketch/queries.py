@@ -903,10 +903,17 @@ def q_window_stats(sf_dir: str) -> pa.Table:
 
 
 def q_simhash_neardup(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs at Hamming <= 3, ORACLE-GATED end-to-end:
+    the sha256-keyed mode makes the per-word hash SQL-reproducible
+    (uint64 from the first 16 sha256 hex chars), and the 4x16-bit
+    banding is pigeonhole-EXACT at this radius, so the oracle — which
+    enumerates every pair with bit_count(xor) <= 3 over recomputed
+    simhashes — also proves banding recall. (The production default
+    keys on the faster engine-internal hash64; same machinery.)"""
     from .ops.dedup import simhash_neardup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _pairs_df(simhash_neardup_pairs(ds, max_hamming=3),
+    pairs = _pairs_df(simhash_neardup_pairs(ds, max_hamming=3, hasher="sha256"),
                       {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
     return pa.table(
         {"id_a": pa.array(pairs["id_a"].astype("int64"), pa.int64()),
@@ -1407,6 +1414,16 @@ def _fp_window_hash_sql(window: int = 16) -> str:
     return f"CAST((({terms}) % 18446744073709551616::HUGEINT) AS UBIGINT)"
 
 
+def _hex16_to_ubigint_sql(col: str = "hx") -> str:
+    """SQL expression parsing a 16-hex-char string column to UBIGINT
+    (no hex-cast builtin needed: 16 strpos-digit terms, exact)."""
+    return " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1"
+        f" AS UBIGINT) * {16 ** (15 - i)}::UBIGINT"
+        for i in range(16)
+    )
+
+
 def _sw_sql(langs: list[str] | None = None) -> str:
     """SQL IN-list of the text-ops stopwords (same source of truth as
     ops.text._STOPWORDS, so the oracle can never drift from the engine)."""
@@ -1767,6 +1784,39 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprints_csv
         FROM r WHERE rn <= 8
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    "simhash_neardup": f"""
+        -- full simhash pipeline replay: per-word uint64 from sha256 hex,
+        -- 64 bit-votes per doc, simhash reassembly, all-pairs Hamming
+        -- via bit_count(xor) <= 3 (the engine's 4x16 banding is
+        -- pigeonhole-exact at this radius, so enumerating every pair
+        -- also gates banding recall)
+        WITH w AS (
+          SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+          FROM documents
+        ),
+        w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        hh AS (
+          SELECT doc_id, ({_hex16_to_ubigint_sql()}) AS h
+          FROM (SELECT doc_id, substr(sha256(word), 1, 16) AS hx FROM w2)
+        ),
+        bits AS (
+          SELECT doc_id, b.i AS bit,
+                 sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hh, (SELECT unnest(generate_series(0, 63)) AS i) b
+          GROUP BY doc_id, b.i
+        ),
+        sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                          ELSE CAST(0 AS UBIGINT) END) AS sh
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY id_a, id_b
     """,
     "monitor_rollup": """
         WITH ordered AS (
