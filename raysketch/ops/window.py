@@ -254,6 +254,90 @@ def time_series_window(
     return bucketed.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    value_col: str | None = None,
+    num_buckets: int = 256,
+):
+    """Gap-based session windows per key (the classic streaming
+    sessionization the reference's fixed-width circular buffer cannot
+    express): consecutive events of a key belong to one session while
+    the gap between them is <= ``gap_us``; a STRICTLY larger gap starts
+    a new session. Sessions number from 1 per key in start order.
+
+    Returns one row per session: (key, session_id, session_start_us,
+    session_end_us, n_events[, sum_value]).
+
+    Plan: ONE coarse shuffle on ``hash(key) % num_buckets`` co-locates
+    each key's events; the per-bucket fold is fully vectorized pandas —
+    sort by (key, ts), flag gaps, cumsum session ids, one grouped
+    aggregate. Per-key volume must fit a reduce task (the same contract
+    as every per-key fold here); keys are never materialized driver-side.
+    """
+    if gap_us <= 0:
+        raise ValueError("gap_us must be positive")
+
+    def coarse(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..engine.hashing import hash64_batch_aligned
+
+        cols = [key_col, ts_col] + ([value_col] if value_col else [])
+        b = b.select(cols)
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        b = b.append_column("__t_us", pc.cast(ts, pa.int64()))
+        hk, _ = hash64_batch_aligned(b[key_col])
+        return b.append_column(
+            "__sb", pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = [key_col, "session_id", "session_start_us",
+                    "session_end_us", "n_events"] + (
+                        ["sum_value"] if value_col else [])
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        df = df.sort_values([key_col, "__t_us"], kind="mergesort")
+        t = df["__t_us"].to_numpy(np.int64)
+        new_key = (df[key_col] != df[key_col].shift()).to_numpy()
+        gap = np.empty(len(df), dtype=bool)
+        gap[0:1] = True
+        if len(df) > 1:
+            gap[1:] = (t[1:] - t[:-1]) > gap_us
+        new_sess = new_key | gap
+        sess = np.cumsum(new_sess)  # global session counter within bucket
+        df = df.assign(__sess=sess)
+        aggs = {
+            "session_start_us": ("__t_us", "min"),
+            "session_end_us": ("__t_us", "max"),
+            "n_events": ("__t_us", "size"),
+        }
+        if value_col:
+            aggs["sum_value"] = (value_col, "sum")
+        g = df.groupby([key_col, "__sess"], sort=False).agg(**aggs).reset_index()
+        # renumber 1..n per key in start order (bucket-global __sess ids
+        # are already start-ordered within each key by construction)
+        g = g.sort_values([key_col, "session_start_us"], kind="mergesort")
+        g["session_id"] = g.groupby(key_col, sort=False).cumcount() + 1
+        return g.drop(columns=["__sess"])[
+            [key_col, "session_id", "session_start_us", "session_end_us", "n_events"]
+            + (["sum_value"] if value_col else [])
+        ]
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("__sb")
+        .map_groups(
+            lambda df: fold(df.drop(columns=["__sb"])), batch_format="pandas"
+        )
+    )
+
+
 def window_stats(
     values: np.ndarray, stat: str = "sum", include_zero: bool = False
 ) -> tuple[float, int]:

@@ -1347,6 +1347,130 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     )
 
 
+def q_asof_join_orders(sf_dir: str) -> pa.Table:
+    """Backward as-of join, ORACLE-GATED: every event gains the most
+    recent order of its user at or before the event time (ties on
+    o_orderdate resolve to the max o_orderkey — the op's deterministic
+    tiebreak, replicated in the oracle's ORDER BY). Joined o_totalprice
+    values pass through both engines bit-for-bit (stored doubles, never
+    recomputed). The op size-routes: broadcast right side here;
+    partitioned hash-bucket plan above ASOF_BROADCAST_ROWS (route
+    equality is identity-pinned in tests/test_stream_join.py)."""
+    from .ops.stream_join import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    out = asof_join(
+        ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+        ["o_orderkey", "o_totalprice"], tiebreak="o_orderkey", how="inner",
+    ).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+        "o_orderkey": pa.array(out["o_orderkey"].astype("int64"), pa.int64()),
+        "o_totalprice": pa.array(out["o_totalprice"].astype("float64"), pa.float64()),
+    })
+
+
+def q_sessionized_stats(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30-minute inactivity gap) per user,
+    ORACLE-GATED against the SQL window-function formulation. Session
+    value totals sum in integer CENTS (events.value is a 2-dp double;
+    round(v*100) is the same double op in both engines and integer sums
+    are order-independent — the nation_revenue integer-cents rule)."""
+    from .ops.window import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(np.abs(v) * 100.0 + 0.5) * np.sign(v)  # half away from zero
+        return b.drop_columns(["value"]).append_column(
+            "value_cents", pa.array(c.astype(np.int64), pa.int64())
+        )
+
+    sess = sessionize(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "ts", gap_us=30 * 60 * 1_000_000, value_col="value_cents",
+    ).to_pandas()
+    sess = sess.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(sess["user_id"].astype("int64"), pa.int64()),
+        "session_id": pa.array(sess["session_id"].astype("int64"), pa.int64()),
+        "session_start_us": pa.array(
+            sess["session_start_us"].astype("int64"), pa.int64()),
+        "session_end_us": pa.array(
+            sess["session_end_us"].astype("int64"), pa.int64()),
+        "n_events": pa.array(sess["n_events"].astype("int64"), pa.int64()),
+        "sum_value_cents": pa.array(sess["sum_value"].astype("int64"), pa.int64()),
+    })
+
+
+# the sliding-window interval table is a fixed calendar (Jan 2024, the
+# events table's time span): 6-hour windows stepping 1 hour — windows
+# OVERLAP, so this is a genuine range join (each point matches ~6
+# intervals), not a bucketing
+_IJ_WIN_US = 6 * 3_600_000_000
+_IJ_STEP_US = 3_600_000_000
+
+
+def _ij_windows() -> pd.DataFrame:
+    lo = np.arange(
+        np.datetime64("2024-01-01", "us").astype(np.int64),
+        np.datetime64("2024-02-01", "us").astype(np.int64),
+        _IJ_STEP_US,
+        dtype=np.int64,
+    )
+    return pd.DataFrame(
+        {"lo": lo, "hi": lo + _IJ_WIN_US, "interval_id": lo}
+    )
+
+
+def q_interval_join_windows(sf_dir: str) -> pa.Table:
+    """Overlapping-interval range join, ORACLE-GATED: events against
+    broadcast 6h/1h sliding windows (two searchsorted probes + exact hi
+    mask per batch, shuffle-free). The 6x row expansion never crosses
+    the object store: the per-window partial aggregate fuses into the
+    same map task; the fold is a tiny groupby over <=744 window rows."""
+    from .ops.stream_join import interval_join
+
+    pts = _read(sf_dir, "events", ["ts", "value"])
+    joined = interval_join(pts, _ij_windows(), "ts", carry_cols=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100.0 + 0.5) * np.sign(v)).astype(np.int64)
+        df = pd.DataFrame({"interval_id": b["interval_id"].to_numpy(
+            zero_copy_only=False), "c": c})
+        g = df.groupby("interval_id", sort=False).agg(
+            n_events=("c", "size"), sum_value_cents=("c", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("interval_id", sort=False)
+            .agg(n_events=("n_events", "sum"),
+                 sum_value_cents=("sum_value_cents", "sum"))
+            .reset_index()
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("interval_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("interval_id").reset_index(drop=True)
+    return pa.table({
+        "window_start_us": pa.array(out["interval_id"].astype("int64"), pa.int64()),
+        "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+        "sum_value_cents": pa.array(
+            out["sum_value_cents"].astype("int64"), pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1396,6 +1520,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "matrix_flt_profile": q_matrix_flt_profile,
     "media_features": q_media_features,
     "fingerprints": q_fingerprints,
+    "asof_join_orders": q_asof_join_orders,
+    "sessionized_stats": q_sessionized_stats,
+    "interval_join_windows": q_interval_join_windows,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -1929,5 +2056,62 @@ ORACLE_SQL: dict[str, str] = {
         WHERE q.vec_id <> e.vec_id
         QUALIFY rank <= 10
         ORDER BY query_id, rank
+    """,
+    # as-of tiebreak (max o_orderkey at equal o_orderdate) == the op's
+    # deterministic tie rule; o_totalprice passes through bit-for-bit
+    "asof_join_orders": """
+        WITH m AS (
+            SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, o_orderkey, o_totalprice
+        FROM m WHERE rn = 1 ORDER BY event_id
+    """,
+    # strict >30min gap starts a session (equal gap continues) — the
+    # sessionize op's rule; value totals in integer cents (2-dp doubles,
+    # round(v*100) identical in both engines, integer sums exact)
+    "sessionized_stats": """
+        WITH x AS (
+            SELECT user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), y AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id,
+               CAST(sid AS BIGINT) AS session_id,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sum_value_cents
+        FROM y GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # 6h windows stepping 1h over Jan 2024 (the events span): windows
+    # overlap, so each event joins ~6 of them — a real range join
+    "interval_join_windows": """
+        WITH w AS (
+            SELECT ws FROM generate_series(
+                TIMESTAMP '2024-01-01',
+                TIMESTAMP '2024-01-31 23:00:00',
+                INTERVAL 1 HOUR) t(ws)
+        )
+        SELECT CAST(epoch_us(w.ws) AS BIGINT) AS window_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM w JOIN events e
+          ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 6 HOUR
+        GROUP BY 1 ORDER BY 1
     """,
 }
