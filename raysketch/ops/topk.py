@@ -1,4 +1,4 @@
-"""Heavy hitters: CMS-scored top-k over a key column.
+"""Heavy hitters (CMS-scored top-k) and exact grouped top-N.
 
 The reference ecosystem's "sparse mode" heavy-hitter tracking with
 count-based decay (heka_message_monitor.lua:562-590) recast for batch:
@@ -165,3 +165,76 @@ def cms_topk(
     out = scored.iloc[order]
     return pa.table({"token": pa.array(out["token"].tolist(), pa.string()),
                      "est": pa.array(out["est"].to_numpy(np.int64), pa.int64())})
+
+
+def grouped_topn(
+    ds,
+    group_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    ascending: bool = False,
+    carry_cols: list[str] | None = None,
+    num_buckets: int = 256,
+):
+    """EXACT top-``n`` rows per group by ``order_col`` (the SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY v) QUALIFY rn <= n``
+    shape), with ``rank`` 1..n attached. Total order is deterministic:
+    ``order_col`` (desc by default), ties broken by ``tiebreak_col``
+    ascending — required, so reruns and both fold levels agree.
+
+    Scale shape: rank selection commutes with pre-filtering — the global
+    top-n of a group is contained in the union of per-block top-n — so
+    each map task keeps at most n rows per (block, group) BEFORE the
+    shuffle; the fold re-selects inside coarse hash(group) buckets. The
+    shuffle therefore carries <= blocks x groups x n narrow rows, never
+    the raw table. Per-group output (n rows) must fit a reduce task.
+
+    Null semantics (verified): null GROUP keys drop (pandas groupby);
+    null ORDER values sort last within their group (after all non-null
+    rows in either direction) — SQL NULLS LAST.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    cols = list(
+        dict.fromkeys([group_col, order_col, tiebreak_col] + (carry_cols or []))
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df = df.sort_values(
+            [group_col, order_col, tiebreak_col],
+            ascending=[True, ascending, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(n), preserve_index=False
+        )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import hash64_batch_aligned
+
+        hk, _ = hash64_batch_aligned(b[group_col])
+        return b.append_column(
+            "__gb",
+            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [group_col, order_col, tiebreak_col],
+            ascending=[True, ascending, True],
+            kind="mergesort",
+        )
+        out = df.groupby(group_col, sort=False).head(n).copy()
+        out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(local_top, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(
+            lambda df: fold(df.drop(columns=["__gb"])), batch_format="pandas"
+        )
+    )

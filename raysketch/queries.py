@@ -1471,6 +1471,27 @@ def q_interval_join_windows(sf_dir: str) -> pa.Table:
     })
 
 
+def q_grouped_topn(sf_dir: str) -> pa.Table:
+    """Exact per-group top-5 by value (the QUALIFY row_number() <= 5
+    shape), ORACLE-GATED. Deterministic tie rule: value desc, event_id
+    asc — replicated in the oracle's ORDER BY. Map-side pre-filter keeps
+    <= 5 rows per (block, group) before the shuffle; values pass through
+    bit-for-bit (stored doubles, never recomputed)."""
+    from .ops.topk import grouped_topn
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = grouped_topn(
+        ds, "event_type", "value", 5, tiebreak_col="event_id"
+    ).to_pandas()
+    out = out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "rank": pa.array(out["rank"].astype("int64"), pa.int64()),
+        "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+        "value": pa.array(out["value"].astype("float64"), pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1523,6 +1544,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
     "interval_join_windows": q_interval_join_windows,
+    "grouped_topn": q_grouped_topn,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2113,5 +2135,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM w JOIN events e
           ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 6 HOUR
         GROUP BY 1 ORDER BY 1
+    """,
+    # same deterministic total order as grouped_topn: value desc, id asc
+    "grouped_topn": """
+        SELECT event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id
+               ) AS BIGINT) AS rank,
+               event_id, value
+        FROM events
+        QUALIFY rank <= 5
+        ORDER BY event_type, rank
     """,
 }

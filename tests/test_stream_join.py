@@ -368,3 +368,57 @@ class TestStreamJoinQueries:
 
         out = q_interval_join_windows(sf_dir)
         assert out.num_rows > 0
+
+
+class TestGroupedTopN:
+    def test_matches_brute_force_across_blocks(self, ray_session):
+        from raysketch.ops.topk import grouped_topn
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 15, 600).astype(np.int64),
+                "v": rng.integers(0, 40, 600).astype(np.int64),  # many ties
+                "id": np.arange(600, dtype=np.int64),
+            }
+        )
+        got = (
+            grouped_topn(_mk_ds(df, 8), "g", "v", 3, tiebreak_col="id")
+            .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .groupby("g").head(3).reset_index(drop=True)
+        )
+        exp["rank"] = exp.groupby("g").cumcount() + 1
+        assert len(got) == len(exp)
+        for c in ["g", "v", "id", "rank"]:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_ascending_and_small_groups(self, ray_session):
+        from raysketch.ops.topk import grouped_topn
+
+        df = pd.DataFrame({"g": [1, 1, 2], "v": [5, 3, 9],
+                           "id": [10, 11, 12]})
+        got = (
+            grouped_topn(_mk_ds(df, 2), "g", "v", 5, tiebreak_col="id",
+                         ascending=True)
+            .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+        )
+        # n > group size keeps everything; ascending ranks smallest first
+        assert got["v"].tolist() == [3, 5, 9]
+        assert got["rank"].tolist() == [1, 2, 1]
+
+    def test_validation(self, ray_session):
+        from raysketch.ops.topk import grouped_topn
+
+        with pytest.raises(ValueError, match="n must be"):
+            grouped_topn(_mk_ds(pd.DataFrame({"g": [1], "v": [1], "id": [1]})),
+                         "g", "v", 0, tiebreak_col="id")
+
+    def test_query_runs(self, ray_session, sf_dir):
+        from raysketch.queries import q_grouped_topn
+
+        out = q_grouped_topn(sf_dir)
+        assert out.num_rows > 0
+        assert out.column_names == ["event_type", "rank", "event_id", "value"]
