@@ -183,3 +183,86 @@ def hash_threshold_filter(ds, rate: float, id_col: str, seed: int = 42):
         return batch.filter(pa.array(key <= threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_hash_sample(ds, k: int, weight_col: str, id_col: str,
+                         seed: int = 42, key: str = "hash64"):
+    """Exactly-k deterministic WEIGHTED sample without replacement
+    (Efraimidis–Spirakis A-ES, the one-pass mergeable scheme): each row
+    gets priority ``-ln(u)/w`` with ``u`` a deterministic uniform from
+    its id and ``w`` its weight; the sample is the k SMALLEST priorities
+    (equivalently the k largest ``u^(1/w)`` of the original paper —
+    inclusion probability proportional to weight, no RNG state, same
+    rows every run/retry). The standard weighted training-data
+    subsampling primitive (quality- or length-weighted corpus cuts).
+
+    Same shuffle discipline as :func:`hash_sample`: per-block k-smallest
+    candidates (narrow), a coalescing refold level, driver keeps the
+    global k — candidate volume is blocks × k rows at any input size,
+    and the per-block top-k commutes because A-ES priorities are
+    row-independent.
+
+    Rows with a NULL id, or a NULL / non-finite / non-positive weight,
+    are never selected (priority +inf). ``key="sha256"`` derives ``u``
+    from the first 16 hex chars of ``sha256(str(id))`` so a SQL oracle
+    reproduces the selection exactly: ``ORDER BY -ln((v + 1.0) / 2^64)
+    / w LIMIT k`` with ``v`` the same hex-parsed UBIGINT.
+    """
+    import pandas as pd  # noqa: F401  (kept for symmetry with siblings)
+
+    if key not in ("hash64", "sha256"):
+        raise ValueError("key must be 'hash64' or 'sha256'")
+
+    def _priorities(batch: pa.Table) -> np.ndarray:
+        if key == "hash64":
+            h, valid = hash64_batch_aligned(batch[id_col])
+            h = splitmix64(
+                h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+        else:
+            from ..engine.hashing import sha256_batch
+
+            ids = batch[id_col].to_pylist()
+            hx = sha256_batch(
+                pa.array([None if i is None else str(i) for i in ids]))
+            valid = np.array([s is not None for s in hx], dtype=bool)
+            h = np.array([0 if s is None else int(s[:16], 16) for s in hx],
+                         dtype=np.uint64)
+        # u in (0, 1]: (v + 1) / 2^64 in double — the +1.0 is exact for
+        # small v and a no-op at the top of the range, and the SQL oracle
+        # evaluates the IDENTICAL double expression
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = np.asarray(
+            batch[weight_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = -np.log(u) / w
+        pri[~valid | ~np.isfinite(w) | (w <= 0.0)] = np.inf
+        return pri
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        kk = min(k, batch.num_rows)
+        pri = _priorities(batch)
+        idx = np.sort(np.argsort(pri, kind="stable")[:kk])
+        out = batch.take(pa.array(idx))
+        return out.append_column("__sample_key",
+                                 pa.array(pri[idx], pa.float64()))
+
+    def refold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        pri = batch["__sample_key"].to_numpy(zero_copy_only=False)
+        idx = np.sort(np.argsort(pri, kind="stable")[:k])
+        return batch.take(pa.array(idx))
+
+    cand = ds.map_batches(block_candidates, batch_format="pyarrow").map_batches(
+        refold, batch_format="pyarrow", batch_size=64 * max(k, 1)
+    )
+    parts = list(cand.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not parts:  # empty input: empty typed result, original schema
+        sch = ds.schema()
+        return pa.table({n: pa.array([], t)
+                         for n, t in zip(sch.names, sch.types)})
+    merged = pa.concat_tables(parts)
+    pri = merged["__sample_key"].to_numpy(zero_copy_only=False)
+    keep = np.argsort(pri, kind="stable")
+    keep = keep[np.isfinite(pri[keep])][:k]  # +inf rows are non-selectable
+    return merged.take(pa.array(keep)).drop_columns(["__sample_key"])

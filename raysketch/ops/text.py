@@ -14,6 +14,9 @@ Operators:
 - :func:`fingerprint_batch` — 64-bit rolling-hash document fingerprint
   (Rabin–Karp over a sliding byte window, min-sampled), the cheap
   containment fingerprint.
+- :func:`ngram_count_partial` — per-block word n-gram counts (the
+  language-model count partial; one split+explode over the whole block,
+  consecutive-run masking, one value_counts — no per-doc loop).
 """
 
 from __future__ import annotations
@@ -218,3 +221,46 @@ def fingerprint_batch(
     mins = hu[first]  # first unique per doc == its min hash
     batch = batch.append_column("fingerprints", fps)
     return batch.append_column("fingerprint", pa.array(mins, pa.uint64()))
+
+
+def ngram_count_partial(
+    batch: pa.Table, text_col: str = "text", n: int = 2, sep: str = " "
+) -> pa.Table:
+    """Per-block word n-gram counts → ``(ngram, n_count)`` partial rows.
+
+    The map side of an n-gram language-model count (the classic
+    large-corpus pipeline): tokens are whitespace words (``str.split``
+    semantics — runs of whitespace, no empty tokens), an n-gram is ``n``
+    CONSECUTIVE words of one document joined by ``sep``. Fully
+    vectorized: one split+explode over the block's whole word stream,
+    a same-document run mask over the exploded index (n-grams never
+    cross document boundaries), one ``value_counts``. The caller folds
+    partials with a coarse-bucket groupby (see ``queries._count_topk``)
+    so shuffle volume is bounded by the block's DISTINCT n-grams, never
+    its token count.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    s = pd.Series(batch[text_col].to_pylist(), dtype="object").dropna()
+    ex = s.str.split().explode().dropna()
+    if len(ex) < n:
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n_count": pa.array([], pa.int64())})
+    idx = ex.index.to_numpy()
+    w = ex.to_numpy(dtype=object)
+    m = len(w) - n + 1
+    # rows i where words i..i+n-1 all belong to the same document
+    same = np.ones(m, dtype=bool)
+    for j in range(n - 1):
+        same &= idx[j : j + m] == idx[j + 1 : j + 1 + m]
+    if not same.any():
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n_count": pa.array([], pa.int64())})
+    grams = w[:m][same]
+    for j in range(1, n):
+        grams = grams + sep + w[j : j + m][same]
+    vc = pd.Series(grams).value_counts()
+    return pa.table(
+        {"ngram": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+         "n_count": pa.array(vc.to_numpy(np.int64), pa.int64())}
+    )

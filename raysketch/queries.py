@@ -247,6 +247,41 @@ def q_token_topk(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["token", "n"]], preserve_index=False)
 
 
+def q_bigram_topk(sf_dir: str) -> pa.Table:
+    """Top 20 word bigrams by exact count — the n-gram language-model
+    count pipeline (ops.text.ngram_count_partial map side; same
+    coarse-bucket fold discipline as token_topk: shuffle volume is
+    blocks × distinct-ngrams partial rows, never raw tokens; each global
+    top-20 ngram lives in exactly one bucket so per-bucket top-20
+    candidates suffice)."""
+    from .ops.text import ngram_count_partial
+
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(
+        lambda b: ngram_count_partial(b, "text", n=2), batch_format="pyarrow")
+
+    from .engine.hashing import hash64_batch_aligned
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h, _ = hash64_batch_aligned(batch["ngram"])
+        return batch.append_column(
+            "gb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["n_count"].sum().reset_index()
+        return g.sort_values(["n_count", "ngram"],
+                             ascending=[False, True]).head(20)
+
+    totals = partials.map_batches(bucket, batch_format="pyarrow").groupby(
+        "gb").map_groups(fold, batch_format="pandas")
+    out = totals.sort(["n_count", "ngram"],
+                      descending=[True, False]).limit(20).to_pandas()
+    out["n_count"] = out["n_count"].astype("int64")
+    return pa.Table.from_pandas(out[["ngram", "n_count"]],
+                                preserve_index=False)
+
+
 def q_token_count_per_doc(sf_dir: str) -> pa.Table:
     from .ops.text import TokenCounter
 
@@ -777,6 +812,29 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     out = stratified_hash_sample(ds, 10, "lang", "doc_id", key="sha256")
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Exactly-50 LENGTH-WEIGHTED deterministic sample (Efraimidis–
+    Spirakis priorities, weight = n_chars + 1 — the quality/length-
+    weighted corpus-cut primitive). sha256-keyed so the selection is
+    oracle-checkable: the SQL side parses the same 16 hex chars to
+    UBIGINT and orders by the identical double expression
+    ``-ln((v + 1.0) / 2^64) / (n_chars + 1)``."""
+    from .ops.sample import weighted_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def addw(b: pa.Table) -> pa.Table:
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+        return b.append_column("__w", pa.array(w, pa.float64()))
+
+    out = weighted_hash_sample(
+        ds.map_batches(addw, batch_format="pyarrow"), 50, "__w", "doc_id",
+        key="sha256")
+    df = (out.to_pandas().drop(columns="__w")
+          .sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -1502,6 +1560,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct": q_hll_distinct,
     "hll_distinct_by_repo": q_hll_distinct_by_repo,
     "token_topk": q_token_topk,
+    "bigram_topk": q_bigram_topk,
     "token_count_per_doc": q_token_count_per_doc,
     "sha256_invariant": q_sha256_invariant,
     "events_hourly": q_events_hourly,
@@ -1524,6 +1583,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ivf_ann": q_ivf_ann,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
@@ -1621,6 +1681,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "bigram_topk": """
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+          FROM documents
+        )
+        SELECT ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER) + 1] AS ngram,
+               CAST(count(*) AS BIGINT) AS n_count
+        FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+        GROUP BY ngram ORDER BY n_count DESC, ngram LIMIT 20
     """,
     "token_count_per_doc": """
         SELECT doc_id,
@@ -2052,6 +2122,22 @@ ORACLE_SQL: dict[str, str] = {
                    ORDER BY sha256(CAST(doc_id AS VARCHAR))) AS rn
           FROM documents)
         WHERE rn <= 10 ORDER BY doc_id
+    """,
+    "weighted_sample": f"""
+        -- Efraimidis–Spirakis priority replay: u = (v + 1) / 2^64 from
+        -- the first 16 hex chars of sha256(id), priority -ln(u) / w,
+        -- keep the 50 smallest — identical double expression to the
+        -- engine (2^64 is a power of two, exactly representable)
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 ({_hex16_to_ubigint_sql()}) AS v
+          FROM (SELECT doc_id, lang, n_chars,
+                       substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) AS hx
+                FROM documents)
+          ORDER BY -ln((CAST(v AS DOUBLE) + 1.0) / 18446744073709551616.0)
+                   / (CAST(n_chars AS DOUBLE) + 1.0)
+          LIMIT 50)
+        ORDER BY doc_id
     """,
     "ivf_ann": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)

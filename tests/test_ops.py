@@ -408,3 +408,80 @@ def test_hash_sample_deterministic_uniform(ray_session, sf_dir):
     # nested property: the 0.1 sample is a subset of the 0.25 sample
     f3 = hash_threshold_filter(ds, 0.1, "doc_id").to_pandas()
     assert set(f3["doc_id"]).issubset(set(f1["doc_id"]))
+
+
+def test_weighted_hash_sample(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysketch.ops.sample import weighted_hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def addw(b):
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+        return b.append_column("w", pa.array(w, pa.float64()))
+
+    dsw = ds.map_batches(addw, batch_format="pyarrow")
+    s1 = weighted_hash_sample(dsw, 50, "w", "doc_id")
+    s2 = weighted_hash_sample(dsw, 50, "w", "doc_id")
+    assert s1.num_rows == 50
+    assert s1["doc_id"].to_pylist() == s2["doc_id"].to_pylist()  # deterministic
+    # block-count invariance: per-block top-k candidates commute
+    s3 = weighted_hash_sample(
+        dsw.repartition(7), 50, "w", "doc_id")
+    assert sorted(s1["doc_id"].to_pylist()) == sorted(s3["doc_id"].to_pylist())
+    # sha256 keying selects a (generally different) deterministic set
+    s4 = weighted_hash_sample(dsw, 50, "w", "doc_id", key="sha256")
+    assert s4.num_rows == 50
+
+    # weighting is real: one row with overwhelming weight is always chosen
+    t = pa.table({"id": list(range(1000)),
+                  "w": [1.0] * 999 + [1e12]})
+    heavy = weighted_hash_sample(rd.from_arrow(t), 5, "w", "id")
+    assert 999 in heavy["id"].to_pylist()
+    # statistical direction: weight ∝ id-group makes the heavy half dominate
+    t2 = pa.table({"id": list(range(2000)),
+                   "w": [1.0] * 1000 + [50.0] * 1000})
+    samp = weighted_hash_sample(rd.from_arrow(t2), 200, "w", "id")
+    frac_heavy = np.mean([i >= 1000 for i in samp["id"].to_pylist()])
+    assert frac_heavy > 0.8  # expectation ≈ 50/51, huge margin
+
+    # null / non-positive / non-finite weights are never selected
+    t3 = pa.table({"id": [1, 2, 3, 4, 5],
+                   "w": pa.array([1.0, 0.0, None, float("nan"), -2.0],
+                                 pa.float64())})
+    s5 = weighted_hash_sample(rd.from_arrow(t3), 5, "w", "id")
+    assert s5["id"].to_pylist() == [1]
+
+    # empty input: typed empty result with the original schema
+    s6 = weighted_hash_sample(
+        rd.from_arrow(t3.slice(0, 0)), 5, "w", "id")
+    assert s6.num_rows == 0 and s6.schema.names == ["id", "w"]
+
+
+def test_ngram_count_partial():
+    import pyarrow as pa
+
+    from raysketch.ops.text import ngram_count_partial
+
+    t = pa.table({"text": ["a b c a b", "b c", None, "", "  x  ", "solo"]})
+    r = dict(zip(*(c.to_pylist() for c in
+                   ngram_count_partial(t).columns)))
+    # bigrams never cross document boundaries; split() semantics
+    assert r == {"a b": 2, "b c": 2, "c a": 1}
+    r3 = dict(zip(*(c.to_pylist() for c in
+                    ngram_count_partial(t, n=3).columns)))
+    assert r3 == {"a b c": 1, "b c a": 1, "c a b": 1}
+    r1 = dict(zip(*(c.to_pylist() for c in
+                    ngram_count_partial(t, n=1).columns)))
+    assert r1 == {"a": 2, "b": 3, "c": 2, "x": 1, "solo": 1}
+    empty = ngram_count_partial(pa.table({"text": pa.array([], pa.string())}))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["ngram", "n_count"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        ngram_count_partial(t, n=0)
