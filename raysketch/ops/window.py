@@ -114,6 +114,80 @@ def tumbling_window(
     ).map_groups(lambda df: fold(df.drop(columns=["wb"])), batch_format="pandas")
 
 
+def hopping_window(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_s: int = 7200,
+    hop_s: int = 3600,
+):
+    """Overlapping (hopping / sliding) windows: per (key, win) exact
+    n_events + min/max value, where window ``win`` covers
+    ``[win*hop_s, win*hop_s + width_s)`` — every event lands in
+    ``width_s/hop_s`` windows.
+
+    The scale trick: events are first collapsed to HOP-granularity
+    partials inside map_batches (one row per (block, key, hop-bucket)),
+    and the ×(width/hop) replication happens on those PARTIALS, never on
+    raw events — shuffle volume is ``blocks × keys × hop-buckets ×
+    (width/hop)`` narrow rows regardless of event count. Count/min/max
+    replicate losslessly because every event of a hop-bucket belongs to
+    exactly the same set of windows. Fold is the tumbling coarse-bucket
+    discipline (bounded group count, one vectorized pandas groupby per
+    reduce task). Contrast ``stream_join.interval_join``, which solves
+    the general per-event window-membership join; this operator is the
+    aggregate-only fast path.
+    """
+    if width_s % hop_s != 0 or width_s < hop_s:
+        raise ValueError("width_s must be a positive multiple of hop_s")
+    nw = width_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = add_bucket(batch, ts_col, hop_s, out="hb")
+        df = batch.select([key_col, "hb", value_col]).to_pandas()
+        g = (
+            df.groupby([key_col, "hb"], sort=False)
+            .agg(
+                n_events=(value_col, "size"),
+                vmin=(value_col, "min"),
+                vmax=(value_col, "max"),
+            )
+            .reset_index()
+        )
+        # replicate hop-bucket partials to their nw covering windows:
+        # window w = hb - j covers every ts of hop-bucket hb for
+        # j in 0..nw-1 (and no other window does)
+        rep = pd.concat(
+            [g.assign(win=g["hb"] - j) for j in range(nw)], ignore_index=True
+        ).drop(columns=["hb"])
+        return pa.Table.from_pandas(rep, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        from ..engine.hashing import combine_hash64, hash64_batch_aligned
+
+        hk, _ = hash64_batch_aligned(batch[key_col])
+        hw = batch["win"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = combine_hash64(hk, hw)
+        return batch.append_column(
+            "wb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([key_col, "win"], sort=False)
+            .agg(n_events=("n_events", "sum"), vmin=("vmin", "min"),
+                 vmax=("vmax", "max"))
+            .reset_index()
+        )
+
+    return partials.map_batches(coarse, batch_format="pyarrow").groupby(
+        "wb"
+    ).map_groups(lambda df: fold(df.drop(columns=["wb"])), batch_format="pandas")
+
+
 def time_series_window(
     ds,
     key_col: str,

@@ -1161,6 +1161,25 @@ def q_tumbling_window(sf_dir: str) -> pa.Table:
     })
 
 
+def q_hopping_window(sf_dir: str) -> pa.Table:
+    """Per (event_type, 2h-window-every-1h) exact count/min/max via the
+    hopping-window operator — each event lands in width/hop = 2 windows;
+    the replication rides hop-granularity PARTIALS, never raw events."""
+    from .ops.window import hopping_window
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = hopping_window(ds, "event_type", "ts", "value",
+                         width_s=7200, hop_s=3600).to_pandas()
+    out = out.sort_values(["event_type", "win"]).reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "win": pa.array(out["win"].astype("int64"), pa.int64()),
+        "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+        "vmin": pa.array(out["vmin"].astype("float64"), pa.float64()),
+        "vmax": pa.array(out["vmax"].astype("float64"), pa.float64()),
+    })
+
+
 def q_bloom_prefilter_pricing(sf_dir: str) -> pa.Table:
     """semijoin_pricing through the 10^9-key join plan: a broadcast BLOOM
     pre-filter (bits, not keys) cuts the big side first, then the exact
@@ -1595,6 +1614,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "monitor_rollup": q_monitor_rollup,
     "sink_roundtrip": q_sink_roundtrip,
     "tumbling_window": q_tumbling_window,
+    "hopping_window": q_hopping_window,
     "nation_revenue": q_nation_revenue,
     "bloom_prefilter_pricing": q_bloom_prefilter_pricing,
     "mp_anomaly": q_mp_anomaly,
@@ -1707,6 +1727,17 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+    "hopping_window": """
+        -- hopping 2h/1h: event in hop-bucket hb belongs to windows
+        -- hb and hb-1 (window win covers [win*1h, win*1h + 2h))
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 - j AS BIGINT) AS win,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(value) AS vmin,
+               max(value) AS vmax
+        FROM events, UNNEST(range(0, 2)) AS t(j)
+        GROUP BY event_type, win ORDER BY event_type, win
     """,
     "lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,

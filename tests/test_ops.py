@@ -205,6 +205,35 @@ def test_tumbling_window_matches_pandas(ray_session, sf_dir):
     assert np.allclose(m["vmax"], m["vmax_w"])
 
 
+def test_hopping_window_matches_pandas(ray_session, sf_dir):
+    import pytest
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    got = win.hopping_window(ds, width_s=7200, hop_s=3600).to_pandas()
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    # brute force: every event replicated to its width/hop covering windows
+    hb = ev["ts"].astype("int64") // (3600 * 1_000_000)
+    rep = pd.concat(
+        [ev.assign(win=hb - j) for j in range(2)], ignore_index=True)
+    want = (
+        rep.groupby(["event_type", "win"])
+        .agg(n_events=("value", "size"), vmin=("value", "min"),
+             vmax=("value", "max"))
+        .reset_index()
+    )
+    m = got.merge(want, on=["event_type", "win"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m["n_events"] == m["n_events_w"]).all()
+    assert np.allclose(m["vmin"], m["vmin_w"])
+    assert np.allclose(m["vmax"], m["vmax_w"])
+    # each window's count equals the sum of its two tumbling hop buckets
+    tot_t = win.tumbling_window(ds, width_s=3600).to_pandas()["n_events"].sum()
+    assert got["n_events"].sum() == 2 * tot_t
+    with pytest.raises(ValueError):
+        win.hopping_window(ds, width_s=5400, hop_s=3600)
+
+
 def test_time_series_window_semantics(ray_session):
     import ray.data as rd
 
