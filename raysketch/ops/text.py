@@ -264,3 +264,89 @@ def ngram_count_partial(
         {"ngram": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
          "n_count": pa.array(vc.to_numpy(np.int64), pa.int64())}
     )
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    n: int = 1, n_docs: int | None = None):
+    """Per-document top-``n`` TF-IDF terms — the keyword-extraction /
+    term-weighting pipeline. Score = ``tf * ln(N / df)`` with raw term
+    frequency ``tf``, document frequency ``df``, corpus size ``N``.
+
+    Scale shape (every stage streams):
+    1. TF: one split+explode+groupby per block. Each document is ONE
+       input row, so per-block (doc, term, tf) rows are already final —
+       no cross-block fold.
+    2. DF: the tf rows collapse per block to distinct (term, 1) partials,
+       then one coarse-bucket ``hash(term)`` shuffle sums them —
+       vocabulary-sized, never corpus-sized.
+    3. IDF attach: the (term, df) table broadcasts once via ``ray.put``
+       (``ops.join.broadcast_lookup_join``); the tf stream resolves each
+       batch with one vectorized ``index_in``. Vocabulary beyond worker
+       memory → swap this stage for the native partitioned hash join
+       (same contract as ops/dedup.attach_pair_payloads).
+    4. Per-doc top-n: ``ops.topk.grouped_topn`` (map-side pre-filter,
+       coarse-bucket re-select; ties broken by term ascending).
+
+    Returns a Dataset of (id_col, term, tf, df, tfidf, rank). Documents
+    with no tokens are absent (they have no terms to rank).
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    from .join import broadcast_lookup_join
+    from .topk import grouped_topn
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n_docs_f = float(n_docs)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object")
+        words = s.str.split().explode().dropna()
+        if not len(words):
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64())})
+        df = pd.DataFrame({"i": words.index.to_numpy(),
+                           "term": words.to_numpy(dtype=object)})
+        g = df.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+        out = batch.select([id_col]).take(pa.array(g["i"].to_numpy()))
+        out = out.append_column(
+            "term", pa.array(g["term"].to_numpy(dtype=object), pa.string()))
+        return out.append_column(
+            "tf", pa.array(g["tf"].to_numpy(np.int64), pa.int64()))
+
+    tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow")
+
+    from ..engine.hashing import hash64_batch_aligned
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # (doc, term) rows are distinct → per-block df partial is a
+        # value_counts over terms
+        vc = pd.Series(batch["term"].to_pylist(), dtype="object").value_counts()
+        t = pa.table({
+            "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "df": pa.array(vc.to_numpy(np.int64), pa.int64())})
+        h, _ = hash64_batch_aligned(t["term"])
+        return t.append_column(
+            "tb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64()))
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False)["df"].sum().reset_index()
+
+    df_ds = tf_ds.map_batches(df_partial, batch_format="pyarrow").groupby(
+        "tb").map_groups(lambda g: df_fold(g.drop(columns=["tb"])),
+                         batch_format="pandas")
+
+    scored = broadcast_lookup_join(tf_ds, df_ds, "term", "term", ["df"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # exact expression mirrored by the SQL oracle: tf * ln(N / df)
+        return batch.append_column(
+            "tfidf", pa.array(tf * np.log(n_docs_f / dfv), pa.float64()))
+
+    scored = scored.map_batches(score, batch_format="pyarrow")
+    return grouped_topn(scored, id_col, "tfidf", n, tiebreak_col="term",
+                        carry_cols=["tf", "df"])

@@ -838,6 +838,25 @@ def q_weighted_sample(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-document top TF-IDF term (keyword extraction): tf from one
+    explode pass, df via a vocabulary-sized coarse-bucket fold, idf
+    attached by broadcast lookup, per-doc argmax via grouped_topn.
+    Oracle replays tf * ln(N/df) with the identical double expression;
+    ties broken by term ascending on both sides."""
+    from .ops.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, "doc_id", "text", n=1).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+        "top_term": pa.array(out["term"], pa.string()),
+        "tfidf": pa.array(round6(out["tfidf"].to_numpy(np.float64)),
+                          pa.float64()),
+    })
+
+
 def q_quality_scores(sf_dir: str) -> pa.Table:
     """Per-doc pretraining-quality heuristics, ORACLE-GATED: the ratio
     definitions (whitespace-token count, [^\\w\\s] punctuation ratio,
@@ -1603,6 +1622,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
@@ -2169,6 +2189,31 @@ ORACLE_SQL: dict[str, str] = {
                    / (CAST(n_chars AS DOUBLE) + 1.0)
           LIMIT 50)
         ORDER BY doc_id
+    """,
+    "tfidf_top_terms": """
+        -- tf * ln(N / df), identical double expression order to the
+        -- engine; per-doc argmax with term-ascending tie-break
+        WITH tf AS (
+          SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents)
+          GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS s
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term AS top_term, round(s, 6) AS tfidf
+        FROM (SELECT doc_id, term, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, term) AS rn
+              FROM scored)
+        WHERE rn = 1 ORDER BY doc_id
     """,
     "ivf_ann": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)

@@ -491,6 +491,51 @@ def test_weighted_hash_sample(ray_session, sf_dir):
     assert s6.num_rows == 0 and s6.schema.names == ["id", "w"]
 
 
+def test_tfidf_top_terms(ray_session, sf_dir):
+    import math
+
+    import ray.data as rd
+
+    from raysketch.ops.text import tfidf_top_terms
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    got = tfidf_top_terms(ds, n=2).to_pandas().sort_values(
+        ["doc_id", "rank"]).reset_index(drop=True)
+
+    # brute force in pandas
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    N = float(len(docs))
+    ex = docs.set_index("doc_id")["text"].str.split().explode().dropna()
+    tf = ex.rename("term").reset_index().groupby(
+        ["doc_id", "term"]).size().reset_index(name="tf")
+    dfc = tf.groupby("term").size().rename("df")
+    tf = tf.join(dfc, on="term")
+    tf["tfidf"] = tf["tf"].astype(float) * np.log(N / tf["df"].astype(float))
+    want = (tf.sort_values(["doc_id", "tfidf", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("doc_id").head(2).reset_index(drop=True))
+
+    assert len(got) == len(want)
+    g = got.reset_index(drop=True)
+    w = want.reset_index(drop=True)
+    assert (g["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
+    assert (g["term"].to_numpy() == w["term"].to_numpy()).all()
+    assert np.allclose(g["tfidf"], w["tfidf"], rtol=0, atol=1e-12)
+    # rank column is 1..2 per doc
+    assert set(g["rank"].unique()) <= {1, 2}
+
+    # token-less and null docs are absent, not crashed
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": pa.array(["a a b", "", None], pa.string())})
+    r = tfidf_top_terms(rd.from_arrow(t), n=1).to_pandas()
+    assert r["doc_id"].tolist() == [1]
+    # doc 1's top term: 'a' tf=2 df=1 → 2*ln(3); 'b' tf=1
+    assert r["term"].tolist() == ["a"]
+    assert abs(r["tfidf"].iloc[0] - 2 * math.log(3.0)) < 1e-12
+
+
 def test_ngram_count_partial():
     import pyarrow as pa
 
