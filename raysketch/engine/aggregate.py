@@ -299,3 +299,32 @@ def sketch_aggregate(
         cls = SKETCH_KINDS[kind_by_spec[spec_name]]
         result.setdefault(gval, {})[spec_name] = cls.from_bytes(payload)
     return result
+
+
+def rollup_levels(finest: pd.DataFrame, keys: list[str],
+                  sum_cols: list[str], min_cols: list[str] = (),
+                  max_cols: list[str] = (), sentinel: str = "ALL"
+                  ) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP(keys...)`` derived from the FINEST exact
+    aggregate — the grouping-sets pattern that costs one distributed
+    pass: sums/counts/min/max re-aggregate associatively, so every
+    coarser level (k1..k_{i}, ALL, ..., ALL) folds from the tiny finest
+    table on the driver, never from the raw data. Rolled-up key columns
+    carry ``sentinel`` (the SQL side mirrors with COALESCE).
+
+    The finest table must fit the driver — true by construction for
+    rollup keys (group cardinality ≤ the finest GROUP BY's, which the
+    caller already materialized).
+    """
+    agg = ({c: "sum" for c in sum_cols} | {c: "min" for c in min_cols}
+           | {c: "max" for c in max_cols})
+    vals = list(agg)
+    levels = [finest[keys + vals].copy()]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl = (finest.groupby(keys[:i], sort=False)[vals].agg(agg).reset_index()
+               if i else finest[vals].agg(agg).to_frame().T)
+        for k in keys[i:]:
+            lvl[k] = sentinel
+        levels.append(lvl[keys + vals])
+    return pd.concat(levels, ignore_index=True).sort_values(
+        keys, kind="mergesort").reset_index(drop=True)

@@ -387,6 +387,34 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+def q_rollup_pricing(sf_dir: str) -> pa.Table:
+    """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` in ONE distributed
+    pass: the finest (flag, status) aggregate is built exactly as in
+    lineitem_pricing, and every coarser grouping set folds from that tiny
+    finest table on the driver (engine.aggregate.rollup_levels) — counts
+    and integral sums re-aggregate associatively, so the subtotals and
+    grand total are exact without touching the raw data again."""
+    from .engine.aggregate import rollup_levels
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            count_order=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    finest = _fold_partials(partials, ["l_returnflag", "l_linestatus"],
+                            ["count_order", "sum_qty"], [], [])
+    out = rollup_levels(finest, ["l_returnflag", "l_linestatus"],
+                        ["count_order", "sum_qty"])
+    out["count_order"] = out["count_order"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round().astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 _QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
@@ -1603,6 +1631,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sha256_invariant": q_sha256_invariant,
     "events_hourly": q_events_hourly,
     "lineitem_pricing": q_lineitem_pricing,
+    "rollup_pricing": q_rollup_pricing,
     "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
@@ -1764,6 +1793,14 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS count_order,
                CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "rollup_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
     """,
     "fixed_histogram": """

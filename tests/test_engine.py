@@ -197,3 +197,23 @@ def test_merge_topologies_agree(ray_session, sf_dir):
         else:
             sa._flush_pending(); sb._flush_pending(); sc._flush_pending()
             assert (sa.bits == sb.bits).all() and (sa.bits == sc.bits).all()
+
+
+def test_rollup_levels():
+    import pandas as pd
+
+    from raysketch.engine.aggregate import rollup_levels
+
+    f = pd.DataFrame({"a": ["x", "x", "y"], "b": ["1", "2", "1"],
+                      "n": [1, 2, 4], "mn": [5, 3, 9], "mx": [5, 3, 9]})
+    out = rollup_levels(f, ["a", "b"], ["n"], min_cols=["mn"], max_cols=["mx"])
+    rows = {(r.a, r.b): (r.n, r.mn, r.mx) for r in out.itertuples()}
+    assert rows[("x", "1")] == (1, 5, 5)
+    assert rows[("x", "ALL")] == (3, 3, 5)
+    assert rows[("y", "ALL")] == (4, 9, 9)
+    assert rows[("ALL", "ALL")] == (7, 3, 9)
+    assert len(out) == 3 + 2 + 1  # finest + per-a + grand total
+    # single-key rollup: finest + grand total
+    out1 = rollup_levels(f.groupby("a", as_index=False)["n"].sum(),
+                         ["a"], ["n"])
+    assert len(out1) == 3 and out1[out1.a == "ALL"]["n"].iloc[0] == 7
