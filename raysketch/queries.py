@@ -387,6 +387,55 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+def q_customer_order_profile(sf_dir: str) -> pa.Table:
+    """LEFT-OUTER enrichment: every customer keeps its row even with no
+    orders. Per-customer order counts fold distributed (coarse-bucket
+    shuffle of per-block value_counts partials — order rows never ride
+    the shuffle), then attach to the customer stream via the broadcast
+    lookup join in ``how="left"`` mode (null → 0; the small side is
+    customer-cardinality — at 100× swap the attach for the native
+    partitioned hash join, same contract as ops/dedup). Final
+    (mktsegment, n_orders) histogram is a tiny map-side fold."""
+    from .engine.hashing import hash64_batch_aligned
+    from .ops.join import broadcast_lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def oc_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["o_custkey"].to_numpy(
+            zero_copy_only=False)).value_counts()
+        t = pa.table({
+            "o_custkey": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "n_orders": pa.array(vc.to_numpy(np.int64), pa.int64())})
+        h, _ = hash64_batch_aligned(t["o_custkey"])
+        return t.append_column(
+            "cb", pa.array((h % np.uint64(64)).astype(np.int64), pa.int64()))
+
+    oc = orders.map_batches(oc_partial, batch_format="pyarrow").groupby(
+        "cb").map_groups(
+        lambda g: g.drop(columns=["cb"]).groupby(
+            "o_custkey", sort=False)["n_orders"].sum().reset_index(),
+        batch_format="pandas")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_lookup_join(cust, oc, "c_custkey", "o_custkey",
+                                   ["n_orders"], how="left")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        g = (df.groupby(["c_mktsegment", "n_orders"], sort=False)
+             .size().reset_index(name="n_customers"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(hist_partial, batch_format="pyarrow")
+    out = _fold_partials(partials, ["c_mktsegment", "n_orders"],
+                         ["n_customers"], [], [])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_rollup_pricing(sf_dir: str) -> pa.Table:
     """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` in ONE distributed
     pass: the finest (flag, status) aggregate is built exactly as in
@@ -1632,6 +1681,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly": q_events_hourly,
     "lineitem_pricing": q_lineitem_pricing,
     "rollup_pricing": q_rollup_pricing,
+    "customer_order_profile": q_customer_order_profile,
     "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
@@ -1802,6 +1852,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "customer_order_profile": """
+        WITH oc AS (SELECT o_custkey, count(*) AS n_orders
+                    FROM orders GROUP BY o_custkey)
+        SELECT c_mktsegment,
+               CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+        GROUP BY c_mktsegment, n_orders ORDER BY c_mktsegment, n_orders
     """,
     "fixed_histogram": """
         SELECT lang,
