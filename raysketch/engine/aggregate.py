@@ -328,3 +328,20 @@ def rollup_levels(finest: pd.DataFrame, keys: list[str],
         levels.append(lvl[keys + vals])
     return pd.concat(levels, ignore_index=True).sort_values(
         keys, kind="mergesort").reset_index(drop=True)
+
+
+def pivot_wide(finest: pd.DataFrame, row_key: str, col_key: str,
+               value_col: str, categories: list[str], fill=0) -> pd.DataFrame:
+    """Wide pivot of a FINEST aggregate: one output row per ``row_key``,
+    one column per category of ``col_key``. Like :func:`rollup_levels`
+    this is a driver-side reshape of the already-folded (tiny) finest
+    table — the distributed work is the partial count fold, and the
+    output schema is FIXED by ``categories`` (a streaming engine cannot
+    discover columns mid-write; dynamic category sets need a separate
+    distinct pass first). Unseen categories fill with ``fill``; rows
+    whose category is outside ``categories`` are dropped."""
+    p = finest.pivot_table(index=row_key, columns=col_key, values=value_col,
+                           aggfunc="sum", fill_value=fill)
+    p = p.reindex(columns=categories, fill_value=fill)
+    p.columns = list(categories)
+    return p.reset_index().sort_values(row_key).reset_index(drop=True)

@@ -436,6 +436,37 @@ def q_customer_order_profile(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(sf_dir: str) -> pa.Table:
+    """Hour-of-day × event-type PIVOT (wide aggregation): per-block
+    (hour, type) count partials fold on the driver, then reshape wide
+    with a FIXED category schema (engine.aggregate.pivot_wide — a
+    streaming engine cannot discover output columns mid-write). Oracle
+    is the FILTER-per-category conditional aggregation."""
+    from .engine.aggregate import pivot_wide
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        g = (pd.DataFrame({"hour": hour,
+                           "event_type": batch["event_type"].to_pylist()})
+             .groupby(["hour", "event_type"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    finest = _fold_partials(partials, ["hour", "event_type"], ["n"], [], [])
+    out = pivot_wide(finest, "hour", "event_type", "n", _EVENT_TYPES)
+    cols = {"hour": pa.array(out["hour"].astype("int64"), pa.int64())}
+    for c in _EVENT_TYPES:
+        cols[c] = pa.array(out[c].astype("int64"), pa.int64())
+    return pa.table(cols)
+
+
 def q_rollup_pricing(sf_dir: str) -> pa.Table:
     """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` in ONE distributed
     pass: the finest (flag, status) aggregate is built exactly as in
@@ -1682,6 +1713,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_pricing": q_lineitem_pricing,
     "rollup_pricing": q_rollup_pricing,
     "customer_order_profile": q_customer_order_profile,
+    "event_pivot": q_event_pivot,
     "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
@@ -1861,6 +1893,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_customers
         FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
         GROUP BY c_mktsegment, n_orders ORDER BY c_mktsegment, n_orders
+    """,
+    "event_pivot": """
+        SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hour,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY hour ORDER BY hour
     """,
     "fixed_histogram": """
         SELECT lang,

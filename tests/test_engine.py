@@ -217,3 +217,17 @@ def test_rollup_levels():
     out1 = rollup_levels(f.groupby("a", as_index=False)["n"].sum(),
                          ["a"], ["n"])
     assert len(out1) == 3 and out1[out1.a == "ALL"]["n"].iloc[0] == 7
+
+
+def test_pivot_wide():
+    import pandas as pd
+
+    from raysketch.engine.aggregate import pivot_wide
+
+    f = pd.DataFrame({"h": [1, 0, 0, 1], "t": ["a", "a", "b", "zzz"],
+                      "n": [5, 3, 4, 9]})
+    out = pivot_wide(f, "h", "t", "n", ["a", "b", "c"])
+    assert list(out.columns) == ["h", "a", "b", "c"]
+    assert out["h"].tolist() == [0, 1]          # sorted row keys
+    assert out.loc[0, ["a", "b", "c"]].tolist() == [3, 4, 0]
+    assert out.loc[1, ["a", "b", "c"]].tolist() == [5, 0, 0]  # 'zzz' dropped
