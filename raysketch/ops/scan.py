@@ -1,0 +1,183 @@
+"""Distributed ordered per-key window functions (the SQL
+``SUM(...) OVER (PARTITION BY key ORDER BY ...)`` / ``ROW_NUMBER`` /
+``LAG`` family) — streaming-scan semantics the reference's fixed-width
+circular buffer cannot express (SURVEY.md §2.4: time_series.c holds one
+aggregate per bucket; a running scan needs the full ordered history per
+key).
+
+Two physical plans, same result:
+
+- ``route="hash"`` (default): ONE coarse shuffle on ``hash(key) %
+  num_buckets`` co-locates each key's rows; the per-bucket fold is fully
+  vectorized pandas (mergesort + groupby cumsum/cumcount/diff). Per-KEY
+  volume must fit a reduce task — the sessionize contract
+  (ops/window.py). Right for many-moderate-keys workloads.
+- ``route="sorted"``: the hot-key escape. A global ``Dataset.sort`` on
+  ``(key, *order_cols)`` range-partitions the stream; each sorted block
+  computes its LOCAL running values plus a tiny per-(block, key) summary
+  (rows, last running sum); the driver folds those summaries into
+  per-block prefix OFFSETS (key count, sum, previous-row order value at
+  each block's start) and a second map adds them. No single task ever
+  holds a whole key — a key spanning many blocks costs only its
+  one-row-per-block summary on the driver. Shuffle volume is the sort
+  itself; the offset table is ``blocks × keys-crossing-a-boundary`` rows.
+
+Emitted columns: the input columns plus ``seq`` (1-based row number per
+key), ``running`` (cumulative int64 sum of ``sum_col``) and ``delta``
+(difference of ``order_cols[0]`` from the key's previous row; ``-1`` on
+each key's first row — the LAG-is-NULL sentinel kept int64-clean).
+
+All scan inputs are int64 (cast up front): integer running sums are
+order-free and bit-exact, so both routes and any SQL oracle agree
+bit-for-bit (the nation_revenue integer-cents rule, queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _fold_frame(
+    df: pd.DataFrame, key_col: str, order_cols: list[str], sum_col: str
+) -> pd.DataFrame:
+    """Vectorized running scan over one co-located, unsorted frame."""
+    if df.empty:
+        out = df.copy()
+        for c in ("seq", "running", "delta"):
+            out[c] = pd.Series([], dtype="int64")
+        return out
+    df = df.sort_values([key_col, *order_cols], kind="mergesort").reset_index(
+        drop=True
+    )
+    g = df.groupby(key_col, sort=False)
+    df["seq"] = (g.cumcount() + 1).astype(np.int64)
+    df["running"] = g[sum_col].cumsum().astype(np.int64)
+    o = df[order_cols[0]].to_numpy(np.int64)
+    prev = np.empty(len(df), dtype=np.int64)
+    prev[1:] = o[:-1]
+    prev[0] = 0
+    delta = o - prev
+    delta[df["seq"].to_numpy(np.int64) == 1] = -1
+    df["delta"] = delta
+    return df
+
+
+def running_scan(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    sum_col: str,
+    route: str = "hash",
+    num_buckets: int = 256,
+):
+    """Per-key ordered running aggregates; see module docstring.
+
+    ``order_cols`` must totally order each key's rows (append a unique
+    id as tiebreak — equal order values would make running values
+    plan-dependent). ``sum_col`` and ``order_cols`` must be integral.
+    """
+    if route == "hash":
+        return _running_hash(ds, key_col, order_cols, sum_col, num_buckets)
+    if route == "sorted":
+        return _running_sorted(ds, key_col, order_cols, sum_col)
+    raise ValueError(f"unknown route {route!r}")
+
+
+def _running_hash(ds, key_col, order_cols, sum_col, num_buckets):
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import hash64_batch_aligned
+
+        hk, _ = hash64_batch_aligned(b[key_col])
+        return b.append_column(
+            "__rb",
+            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
+        )
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(
+            lambda df: _fold_frame(
+                df.drop(columns=["__rb"]), key_col, order_cols, sum_col
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def _running_sorted(ds, key_col, order_cols, sum_col):
+    """Sort-partitioned prefix scan: local scans + driver prefix offsets.
+
+    Stage A materializes the globally sorted Dataset and takes its block
+    refs IN ORDER (Ray preserves block order after sort). Stage B (one
+    remote task per block) emits the block's local running values and a
+    per-key tail summary. The driver folds summaries left-to-right into
+    per-block starting offsets — O(blocks + boundary-crossing keys)
+    driver work, never row data. Stage C adds each block's offset row
+    and unions the results back into one Dataset.
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort([key_col, *order_cols]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+
+    @ray.remote(num_returns=2)
+    def local_scan(tbl: pa.Table):
+        out = _fold_frame(tbl.to_pandas(), key_col, order_cols, sum_col)
+        if out.empty:
+            return pa.Table.from_pandas(out, preserve_index=False), {}
+        # per-key tail summary: (rows, block total, last order value).
+        # The block's contribution to downstream running sums is the
+        # key's SUM of sum_col — NOT max(running), which under-counts
+        # whenever negative values make the running sum non-monotone.
+        tail = out.groupby(key_col, sort=False).agg(
+            n=("seq", "max"), s=(sum_col, "sum"), last_o=(order_cols[0], "max")
+        )
+        summary = {
+            k: (int(r.n), int(r.s), int(r.last_o)) for k, r in tail.iterrows()
+        }
+        return pa.Table.from_pandas(out, preserve_index=False), summary
+
+    @ray.remote
+    def apply_offset(scanned: pa.Table, offsets: dict):
+        if scanned.num_rows == 0 or not offsets:
+            return scanned
+        df = scanned.to_pandas()
+        keys = df[key_col].to_numpy()
+        for k, (dn, dsum, prev_o) in offsets.items():
+            m = keys == k
+            df.loc[m, "seq"] += dn
+            df.loc[m, "running"] += dsum
+            # the block's first row of k is no longer the key's first:
+            # its delta becomes (order − previous block's last order)
+            first = int(np.flatnonzero(m)[0])
+            df.iat[first, df.columns.get_loc("delta")] = (
+                int(df.iloc[first][order_cols[0]]) - prev_o
+            )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    scan_refs = [local_scan.remote(r) for r in refs]
+    # the driver fetches ONLY the per-block key summaries (O(blocks ×
+    # boundary keys)); scanned row data stays in the object store
+    summaries = ray.get([s for _, s in scan_refs])
+    offsets_per_block: list[dict] = []
+    acc: dict = {}
+    for summary in summaries:
+        offsets_per_block.append({k: acc[k] for k in summary if k in acc})
+        for k, (n, s, last_o) in summary.items():
+            if k in acc:
+                pn, ps, _ = acc[k]
+                acc[k] = (pn + n, ps + s, last_o)
+            else:
+                acc[k] = (n, s, last_o)
+
+    out_refs = [
+        apply_offset.remote(df_ref, off)
+        for (df_ref, _), off in zip(scan_refs, offsets_per_block)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -1700,6 +1700,43 @@ def q_grouped_topn(sf_dir: str) -> pa.Table:
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+def q_running_totals(sf_dir: str) -> pa.Table:
+    """Distributed ordered window functions (SUM OVER / ROW_NUMBER / LAG):
+    per customer in (o_orderdate, o_orderkey) order — 1-based order
+    sequence, running spend in integer cents, and microseconds since the
+    previous order (-1 on the first). One coarse hash(key) shuffle +
+    vectorized per-bucket scan (ops/scan.running_scan); the sort-based
+    prefix-scan route is parity-pinned in tests for the hot-key case."""
+    from .ops.scan import running_scan
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "t_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    out = running_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", ["t_us", "o_orderkey"], "cents",
+    )
+    df = out.to_pandas().sort_values(["o_custkey", "seq"]).reset_index(drop=True)
+    return pa.table({
+        "o_custkey": pa.array(df["o_custkey"].astype("int64"), pa.int64()),
+        "o_orderkey": pa.array(df["o_orderkey"].astype("int64"), pa.int64()),
+        "order_seq": pa.array(df["seq"].astype("int64"), pa.int64()),
+        "running_cents": pa.array(df["running"].astype("int64"), pa.int64()),
+        "us_since_prev": pa.array(df["delta"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -1756,6 +1793,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sessionized_stats": q_sessionized_stats,
     "interval_join_windows": q_interval_join_windows,
     "grouped_topn": q_grouped_topn,
+    "running_totals": q_running_totals,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2446,5 +2484,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         QUALIFY rank <= 5
         ORDER BY event_type, rank
+    """,
+    # integer-cents running sums are order-free (bit-exact both sides);
+    # (o_orderdate, o_orderkey) totally orders each customer's rows, so
+    # the default RANGE frame equals ROWS; -1 is the LAG-NULL sentinel
+    "running_totals": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS order_seq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER w AS BIGINT) AS running_cents,
+               COALESCE(epoch_us(o_orderdate) - lag(epoch_us(o_orderdate))
+                        OVER w, -1) AS us_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_seq
     """,
 }
