@@ -1737,6 +1737,24 @@ def q_running_totals(sf_dir: str) -> pa.Table:
     })
 
 
+def q_user_set_ops(sf_dir: str) -> pa.Table:
+    """Exact distinct set operations between the customer key set and the
+    event user set (ops/setops.distinct_set_op): one (op, key) row stream
+    covering INTERSECT (customers who are event users), EXCEPT (customers
+    never seen in events) and UNION DISTINCT — one coarse shuffle over
+    per-block distinct partials, both sides."""
+    from .ops.setops import distinct_set_op
+
+    a = _read(sf_dir, "customer", ["c_custkey"])
+    b = _read(sf_dir, "events", ["user_id"])
+    out = distinct_set_op(a, b, "c_custkey", "user_id").to_pandas()
+    out = out.sort_values(["op", "c_custkey"]).reset_index(drop=True)
+    return pa.table({
+        "op": pa.array(out["op"], pa.string()),
+        "c_custkey": pa.array(out["c_custkey"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -1794,6 +1812,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "interval_join_windows": q_interval_join_windows,
     "grouped_topn": q_grouped_topn,
     "running_totals": q_running_totals,
+    "user_set_ops": q_user_set_ops,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2498,5 +2517,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, order_seq
+    """,
+    "user_set_ops": """
+        WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),
+             b AS (SELECT DISTINCT user_id  AS k FROM events)
+        SELECT 'intersect' AS op, k AS c_custkey
+          FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        UNION ALL
+        SELECT 'except' AS op, k AS c_custkey
+          FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        UNION ALL
+        SELECT 'union' AS op, k AS c_custkey
+          FROM (SELECT k FROM a UNION SELECT k FROM b)
+        ORDER BY op, c_custkey
     """,
 }
