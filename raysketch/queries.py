@@ -1755,6 +1755,40 @@ def q_user_set_ops(sf_dir: str) -> pa.Table:
     })
 
 
+def q_dormant_customers(sf_dir: str) -> pa.Table:
+    """Anti-join plan (NOT EXISTS): customers with no order on/after
+    2001-01-01. The orders stream filters at the map stage and collapses
+    to per-block DISTINCT custkey partials before the (small) key set is
+    gathered and broadcast; the customer stream then anti-filters with
+    one vectorized is_in per batch (ops/join.broadcast_semi_join,
+    anti=True) — no shuffle on either side."""
+    from .ops.join import broadcast_semi_join
+
+    cutoff_us = int(pd.Timestamp("2001-01-01").value // 1000)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(
+            pc.cast(b["o_orderdate"], pa.int64()), pa.scalar(cutoff_us, pa.int64())
+        )
+        return pa.table({"o_custkey": pc.unique(b.filter(m)["o_custkey"])})
+
+    recent = orders.map_batches(recent_keys, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    df = broadcast_semi_join(cust, recent, "c_custkey", "o_custkey",
+                             anti=True).to_pandas()
+    df = df.sort_values("c_custkey").reset_index(drop=True)
+    bal = df["c_acctbal"].to_numpy(np.float64)
+    cents = (np.sign(bal) * np.floor(np.abs(bal) * 100 + 0.5)).astype(np.int64)
+    return pa.table({
+        "c_custkey": pa.array(df["c_custkey"].astype("int64"), pa.int64()),
+        "c_name": pa.array(df["c_name"], pa.string()),
+        "c_mktsegment": pa.array(df["c_mktsegment"], pa.string()),
+        "acctbal_cents": pa.array(cents, pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -1813,6 +1847,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "grouped_topn": q_grouped_topn,
     "running_totals": q_running_totals,
     "user_set_ops": q_user_set_ops,
+    "dormant_customers": q_dormant_customers,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2530,5 +2565,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'union' AS op, k AS c_custkey
           FROM (SELECT k FROM a UNION SELECT k FROM b)
         ORDER BY op, c_custkey
+    """,
+    # round() is half-away-from-zero in DuckDB == sign*floor(|x|*100+0.5)
+    "dormant_customers": """
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        ORDER BY c_custkey
     """,
 }
