@@ -1789,6 +1789,80 @@ def q_dormant_customers(sf_dir: str) -> pa.Table:
     })
 
 
+def _source_roundtrip_agg(sf_dir: str, fmt: str) -> pa.Table:
+    """Shared body of the CSV/JSONL source queries: stage events through
+    the text format, read back with the matching ray.data reader, then a
+    map-side partial + driver fold. The oracle reads the PARQUET view —
+    parity therefore proves the text write+read is value-lossless."""
+    from .engine.sources import cleanup, stage_and_read
+
+    cols = ["event_id", "user_id", "event_type", "value"] + (
+        ["ts"] if fmt == "csv" else []  # JSON mangles timestamps
+    )
+    ds = _read(sf_dir, "events", cols)
+    back, path = stage_and_read(ds, fmt)
+    try:
+        def partial(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64)
+            df = pd.DataFrame({
+                "event_type": b["event_type"].to_pylist(),
+                "cents": cents,
+                "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            })
+            if fmt == "csv":
+                ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+                df["t_us"] = ts.to_numpy(zero_copy_only=False)
+            aggs = {
+                "n_events": ("cents", "size"),
+                "sum_value_cents": ("cents", "sum"),
+                "sum_user_id": ("user_id", "sum"),
+                "max_event_id": ("event_id", "max"),
+            }
+            if fmt == "csv":
+                aggs |= {"min_ts_us": ("t_us", "min"), "max_ts_us": ("t_us", "max")}
+            g = df.groupby("event_type", sort=False).agg(**aggs).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = back.map_batches(partial, batch_format="pyarrow")
+        agg = _fold_partials(
+            partials, ["event_type"],
+            ["n_events", "sum_value_cents", "sum_user_id"],
+            ["min_ts_us"] if fmt == "csv" else [],
+            ["max_event_id"] + (["max_ts_us"] if fmt == "csv" else []),
+        )
+    finally:
+        cleanup(path)
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    out = {
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "n_events": pa.array(agg["n_events"].astype("int64"), pa.int64()),
+        "sum_value_cents": pa.array(
+            agg["sum_value_cents"].astype("int64"), pa.int64()),
+        "sum_user_id": pa.array(agg["sum_user_id"].astype("int64"), pa.int64()),
+        "max_event_id": pa.array(agg["max_event_id"].astype("int64"), pa.int64()),
+    }
+    if fmt == "csv":
+        out["min_ts_us"] = pa.array(agg["min_ts_us"].astype("int64"), pa.int64())
+        out["max_ts_us"] = pa.array(agg["max_ts_us"].astype("int64"), pa.int64())
+    return pa.table(out)
+
+
+def q_csv_source_agg(sf_dir: str) -> pa.Table:
+    """CSV source round trip (write_csv → read_csv), incl. timestamp
+    fidelity; oracle reads the parquet view."""
+    return _source_roundtrip_agg(sf_dir, "csv")
+
+
+def q_jsonl_source_agg(sf_dir: str) -> pa.Table:
+    """JSONL source round trip (write_json → read_json); int64, double
+    and string columns only (JSON timestamps are lossy — documented in
+    engine/sources.py)."""
+    return _source_roundtrip_agg(sf_dir, "jsonl")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -1848,6 +1922,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "running_totals": q_running_totals,
     "user_set_ops": q_user_set_ops,
     "dormant_customers": q_dormant_customers,
+    "csv_source_agg": q_csv_source_agg,
+    "jsonl_source_agg": q_jsonl_source_agg,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2576,5 +2652,27 @@ ORACLE_SQL: dict[str, str] = {
             WHERE o.o_custkey = c.c_custkey
               AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         ORDER BY c_custkey
+    """,
+    # both source oracles read the PARQUET view: hash parity proves the
+    # engine's text write+read round trip is value-lossless
+    "csv_source_agg": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "jsonl_source_agg": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
