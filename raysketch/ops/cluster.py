@@ -1,0 +1,177 @@
+"""Distributed k-means over an embedding column — the clustering-based
+curation step of a training-data pipeline (cluster-balanced sampling,
+topic discovery, IVF coarse quantizers at corpus scale; the driver-side
+trainer in ops/similarity.py handles only sample-sized inputs).
+
+Everything here is deterministic end to end:
+
+- :func:`kmeans_seeds` — the k corpus vectors with the smallest
+  ``sha256(str(id))`` hex digest. Chosen to be SQL-replayable (DuckDB
+  ``ORDER BY sha256(CAST(id AS VARCHAR)) LIMIT k`` picks the same rows —
+  the stratified_sample convention, queries.py). Distributed: per-block
+  k smallest candidates, driver folds blocks × k tiny rows.
+- :func:`kmeans_assign` — one assignment pass: unit-normalize each batch
+  (float64), one matmul against the broadcast centroid matrix, argmax on
+  the ROUND6 cosine with smallest-centroid-id tiebreak. Rounding before
+  the argmax makes the decision identical to a SQL replay that rounds
+  ``list_cosine_similarity`` the same way (the embedding_neardup parity
+  recipe) even though the two sides order the float ops differently.
+- :func:`kmeans_fit` — Lloyd iterations, each ONE streaming pass: the
+  centroid matrix is broadcast (``ray.put``), every block emits
+  per-cluster partial (count, sum-vector, min-id) rows — k rows per
+  block, never raw vectors — and a tiny ``groupby(cluster)`` fold
+  re-averages. Partial sums within a cluster are added in min-id order,
+  so the float fold is run-to-run deterministic for a fixed block
+  structure. Empty clusters keep their previous centroid (the classic
+  Lloyd convention).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _round6(a: np.ndarray) -> np.ndarray:
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
+def kmeans_seeds(ds, k: int, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Return (seed_ids int64[k], seed_vecs float64[k, d]) — the k corpus
+    rows with smallest sha256(str(id)); ids ascend with the digest."""
+
+    def candidates(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hx = np.array(
+            [hashlib.sha256(str(i).encode()).hexdigest() for i in ids]
+        )
+        top = np.argsort(hx, kind="stable")[:k]
+        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)[top]
+        return pa.table({
+            "__hx": pa.array(hx[top], pa.string()),
+            id_col: pa.array(ids[top], pa.int64()),
+            "__vec": pa.array(list(V), pa.list_(pa.float64())),
+        })
+
+    cand = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values("__hx", kind="mergesort").head(k)
+    seed_ids = cand[id_col].to_numpy(np.int64)
+    seed_vecs = np.stack(cand["__vec"].to_numpy()).astype(np.float64)
+    return seed_ids, seed_vecs
+
+
+class _Assign:
+    """Stateless batch fn over a broadcast (ids, unit centroid matrix)."""
+
+    def __init__(self, ref, vec_col: str, id_col: str) -> None:
+        self.ref, self.vec_col, self.id_col = ref, vec_col, id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import ray
+
+        cent_ids, C = ray.get(self.ref)
+        V = _unit(np.asarray(b[self.vec_col].to_pylist(), dtype=np.float64))
+        sims = _round6(V @ C.T)  # decision on the rounded value
+        # argmax with smallest-centroid-id tiebreak: centroid columns are
+        # already in ascending id order, and np.argmax takes the first max
+        order = np.argsort(cent_ids, kind="stable")
+        best = np.argmax(sims[:, order], axis=1)
+        return pa.table({
+            self.id_col: b[self.id_col],
+            "cluster_id": pa.array(cent_ids[order][best], pa.int64()),
+            "cosine": pa.array(sims[np.arange(len(best)), order[best]],
+                               pa.float64()),
+        })
+
+
+def kmeans_assign(ds, cent_ids, cent_vecs, vec_col="embedding", id_col="vec_id"):
+    """One assignment pass; returns a Dataset (id, cluster_id, cosine)."""
+    import ray
+
+    ref = ray.put((np.asarray(cent_ids, dtype=np.int64),
+                   _unit(np.asarray(cent_vecs, dtype=np.float64))))
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _Assign(ref, vec_col, id_col), batch_format="pyarrow"
+    )
+
+
+def kmeans_fit(
+    ds,
+    init_ids,
+    init_vecs,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd iterations from the given centroids; returns
+    (cent_ids, centroids, n_iters_run). ``ds`` should be materialized by
+    the caller when it is the product of an upstream pipeline (each
+    iteration re-consumes it)."""
+    import ray
+
+    cent_ids = np.asarray(init_ids, dtype=np.int64)
+    order = np.argsort(cent_ids, kind="stable")
+    cent_ids = cent_ids[order]
+    C = _unit(np.asarray(init_vecs, dtype=np.float64))[order]
+    kk = len(cent_ids)
+
+    for it in range(iters):
+        ref = ray.put((cent_ids, C))
+
+        def partial(b: pa.Table) -> pa.Table:
+            cids, Cm = ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            V = _unit(np.asarray(b[vec_col].to_pylist(), dtype=np.float64))
+            best = np.argmax(_round6(V @ Cm.T), axis=1)
+            rows_c, rows_n, rows_s, rows_m = [], [], [], []
+            for j in np.unique(best):
+                m = best == j
+                rows_c.append(int(j))
+                rows_n.append(int(m.sum()))
+                rows_s.append(V[m].sum(axis=0))
+                rows_m.append(int(ids[m].min()))
+            return pa.table({
+                "cluster": pa.array(rows_c, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array([r.tolist() for r in rows_s],
+                              pa.list_(pa.float64())),
+                "min_id": pa.array(rows_m, pa.int64()),
+            })
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("min_id", kind="mergesort")  # deterministic sum order
+            s = np.stack(df["s"].to_numpy()).sum(axis=0)
+            return pd.DataFrame({
+                "cluster": [int(df["cluster"].iloc[0])],
+                "n": [int(df["n"].sum())],
+                "s": [s.tolist()],
+            })
+
+        folded = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+        )
+        newC = C.copy()
+        for _, r in folded.iterrows():
+            if r["n"] > 0:
+                newC[int(r["cluster"])] = np.asarray(r["s"]) / r["n"]
+        newC = _unit(newC)
+        delta = float(np.abs(newC - C).max())
+        C = newC
+        if delta < tol:
+            return cent_ids, C, it + 1
+    return cent_ids, C, iters

@@ -1863,6 +1863,51 @@ def q_jsonl_source_agg(sf_dir: str) -> pa.Table:
     return _source_roundtrip_agg(sf_dir, "jsonl")
 
 
+def q_kmeans_assign(sf_dir: str) -> pa.Table:
+    """Deterministic k-means assignment pass (ops/cluster.py): seeds are
+    the 8 corpus vectors with smallest sha256(str(vec_id)) (SQL-replayable
+    selection), every vector goes to its argmax-round6-cosine seed with a
+    smallest-seed-id tiebreak. One broadcast + one matmul per batch."""
+    from .ops.cluster import kmeans_assign, kmeans_seeds
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sid, svec = kmeans_seeds(ds, 8)
+    df = kmeans_assign(ds, sid, svec).to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(df["vec_id"].astype("int64"), pa.int64()),
+        "cluster_id": pa.array(df["cluster_id"].astype("int64"), pa.int64()),
+        "cosine": pa.array(df["cosine"].astype("float64"), pa.float64()),
+    })
+
+
+def q_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Full distributed Lloyd training (rows-only: iterative float
+    averaging is not SQL-expressible) from the same sha256 seeds, then a
+    final assignment pass folded to per-cluster member counts. Each
+    iteration is one streaming pass emitting k partial rows per block."""
+    from .ops.cluster import kmeans_assign, kmeans_fit, kmeans_seeds
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    sid, svec = kmeans_seeds(ds, 8)
+    cid, C, _ = kmeans_fit(ds, sid, svec, iters=8)
+    assigned = kmeans_assign(ds, cid, C)
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = b.select(["cluster_id"]).to_pandas()
+        g = df.groupby("cluster_id", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(
+        assigned.map_batches(counts, batch_format="pyarrow"),
+        ["cluster_id"], ["n"], [], [],
+    ).sort_values("cluster_id").reset_index(drop=True)
+    return pa.table({
+        "cluster_id": pa.array(agg["cluster_id"].astype("int64"), pa.int64()),
+        "n_members": pa.array(agg["n"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -1924,6 +1969,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dormant_customers": q_dormant_customers,
     "csv_source_agg": q_csv_source_agg,
     "jsonl_source_agg": q_jsonl_source_agg,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2665,6 +2712,27 @@ ORACLE_SQL: dict[str, str] = {
                CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
                CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # seed selection replays the engine's sha256 rule; cosine rounds to
+    # 6dp on BOTH sides before the argmax (embedding_neardup recipe), so
+    # the assignment decision is identical despite float-op order
+    "kmeans_assign": """
+        WITH seeds AS (
+            SELECT vec_id AS cluster_id, embedding AS semb
+            FROM embeddings
+            ORDER BY sha256(CAST(vec_id AS VARCHAR)) LIMIT 8
+        ), scored AS (
+            SELECT e.vec_id, s.cluster_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(s.semb AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e CROSS JOIN seeds s
+        )
+        SELECT vec_id, cluster_id, cosine
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, cluster_id) = 1
+        ORDER BY vec_id
     """,
     "jsonl_source_agg": """
         SELECT event_type,

@@ -1,0 +1,86 @@
+"""ops/cluster.py — distributed k-means: seed determinism and block
+invariance, assignment tiebreak, Lloyd recovery of planted blobs, and
+block-structure-fixed determinism of the fit."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raysketch.ops.cluster import kmeans_assign, kmeans_fit, kmeans_seeds
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+def _blobs(n_per: int = 120, k: int = 3, d: int = 16, seed: int = 9):
+    """Well-separated unit-vector blobs (orthogonal-ish centers)."""
+    rng = np.random.default_rng(seed)
+    centers = np.eye(k, d) * 5.0
+    X = np.concatenate(
+        [centers[j] + 0.15 * rng.standard_normal((n_per, d)) for j in range(k)]
+    )
+    labels = np.repeat(np.arange(k), n_per)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(X), dtype=np.int64),
+        "embedding": [row.tolist() for row in X],
+    })
+    return df, labels
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seeds_match_sha256_rule_and_block_invariance():
+    df, _ = _blobs()
+    expect = sorted(
+        range(len(df)), key=lambda i: hashlib.sha256(str(i).encode()).hexdigest()
+    )[:5]
+    for par in (1, 4, 7):
+        sid, svec = kmeans_seeds(_mk(df, par), 5)
+        assert sorted(sid.tolist()) == sorted(expect)
+        # vectors correspond to their ids
+        for i, vid in enumerate(sid):
+            assert np.allclose(svec[i], df.loc[vid, "embedding"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assign_argmax_and_tiebreak():
+    # two identical centroids: every vector must pick the smaller id
+    df = pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": [list(np.eye(1, 8, 0)[0])] * 6,
+    })
+    cids = np.array([42, 7], dtype=np.int64)
+    cvecs = np.stack([np.eye(1, 8, 0)[0]] * 2)
+    out = kmeans_assign(_mk(df, 2), cids, cvecs).to_pandas()
+    assert (out["cluster_id"] == 7).all()
+    assert np.allclose(out["cosine"], 1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fit_recovers_planted_blobs():
+    df, labels = _blobs()
+    ds = _mk(df, 4).materialize()
+    sid, svec = kmeans_seeds(ds, 3)
+    cid, C, iters = kmeans_fit(ds, sid, svec, iters=15)
+    assert iters < 15  # converged
+    out = kmeans_assign(ds, cid, C).to_pandas().sort_values("vec_id")
+    # each planted blob maps to exactly one learned cluster
+    tbl = pd.crosstab(labels, out["cluster_id"].to_numpy())
+    assert (tbl.to_numpy() > 0).sum() == 3
+    assert sorted(tbl.max(axis=1).tolist()) == [120, 120, 120]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fit_deterministic_for_fixed_blocks():
+    df, _ = _blobs(n_per=60)
+    ds = _mk(df, 3).materialize()
+    sid, svec = kmeans_seeds(ds, 3)
+    r1 = kmeans_fit(ds, sid, svec, iters=6)
+    r2 = kmeans_fit(ds, sid, svec, iters=6)
+    assert (r1[0] == r2[0]).all()
+    assert np.array_equal(r1[1], r2[1])  # bit-identical centroids
+    assert r1[2] == r2[2]
