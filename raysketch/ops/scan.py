@@ -85,6 +85,62 @@ def running_scan(
     raise ValueError(f"unknown route {route!r}")
 
 
+def rolling_scan(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int,
+    num_buckets: int = 256,
+):
+    """Per-key ROWS-frame rolling aggregates (the SQL ``... OVER
+    (PARTITION BY key ORDER BY ... ROWS BETWEEN window_rows-1 PRECEDING
+    AND CURRENT ROW)`` family): emits ``roll_sum`` / ``roll_min`` /
+    ``roll_max`` / ``roll_n`` (int64) next to the input columns.
+
+    Same physical plan as the hash route of :func:`running_scan` — one
+    coarse shuffle co-locates each key, the per-bucket fold is a sorted
+    grouped pandas rolling. ``value_col`` must be integral (rolling sums
+    pass through float64; exact below 2^53, re-cast to int64)."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import hash64_batch_aligned
+
+        hk, _ = hash64_batch_aligned(b[key_col])
+        return b.append_column(
+            "__rb",
+            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            for c in ("roll_sum", "roll_min", "roll_max", "roll_n"):
+                out[c] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values([key_col, *order_cols], kind="mergesort").reset_index(
+            drop=True
+        )
+        r = df.groupby(key_col, sort=False)[value_col].rolling(
+            window_rows, min_periods=1
+        )
+        df["roll_sum"] = r.sum().to_numpy().astype(np.int64)
+        df["roll_min"] = r.min().to_numpy().astype(np.int64)
+        df["roll_max"] = r.max().to_numpy().astype(np.int64)
+        df["roll_n"] = r.count().to_numpy().astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(
+            lambda df: fold(df.drop(columns=["__rb"])), batch_format="pandas"
+        )
+    )
+
+
 def _running_hash(ds, key_col, order_cols, sum_col, num_buckets):
     def coarse(b: pa.Table) -> pa.Table:
         from ..engine.hashing import hash64_batch_aligned

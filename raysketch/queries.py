@@ -1908,6 +1908,43 @@ def q_kmeans_clusters(sf_dir: str) -> pa.Table:
     })
 
 
+def q_rolling_spend(sf_dir: str) -> pa.Table:
+    """ROWS-frame rolling aggregates (ops/scan.rolling_scan): per
+    customer in order sequence, the last-4-orders spend sum/min/max and
+    the frame row count — integer cents, bit-exact vs the SQL ROWS
+    BETWEEN 3 PRECEDING window replay."""
+    from .ops.scan import rolling_scan
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "t_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    out = rolling_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", ["t_us", "o_orderkey"], "cents", window_rows=4,
+    )
+    df = out.to_pandas().sort_values(["o_custkey", "t_us", "o_orderkey"]
+                                     ).reset_index(drop=True)
+    return pa.table({
+        "o_custkey": pa.array(df["o_custkey"].astype("int64"), pa.int64()),
+        "o_orderkey": pa.array(df["o_orderkey"].astype("int64"), pa.int64()),
+        "roll_sum_cents": pa.array(df["roll_sum"].astype("int64"), pa.int64()),
+        "roll_min_cents": pa.array(df["roll_min"].astype("int64"), pa.int64()),
+        "roll_max_cents": pa.array(df["roll_max"].astype("int64"), pa.int64()),
+        "roll_n": pa.array(df["roll_n"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -1971,6 +2008,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "jsonl_source_agg": q_jsonl_source_agg,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_clusters": q_kmeans_clusters,
+    "rolling_spend": q_rolling_spend,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2675,6 +2713,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, order_seq
+    """,
+    "rolling_spend": """
+        WITH c AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
+               CAST(min(cents) OVER w AS BIGINT) AS roll_min_cents,
+               CAST(max(cents) OVER w AS BIGINT) AS roll_max_cents,
+               CAST(count(*) OVER w AS BIGINT) AS roll_n
+        FROM c
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),

@@ -129,3 +129,40 @@ def test_single_row_groups_and_negative_sums():
 def test_unknown_route_raises():
     with pytest.raises(ValueError):
         running_scan(None, "k", ["o"], "v", route="nope")
+
+
+def _roll_brute(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    rows = []
+    for k, g in df.sort_values(["k", "o", "uid"]).groupby("k"):
+        vals = []
+        for _, r in g.iterrows():
+            vals.append(int(r["v"]))
+            fr = vals[-w:]
+            rows.append(
+                {"k": k, "uid": r["uid"], "roll_sum": sum(fr),
+                 "roll_min": min(fr), "roll_max": max(fr), "roll_n": len(fr)}
+            )
+    return (
+        pd.DataFrame(rows).sort_values(["k", "uid"]).reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("w", [1, 4, 100])
+def test_rolling_parity_vs_brute_force(frame, w):
+    from raysketch.ops.scan import rolling_scan
+
+    out = rolling_scan(_mk_ds(frame), "k", ["o", "uid"], "v", w).to_pandas()
+    cols = ["k", "uid", "roll_sum", "roll_min", "roll_max", "roll_n"]
+    got = (
+        out[cols].sort_values(["k", "uid"]).reset_index(drop=True).astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, _roll_brute(frame, w))
+
+
+def test_rolling_bad_window_raises():
+    from raysketch.ops.scan import rolling_scan
+
+    with pytest.raises(ValueError):
+        rolling_scan(None, "k", ["o"], "v", 0)
