@@ -1945,6 +1945,22 @@ def q_rolling_spend(sf_dir: str) -> pa.Table:
     })
 
 
+def q_event_funnel(sf_dir: str) -> pa.Table:
+    """view → click → purchase funnel (ops/funnel.funnel): per-stage
+    user counts where each stage counts only events strictly after the
+    user's previous-stage reach time."""
+    from .ops.funnel import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    df = funnel(ds, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"]).to_pandas()
+    return pa.table({
+        "stage_idx": pa.array(df["stage_idx"].astype("int64"), pa.int64()),
+        "stage": pa.array(df["stage"], pa.string()),
+        "n_users": pa.array(df["n_users"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2009,6 +2025,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_clusters": q_kmeans_clusters,
     "rolling_spend": q_rolling_spend,
+    "event_funnel": q_event_funnel,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2728,6 +2745,28 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderkey
+    """,
+    # strict-after semantics at every hop (e.ts > prev reach time)
+    "event_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        SELECT * FROM (
+            SELECT 1 AS stage_idx, 'view' AS stage,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+        ORDER BY stage_idx
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),

@@ -1,0 +1,83 @@
+"""ops/funnel.py — ordered-sequence funnel: brute-force parity on random
+event streams, strict-after boundary, absent stages, block invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raysketch.ops.funnel import funnel
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+def _brute(df: pd.DataFrame, stages):
+    counts = []
+    reach = {}
+    for i, st in enumerate(stages):
+        cur = {}
+        for u, g in df[df["event_type"] == st].groupby("user_id"):
+            if i == 0:
+                cur[u] = g["ts"].min()
+            elif u in reach:
+                after = g[g["ts"] > reach[u]]
+                if len(after):
+                    cur[u] = after["ts"].min()
+        reach = cur
+        counts.append((i + 1, st, len(cur)))
+    return counts
+
+
+def _run(ds, stages):
+    out = funnel(ds, "user_id", "ts", "event_type", stages).to_pandas()
+    return list(out.itertuples(index=False, name=None))
+
+
+@pytest.fixture()
+def stream():
+    rng = np.random.default_rng(17)
+    n = 2000
+    return pd.DataFrame({
+        "user_id": rng.integers(0, 80, n).astype(np.int64),
+        "ts": rng.integers(0, 100_000, n).astype(np.int64),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "noise"], n, p=[0.4, 0.3, 0.1, 0.2]
+        ),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("parallelism", [1, 4, 9])
+def test_parity_vs_brute_force(stream, parallelism):
+    stages = ["view", "click", "purchase"]
+    assert _run(_mk(stream, parallelism), stages) == _brute(stream, stages)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strict_after_boundary():
+    # click at exactly the view time does NOT count; one later does
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+        "ts": np.array([10, 10, 10, 11], dtype=np.int64),
+        "event_type": ["view", "click", "view", "click"],
+    })
+    got = _run(_mk(df, 2), ["view", "click"])
+    assert got == [(1, "view", 2), (2, "click", 1)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_absent_stage_zeroes_tail(stream):
+    got = _run(_mk(stream), ["view", "never_happens", "click"])
+    assert got[0][2] > 0
+    assert got[1] == (2, "never_happens", 0)
+    assert got[2] == (3, "click", 0)
+
+
+def test_bad_stages_raise():
+    with pytest.raises(ValueError):
+        funnel(None, "u", "t", "e", [])
+    with pytest.raises(ValueError):
+        funnel(None, "u", "t", "e", ["a", "a"])
