@@ -95,3 +95,20 @@ def read_back(path: str):
     return rd.read_parquet(
         path, file_extensions=["parquet"]
     )
+
+
+def read_partition(path: str, col: str, value) -> "object":
+    """Partition-pruned read of ONE hive key directory of a
+    :func:`write_dataset` output written with ``partition_cols=[col]``:
+    only ``path/col=value/`` leaves storage — the scale contract for
+    resumable/targeted consumption (skip finished partitions, re-read
+    one key). The root ``_SUCCESS`` marker is still required, so a
+    partial write can never serve a "complete" partition."""
+    import ray.data as rd
+
+    if not os.path.exists(os.path.join(path, SUCCESS_MARKER)):
+        raise FileNotFoundError(f"{path}: no {SUCCESS_MARKER} marker")
+    sub = os.path.join(path, f"{col}={value}")
+    if not os.path.isdir(sub):
+        raise FileNotFoundError(f"{sub}: no such partition")
+    return rd.read_parquet(sub, file_extensions=["parquet"])

@@ -1961,6 +1961,90 @@ def q_event_funnel(sf_dir: str) -> pa.Table:
     })
 
 
+def q_json_props_agg(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: the events ``props`` JSON column is
+    parsed with ONE vectorized Arrow RE2 kernel per batch
+    (pc.extract_regex — no Python row loop, no json.loads), then a
+    map-side partial + driver fold aggregates the extracted integer per
+    event_type. Rows whose props lack the key drop out (null-safe)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "k": k.to_pandas(),
+        }).dropna(subset=["k"])
+        g = df.groupby("event_type", sort=False).agg(
+            n_with_k=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n_with_k", "sum_k"], ["min_k"], ["max_k"],
+    ).sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "n_with_k": pa.array(agg["n_with_k"].astype("int64"), pa.int64()),
+        "sum_k": pa.array(agg["sum_k"].astype("int64"), pa.int64()),
+        "min_k": pa.array(agg["min_k"].astype("int64"), pa.int64()),
+        "max_k": pa.array(agg["max_k"].astype("int64"), pa.int64()),
+    })
+
+
+def q_partitioned_sink_prune(sf_dir: str) -> pa.Table:
+    """Key-partitioned sink + partition-pruned read-back: events write as
+    hive directories (``event_type=.../``, atomic _SUCCESS publish), then
+    ONLY the 'click' partition is read and aggregated — the resumable-
+    output contract (skip finished partitions, target one key) with the
+    oracle verifying the written partition's bytes against a WHERE
+    filter on the parquet view."""
+    import uuid as _uuid
+
+    from .engine.sinks import read_partition, write_dataset
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "event_type", "user_id", "value"])
+    path = os.path.join(
+        "/tmp/raysketch_sinks",
+        f"events_by_type_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+    )
+    write_dataset(ds, path, partition_cols=["event_type"])
+    try:
+        part = read_partition(path, "event_type", "click")
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64)
+            return pa.table({
+                "n_events": pa.array([b.num_rows], pa.int64()),
+                "sum_value_cents": pa.array([int(cents.sum())], pa.int64()),
+                "sum_user_id": pa.array(
+                    [int(b["user_id"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64()),
+                "max_event_id": pa.array(
+                    [int(pc.max(b["event_id"]).as_py())], pa.int64()),
+            })
+
+        parts = part.map_batches(partial, batch_format="pyarrow").to_pandas()
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return pa.table({
+        "event_type": pa.array(["click"], pa.string()),
+        "n_events": pa.array([int(parts["n_events"].sum())], pa.int64()),
+        "sum_value_cents": pa.array(
+            [int(parts["sum_value_cents"].sum())], pa.int64()),
+        "sum_user_id": pa.array([int(parts["sum_user_id"].sum())], pa.int64()),
+        "max_event_id": pa.array([int(parts["max_event_id"].max())], pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2026,6 +2110,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "rolling_spend": q_rolling_spend,
     "event_funnel": q_event_funnel,
+    "json_props_agg": q_json_props_agg,
+    "partitioned_sink_prune": q_partitioned_sink_prune,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2767,6 +2853,27 @@ ORACLE_SQL: dict[str, str] = {
             UNION ALL
             SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
         ORDER BY stage_idx
+    """,
+    "json_props_agg": """
+        WITH x AS (
+            SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k
+            FROM events)
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM x WHERE k IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "partitioned_sink_prune": """
+        SELECT 'click' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM events WHERE event_type = 'click'
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),

@@ -363,6 +363,25 @@ class TestSinkAtomicity:
         with pytest.raises(FileNotFoundError, match="_SUCCESS"):
             read_back(p)
 
+    def test_read_partition_prunes_and_guards(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from raysketch.engine.sinks import read_partition, write_dataset
+
+        t = pa.table({
+            "g": pa.array(["a", "a", "b"], pa.string()),
+            "x": pa.array([1, 2, 3], pa.int64()),
+        })
+        p = str(tmp_path / "byg")
+        write_dataset(rd.from_arrow(t), p, partition_cols=["g"])
+        got = read_partition(p, "g", "a").to_pandas()
+        assert sorted(got["x"].tolist()) == [1, 2]
+        with pytest.raises(FileNotFoundError, match="no such partition"):
+            read_partition(p, "g", "zz")
+        os.remove(os.path.join(p, "_SUCCESS"))
+        with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+            read_partition(p, "g", "a")
+
     def test_overwrite_leaves_no_staging(self, ray_session, tmp_path):
         import ray.data as rd
 
