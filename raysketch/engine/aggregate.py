@@ -330,6 +330,38 @@ def rollup_levels(finest: pd.DataFrame, keys: list[str],
         keys, kind="mergesort").reset_index(drop=True)
 
 
+def cube_levels(finest: pd.DataFrame, keys: list[str],
+                sum_cols: list[str], min_cols: list[str] = (),
+                max_cols: list[str] = (), sentinel: str = "ALL"
+                ) -> pd.DataFrame:
+    """SQL ``GROUP BY CUBE(keys...)`` from the FINEST exact aggregate:
+    every one of the 2^k grouping sets folds associatively from the tiny
+    finest table (same one-distributed-pass contract as
+    :func:`rollup_levels`; ROLLUP emits the k+1 prefix sets, CUBE all
+    subsets). Cubed-away key columns carry ``sentinel``."""
+    from itertools import combinations
+
+    agg = ({c: "sum" for c in sum_cols} | {c: "min" for c in min_cols}
+           | {c: "max" for c in max_cols})
+    vals = list(agg)
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for subset in combinations(keys, r):
+            sub = list(subset)
+            if r == len(keys):
+                lvl = finest[keys + vals].copy()
+            elif sub:
+                lvl = finest.groupby(sub, sort=False)[vals].agg(agg).reset_index()
+            else:
+                lvl = finest[vals].agg(agg).to_frame().T
+            for k in keys:
+                if k not in sub:
+                    lvl[k] = sentinel
+            levels.append(lvl[keys + vals])
+    return pd.concat(levels, ignore_index=True).sort_values(
+        keys, kind="mergesort").reset_index(drop=True)
+
+
 def pivot_wide(finest: pd.DataFrame, row_key: str, col_key: str,
                value_col: str, categories: list[str], fill=0) -> pd.DataFrame:
     """Wide pivot of a FINEST aggregate: one output row per ``row_key``,

@@ -2045,6 +2045,116 @@ def q_partitioned_sink_prune(sf_dir: str) -> pa.Table:
     })
 
 
+def q_cube_pricing(sf_dir: str) -> pa.Table:
+    """``GROUP BY CUBE(l_returnflag, l_linestatus)`` — all 2^k grouping
+    sets folded from the one-distributed-pass finest aggregate
+    (engine.aggregate.cube_levels; the ROLLUP discipline extended to
+    every subset)."""
+    from .engine.aggregate import cube_levels
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            count_order=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    finest = _fold_partials(partials, ["l_returnflag", "l_linestatus"],
+                            ["count_order", "sum_qty"], [], [])
+    out = cube_levels(finest, ["l_returnflag", "l_linestatus"],
+                      ["count_order", "sum_qty"])
+    out["count_order"] = out["count_order"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round().astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Pearson correlation of four lineitem measures via the
+    numerically-stable TWO-PASS plan: pass 1 folds per-block (n, sum)
+    partials into exact means; pass 2 broadcasts the means and folds
+    CENTERED cross-products — no catastrophic cancellation, so round6
+    agrees with DuckDB's streaming corr. Each pass ships one tiny row
+    per block."""
+    import itertools
+
+    ds = _read(sf_dir, "lineitem", _CORR_COLS)
+
+    def sums(b: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([b.num_rows], pa.int64())}
+        for c in _CORR_COLS:
+            cols[f"s_{c}"] = pa.array(
+                [float(b[c].to_numpy(zero_copy_only=False).sum())], pa.float64())
+        return pa.table(cols)
+
+    p1 = ds.map_batches(sums, batch_format="pyarrow").to_pandas()
+    n = int(p1["n"].sum())
+    means = {c: float(p1[f"s_{c}"].sum()) / n for c in _CORR_COLS}
+
+    pairs = list(itertools.combinations(range(len(_CORR_COLS)), 2))
+
+    def centered(b: pa.Table) -> pa.Table:
+        X = {c: b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             - means[c] for c in _CORR_COLS}
+        cols = {}
+        for c in _CORR_COLS:
+            cols[f"ss_{c}"] = pa.array([float((X[c] * X[c]).sum())], pa.float64())
+        for i, j in pairs:
+            a, c2 = _CORR_COLS[i], _CORR_COLS[j]
+            cols[f"sx_{a}_{c2}"] = pa.array(
+                [float((X[a] * X[c2]).sum())], pa.float64())
+        return pa.table(cols)
+
+    p2 = ds.map_batches(centered, batch_format="pyarrow").to_pandas()
+    rows = []
+    for i, j in pairs:
+        a, c2 = _CORR_COLS[i], _CORR_COLS[j]
+        cov = float(p2[f"sx_{a}_{c2}"].sum())
+        va = float(p2[f"ss_{a}"].sum())
+        vb = float(p2[f"ss_{c2}"].sum())
+        rows.append((a, c2, round6(cov / math.sqrt(va * vb))))
+    rows.sort()
+    return pa.table({
+        "col_a": pa.array([r[0] for r in rows], pa.string()),
+        "col_b": pa.array([r[1] for r in rows], pa.string()),
+        "corr": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def q_latest_per_key(sf_dir: str) -> pa.Table:
+    """Log compaction / upsert semantics: the LATEST event per user
+    (max ts, ties to the smallest event_id) — grouped_topn with n=1, so
+    each map task pre-filters to one candidate row per (block, user)
+    before the shuffle."""
+    from .ops.topk import grouped_topn
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    out = grouped_topn(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "t_us", 1, "event_id", carry_cols=["event_type"],
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(out["user_id"].astype("int64"), pa.int64()),
+        "t_us": pa.array(out["t_us"].astype("int64"), pa.int64()),
+        "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+        "event_type": pa.array(out["event_type"], pa.string()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2112,6 +2222,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_funnel": q_event_funnel,
     "json_props_agg": q_json_props_agg,
     "partitioned_sink_prune": q_partitioned_sink_prune,
+    "cube_pricing": q_cube_pricing,
+    "corr_matrix": q_corr_matrix,
+    "latest_per_key": q_latest_per_key,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -2874,6 +2987,38 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(user_id) AS BIGINT) AS sum_user_id,
                CAST(max(event_id) AS BIGINT) AS max_event_id
         FROM events WHERE event_type = 'click'
+    """,
+    "cube_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "corr_matrix": """
+        SELECT col_a, col_b, round(corr, 6) AS corr FROM (
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   corr(l_quantity, l_extendedprice) AS corr FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_discount',
+                   corr(l_quantity, l_discount) FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_tax',
+                   corr(l_quantity, l_tax) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                   corr(l_extendedprice, l_discount) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                   corr(l_extendedprice, l_tax) FROM lineitem
+            UNION ALL SELECT 'l_discount', 'l_tax',
+                   corr(l_discount, l_tax) FROM lineitem)
+        ORDER BY col_a, col_b
+    """,
+    "latest_per_key": """
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id,
+               event_type
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+        ORDER BY user_id
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),

@@ -219,6 +219,24 @@ def test_rollup_levels():
     assert len(out1) == 3 and out1[out1.a == "ALL"]["n"].iloc[0] == 7
 
 
+def test_cube_levels():
+    import pandas as pd
+
+    from raysketch.engine.aggregate import cube_levels
+
+    f = pd.DataFrame({"a": ["x", "x", "y"], "b": ["1", "2", "1"],
+                      "n": [1, 2, 4], "mn": [5, 3, 9], "mx": [5, 3, 9]})
+    out = cube_levels(f, ["a", "b"], ["n"], min_cols=["mn"], max_cols=["mx"])
+    rows = {(r.a, r.b): (r.n, r.mn, r.mx) for r in out.itertuples()}
+    assert rows[("x", "1")] == (1, 5, 5)
+    assert rows[("x", "ALL")] == (3, 3, 5)
+    # the grouping set ROLLUP lacks: per-b with a cubed away
+    assert rows[("ALL", "1")] == (5, 5, 9)
+    assert rows[("ALL", "2")] == (2, 3, 3)
+    assert rows[("ALL", "ALL")] == (7, 3, 9)
+    assert len(out) == 3 + 2 + 2 + 1  # finest + per-a + per-b + grand
+
+
 def test_pivot_wide():
     import pandas as pd
 
