@@ -114,11 +114,20 @@ def kmeans_fit(
     id_col: str = "vec_id",
     iters: int = 10,
     tol: float = 1e-6,
+    driver_reduce_limit: int = 4_000_000,
 ):
     """Distributed Lloyd iterations from the given centroids; returns
     (cent_ids, centroids, n_iters_run). ``ds`` should be materialized by
     the caller when it is the product of an upstream pipeline (each
-    iteration re-consumes it)."""
+    iteration re-consumes it).
+
+    The per-iteration reduce is SIZE-ROUTED: the partial stream is
+    ``blocks × k`` rows of d floats, and when that fits
+    ``driver_reduce_limit`` floats the fold runs driver-side (a Ray
+    shuffle per iteration costs ~1s of pure scheduling at small scale);
+    above the limit a ``groupby(cluster)`` dataset fold keeps the reduce
+    distributed. Both folds sum in min-id order — bit-identical
+    centroids either way (route identity is test-pinned)."""
     import ray
 
     cent_ids = np.asarray(init_ids, dtype=np.int64)
@@ -126,6 +135,14 @@ def kmeans_fit(
     cent_ids = cent_ids[order]
     C = _unit(np.asarray(init_vecs, dtype=np.float64))[order]
     kk = len(cent_ids)
+    dim = C.shape[1]
+    try:
+        nblocks = ds.num_blocks()
+    except Exception:
+        nblocks = None
+    driver_reduce = (
+        nblocks is not None and nblocks * kk * dim <= driver_reduce_limit
+    )
 
     for it in range(iters):
         ref = ray.put((cent_ids, C))
@@ -159,12 +176,19 @@ def kmeans_fit(
                 "s": [s.tolist()],
             })
 
-        folded = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("cluster")
-            .map_groups(fold, batch_format="pandas")
-            .to_pandas()
-        )
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        if driver_reduce:
+            pdf = partials.to_pandas()
+            folded = pd.concat(
+                [fold(g) for _, g in pdf.groupby("cluster", sort=True)],
+                ignore_index=True,
+            ) if len(pdf) else pdf
+        else:
+            folded = (
+                partials.groupby("cluster")
+                .map_groups(fold, batch_format="pandas")
+                .to_pandas()
+            )
         newC = C.copy()
         for _, r in folded.iterrows():
             if r["n"] > 0:

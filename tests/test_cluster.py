@@ -75,6 +75,18 @@ def test_fit_recovers_planted_blobs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_fit_reduce_route_identity():
+    """Driver fold vs dataset groupby fold: bit-identical centroids."""
+    df, _ = _blobs(n_per=60)
+    ds = _mk(df, 4).materialize()
+    sid, svec = kmeans_seeds(ds, 3)
+    r_driver = kmeans_fit(ds, sid, svec, iters=6)
+    r_dataset = kmeans_fit(ds, sid, svec, iters=6, driver_reduce_limit=0)
+    assert np.array_equal(r_driver[1], r_dataset[1])
+    assert r_driver[2] == r_dataset[2]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_fit_deterministic_for_fixed_blocks():
     df, _ = _blobs(n_per=60)
     ds = _mk(df, 3).materialize()
