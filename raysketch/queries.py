@@ -2155,6 +2155,52 @@ def q_latest_per_key(sf_dir: str) -> pa.Table:
     })
 
 
+def q_zscore_chars(sf_dir: str) -> pa.Table:
+    """Per-group feature standardization (the training-pipeline z-score
+    step): each document's n_chars normalized by its lang's mean and
+    population sd. Two-pass group stats (exact sums → means, then
+    centered squares — numerically stable, one tiny partial row per
+    block per pass), broadcast to a vectorized per-batch transform."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def sums(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("lang", sort=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p1 = _fold_partials(ds.map_batches(sums, batch_format="pyarrow"),
+                        ["lang"], ["n", "s"], [], [])
+    means = {r.lang: r.s / r.n for r in p1.itertuples()}
+    counts = {r.lang: r.n for r in p1.itertuples()}
+
+    def centered(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["d2"] = (df["n_chars"] - df["lang"].map(means)) ** 2
+        g = df.groupby("lang", sort=False)["d2"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p2 = _fold_partials(ds.map_batches(centered, batch_format="pyarrow"),
+                        ["lang"], ["d2"], [], [])
+    sds = {r.lang: math.sqrt(r.d2 / counts[r.lang]) for r in p2.itertuples()}
+
+    def z(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        mu = df["lang"].map(means).to_numpy(np.float64)
+        sd = df["lang"].map(sds).to_numpy(np.float64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].astype("int64"), pa.int64()),
+            "lang": pa.array(df["lang"], pa.string()),
+            "z": pa.array(
+                round6((df["n_chars"].to_numpy(np.float64) - mu) / sd),
+                pa.float64()),
+        })
+
+    out = ds.map_batches(z, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2225,6 +2271,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cube_pricing": q_cube_pricing,
     "corr_matrix": q_corr_matrix,
     "latest_per_key": q_latest_per_key,
+    "zscore_chars": q_zscore_chars,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3019,6 +3066,14 @@ ORACLE_SQL: dict[str, str] = {
         QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
         ORDER BY user_id
+    """,
+    "zscore_chars": """
+        SELECT doc_id, lang,
+               round((n_chars - avg(n_chars) OVER w)
+                     / stddev_pop(n_chars) OVER w, 6) AS z
+        FROM documents
+        WINDOW w AS (PARTITION BY lang)
+        ORDER BY doc_id
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),
