@@ -130,6 +130,24 @@ def hash64_batch_aligned(values: Any) -> tuple[np.ndarray, np.ndarray]:
     return h, valid
 
 
+def append_coarse_bucket(table, cols, num_buckets: int = 256,
+                         name: str = "__cb"):
+    """Append an int64 ``hash(cols...) % num_buckets`` column to an Arrow
+    table — THE coarse-shuffle key every co-location fold uses (scan /
+    setops / funnel / window / topk all shuffle on this shape). One
+    definition so a hashing change lands everywhere at once."""
+    import pyarrow as pa
+
+    h = None
+    for c in cols:
+        hc, _ = hash64_batch_aligned(table[c])
+        h = hc if h is None else combine_hash64(h, hc)
+    return table.append_column(
+        name,
+        pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
+    )
+
+
 def combine_hash64(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     """Mix two aligned uint64 hash arrays into one composite-key hash
     (vectorized; replaces the per-row f-string + pandas-object-hash path

@@ -106,9 +106,13 @@ def read_partition(path: str, col: str, value) -> "object":
     partial write can never serve a "complete" partition."""
     import ray.data as rd
 
+    from urllib.parse import quote
+
     if not os.path.exists(os.path.join(path, SUCCESS_MARKER)):
         raise FileNotFoundError(f"{path}: no {SUCCESS_MARKER} marker")
-    sub = os.path.join(path, f"{col}={value}")
+    # the hive writer URL-encodes partition values ('a b' -> 'a%20b');
+    # quote to match, else real partitions with spaces/'='/'%' miss
+    sub = os.path.join(path, f"{col}={quote(str(value), safe='')}")
     if not os.path.isdir(sub):
         raise FileNotFoundError(f"{sub}: no such partition")
     return rd.read_parquet(sub, file_extensions=["parquet"])

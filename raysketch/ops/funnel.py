@@ -39,7 +39,7 @@ def funnel(
     def coarse(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
         b = b.select([user_col, ts_col, type_col])
         b = b.filter(pc.is_in(b[type_col], value_set=pa.array(stages)))
@@ -49,11 +49,7 @@ def funnel(
         else:
             ts = pc.cast(ts, pa.int64())
         b = b.set_column(b.schema.get_field_index(ts_col), ts_col, ts)
-        hk, _ = hash64_batch_aligned(b[user_col])
-        return b.append_column(
-            "__fb",
-            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
-        )
+        return append_coarse_bucket(b, [user_col], num_buckets, "__fb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         reached: pd.Series | None = None

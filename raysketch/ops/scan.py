@@ -39,6 +39,25 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _schema_anchor(ds, extra_cols: list[str]):
+    """Zero-row block carrying (input schema + int64 extra_cols).
+
+    A Ray groupby over an EMPTY dataset yields no groups and the result
+    loses its schema entirely (the round-3 empty-projection pitfall);
+    unioning this anchor onto the result keeps the operator's output
+    contract — the scan columns exist at zero rows — without costing the
+    non-empty path anything."""
+    import ray.data as rd
+
+    sch = ds.schema()
+    if sch is None:
+        return None
+    fields = list(zip(sch.names, sch.types)) + [
+        (c, pa.int64()) for c in extra_cols
+    ]
+    return rd.from_arrow(pa.table({n: pa.array([], t) for n, t in fields}))
+
+
 def _fold_frame(
     df: pd.DataFrame, key_col: str, order_cols: list[str], sum_col: str
 ) -> pd.DataFrame:
@@ -106,13 +125,9 @@ def rolling_scan(
         raise ValueError("window_rows must be >= 1")
 
     def coarse(b: pa.Table) -> pa.Table:
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(b[key_col])
-        return b.append_column(
-            "__rb",
-            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
-        )
+        return append_coarse_bucket(b, [key_col], num_buckets, "__rb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -123,35 +138,34 @@ def rolling_scan(
         df = df.sort_values([key_col, *order_cols], kind="mergesort").reset_index(
             drop=True
         )
-        r = df.groupby(key_col, sort=False)[value_col].rolling(
-            window_rows, min_periods=1
+        agg = (
+            df.groupby(key_col, sort=False)[value_col]
+            .rolling(window_rows, min_periods=1)
+            .agg(["sum", "min", "max", "count"])  # one pass over the windows
         )
-        df["roll_sum"] = r.sum().to_numpy().astype(np.int64)
-        df["roll_min"] = r.min().to_numpy().astype(np.int64)
-        df["roll_max"] = r.max().to_numpy().astype(np.int64)
-        df["roll_n"] = r.count().to_numpy().astype(np.int64)
+        for out_c, in_c in (("roll_sum", "sum"), ("roll_min", "min"),
+                            ("roll_max", "max"), ("roll_n", "count")):
+            df[out_c] = agg[in_c].to_numpy().astype(np.int64)
         return df
 
-    return (
+    out = (
         ds.map_batches(coarse, batch_format="pyarrow")
         .groupby("__rb")
         .map_groups(
             lambda df: fold(df.drop(columns=["__rb"])), batch_format="pandas"
         )
     )
+    anchor = _schema_anchor(ds, ["roll_sum", "roll_min", "roll_max", "roll_n"])
+    return out.union(anchor) if anchor is not None else out
 
 
 def _running_hash(ds, key_col, order_cols, sum_col, num_buckets):
     def coarse(b: pa.Table) -> pa.Table:
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(b[key_col])
-        return b.append_column(
-            "__rb",
-            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
-        )
+        return append_coarse_bucket(b, [key_col], num_buckets, "__rb")
 
-    return (
+    out = (
         ds.map_batches(coarse, batch_format="pyarrow")
         .groupby("__rb")
         .map_groups(
@@ -161,6 +175,8 @@ def _running_hash(ds, key_col, order_cols, sum_col, num_buckets):
             batch_format="pandas",
         )
     )
+    anchor = _schema_anchor(ds, ["seq", "running", "delta"])
+    return out.union(anchor) if anchor is not None else out
 
 
 def _running_sorted(ds, key_col, order_cols, sum_col):
@@ -178,25 +194,37 @@ def _running_sorted(ds, key_col, order_cols, sum_col):
     import ray.data as rd
 
     sorted_ds = ds.sort([key_col, *order_cols]).materialize()
+    if sorted_ds.count() == 0:
+        # empty-input contract: sorting an empty Dataset leaves one
+        # ZERO-COLUMN block, so rebuild the schema from the input —
+        # output must still carry the scan columns (hash-route parity)
+        anchor = _schema_anchor(ds, ["seq", "running", "delta"])
+        return anchor if anchor is not None else sorted_ds
     refs = sorted_ds.to_arrow_refs()
-    if not refs:
-        return sorted_ds
 
     @ray.remote(num_returns=2)
     def local_scan(tbl: pa.Table):
         out = _fold_frame(tbl.to_pandas(), key_col, order_cols, sum_col)
         if out.empty:
-            return pa.Table.from_pandas(out, preserve_index=False), {}
-        # per-key tail summary: (rows, block total, last order value).
-        # The block's contribution to downstream running sums is the
-        # key's SUM of sum_col — NOT max(running), which under-counts
-        # whenever negative values make the running sum non-monotone.
+            return pa.Table.from_pandas(out, preserve_index=False), None
+        # boundary summary: in globally sorted order only the block's
+        # FIRST key can continue a previous block's chain and only its
+        # LAST key can continue into later blocks, so two entries bound
+        # the driver fold at O(blocks) — never one per distinct key.
+        # The block total is the key's SUM of sum_col — NOT
+        # max(running), which under-counts whenever negative values
+        # make the running sum non-monotone.
         tail = out.groupby(key_col, sort=False).agg(
             n=("seq", "max"), s=(sum_col, "sum"), last_o=(order_cols[0], "max")
         )
-        summary = {
-            k: (int(r.n), int(r.s), int(r.last_o)) for k, r in tail.iterrows()
-        }
+        first_k = out[key_col].iloc[0]
+        last_k = out[key_col].iloc[-1]
+
+        def stats(k):
+            return (int(tail.loc[k, "n"]), int(tail.loc[k, "s"]),
+                    int(tail.loc[k, "last_o"]))
+
+        summary = (first_k, stats(first_k), last_k, stats(last_k))
         return pa.Table.from_pandas(out, preserve_index=False), summary
 
     @ray.remote
@@ -218,19 +246,26 @@ def _running_sorted(ds, key_col, order_cols, sum_col):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     scan_refs = [local_scan.remote(r) for r in refs]
-    # the driver fetches ONLY the per-block key summaries (O(blocks ×
-    # boundary keys)); scanned row data stays in the object store
+    # the driver fetches ONLY the two-entry boundary summaries; scanned
+    # row data stays in the object store. The fold carries ONE chain —
+    # the accumulated totals of the previous block's last key.
     summaries = ray.get([s for _, s in scan_refs])
     offsets_per_block: list[dict] = []
-    acc: dict = {}
+    carry_key, carry = None, None
     for summary in summaries:
-        offsets_per_block.append({k: acc[k] for k in summary if k in acc})
-        for k, (n, s, last_o) in summary.items():
-            if k in acc:
-                pn, ps, _ = acc[k]
-                acc[k] = (pn + n, ps + s, last_o)
-            else:
-                acc[k] = (n, s, last_o)
+        if summary is None:
+            offsets_per_block.append({})
+            continue
+        first_k, first_stats, last_k, last_stats = summary
+        if carry is not None and carry_key == first_k:
+            offsets_per_block.append({carry_key: carry})
+            if first_k == last_k:  # single-key block extends the chain
+                n, s, last_o = last_stats
+                carry = (carry[0] + n, carry[1] + s, last_o)
+                continue
+        else:
+            offsets_per_block.append({})
+        carry_key, carry = last_k, last_stats
 
     out_refs = [
         apply_offset.remote(df_ref, off)

@@ -62,13 +62,9 @@ def distinct_set_op(
     )
 
     def coarse(t: pa.Table) -> pa.Table:
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(t[col_a])
-        return t.append_column(
-            "__kb",
-            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
-        )
+        return append_coarse_bucket(t, [col_a], num_buckets, "__kb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

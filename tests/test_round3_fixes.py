@@ -376,6 +376,16 @@ class TestSinkAtomicity:
         write_dataset(rd.from_arrow(t), p, partition_cols=["g"])
         got = read_partition(p, "g", "a").to_pandas()
         assert sorted(got["x"].tolist()) == [1, 2]
+        # hive writers URL-encode values: 'a b' lands as 'g=a%20b' and
+        # must still be reachable by its REAL value
+        t2 = pa.table({
+            "g": pa.array(["a b", "c=d"], pa.string()),
+            "x": pa.array([7, 8], pa.int64()),
+        })
+        p2 = str(tmp_path / "byg2")
+        write_dataset(rd.from_arrow(t2), p2, partition_cols=["g"])
+        assert read_partition(p2, "g", "a b").to_pandas()["x"].tolist() == [7]
+        assert read_partition(p2, "g", "c=d").to_pandas()["x"].tolist() == [8]
         with pytest.raises(FileNotFoundError, match="no such partition"):
             read_partition(p, "g", "zz")
         os.remove(os.path.join(p, "_SUCCESS"))

@@ -110,6 +110,50 @@ def test_hot_key_spans_blocks():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_one_key_many_blocks_chain():
+    """A single key across MANY blocks exercises the sorted route's
+    one-chain carry fold (every block is a single-key block)."""
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame({
+        "k": np.full(n, 5, dtype=np.int64),
+        "uid": np.arange(n, dtype=np.int64),
+        "o": rng.integers(0, 10_000, n).astype(np.int64),
+        "v": rng.integers(-30, 60, n).astype(np.int64),
+    })
+    expect = _brute(df)
+    pd.testing.assert_frame_equal(_run(_mk_ds(df, 10), "sorted"), expect)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_input_keeps_output_contract():
+    """Both routes must emit the scan columns on empty input."""
+    import ray.data as rd
+
+    empty = pd.DataFrame({
+        "k": pd.Series([], dtype="int64"),
+        "uid": pd.Series([], dtype="int64"),
+        "o": pd.Series([], dtype="int64"),
+        "v": pd.Series([], dtype="int64"),
+    })
+    ds = rd.from_pandas(empty)
+    # the contract is at SCHEMA level: Dataset.to_pandas() on any
+    # zero-row dataset drops columns (Ray-wide; see queries._pairs_df)
+    for route in ("hash", "sorted"):
+        out = running_scan(ds, "k", ["o", "uid"], "v", route=route)
+        assert out.count() == 0
+        names = out.schema().names
+        for c in ("k", "uid", "o", "v", "seq", "running", "delta"):
+            assert c in names, (route, names)
+    from raysketch.ops.scan import rolling_scan
+
+    roll = rolling_scan(ds, "k", ["o", "uid"], "v", 3)
+    assert roll.count() == 0
+    for c in ("roll_sum", "roll_min", "roll_max", "roll_n"):
+        assert c in roll.schema().names
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_single_row_groups_and_negative_sums():
     df = pd.DataFrame(
         {
