@@ -137,13 +137,9 @@ def cms_topk(
     cand_rows = partials.map_batches(take_cand, batch_format="pyarrow")
 
     def bucket(batch: pa.Table) -> pa.Table:
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        h, _ = hash64_batch_aligned(batch["token"])
-        return batch.append_column(
-            "tb", pa.array((h % np.uint64(coarse_buckets)).astype(np.int64),
-                           pa.int64())
-        )
+        return append_coarse_bucket(batch, ["token"], coarse_buckets, "tb")
 
     def score_topk(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["token"].drop_duplicates().tolist()
@@ -212,13 +208,9 @@ def grouped_topn(
         )
 
     def bucket(b: pa.Table) -> pa.Table:
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(b[group_col])
-        return b.append_column(
-            "__gb",
-            pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64()),
-        )
+        return append_coarse_bucket(b, [group_col], num_buckets, "__gb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(

@@ -92,14 +92,9 @@ def tumbling_window(
     # vectorized pandas groupby — per-tiny-group map_groups calls would
     # dominate at scale
     def coarse(batch: pa.Table) -> pa.Table:
-        from ..engine.hashing import combine_hash64, hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(batch[key_col])
-        hb = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = combine_hash64(hk, hb)
-        return batch.append_column(
-            "wb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, [key_col, "bucket"], 256, "wb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -166,14 +161,9 @@ def hopping_window(
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def coarse(batch: pa.Table) -> pa.Table:
-        from ..engine.hashing import combine_hash64, hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(batch[key_col])
-        hw = batch["win"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = combine_hash64(hk, hw)
-        return batch.append_column(
-            "wb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, [key_col, "win"], 256, "wb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -255,14 +245,9 @@ def time_series_window(
 
     # stage 2 — coarse-bucket fold to one row per (key, bucket)
     def coarse(b: pa.Table) -> pa.Table:
-        from ..engine.hashing import combine_hash64, hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
-        hk, _ = hash64_batch_aligned(b[key_col])
-        hb = b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = combine_hash64(hk, hb)
-        return b.append_column(
-            "cb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(b, [key_col, "bucket"], 256, "cb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if mode == "add":
@@ -304,12 +289,9 @@ def time_series_window(
         # bucket partials, so skipping the intermediate (key,bucket)
         # shuffle changes nothing but the plan)
         def key_coarse(b: pa.Table) -> pa.Table:
-            from ..engine.hashing import hash64_batch_aligned
+            from ..engine.hashing import append_coarse_bucket
 
-            hk, _ = hash64_batch_aligned(b[key_col])
-            return b.append_column(
-                "kb", pa.array((hk % np.uint64(256)).astype(np.int64), pa.int64())
-            )
+            return append_coarse_bucket(b, [key_col], 256, "kb")
 
         def fold_assemble(df: pd.DataFrame) -> pd.DataFrame:
             folded = fold(df.drop(columns=["kb"]))
@@ -357,7 +339,7 @@ def sessionize(
     def coarse(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..engine.hashing import hash64_batch_aligned
+        from ..engine.hashing import append_coarse_bucket
 
         cols = [key_col, ts_col] + ([value_col] if value_col else [])
         b = b.select(cols)
@@ -365,10 +347,7 @@ def sessionize(
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(ts, pa.timestamp("us"))
         b = b.append_column("__t_us", pc.cast(ts, pa.int64()))
-        hk, _ = hash64_batch_aligned(b[key_col])
-        return b.append_column(
-            "__sb", pa.array((hk % np.uint64(num_buckets)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(b, [key_col], num_buckets, "__sb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

@@ -94,19 +94,14 @@ def q_doc_stats_by_lang(sf_dir: str) -> pa.Table:
     # pairs → coarse-bucket shuffle on hash(lang, source) (each pair lands
     # in exactly one bucket) → per-bucket vectorized nunique per lang →
     # driver sums ≤ buckets × langs tiny rows (never the pair stream)
-    from .engine.hashing import combine_hash64, hash64_batch_aligned
+    from .engine.hashing import append_coarse_bucket
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["lang", "source"]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pbucket(batch: pa.Table) -> pa.Table:
-        hl, _ = hash64_batch_aligned(batch["lang"])
-        hs, _ = hash64_batch_aligned(batch["source"])
-        key = combine_hash64(hl, hs)
-        return batch.append_column(
-            "pb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, ["lang", "source"], 256, "pb")
 
     def src_fold(df: pd.DataFrame) -> pd.DataFrame:
         u = df.drop_duplicates(["lang", "source"])
@@ -225,13 +220,10 @@ def q_token_topk(sf_dir: str) -> pa.Table:
 
     # coarse-bucket the shuffle (bounded group count at any vocabulary
     # size); each reduce task sums its real tokens with one pandas groupby
-    from .engine.hashing import hash64_batch_aligned
+    from .engine.hashing import append_coarse_bucket
 
     def bucket(batch: pa.Table) -> pa.Table:
-        h, _ = hash64_batch_aligned(batch["token"])
-        return batch.append_column(
-            "tb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, ["token"], 256, "tb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("token", sort=False)["n"].sum().reset_index()
@@ -260,13 +252,10 @@ def q_bigram_topk(sf_dir: str) -> pa.Table:
     partials = ds.map_batches(
         lambda b: ngram_count_partial(b, "text", n=2), batch_format="pyarrow")
 
-    from .engine.hashing import hash64_batch_aligned
+    from .engine.hashing import append_coarse_bucket
 
     def bucket(batch: pa.Table) -> pa.Table:
-        h, _ = hash64_batch_aligned(batch["ngram"])
-        return batch.append_column(
-            "gb", pa.array((h % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, ["ngram"], 256, "gb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("ngram", sort=False)["n_count"].sum().reset_index()
@@ -336,15 +325,10 @@ def q_events_hourly(sf_dir: str) -> pa.Table:
     # one shuffle keyed on a coarse bucket of (event_type, bucket): the
     # reduce side resolves exact counts + distinct users with vectorized
     # pandas — no unbounded driver-side user sets
-    from .engine.hashing import combine_hash64, hash64_batch_aligned
+    from .engine.hashing import append_coarse_bucket
 
     def coarse(batch: pa.Table) -> pa.Table:
-        he, _ = hash64_batch_aligned(batch["event_type"])
-        hb = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = combine_hash64(he, hb)
-        return batch.append_column(
-            "cb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, ["event_type", "bucket"], 256, "cb")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         ex = df.explode("user_id")
@@ -396,7 +380,7 @@ def q_customer_order_profile(sf_dir: str) -> pa.Table:
     customer-cardinality — at 100× swap the attach for the native
     partitioned hash join, same contract as ops/dedup). Final
     (mktsegment, n_orders) histogram is a tiny map-side fold."""
-    from .engine.hashing import hash64_batch_aligned
+    from .engine.hashing import append_coarse_bucket
     from .ops.join import broadcast_lookup_join
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
@@ -407,9 +391,7 @@ def q_customer_order_profile(sf_dir: str) -> pa.Table:
         t = pa.table({
             "o_custkey": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
             "n_orders": pa.array(vc.to_numpy(np.int64), pa.int64())})
-        h, _ = hash64_batch_aligned(t["o_custkey"])
-        return t.append_column(
-            "cb", pa.array((h % np.uint64(64)).astype(np.int64), pa.int64()))
+        return append_coarse_bucket(t, ["o_custkey"], 64, "cb")
 
     oc = orders.map_batches(oc_partial, batch_format="pyarrow").groupby(
         "cb").map_groups(
@@ -515,15 +497,10 @@ def q_quantiles_exact(sf_dir: str) -> pa.Table:
     #    distinct (lang, value) regardless of block count;
     # 2. groupby(lang) → per-lang quantile calc from its value counts →
     #    the driver sees only the final one-row-per-lang result.
-    from .engine.hashing import combine_hash64, hash64_batch_aligned
+    from .engine.hashing import append_coarse_bucket
 
     def vbucket(batch: pa.Table) -> pa.Table:
-        hl, _ = hash64_batch_aligned(batch["lang"])
-        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = combine_hash64(hl, v)
-        return batch.append_column(
-            "vb", pa.array((key % np.uint64(256)).astype(np.int64), pa.int64())
-        )
+        return append_coarse_bucket(batch, ["lang", "n_chars"], 256, "vb")
 
     def vfold(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum().reset_index()
