@@ -159,6 +159,85 @@ def rolling_scan(
     return out.union(anchor) if anchor is not None else out
 
 
+def rank_scan(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    n_tiles: int = 4,
+    num_buckets: int = 256,
+):
+    """Per-key rank-family window functions over a TOTAL order (the
+    caller appends a unique tiebreak to ``order_cols``, so RANK ==
+    ROW_NUMBER and the SQL tie variants coincide): emits ``rank`` int64,
+    ``percent_rank`` / ``cume_dist`` float64 (round6 — the oracle
+    convention) and ``tile`` (SQL NTILE(n_tiles): the first ``n %
+    n_tiles`` tiles get the extra row). Same hash co-location plan as
+    :func:`running_scan`."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, [key_col], num_buckets, "__rb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out["rank"] = pd.Series([], dtype="int64")
+            out["percent_rank"] = pd.Series([], dtype="float64")
+            out["cume_dist"] = pd.Series([], dtype="float64")
+            out["tile"] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values([key_col, *order_cols], kind="mergesort").reset_index(
+            drop=True
+        )
+        g = df.groupby(key_col, sort=False)
+        rank = (g.cumcount() + 1).to_numpy(np.int64)
+        n = g[order_cols[0]].transform("size").to_numpy(np.int64)
+        df["rank"] = rank
+        pr = np.zeros(len(df), dtype=np.float64)
+        multi = n > 1
+        pr[multi] = (rank[multi] - 1) / (n[multi] - 1)
+        df["percent_rank"] = _round6_arr(pr)
+        df["cume_dist"] = _round6_arr(rank / n)
+        # NTILE: first (n % k) tiles carry ceil(n/k) rows
+        k = n_tiles
+        big, rem = n // k, n % k
+        cut = rem * (big + 1)
+        in_big = rank <= cut
+        tile = np.where(
+            in_big,
+            (rank - 1) // np.maximum(big + 1, 1) + 1,
+            np.where(big > 0, rem + (rank - cut - 1) // np.maximum(big, 1) + 1, 0),
+        )
+        df["tile"] = tile.astype(np.int64)
+        return df
+
+    out = (
+        ds.map_batches(coarse, batch_format="pyarrow")
+        .groupby("__rb")
+        .map_groups(
+            lambda df: fold(df.drop(columns=["__rb"])), batch_format="pandas"
+        )
+    )
+    sch = ds.schema()
+    if sch is not None:
+        import ray.data as rd
+
+        fields = list(zip(sch.names, sch.types)) + [
+            ("rank", pa.int64()), ("percent_rank", pa.float64()),
+            ("cume_dist", pa.float64()), ("tile", pa.int64()),
+        ]
+        anchor = rd.from_arrow(pa.table({n: pa.array([], t) for n, t in fields}))
+        return out.union(anchor)
+    return out
+
+
+def _round6_arr(a: np.ndarray) -> np.ndarray:
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 def _running_hash(ds, key_col, order_cols, sum_col, num_buckets):
     def coarse(b: pa.Table) -> pa.Table:
         from ..engine.hashing import append_coarse_bucket

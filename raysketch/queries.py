@@ -2178,6 +2178,37 @@ def q_zscore_chars(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_order_rank_stats(sf_dir: str) -> pa.Table:
+    """Rank-family window functions (ops/scan.rank_scan): per customer
+    in (o_orderdate, o_orderkey) order — rank, percent_rank, cume_dist
+    and the NTILE(4) quartile. The unique orderkey tiebreak makes RANK
+    == ROW_NUMBER, so every SQL tie variant coincides."""
+    from .ops.scan import rank_scan
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "t_us": pc.cast(b["o_orderdate"], pa.int64()),
+        })
+
+    df = rank_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", ["t_us", "o_orderkey"], n_tiles=4,
+    ).to_pandas().sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    return pa.table({
+        "o_custkey": pa.array(df["o_custkey"].astype("int64"), pa.int64()),
+        "o_orderkey": pa.array(df["o_orderkey"].astype("int64"), pa.int64()),
+        "rank": pa.array(df["rank"].astype("int64"), pa.int64()),
+        "percent_rank": pa.array(df["percent_rank"].astype("float64"),
+                                 pa.float64()),
+        "cume_dist": pa.array(df["cume_dist"].astype("float64"), pa.float64()),
+        "quartile": pa.array(df["tile"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2249,6 +2280,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "corr_matrix": q_corr_matrix,
     "latest_per_key": q_latest_per_key,
     "zscore_chars": q_zscore_chars,
+    "order_rank_stats": q_order_rank_stats,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3051,6 +3083,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         WINDOW w AS (PARTITION BY lang)
         ORDER BY doc_id
+    """,
+    "order_rank_stats": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rank,
+               round(percent_rank() OVER w, 6) AS percent_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rank
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),

@@ -205,6 +205,39 @@ def test_rolling_parity_vs_brute_force(frame, w):
     pd.testing.assert_frame_equal(got, _roll_brute(frame, w))
 
 
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("k", [1, 3, 4, 7])
+def test_rank_scan_ntile_vs_brute(frame, k):
+    from raysketch.ops.scan import rank_scan
+
+    out = rank_scan(_mk_ds(frame), "k", ["o", "uid"], n_tiles=k).to_pandas()
+    out = out.sort_values(["k", "rank"]).reset_index(drop=True)
+    for key, g in out.groupby("k"):
+        n = len(g)
+        # ranks are 1..n
+        assert g["rank"].tolist() == list(range(1, n + 1))
+        # ntile: first n%k tiles have ceil(n/k) rows, the rest floor
+        sizes = g["tile"].value_counts().sort_index()
+        big, rem = n // k, n % k
+        expect = [big + 1] * rem + [big] * (min(k, n) - rem if big else 0)
+        assert sizes.tolist() == [s for s in expect if s > 0]
+        # percent_rank / cume_dist closed forms on the total order
+        r = g["rank"].to_numpy()
+        if n > 1:
+            assert np.allclose(g["percent_rank"], np.round((r - 1) / (n - 1), 6),
+                               atol=1e-9)
+        else:
+            assert g["percent_rank"].tolist() == [0.0]
+        assert np.allclose(g["cume_dist"], np.round(r / n, 6), atol=1e-9)
+
+
+def test_rank_scan_bad_tiles_raises():
+    from raysketch.ops.scan import rank_scan
+
+    with pytest.raises(ValueError):
+        rank_scan(None, "k", ["o"], n_tiles=0)
+
+
 def test_rolling_bad_window_raises():
     from raysketch.ops.scan import rolling_scan
 
