@@ -2209,6 +2209,109 @@ def q_order_rank_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_quantiles_cont(sf_dir: str) -> pa.Table:
+    """Exact per-lang INTERPOLATED quantiles (SQL quantile_cont: h =
+    (n-1)·q, value = v[⌊h⌋] + frac·(v[⌊h⌋+1] − v[⌊h⌋])) from the same
+    distributed value-count fold as quantiles_exact — cumulative counts
+    locate both neighbors without expanding rows."""
+    from .engine.hashing import append_coarse_bucket
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def vbucket(batch: pa.Table) -> pa.Table:
+        return append_coarse_bucket(batch, ["lang", "n_chars"], 256, "vb")
+
+    def vfold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum(
+        ).reset_index()
+
+    vc = partials.map_batches(vbucket, batch_format="pyarrow").groupby(
+        "vb"
+    ).map_groups(lambda df: vfold(df.drop(columns=["vb"])), batch_format="pandas")
+
+    def qcalc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars")["cnt"].sum().sort_index()
+        vals = g.index.to_numpy(np.float64)
+        cum = np.cumsum(g.to_numpy())
+        n = int(cum[-1])
+        row: dict[str, Any] = {"lang": df["lang"].iloc[0]}
+        for q in _QUANTILES:
+            h = (n - 1) * q
+            lo = int(math.floor(h))
+            frac = h - lo
+            j = int(np.searchsorted(cum, lo + 1, side="left"))
+            v_lo = vals[j]
+            if frac > 0:
+                j2 = int(np.searchsorted(cum, lo + 2, side="left"))
+                v = v_lo + frac * (vals[j2] - v_lo)
+            else:
+                v = v_lo
+            row[f"p{int(q*100)}"] = round6(v)
+        return pd.DataFrame([row])
+
+    df = vc.groupby("lang").map_groups(qcalc, batch_format="pandas").to_pandas()
+    df = df.sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_priority_paths(sf_dir: str) -> pa.Table:
+    """Ordered per-key collect (the SQL ``string_agg(x, ',' ORDER BY
+    ...)`` / array_agg shape): each customer's order priorities
+    concatenated in (o_orderdate, o_orderkey) order. One hash(key)
+    shuffle, vectorized per-bucket sort + join fold."""
+    from .engine.hashing import append_coarse_bucket
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "t_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "prio": b["o_orderpriority"],
+        })
+        return append_coarse_bucket(t, ["o_custkey"], 256, "__pb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "priorities": pd.Series([], dtype="object"),
+            })
+        df = df.sort_values(["o_custkey", "t_us", "o_orderkey"],
+                            kind="mergesort")
+        g = df.groupby("o_custkey", sort=False)["prio"]
+        return pd.DataFrame({
+            "o_custkey": g.size().index.to_numpy(np.int64),
+            "n_orders": g.size().to_numpy(np.int64),
+            "priorities": g.agg(",".join).to_numpy(),
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(lambda df: fold(df.drop(columns=["__pb"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("o_custkey").reset_index(drop=True)
+    return pa.table({
+        "o_custkey": pa.array(out["o_custkey"].astype("int64"), pa.int64()),
+        "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+        "priorities": pa.array(out["priorities"], pa.string()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2281,6 +2384,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "latest_per_key": q_latest_per_key,
     "zscore_chars": q_zscore_chars,
     "order_rank_stats": q_order_rank_stats,
+    "quantiles_cont": q_quantiles_cont,
+    "priority_paths": q_priority_paths,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3093,6 +3198,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, rank
+    """,
+    "quantiles_cont": """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75,
+               round(quantile_cont(n_chars, 0.95), 6) AS p95
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "priority_paths": """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               string_agg(o_orderpriority, ','
+                          ORDER BY o_orderdate, o_orderkey) AS priorities
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),
