@@ -1739,16 +1739,21 @@ def q_dormant_customers(sf_dir: str) -> pa.Table:
     gathered and broadcast; the customer stream then anti-filters with
     one vectorized is_in per batch (ops/join.broadcast_semi_join,
     anti=True) — no shuffle on either side."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
     from .ops.join import broadcast_semi_join
 
-    cutoff_us = int(pd.Timestamp("2001-01-01").value // 1000)
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    # predicate pushdown: the date filter runs inside the parquet scan
+    # (row-group statistics prune whole groups before any rows move)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= pd.Timestamp("2001-01-01"),
+    )
 
     def recent_keys(b: pa.Table) -> pa.Table:
-        m = pc.greater_equal(
-            pc.cast(b["o_orderdate"], pa.int64()), pa.scalar(cutoff_us, pa.int64())
-        )
-        return pa.table({"o_custkey": pc.unique(b.filter(m)["o_custkey"])})
+        return pa.table({"o_custkey": pc.unique(b["o_custkey"])})
 
     recent = orders.map_batches(recent_keys, batch_format="pyarrow")
     cust = _read(sf_dir, "customer",
