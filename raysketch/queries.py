@@ -2317,6 +2317,75 @@ def q_priority_paths(sf_dir: str) -> pa.Table:
     })
 
 
+def q_quarantine_split(sf_dir: str) -> pa.Table:
+    """Dead-letter channel (ops/quarantine.py): events whose props key
+    ``k`` is outside [0, 49] quarantine to an idempotent side sink; the
+    good rows aggregate per event_type and the quarantined rows are READ
+    BACK and counted — the result verifies both channels against one SQL
+    CASE split."""
+    import shutil
+    import uuid as _uuid
+
+    from .ops.quarantine import quarantine_invalid, read_quarantine
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    qdir = os.path.join(
+        "/tmp/raysketch_quarantine",
+        f"events_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+    )
+
+    def extract_k(batch: pa.Table) -> np.ndarray:
+        ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64()).to_pandas()
+        return k.to_numpy(np.float64, na_value=np.nan)
+
+    def validator(batch: pa.Table) -> np.ndarray:
+        k = extract_k(batch)
+        return (k >= 0) & (k <= 49)  # NaN (missing key) fails too
+
+    try:
+        good = quarantine_invalid(ds, validator, qdir, "event_id")
+
+        def good_partial(b: pa.Table) -> pa.Table:
+            k = extract_k(b).astype(np.int64)
+            df = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                               "k": k})
+            g = df.groupby("event_type", sort=False).agg(
+                n_valid=("k", "size"), sum_k_valid=("k", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        good_agg = _fold_partials(
+            good.map_batches(good_partial, batch_format="pyarrow"),
+            ["event_type"], ["n_valid", "sum_k_valid"], [], [])
+
+        def bad_partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({"event_type": b["event_type"].to_pylist()})
+            g = df.groupby("event_type", sort=False).size().reset_index(
+                name="n_quarantined")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        bad = read_quarantine(qdir)
+        if bad.count():
+            bad_agg = _fold_partials(
+                bad.map_batches(bad_partial, batch_format="pyarrow"),
+                ["event_type"], ["n_quarantined"], [], [])
+        else:
+            bad_agg = pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n_quarantined": pd.Series([], dtype="int64")})
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    out = good_agg.merge(bad_agg, on="event_type", how="outer").fillna(0)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_valid": pa.array(out["n_valid"].astype("int64"), pa.int64()),
+        "sum_k_valid": pa.array(out["sum_k_valid"].astype("int64"), pa.int64()),
+        "n_quarantined": pa.array(
+            out["n_quarantined"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2391,6 +2460,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "order_rank_stats": q_order_rank_stats,
     "quantiles_cont": q_quantiles_cont,
     "priority_paths": q_priority_paths,
+    "quarantine_split": q_quarantine_split,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3218,6 +3288,20 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(o_orderpriority, ','
                           ORDER BY o_orderdate, o_orderkey) AS priorities
         FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    # both channels from one CASE split; missing k quarantines too
+    "quarantine_split": """
+        WITH x AS (
+            SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k
+            FROM events)
+        SELECT event_type,
+               CAST(count(*) FILTER (k BETWEEN 0 AND 49) AS BIGINT)
+                   AS n_valid,
+               CAST(COALESCE(sum(k) FILTER (k BETWEEN 0 AND 49), 0) AS BIGINT)
+                   AS sum_k_valid,
+               CAST(count(*) FILTER (k IS NULL OR k < 0 OR k > 49) AS BIGINT)
+                   AS n_quarantined
+        FROM x GROUP BY event_type ORDER BY event_type
     """,
     "user_set_ops": """
         WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),
