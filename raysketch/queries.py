@@ -2386,6 +2386,57 @@ def q_quarantine_split(sf_dir: str) -> pa.Table:
     })
 
 
+def q_inverted_index(sf_dir: str) -> pa.Table:
+    """Inverted-index build (the dedupe/search backbone of a corpus
+    pipeline): token → sorted posting list of doc_ids, for the 50
+    highest-document-frequency tokens. Per-block DISTINCT (token, doc)
+    pairs collapse before the one coarse token shuffle; each bucket owns
+    its tokens completely, so per-bucket top-50 candidates suffice for
+    the global cut (rank selection commutes — the grouped_topn rule)."""
+    from .engine.hashing import append_coarse_bucket
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype="object")
+        ids = pd.Series(batch["doc_id"].to_numpy(zero_copy_only=False))
+        ex = s.str.split().explode()
+        df = pd.DataFrame({
+            "doc_id": ids.reindex(ex.index).to_numpy(np.int64),
+            "token": ex.to_numpy(dtype=object),
+        }).dropna().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, ["token"], 256, "__ib")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["token", "doc_id"]).sort_values(
+            ["token", "doc_id"], kind="mergesort")
+        g = df.groupby("token", sort=False)["doc_id"]
+        out = pd.DataFrame({
+            "token": g.size().index.to_numpy(dtype=object),
+            "n_docs": g.size().to_numpy(np.int64),
+            "posting": g.agg(
+                lambda ids: ",".join(str(i) for i in ids)).to_numpy(),
+        })
+        return out.sort_values(["n_docs", "token"],
+                               ascending=[False, True]).head(50)
+
+    cand = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__ib")
+        .map_groups(lambda df: fold(df.drop(columns=["__ib"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["n_docs", "token"], ascending=[False, True]
+                            ).head(50).reset_index(drop=True)
+    return pa.table({
+        "token": pa.array(cand["token"], pa.string()),
+        "n_docs": pa.array(cand["n_docs"].astype("int64"), pa.int64()),
+        "posting": pa.array(cand["posting"], pa.string()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2461,6 +2512,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles_cont": q_quantiles_cont,
     "priority_paths": q_priority_paths,
     "quarantine_split": q_quarantine_split,
+    "inverted_index": q_inverted_index,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3369,5 +3421,18 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(user_id) AS BIGINT) AS sum_user_id,
                CAST(max(event_id) AS BIGINT) AS max_event_id
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "inverted_index": """
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents)
+            WHERE token <> '')
+        SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS posting
+        FROM pairs GROUP BY token
+        ORDER BY n_docs DESC, token LIMIT 50
     """,
 }
