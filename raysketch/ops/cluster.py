@@ -53,7 +53,11 @@ def kmeans_seeds(ds, k: int, vec_col: str = "embedding", id_col: str = "vec_id")
             [hashlib.sha256(str(i).encode()).hexdigest() for i in ids]
         )
         top = np.argsort(hx, kind="stable")[:k]
-        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)[top]
+        # slice the k candidate rows at the Arrow level FIRST — a
+        # to_pylist of the whole block's vectors just to keep k rows
+        # would cost per-row Python objects across the entire corpus
+        vecs = b[vec_col].take(pa.array(top, pa.int64()))
+        V = np.asarray(vecs.to_pylist(), dtype=np.float64)
         return pa.table({
             "__hx": pa.array(hx[top], pa.string()),
             id_col: pa.array(ids[top], pa.int64()),

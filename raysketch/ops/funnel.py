@@ -78,13 +78,22 @@ def funnel(
         )
     )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            df.groupby(["stage_idx", "stage"], sort=True)["n_users"]
-            .sum()
-            .reset_index()
-        )
-        return g.sort_values("stage_idx").reset_index(drop=True)
+    # buckets × stages tiny rows: fold driver-side (the _fold_partials
+    # discipline). Starting from the explicit zero base also fixes the
+    # no-matching-events case — a groupby over an empty dataset loses
+    # its schema entirely, but the contract is one row per stage with
+    # n_users = 0 (what the SQL replay returns).
+    import ray.data as rd
 
-    # buckets × stages tiny rows: one reduce task finishes the fold
-    return per_bucket.repartition(1).map_batches(final, batch_format="pandas")
+    base = pd.DataFrame({
+        "stage_idx": np.arange(1, len(stages) + 1, dtype=np.int64),
+        "stage": stages,
+        "n_users": np.zeros(len(stages), dtype=np.int64),
+    })
+    parts = per_bucket.to_pandas()
+    if len(parts):
+        sums = parts.groupby("stage_idx")["n_users"].sum()
+        base["n_users"] = (
+            base["stage_idx"].map(sums).fillna(0).astype(np.int64)
+        )
+    return rd.from_pandas(base)

@@ -129,6 +129,73 @@ def broadcast_lookup_join(
     return big_ds.map_batches(attach, batch_format="pyarrow")
 
 
+def partitioned_semi_join(
+    big_ds,
+    keys_ds,
+    big_key: str,
+    small_key: str | None = None,
+    anti: bool = False,
+    num_buckets: int = 256,
+):
+    """Shuffle-based semi/anti join for key sets too large to broadcast:
+    big-side ROWS (payload intact) and small-side DISTINCT keys co-locate
+    under one coarse ``hash(key) % num_buckets`` shuffle; each bucket
+    fold keeps (or drops, ``anti``) the rows whose key appears in its
+    key partition with one vectorized ``isin``. The scale escape for
+    :func:`broadcast_semi_join` — no driver gather, no re-ship."""
+    import pandas as pd
+
+    from ..engine.hashing import append_coarse_bucket
+
+    small_key = small_key or big_key
+    big_sch = big_ds.schema()
+    payload = list(zip(big_sch.names, big_sch.types))
+
+    def _default_array(t: pa.DataType, n: int) -> pa.Array:
+        # typed NON-NULL filler for the key side's payload columns (they
+        # are dropped in the fold): nulls would float-widen int64 payload
+        # through the pandas fold and round ids above 2^53
+        if pa.types.is_integer(t):
+            return pa.array(np.zeros(n, dtype=np.int64), t)
+        if pa.types.is_floating(t):
+            return pa.array(np.zeros(n, dtype=np.float64), t)
+        if pa.types.is_timestamp(t):
+            return pa.array(np.zeros(n, dtype=np.int64), pa.int64()).cast(t)
+        return pa.array([""] * n, pa.string()).cast(t)
+
+    def tag_big(b: pa.Table) -> pa.Table:
+        b = b.select([n for n, _ in payload])  # pin column order
+        b = b.append_column("__side", pa.array(
+            np.zeros(b.num_rows, dtype=np.int64), pa.int64()))
+        return append_coarse_bucket(b, [big_key], num_buckets, "__jb")
+
+    def tag_keys(b: pa.Table) -> pa.Table:
+        k = pc.unique(b[small_key])
+        cols = {
+            n: (k if n == big_key else _default_array(t, len(k)))
+            for n, t in payload
+        }
+        t = pa.table(cols)
+        t = t.append_column("__side", pa.array(
+            np.ones(len(k), dtype=np.int64), pa.int64()))
+        return append_coarse_bucket(t, [big_key], num_buckets, "__jb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        keys = set(df.loc[df["__side"] == 1, big_key])
+        rows = df[df["__side"] == 0]
+        m = rows[big_key].isin(keys)
+        out = rows[~m] if anti else rows[m]
+        return out.drop(columns=["__side"])
+
+    tagged = big_ds.map_batches(tag_big, batch_format="pyarrow").union(
+        keys_ds.select_columns([small_key]).map_batches(
+            tag_keys, batch_format="pyarrow")
+    )
+    return tagged.groupby("__jb").map_groups(
+        lambda df: fold(df.drop(columns=["__jb"])), batch_format="pandas"
+    )
+
+
 def bloom_semi_join(
     big_ds,
     small_ds,

@@ -47,7 +47,15 @@ def quarantine_invalid(
         digest = hashlib.sha256(
             (",".join(str(i) for i in sorted(ids))).encode()
         ).hexdigest()[:16]
-        tmp = os.path.join(quarantine_dir, f".part-{digest}.tmp")
+        # per-writer UNIQUE tmp: a speculative re-execution racing the
+        # original must not interleave bytes in one tmp file — each
+        # writes its own, and the atomic replace publishes a complete
+        # file either way (same digest → same final name, last wins)
+        import uuid
+
+        tmp = os.path.join(
+            quarantine_dir, f".part-{digest}-{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+        )
         pq.write_table(bad, tmp)
         os.replace(tmp, os.path.join(quarantine_dir, f"part-{digest}.parquet"))
         return batch.filter(pa.array(keep))

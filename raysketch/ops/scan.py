@@ -39,21 +39,22 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _schema_anchor(ds, extra_cols: list[str]):
-    """Zero-row block carrying (input schema + int64 extra_cols).
+def _schema_anchor(ds, extra_cols):
+    """Zero-row block carrying (input schema + extra columns).
 
-    A Ray groupby over an EMPTY dataset yields no groups and the result
-    loses its schema entirely (the round-3 empty-projection pitfall);
-    unioning this anchor onto the result keeps the operator's output
-    contract — the scan columns exist at zero rows — without costing the
-    non-empty path anything."""
+    ``extra_cols`` is a list of names (int64 assumed) or (name, type)
+    pairs. A Ray groupby over an EMPTY dataset yields no groups and the
+    result loses its schema entirely (the round-3 empty-projection
+    pitfall); unioning this anchor onto the result keeps the operator's
+    output contract — the scan columns exist at zero rows — without
+    costing the non-empty path anything."""
     import ray.data as rd
 
     sch = ds.schema()
     if sch is None:
         return None
     fields = list(zip(sch.names, sch.types)) + [
-        (c, pa.int64()) for c in extra_cols
+        c if isinstance(c, tuple) else (c, pa.int64()) for c in extra_cols
     ]
     return rd.from_arrow(pa.table({n: pa.array([], t) for n, t in fields}))
 
@@ -221,17 +222,11 @@ def rank_scan(
             lambda df: fold(df.drop(columns=["__rb"])), batch_format="pandas"
         )
     )
-    sch = ds.schema()
-    if sch is not None:
-        import ray.data as rd
-
-        fields = list(zip(sch.names, sch.types)) + [
-            ("rank", pa.int64()), ("percent_rank", pa.float64()),
-            ("cume_dist", pa.float64()), ("tile", pa.int64()),
-        ]
-        anchor = rd.from_arrow(pa.table({n: pa.array([], t) for n, t in fields}))
-        return out.union(anchor)
-    return out
+    anchor = _schema_anchor(ds, [
+        "rank", ("percent_rank", pa.float64()),
+        ("cume_dist", pa.float64()), "tile",
+    ])
+    return out.union(anchor) if anchor is not None else out
 
 
 def _round6_arr(a: np.ndarray) -> np.ndarray:

@@ -480,34 +480,38 @@ def q_rollup_pricing(sf_dir: str) -> pa.Table:
 _QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
-def q_quantiles_exact(sf_dir: str) -> pa.Table:
-    """Exact per-lang discrete quantiles of n_chars via distributed value
-    counts (duckdb quantile_disc rule: index = ceil(q*n) - 1)."""
+def _lang_value_counts(sf_dir: str):
+    """Distributed (lang, n_chars) value counts, shared by both quantile
+    queries: per-block partial counts, then ONE coarse-bucket fold on
+    hash(lang, value) — one row per distinct (lang, value) regardless of
+    block count; the driver never sees a per-value counter."""
+    from .engine.hashing import append_coarse_bucket
+
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(
+            name="cnt")
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    # two distributed fold levels (no driver counter over values):
-    # 1. coarse-bucket on hash(lang, value) → per-bucket sum → one row per
-    #    distinct (lang, value) regardless of block count;
-    # 2. groupby(lang) → per-lang quantile calc from its value counts →
-    #    the driver sees only the final one-row-per-lang result.
-    from .engine.hashing import append_coarse_bucket
 
     def vbucket(batch: pa.Table) -> pa.Table:
         return append_coarse_bucket(batch, ["lang", "n_chars"], 256, "vb")
 
     def vfold(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum().reset_index()
+        return df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum(
+        ).reset_index()
 
-    vc = partials.map_batches(vbucket, batch_format="pyarrow").groupby(
-        "vb"
-    ).map_groups(lambda df: vfold(df.drop(columns=["vb"])), batch_format="pandas")
+    return ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        vbucket, batch_format="pyarrow"
+    ).groupby("vb").map_groups(
+        lambda df: vfold(df.drop(columns=["vb"])), batch_format="pandas")
+
+
+def q_quantiles_exact(sf_dir: str) -> pa.Table:
+    """Exact per-lang discrete quantiles of n_chars via distributed value
+    counts (duckdb quantile_disc rule: index = ceil(q*n) - 1)."""
+    vc = _lang_value_counts(sf_dir)
 
     def qcalc(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_chars")["cnt"].sum().sort_index()
@@ -1755,11 +1759,23 @@ def q_dormant_customers(sf_dir: str) -> pa.Table:
     def recent_keys(b: pa.Table) -> pa.Table:
         return pa.table({"o_custkey": pc.unique(b["o_custkey"])})
 
-    recent = orders.map_batches(recent_keys, batch_format="pyarrow")
+    # SIZE-ROUTED anti join: the distinct key partials are counted once
+    # (narrow, materialized); at broadcastable volume the shuffle-free
+    # is_in route wins, above it the partitioned fold avoids gathering
+    # an unbounded key set onto the driver (ops/join.partitioned_semi_join)
+    recent = orders.map_batches(
+        recent_keys, batch_format="pyarrow").materialize()
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
-    df = broadcast_semi_join(cust, recent, "c_custkey", "o_custkey",
-                             anti=True).to_pandas()
+    if recent.count() <= 2_000_000:
+        out_ds = broadcast_semi_join(cust, recent, "c_custkey", "o_custkey",
+                                     anti=True)
+    else:
+        from .ops.join import partitioned_semi_join
+
+        out_ds = partitioned_semi_join(cust, recent, "c_custkey",
+                                       "o_custkey", anti=True)
+    df = out_ds.to_pandas()
     df = df.sort_values("c_custkey").reset_index(drop=True)
     bal = df["c_acctbal"].to_numpy(np.float64)
     cents = (np.sign(bal) * np.floor(np.abs(bal) * 100 + 0.5)).astype(np.int64)
@@ -2217,30 +2233,9 @@ def q_order_rank_stats(sf_dir: str) -> pa.Table:
 def q_quantiles_cont(sf_dir: str) -> pa.Table:
     """Exact per-lang INTERPOLATED quantiles (SQL quantile_cont: h =
     (n-1)·q, value = v[⌊h⌋] + frac·(v[⌊h⌋+1] − v[⌊h⌋])) from the same
-    distributed value-count fold as quantiles_exact — cumulative counts
-    locate both neighbors without expanding rows."""
-    from .engine.hashing import append_coarse_bucket
-
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(
-            name="cnt")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def vbucket(batch: pa.Table) -> pa.Table:
-        return append_coarse_bucket(batch, ["lang", "n_chars"], 256, "vb")
-
-    def vfold(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum(
-        ).reset_index()
-
-    vc = partials.map_batches(vbucket, batch_format="pyarrow").groupby(
-        "vb"
-    ).map_groups(lambda df: vfold(df.drop(columns=["vb"])), batch_format="pandas")
+    distributed value-count fold as quantiles_exact (_lang_value_counts)
+    — cumulative counts locate both neighbors without expanding rows."""
+    vc = _lang_value_counts(sf_dir)
 
     def qcalc(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_chars")["cnt"].sum().sort_index()
@@ -2409,17 +2404,19 @@ def q_inverted_index(sf_dir: str) -> pa.Table:
         return append_coarse_bucket(t, ["token"], 256, "__ib")
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["token", "doc_id"]).sort_values(
+        df = df.drop_duplicates(["token", "doc_id"])
+        # cut to the bucket's top-50 tokens BEFORE building any posting
+        # string — joining postings for the whole vocabulary would
+        # re-materialize the pair stream as Python strings per task
+        sizes = df.groupby("token", sort=False).size()
+        top = sizes.reset_index(name="n_docs").sort_values(
+            ["n_docs", "token"], ascending=[False, True]).head(50)
+        kept = df[df["token"].isin(top["token"])].sort_values(
             ["token", "doc_id"], kind="mergesort")
-        g = df.groupby("token", sort=False)["doc_id"]
-        out = pd.DataFrame({
-            "token": g.size().index.to_numpy(dtype=object),
-            "n_docs": g.size().to_numpy(np.int64),
-            "posting": g.agg(
-                lambda ids: ",".join(str(i) for i in ids)).to_numpy(),
-        })
-        return out.sort_values(["n_docs", "token"],
-                               ascending=[False, True]).head(50)
+        posting = kept.groupby("token", sort=False)["doc_id"].agg(
+            lambda ids: ",".join(str(i) for i in ids))
+        top["posting"] = top["token"].map(posting)
+        return top[["token", "n_docs", "posting"]]
 
     cand = (
         ds.map_batches(pairs, batch_format="pyarrow")

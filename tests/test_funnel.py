@@ -76,6 +76,19 @@ def test_absent_stage_zeroes_tail(stream):
     assert got[2] == (3, "click", 0)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_no_matching_events_yields_zero_rows_per_stage(stream):
+    """The oracle contract: stages with no reachable users still appear
+    with n_users = 0 — even when NO event matches ANY stage (the empty
+    groupby would otherwise lose the schema entirely)."""
+    got = _run(_mk(stream), ["ghost1", "ghost2"])
+    assert got == [(1, "ghost1", 0), (2, "ghost2", 0)]
+
+    empty = stream.iloc[0:0]
+    got = _run(_mk(empty, 1), ["view", "click"])
+    assert got == [(1, "view", 0), (2, "click", 0)]
+
+
 def test_bad_stages_raise():
     with pytest.raises(ValueError):
         funnel(None, "u", "t", "e", [])

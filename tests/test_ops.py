@@ -384,6 +384,43 @@ def test_broadcast_semi_and_anti_join(ray_session, sf_dir):
     assert len(bl) >= len(semi)
 
 
+def test_partitioned_semi_join_matches_broadcast(ray_session, sf_dir):
+    """Route identity: the shuffle-based semi/anti join (the scale
+    escape for unbroadcastable key sets) must equal the broadcast route
+    row-for-row, payload intact (strings + int64 + double + timestamp)."""
+    import ray.data as rd
+
+    from raysketch.ops.join import broadcast_semi_join, partitioned_semi_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"])
+    import pyarrow.compute as _pc
+
+    # restrict the key side so BOTH the semi and the anti result are
+    # non-empty (a zero-row result drops its columns in to_pandas)
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(_pc.less_equal(b["o_custkey"], 75)),
+        batch_format="pyarrow",
+    )
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values("c_custkey").reset_index(drop=True)[
+            ["c_custkey", "c_name", "c_acctbal"]]
+
+    for anti in (False, True):
+        b = canon(broadcast_semi_join(cust, keys, "c_custkey", "o_custkey",
+                                      anti=anti))
+        p = canon(partitioned_semi_join(cust, keys, "c_custkey", "o_custkey",
+                                        anti=anti))
+        pd.testing.assert_frame_equal(b, p)
+        # int64 ids must NOT have float-widened through the fold
+        assert p["c_custkey"].dtype == np.int64
+
+
 def test_ivf_topk_recall(ray_session, sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
