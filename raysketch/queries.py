@@ -16,6 +16,12 @@ Conventions (driver contract, __ray_entry__.py):
 Scale notes: every query is map-side partial aggregation over pruned
 columns + a KB-to-MB-sized merge; nothing materializes raw input rows on
 the driver except deliberately tiny results (top-k, per-group rollups).
+Row-level-result queries (the scan family: running_totals, rolling_spend,
+order_rank_stats, zscore_chars, latest_per_key, priority_paths) gather
+their output table driver-side ONLY as the sf-scale oracle-compare
+convenience — the underlying operators return streaming Datasets that
+would feed `engine/sinks.write_dataset` at corpus scale (the `_pairs_df`
+convention).
 """
 
 from __future__ import annotations
