@@ -2440,6 +2440,78 @@ def q_inverted_index(sf_dir: str) -> pa.Table:
     })
 
 
+def q_hll_set_algebra(sf_dir: str) -> pa.Table:
+    """Cardinality ALGEBRA on merged HLL sketches: |users|, |customers|,
+    |union| from one register-wise merge, |intersection| by
+    inclusion-exclusion — the sketch-side analog of user_set_ops.
+    Sparse-exact at this scale (the oracle is exact SQL set counts);
+    dense-bounded at corpus scale."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import HyperLogLog
+
+    def one_hll(ds, col: str) -> "HyperLogLog":
+        tagged = ds.map_batches(
+            lambda b, c=col: pa.table(
+                {"g": pa.array(["all"] * b.num_rows, pa.string()), c: b[c]}
+            ),
+            batch_format="pyarrow",
+        )
+        spec = [SketchSpec("d", col, functools.partial(HyperLogLog, 14))]
+        return sketch_aggregate(tagged, spec, group_key="g",
+                                merge="driver")["all"]["d"]
+
+    a = one_hll(_read(sf_dir, "events", ["user_id"]), "user_id")
+    b = one_hll(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    n_a = int(round(a.estimate()))
+    n_b = int(round(b.estimate()))
+    u = a.merge(b)
+    n_union = int(round(u.estimate()))
+    return pa.table({
+        "n_users": pa.array([n_a], pa.int64()),
+        "n_customers": pa.array([n_b], pa.int64()),
+        "n_union": pa.array([n_union], pa.int64()),
+        "n_intersection": pa.array([n_a + n_b - n_union], pa.int64()),
+    })
+
+
+def q_hourly_active_users(sf_dir: str) -> pa.Table:
+    """Windowed EXACT distinct count (hourly active users): per-block
+    distinct (hour, user) pairs collapse before ONE coarse shuffle on
+    hash(hour, user) — each pair lands in exactly one bucket, so the
+    per-bucket dedup + count is exact and the driver folds only
+    buckets × hours tiny rows (the doc_stats distinct-sources plan)."""
+    from .engine.hashing import append_coarse_bucket
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(b["ts"], pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        t = pa.table({"hour": pc.cast(hour, pa.int64()),
+                      "user_id": b["user_id"]})
+        df = t.to_pandas().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, ["hour", "user_id"], 256, "__hb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["hour", "user_id"])
+        return u.groupby("hour", sort=False).size().reset_index(name="n")
+
+    per_bucket = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(lambda df: fold(df.drop(columns=["__hb"])),
+                    batch_format="pandas")
+    )
+    agg = _fold_partials(per_bucket, ["hour"], ["n"], [], [])
+    agg = agg.sort_values("hour").reset_index(drop=True)
+    return pa.table({
+        "hour_bucket": pa.array(agg["hour"].astype("int64"), pa.int64()),
+        "n_active": pa.array(agg["n"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2516,6 +2588,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "priority_paths": q_priority_paths,
     "quarantine_split": q_quarantine_split,
     "inverted_index": q_inverted_index,
+    "hll_set_algebra": q_hll_set_algebra,
+    "hourly_active_users": q_hourly_active_users,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3437,5 +3511,27 @@ ORACLE_SQL: dict[str, str] = {
                    AS posting
         FROM pairs GROUP BY token
         ORDER BY n_docs DESC, token LIMIT 50
+    """,
+    # sparse-exact gate: below the HLL promotion threshold the sketch
+    # counts distinct 64-bit hashes exactly, so union/inclusion-exclusion
+    # equal the exact SQL set counts
+    "hll_set_algebra": """
+        SELECT
+          CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+              AS n_users,
+          CAST((SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+              AS n_customers,
+          CAST((SELECT count(*) FROM (
+              SELECT user_id FROM events
+              UNION SELECT c_custkey FROM customer)) AS BIGINT) AS n_union,
+          CAST((SELECT count(*) FROM (
+              SELECT DISTINCT user_id FROM events
+              INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS BIGINT)
+              AS n_intersection
+    """,
+    "hourly_active_users": """
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM events GROUP BY hour_bucket ORDER BY hour_bucket
     """,
 }
