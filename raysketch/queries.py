@@ -2512,6 +2512,70 @@ def q_hourly_active_users(sf_dir: str) -> pa.Table:
     })
 
 
+def q_multisource_union(sf_dir: str) -> pa.Table:
+    """Heterogeneous-source union: the events stream arrives HALF from
+    parquet, half from engine-written CSV (schema unified at the batch
+    level — the CSV reader's ns timestamps cast back to us), unioned
+    into one Dataset and aggregated per event_type. The oracle reads the
+    parquet view alone, so parity proves the two sources agree row-for-
+    row after unification."""
+    from .engine.sources import cleanup, stage_and_read
+
+    cols = ["event_id", "event_type", "user_id", "value"]
+    full = _read(sf_dir, "events", cols + ["ts"])
+    half_a = full.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            b["event_id"], pa.scalar(1, pa.int64())), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    half_b_src = full.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            b["event_id"], pa.scalar(1, pa.int64())), pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    csv_back, path = stage_and_read(half_b_src, "csv")
+    try:
+        def unify(b: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+            return pa.table({
+                "event_type": b["event_type"],
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "t_us": ts,
+                "cents": pa.array(np.floor(
+                    b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+                ).astype(np.int64), pa.int64()),
+            })
+
+        unified = half_a.map_batches(unify, batch_format="pyarrow").union(
+            csv_back.map_batches(unify, batch_format="pyarrow"))
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            g = df.groupby("event_type", sort=False).agg(
+                n_events=("cents", "size"), sum_value_cents=("cents", "sum"),
+                max_event_id=("event_id", "max"), max_ts_us=("t_us", "max"),
+            ).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = _fold_partials(
+            unified.map_batches(partial, batch_format="pyarrow"),
+            ["event_type"], ["n_events", "sum_value_cents"], [],
+            ["max_event_id", "max_ts_us"])
+    finally:
+        cleanup(path)
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "n_events": pa.array(agg["n_events"].astype("int64"), pa.int64()),
+        "sum_value_cents": pa.array(
+            agg["sum_value_cents"].astype("int64"), pa.int64()),
+        "max_event_id": pa.array(agg["max_event_id"].astype("int64"),
+                                 pa.int64()),
+        "max_ts_us": pa.array(agg["max_ts_us"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2590,6 +2654,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "inverted_index": q_inverted_index,
     "hll_set_algebra": q_hll_set_algebra,
     "hourly_active_users": q_hourly_active_users,
+    "multisource_union": q_multisource_union,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3533,5 +3598,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
         FROM events GROUP BY hour_bucket ORDER BY hour_bucket
+    """,
+    "multisource_union": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(max(event_id) AS BIGINT) AS max_event_id,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
