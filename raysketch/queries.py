@@ -2576,6 +2576,37 @@ def q_multisource_union(sf_dir: str) -> pa.Table:
     })
 
 
+def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension feature statistics over the list<float> embedding
+    column (the normalization-stats pass of an embedding pipeline): one
+    vectorized (n, d) numpy reduction per block — column sums / mins /
+    maxs — then a driver fold of blocks × 1 partial rows. No row
+    explosion anywhere; the oracle pays the d-way cross join instead."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        V = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "n": pa.array([V.shape[0]], pa.int64()),
+            "s": pa.array([V.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "mn": pa.array([V.min(axis=0).tolist()], pa.list_(pa.float64())),
+            "mx": pa.array([V.max(axis=0).tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    S = np.stack(parts["s"].to_numpy()).sum(axis=0)
+    MN = np.stack(parts["mn"].to_numpy()).min(axis=0)
+    MX = np.stack(parts["mx"].to_numpy()).max(axis=0)
+    dims = np.arange(1, len(S) + 1, dtype=np.int64)
+    return pa.table({
+        "dim": pa.array(dims, pa.int64()),
+        "mean_v": pa.array(round6(S / n), pa.float64()),
+        "min_v": pa.array(round6(MN), pa.float64()),
+        "max_v": pa.array(round6(MX), pa.float64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2655,6 +2686,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_set_algebra": q_hll_set_algebra,
     "hourly_active_users": q_hourly_active_users,
     "multisource_union": q_multisource_union,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3607,5 +3639,14 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(event_id) AS BIGINT) AS max_event_id,
                CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # fixed 64-dim embeddings; f32 list values cast to DOUBLE exactly
+    "embedding_dim_stats": """
+        WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim)
+        SELECT dim,
+               round(avg(CAST(embedding[dim] AS DOUBLE)), 6) AS mean_v,
+               round(min(CAST(embedding[dim] AS DOUBLE)), 6) AS min_v,
+               round(max(CAST(embedding[dim] AS DOUBLE)), 6) AS max_v
+        FROM embeddings, dims GROUP BY dim ORDER BY dim
     """,
 }
