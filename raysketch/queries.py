@@ -2607,6 +2607,25 @@ def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_global_top_orders(sf_dir: str) -> pa.Table:
+    """Global distributed sort + limit (Ray's range-partitioned sort —
+    the one all-to-all this query deliberately exercises at the query
+    surface): top-100 orders by price, orderkey tiebreak. Only the two
+    needed columns leave storage; the limit truncates the sorted stream."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    df = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+                     ).astype(np.int64)
+    return pa.table({
+        "o_orderkey": pa.array(df["o_orderkey"].astype("int64"), pa.int64()),
+        "price_cents": pa.array(cents, pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2687,6 +2706,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hourly_active_users": q_hourly_active_users,
     "multisource_union": q_multisource_union,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "global_top_orders": q_global_top_orders,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3648,5 +3668,11 @@ ORACLE_SQL: dict[str, str] = {
                round(min(CAST(embedding[dim] AS DOUBLE)), 6) AS min_v,
                round(max(CAST(embedding[dim] AS DOUBLE)), 6) AS max_v
         FROM embeddings, dims GROUP BY dim ORDER BY dim
+    """,
+    "global_top_orders": """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
 }
