@@ -2626,6 +2626,167 @@ def q_global_top_orders(sf_dir: str) -> pa.Table:
     })
 
 
+def q_part_supplier_pricing(sf_dir: str) -> pa.Table:
+    """TPC-H-Q9-shaped brand/nation profitability: the lineitem fact
+    stream attaches p_brand and s_nationkey via TWO broadcast lookup
+    joins (both dimension sides are bounded; no shuffle — the fact side
+    streams and fuses with its read), then map-side integer-cents
+    partials fold per (brand, nation). Also the latest ship date per
+    group (exact max)."""
+    from .ops.join import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j = broadcast_lookup_join(li, part, "l_partkey", "p_partkey", ["p_brand"])
+    j = broadcast_lookup_join(j, supp, "l_suppkey", "s_suppkey",
+                              ["s_nationkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        df = pd.DataFrame({
+            "p_brand": b["p_brand"].to_pylist(),
+            "s_nationkey": b["s_nationkey"].to_numpy(zero_copy_only=False),
+            "cents": rev.to_numpy(zero_copy_only=False),
+            "ship_us": pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+        })
+        g = df.groupby(["p_brand", "s_nationkey"], sort=False).agg(
+            n_items=("cents", "size"), revenue_cents=("cents", "sum"),
+            last_ship_us=("ship_us", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(j.map_batches(partial, batch_format="pyarrow"),
+                         ["p_brand", "s_nationkey"],
+                         ["n_items", "revenue_cents"], [], ["last_ship_us"])
+    agg = agg.sort_values(["p_brand", "s_nationkey"]).reset_index(drop=True)
+    return pa.table({
+        "p_brand": pa.array(agg["p_brand"], pa.string()),
+        "s_nationkey": pa.array(agg["s_nationkey"].astype("int64"), pa.int64()),
+        "n_items": pa.array(agg["n_items"].astype("int64"), pa.int64()),
+        "revenue_cents": pa.array(agg["revenue_cents"].astype("int64"),
+                                  pa.int64()),
+        "last_ship_us": pa.array(agg["last_ship_us"].astype("int64"),
+                                 pa.int64()),
+    })
+
+
+def q_part_catalog_stats(sf_dir: str) -> pa.Table:
+    """Catalog dimension profile: per brand — part count, exact distinct
+    types, retail-price cents stats, size extremes, lexicographic first
+    name. One map-side partial + driver fold (the dimension is bounded)."""
+    ds = _read(sf_dir, "part",
+               ["p_brand", "p_type", "p_size", "p_retailprice", "p_name"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        cents = (np.floor(df["p_retailprice"].to_numpy(np.float64) * 100
+                          + 0.5)).astype(np.int64)
+        df = df.assign(cents=cents)
+        g = df.groupby("p_brand", sort=False).agg(
+            n_parts=("p_type", "size"),
+            sum_retail_cents=("cents", "sum"),
+            max_size=("p_size", "max"),
+            first_name=("p_name", "min"),
+            # distinct types ride as a sorted joined string partial —
+            # the brand × type domain is bounded (dimension table)
+            types=("p_type", lambda s: ";".join(sorted(set(s)))),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("p_brand").agg(
+        n_parts=("n_parts", "sum"),
+        sum_retail_cents=("sum_retail_cents", "sum"),
+        max_size=("max_size", "max"),
+        first_name=("first_name", "min"),
+        types=("types", lambda s: ";".join(sorted(set(
+            t for joined in s for t in joined.split(";") if t)))),
+    ).reset_index().sort_values("p_brand").reset_index(drop=True)
+    agg["n_types"] = agg["types"].map(
+        lambda s: len([t for t in s.split(";") if t]))
+    return pa.table({
+        "p_brand": pa.array(agg["p_brand"], pa.string()),
+        "n_parts": pa.array(agg["n_parts"].astype("int64"), pa.int64()),
+        "n_types": pa.array(agg["n_types"].astype("int64"), pa.int64()),
+        "sum_retail_cents": pa.array(
+            agg["sum_retail_cents"].astype("int64"), pa.int64()),
+        "max_size": pa.array(agg["max_size"].astype("int64"), pa.int64()),
+        "first_name": pa.array(agg["first_name"], pa.string()),
+    })
+
+
+def q_lineitem_by_status(sf_dir: str) -> pa.Table:
+    """Order-status enrichment: lineitem attaches o_orderstatus via a
+    broadcast lookup (orders' (key, status) pair stream is narrow), then
+    per (status, linenumber) counts fold map-side."""
+    from .ops.join import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    j = broadcast_lookup_join(li, orders, "l_orderkey", "o_orderkey",
+                              ["o_orderstatus"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": b["o_orderstatus"].to_pylist(),
+            "l_linenumber": b["l_linenumber"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["o_orderstatus", "l_linenumber"], sort=False).size(
+        ).reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(j.map_batches(partial, batch_format="pyarrow"),
+                         ["o_orderstatus", "l_linenumber"], ["n"], [], [])
+    agg = agg.sort_values(["o_orderstatus", "l_linenumber"]).reset_index(
+        drop=True)
+    return pa.table({
+        "o_orderstatus": pa.array(agg["o_orderstatus"], pa.string()),
+        "l_linenumber": pa.array(agg["l_linenumber"].astype("int64"),
+                                 pa.int64()),
+        "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+    })
+
+
+def q_supplier_balances(sf_dir: str) -> pa.Table:
+    """Per-nation supplier account-balance profile (cents; balances may
+    be negative — sign-aware half-away rounding)."""
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(bal) * np.floor(np.abs(bal) * 100 + 0.5)).astype(
+            np.int64)
+        df = pd.DataFrame({
+            "s_nationkey": b["s_nationkey"].to_numpy(zero_copy_only=False),
+            "cents": cents})
+        g = df.groupby("s_nationkey", sort=False).agg(
+            n_suppliers=("cents", "size"), sum_bal_cents=("cents", "sum"),
+            min_bal_cents=("cents", "min"), max_bal_cents=("cents", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["s_nationkey"], ["n_suppliers", "sum_bal_cents"],
+                         ["min_bal_cents"], ["max_bal_cents"])
+    agg = agg.sort_values("s_nationkey").reset_index(drop=True)
+    return pa.table({
+        "s_nationkey": pa.array(agg["s_nationkey"].astype("int64"), pa.int64()),
+        "n_suppliers": pa.array(agg["n_suppliers"].astype("int64"), pa.int64()),
+        "sum_bal_cents": pa.array(agg["sum_bal_cents"].astype("int64"),
+                                  pa.int64()),
+        "min_bal_cents": pa.array(agg["min_bal_cents"].astype("int64"),
+                                  pa.int64()),
+        "max_bal_cents": pa.array(agg["max_bal_cents"].astype("int64"),
+                                  pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2707,6 +2868,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "multisource_union": q_multisource_union,
     "embedding_dim_stats": q_embedding_dim_stats,
     "global_top_orders": q_global_top_orders,
+    "part_supplier_pricing": q_part_supplier_pricing,
+    "part_catalog_stats": q_part_catalog_stats,
+    "lineitem_by_status": q_lineitem_by_status,
+    "supplier_balances": q_supplier_balances,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3674,5 +3839,44 @@ ORACLE_SQL: dict[str, str] = {
                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "part_supplier_pricing": """
+        SELECT p_brand, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                        + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS last_ship_us
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey
+    """,
+    "part_catalog_stats": """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_retail_cents,
+               CAST(max(p_size) AS BIGINT) AS max_size,
+               min(p_name) AS first_name
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "lineitem_by_status": """
+        SELECT o_orderstatus, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus, l_linenumber
+        ORDER BY o_orderstatus, l_linenumber
+    """,
+    "supplier_balances": """
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_bal_cents,
+               CAST(min(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS min_bal_cents,
+               CAST(max(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS max_bal_cents
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
 }
