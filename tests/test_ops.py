@@ -421,6 +421,23 @@ def test_partitioned_semi_join_matches_broadcast(ray_session, sf_dir):
         assert p["c_custkey"].dtype == np.int64
 
 
+def test_partitioned_semi_join_empty_key_side(ray_session, sf_dir):
+    """Empty key side: anti keeps everything, semi keeps nothing."""
+    import ray.data as rd
+
+    from raysketch.ops.join import partitioned_semi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    empty = rd.from_pandas(
+        pd.DataFrame({"o_custkey": pd.Series([], dtype="int64")}))
+    anti = partitioned_semi_join(cust, empty, "c_custkey", "o_custkey",
+                                 anti=True)
+    assert anti.count() == cust.count()
+    semi = partitioned_semi_join(cust, empty, "c_custkey", "o_custkey")
+    assert semi.count() == 0
+
+
 def test_ivf_topk_recall(ray_session, sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
