@@ -2787,6 +2787,75 @@ def q_supplier_balances(sf_dir: str) -> pa.Table:
     })
 
 
+def q_curation_pipeline(sf_dir: str) -> pa.Table:
+    """END-TO-END training-data curation, composed entirely from the
+    engine's own stages: quality scoring (keep round6(q_score) >= 0.5) →
+    language ID (keep 'en') → exact dedup (min doc_id per content hash,
+    coarse-bucket fold) → hive-partitioned sink (by lang) → read-back
+    per-lang counts. The oracle replays the FULL chain in SQL, so parity
+    gates every stage boundary at once, including the written bytes."""
+    import shutil
+    import uuid as _uuid
+
+    from .engine.hashing import append_coarse_bucket, sha256_batch
+    from .engine.sinks import read_back, write_dataset
+    from .ops.text import LangId, QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    scored = ds.map_batches(QualityScorer(), batch_format="pyarrow")
+
+    def keep_quality(b: pa.Table) -> pa.Table:
+        q = round6(b["q_score"].to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(q >= 0.5)).select(["doc_id", "lang", "text"])
+
+    filtered = scored.map_batches(keep_quality, batch_format="pyarrow")
+    tagged = filtered.map_batches(LangId(), batch_format="pyarrow")
+
+    def keep_en(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["lang_pred"], pa.scalar("en"))
+        b = b.filter(m)
+        t = pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "sha": pa.array(sha256_batch(b["text"]), pa.string()),
+        })
+        # per-block pre-reduce: min doc per sha, lang rides with the min
+        df = t.to_pandas().sort_values("doc_id").drop_duplicates("sha")
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, ["sha"], 256, "__db")
+
+    def dedup_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").drop_duplicates("sha")[
+            ["doc_id", "lang"]]
+
+    kept = (
+        tagged.map_batches(keep_en, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(lambda df: dedup_fold(df.drop(columns=["__db"])),
+                    batch_format="pandas")
+    )
+    path = os.path.join(
+        "/tmp/raysketch_sinks",
+        f"curated_{os.getpid()}_{_uuid.uuid4().hex[:8]}")
+    write_dataset(kept, path, partition_cols=["lang"])
+    try:
+        back = read_back(path)
+
+        def counts(b: pa.Table) -> pa.Table:
+            df = b.select(["lang"]).to_pandas()
+            g = df.groupby("lang", sort=False).size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = _fold_partials(back.map_batches(counts, batch_format="pyarrow"),
+                             ["lang"], ["n"], [], [])
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(agg["lang"].astype(str), pa.string()),
+        "n_kept": pa.array(agg["n"].astype("int64"), pa.int64()),
+    })
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2872,6 +2941,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "part_catalog_stats": q_part_catalog_stats,
     "lineitem_by_status": q_lineitem_by_status,
     "supplier_balances": q_supplier_balances,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3878,5 +3948,60 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
                    AS max_bal_cents
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    # the full curation chain replayed: quality expr (same IEEE order as
+    # quality_scores), lang_id rule, min-doc-per-text dedup
+    "curation_pipeline": f"""
+        WITH w AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+                 length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+                 round(least(greatest(
+                     0.5 * least(greatest((len(list_filter(ws, x -> lower(x) IN ({_sw_sql()})))::DOUBLE
+                           / greatest(len(ws), 1)) * 3, 0), 1)
+                   + 0.3 * least(greatest(1 - abs((coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+                           / greatest(len(ws), 1)) - 5) / 5, 0), 1)
+                   + 0.2 * least(greatest(1 - (punct::DOUBLE / greatest(n_chars, 1)) * 4, 0), 1),
+                   0), 1), 6) AS score
+          FROM w
+        ),
+        lw AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                x -> lower(x)) AS ws
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, len(ws) AS nw,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['en'])}))) AS en_h,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['de'])}))) AS de_h,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['es'])}))) AS es_h,
+                 len(list_filter(ws, x -> x IN ({_sw_sql(['fr'])}))) AS fr_h
+          FROM lw
+        ),
+        lp AS (
+          SELECT doc_id,
+            CASE WHEN nw = 0 THEN 'und'
+                 WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                 WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h THEN 'en'
+                 WHEN de_h >= es_h AND de_h >= fr_h THEN 'de'
+                 WHEN es_h >= fr_h THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM l
+        ),
+        f AS (
+          SELECT d.doc_id, d.lang, d.text
+          FROM documents d
+          JOIN q ON q.doc_id = d.doc_id AND q.score >= 0.5
+          JOIN lp ON lp.doc_id = d.doc_id AND lp.lang_pred = 'en'
+        ),
+        kept AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+        SELECT f.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM f JOIN kept ON f.doc_id = kept.doc_id
+        GROUP BY f.lang ORDER BY f.lang
     """,
 }
