@@ -301,6 +301,38 @@ def sketch_aggregate(
     return result
 
 
+def distinct_count_partials(ds, key_cols: list[str], item_col: str,
+                            num_buckets: int = 256):
+    """EXACT distributed ``count(DISTINCT item) GROUP BY keys``: per-block
+    distinct (keys, item) rows collapse before ONE coarse shuffle on
+    ``hash(keys, item)`` — every distinct tuple lands in exactly one
+    bucket, so the per-bucket dedup + per-key size is exact — and the
+    returned partial Dataset holds ≤ buckets × keys rows of
+    ``(*key_cols, n)`` for the caller to fold (``_fold_partials`` /
+    driver sum). The doc_stats / hourly-actives plan, one definition."""
+    import pyarrow as pa
+
+    from .hashing import append_coarse_bucket
+
+    cols = key_cols + [item_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(cols).to_pandas().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, cols, num_buckets, "__dc")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(cols)
+        return u.groupby(key_cols, sort=False).size().reset_index(name="n")
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__dc")
+        .map_groups(lambda df: fold(df.drop(columns=["__dc"])),
+                    batch_format="pandas")
+    )
+
+
 def rollup_levels(finest: pd.DataFrame, keys: list[str],
                   sum_cols: list[str], min_cols: list[str] = (),
                   max_cols: list[str] = (), sentinel: str = "ALL"

@@ -129,6 +129,32 @@ def broadcast_lookup_join(
     return big_ds.map_batches(attach, batch_format="pyarrow")
 
 
+def attach_by_key(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    value_cols: list[str],
+    broadcast_limit_rows: int = 2_000_000,
+    num_partitions: int = 8,
+):
+    """SIZE-ROUTED dimension attach (inner): the dim's (key, values)
+    projection is materialized once (narrow) and counted; at or under
+    ``broadcast_limit_rows`` the shuffle-free broadcast lookup wins,
+    above it Ray's native partitioned hash join carries the attach with
+    neither side on the driver. The partitioned route only engages at
+    volumes where every key partition is non-empty (the tiny-input
+    empty-partition pitfall can't fire above the limit)."""
+    dim = dim_ds.select_columns([dim_key] + value_cols).materialize()
+    if dim.count() <= broadcast_limit_rows:
+        return broadcast_lookup_join(fact_ds, dim, fact_key, dim_key,
+                                     value_cols)
+    # Ray's join already omits the right-side key from the output, so
+    # both routes emit the same columns: fact columns + value_cols
+    return fact_ds.join(dim, "inner", num_partitions,
+                        on=(fact_key,), right_on=(dim_key,))
+
+
 def partitioned_semi_join(
     big_ds,
     keys_ds,

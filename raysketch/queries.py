@@ -100,25 +100,10 @@ def q_doc_stats_by_lang(sf_dir: str) -> pa.Table:
     # pairs → coarse-bucket shuffle on hash(lang, source) (each pair lands
     # in exactly one bucket) → per-bucket vectorized nunique per lang →
     # driver sums ≤ buckets × langs tiny rows (never the pair stream)
-    from .engine.hashing import append_coarse_bucket
+    from .engine.aggregate import distinct_count_partials
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["lang", "source"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def pbucket(batch: pa.Table) -> pa.Table:
-        return append_coarse_bucket(batch, ["lang", "source"], 256, "pb")
-
-    def src_fold(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.drop_duplicates(["lang", "source"])
-        return u.groupby("lang", sort=False).size().reset_index(name="nsrc")
-
-    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
-    nsrc = pairs.map_batches(pbucket, batch_format="pyarrow").groupby(
-        "pb"
-    ).map_groups(lambda df: src_fold(df.drop(columns=["pb"])),
-                 batch_format="pandas").to_pandas()
-    per_lang = nsrc.groupby("lang")["nsrc"].sum()
+    nsrc = distinct_count_partials(ds, ["lang"], "source").to_pandas()
+    per_lang = nsrc.groupby("lang")["n"].sum()
     agg["distinct_sources"] = [int(per_lang[l]) for l in agg["lang"]]
     for c in ("n_docs", "total_chars", "min_chars", "max_chars", "distinct_sources"):
         agg[c] = agg[c].astype("int64")
@@ -2451,15 +2436,10 @@ def q_hll_set_algebra(sf_dir: str) -> pa.Table:
     from .sketches import HyperLogLog
 
     def one_hll(ds, col: str) -> "HyperLogLog":
-        tagged = ds.map_batches(
-            lambda b, c=col: pa.table(
-                {"g": pa.array(["all"] * b.num_rows, pa.string()), c: b[c]}
-            ),
-            batch_format="pyarrow",
-        )
         spec = [SketchSpec("d", col, functools.partial(HyperLogLog, 14))]
-        return sketch_aggregate(tagged, spec, group_key="g",
-                                merge="driver")["all"]["d"]
+        # ungrouped build: sketch_aggregate returns it under the "" group
+        return sketch_aggregate(ds, spec, group_key=None,
+                                merge="driver")[""]["d"]
 
     a = one_hll(_read(sf_dir, "events", ["user_id"]), "user_id")
     b = one_hll(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
@@ -2467,11 +2447,14 @@ def q_hll_set_algebra(sf_dir: str) -> pa.Table:
     n_b = int(round(b.estimate()))
     u = a.merge(b)
     n_union = int(round(u.estimate()))
+    # inclusion-exclusion on DENSE estimates can undershoot for
+    # near-disjoint sets (each term carries ~1.04/sqrt(2^p) error) —
+    # clamp at 0 so the estimator never reports a negative cardinality
     return pa.table({
         "n_users": pa.array([n_a], pa.int64()),
         "n_customers": pa.array([n_b], pa.int64()),
         "n_union": pa.array([n_union], pa.int64()),
-        "n_intersection": pa.array([n_a + n_b - n_union], pa.int64()),
+        "n_intersection": pa.array([max(0, n_a + n_b - n_union)], pa.int64()),
     })
 
 
@@ -2481,29 +2464,19 @@ def q_hourly_active_users(sf_dir: str) -> pa.Table:
     hash(hour, user) — each pair lands in exactly one bucket, so the
     per-bucket dedup + count is exact and the driver folds only
     buckets × hours tiny rows (the doc_stats distinct-sources plan)."""
-    from .engine.hashing import append_coarse_bucket
+    from .engine.aggregate import distinct_count_partials
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def pairs(b: pa.Table) -> pa.Table:
+    def derive_hour(b: pa.Table) -> pa.Table:
         hour = pc.divide(pc.cast(b["ts"], pa.int64()),
                          pa.scalar(3_600_000_000, pa.int64()))
-        t = pa.table({"hour": pc.cast(hour, pa.int64()),
-                      "user_id": b["user_id"]})
-        df = t.to_pandas().drop_duplicates()
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        return append_coarse_bucket(t, ["hour", "user_id"], 256, "__hb")
+        return pa.table({"hour": pc.cast(hour, pa.int64()),
+                         "user_id": b["user_id"]})
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.drop_duplicates(["hour", "user_id"])
-        return u.groupby("hour", sort=False).size().reset_index(name="n")
-
-    per_bucket = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("__hb")
-        .map_groups(lambda df: fold(df.drop(columns=["__hb"])),
-                    batch_format="pandas")
-    )
+    per_bucket = distinct_count_partials(
+        ds.map_batches(derive_hour, batch_format="pyarrow"),
+        ["hour"], "user_id")
     agg = _fold_partials(per_bucket, ["hour"], ["n"], [], [])
     agg = agg.sort_values("hour").reset_index(drop=True)
     return pa.table({
@@ -2617,6 +2590,10 @@ def q_global_top_orders(sf_dir: str) -> pa.Table:
         ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(100)
         .to_pandas()
+        # canonical re-sort: Dataset row order varies run-to-run (block
+        # completion order) even after sort().limit() — pin the ranking
+        .sort_values(["o_totalprice", "o_orderkey"],
+                     ascending=[False, True]).reset_index(drop=True)
     )
     cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
                      ).astype(np.int64)
@@ -2628,21 +2605,21 @@ def q_global_top_orders(sf_dir: str) -> pa.Table:
 
 def q_part_supplier_pricing(sf_dir: str) -> pa.Table:
     """TPC-H-Q9-shaped brand/nation profitability: the lineitem fact
-    stream attaches p_brand and s_nationkey via TWO broadcast lookup
-    joins (both dimension sides are bounded; no shuffle — the fact side
-    streams and fuses with its read), then map-side integer-cents
-    partials fold per (brand, nation). Also the latest ship date per
-    group (exact max)."""
-    from .ops.join import broadcast_lookup_join
+    stream attaches p_brand and s_nationkey via TWO size-routed attaches
+    (ops/join.attach_by_key: broadcast lookup while the dimension
+    projection fits the limit, native partitioned hash join above —
+    part/supplier grow linearly with sf, so the route must not assume
+    broadcastability), then map-side integer-cents partials fold per
+    (brand, nation). Also the latest ship date per group (exact max)."""
+    from .ops.join import attach_by_key
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
                 "l_shipdate"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    j = broadcast_lookup_join(li, part, "l_partkey", "p_partkey", ["p_brand"])
-    j = broadcast_lookup_join(j, supp, "l_suppkey", "s_suppkey",
-                              ["s_nationkey"])
+    j = attach_by_key(li, part, "l_partkey", "p_partkey", ["p_brand"])
+    j = attach_by_key(j, supp, "l_suppkey", "s_suppkey", ["s_nationkey"])
 
     def partial(b: pa.Table) -> pa.Table:
         rev = pc.cast(pc.floor(pc.add(pc.multiply(
@@ -2722,15 +2699,17 @@ def q_part_catalog_stats(sf_dir: str) -> pa.Table:
 
 
 def q_lineitem_by_status(sf_dir: str) -> pa.Table:
-    """Order-status enrichment: lineitem attaches o_orderstatus via a
-    broadcast lookup (orders' (key, status) pair stream is narrow), then
-    per (status, linenumber) counts fold map-side."""
-    from .ops.join import broadcast_lookup_join
+    """Order-status enrichment: lineitem attaches o_orderstatus via the
+    size-routed attach (ops/join.attach_by_key) — orders is a FACT-sized
+    side (sf-linear), so above the broadcast limit the native partitioned
+    hash join carries it, the nation_revenue discipline. Then per
+    (status, linenumber) counts fold map-side."""
+    from .ops.join import attach_by_key
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    j = broadcast_lookup_join(li, orders, "l_orderkey", "o_orderkey",
-                              ["o_orderstatus"])
+    j = attach_by_key(li, orders, "l_orderkey", "o_orderkey",
+                      ["o_orderstatus"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({

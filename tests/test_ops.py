@@ -421,6 +421,37 @@ def test_partitioned_semi_join_matches_broadcast(ray_session, sf_dir):
         assert p["c_custkey"].dtype == np.int64
 
 
+def test_attach_by_key_route_identity(ray_session):
+    """Size-routed dimension attach: broadcast vs native partitioned
+    join must agree (dense keys across 2 partitions avoid the tiny-input
+    empty-partition join pitfall)."""
+    import ray.data as rd
+
+    from raysketch.ops.join import attach_by_key
+
+    rng = np.random.default_rng(13)
+    fact = pd.DataFrame({
+        "fk": rng.integers(0, 100, 5000).astype(np.int64),
+        "v": rng.integers(0, 1000, 5000).astype(np.int64),
+    })
+    dim = pd.DataFrame({
+        "dk": np.arange(100, dtype=np.int64),
+        "attr": [f"a{i}" for i in range(100)],
+    })
+    f_ds = rd.from_pandas(fact).repartition(4)
+    d_ds = rd.from_pandas(dim).repartition(2)
+
+    def canon(ds):
+        df = ds.to_pandas()[["fk", "v", "attr"]]
+        return df.sort_values(["fk", "v", "attr"]).reset_index(drop=True)
+
+    b = canon(attach_by_key(f_ds, d_ds, "fk", "dk", ["attr"],
+                            broadcast_limit_rows=10_000))
+    p = canon(attach_by_key(f_ds, d_ds, "fk", "dk", ["attr"],
+                            broadcast_limit_rows=0, num_partitions=2))
+    pd.testing.assert_frame_equal(b, p)
+
+
 def test_partitioned_semi_join_empty_key_side(ray_session, sf_dir):
     """Empty key side: anti keeps everything, semi keeps nothing."""
     import ray.data as rd
