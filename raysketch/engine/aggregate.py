@@ -394,6 +394,37 @@ def cube_levels(finest: pd.DataFrame, keys: list[str],
         keys, kind="mergesort").reset_index(drop=True)
 
 
+def grouping_sets_levels(finest: pd.DataFrame, keys: list[str],
+                         sets: list[list[str]], sum_cols: list[str],
+                         min_cols: list[str] = (), max_cols: list[str] = (),
+                         sentinel: str = "ALL") -> pd.DataFrame:
+    """SQL ``GROUP BY GROUPING SETS (...)`` — ARBITRARY set lists folded
+    from the FINEST exact aggregate (ROLLUP = the prefix sets, CUBE = all
+    subsets; this is the general form, same one-distributed-pass
+    contract). Each set must be a subset of ``keys``; absent keys carry
+    ``sentinel``."""
+    agg = ({c: "sum" for c in sum_cols} | {c: "min" for c in min_cols}
+           | {c: "max" for c in max_cols})
+    vals = list(agg)
+    levels = []
+    for sub in sets:
+        if not set(sub) <= set(keys):
+            raise ValueError(f"grouping set {sub!r} not a subset of {keys!r}")
+        if set(sub) == set(keys):
+            lvl = finest[keys + vals].copy()
+        elif sub:
+            lvl = finest.groupby(list(sub), sort=False)[vals].agg(
+                agg).reset_index()
+        else:
+            lvl = finest[vals].agg(agg).to_frame().T
+        for k in keys:
+            if k not in sub:
+                lvl[k] = sentinel
+        levels.append(lvl[keys + vals])
+    return pd.concat(levels, ignore_index=True).sort_values(
+        keys, kind="mergesort").reset_index(drop=True)
+
+
 def pivot_wide(finest: pd.DataFrame, row_key: str, col_key: str,
                value_col: str, categories: list[str], fill=0) -> pd.DataFrame:
     """Wide pivot of a FINEST aggregate: one output row per ``row_key``,

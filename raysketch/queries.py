@@ -2835,6 +2835,35 @@ def q_curation_pipeline(sf_dir: str) -> pa.Table:
     })
 
 
+def q_grouping_sets_pricing(sf_dir: str) -> pa.Table:
+    """Arbitrary ``GROUP BY GROUPING SETS`` — the general grouping-sets
+    form (ROLLUP/CUBE are its special cases): the finest (flag, status)
+    aggregate folds into the sets {(flag, status), (status,), ()} —
+    deliberately NOT a rollup prefix list — in one distributed pass
+    (engine.aggregate.grouping_sets_levels)."""
+    from .engine.aggregate import grouping_sets_levels
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            count_order=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = _fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], ["count_order", "sum_qty"], [], [])
+    out = grouping_sets_levels(
+        finest, ["l_returnflag", "l_linestatus"],
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        ["count_order", "sum_qty"])
+    out["count_order"] = out["count_order"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round().astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "dedup_doc_counts": q_dedup_doc_counts,
@@ -2921,6 +2950,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_by_status": q_lineitem_by_status,
     "supplier_balances": q_supplier_balances,
     "curation_pipeline": q_curation_pipeline,
+    "grouping_sets_pricing": q_grouping_sets_pricing,
 }
 
 def _fp_window_hash_sql(window: int = 16) -> str:
@@ -3982,5 +4012,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT f.lang, CAST(count(*) AS BIGINT) AS n_kept
         FROM f JOIN kept ON f.doc_id = kept.doc_id
         GROUP BY f.lang ORDER BY f.lang
+    """,
+    "grouping_sets_pricing": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(count(*) AS BIGINT) AS count_order,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
     """,
 }

@@ -237,6 +237,25 @@ def test_cube_levels():
     assert len(out) == 3 + 2 + 2 + 1  # finest + per-a + per-b + grand
 
 
+def test_grouping_sets_levels():
+    import pandas as pd
+    import pytest
+
+    from raysketch.engine.aggregate import grouping_sets_levels
+
+    f = pd.DataFrame({"a": ["x", "x", "y"], "b": ["1", "2", "1"],
+                      "n": [1, 2, 4]})
+    out = grouping_sets_levels(f, ["a", "b"],
+                               [["a", "b"], ["b"], []], ["n"])
+    rows = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert rows[("x", "1")] == 1 and rows[("y", "1")] == 4
+    assert rows[("ALL", "1")] == 5 and rows[("ALL", "2")] == 2
+    assert rows[("ALL", "ALL")] == 7
+    assert len(out) == 3 + 2 + 1  # finest + per-b + grand (no per-a set)
+    with pytest.raises(ValueError):
+        grouping_sets_levels(f, ["a", "b"], [["zz"]], ["n"])
+
+
 def test_pivot_wide():
     import pandas as pd
 
