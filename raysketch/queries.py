@@ -601,6 +601,84 @@ def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
     return cms_topk(tokens, "token", k=20, epsilon=1e-4, delta=1e-3)
 
 
+def q_theta_user_sets(sf_dir: str) -> pa.Table:
+    """Distinct-user SET ALGEBRA via theta sketches: |A|, |B|, |A∪B|,
+    |A∩B|, |A\\B| for A = high-value purchasers, B = high-value clickers —
+    answered from two mergeable sketches, no second pass over the data
+    (the audience-overlap query HLL cannot answer).
+
+    Distributed shape: ONE map_batches pass derives both filtered key
+    columns, builds one theta partial per (block, set); the reduce merges
+    KB-sized partials; set expressions run on the two merged sketches on
+    the driver. ORACLE-GATED via the sparse-exact principle: below k
+    retained hashes theta==2^64 and every estimate is the exact distinct
+    count (k=16384 ≫ 150 users at sf0.01); at corpus scale the same
+    pipeline degrades to the published ~1/sqrt(k-2) union error
+    (bound-gated in tests/test_theta.py)."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import ThetaSketch
+    from .sketches import theta as theta_ops
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        hot = pc.greater(batch["value"], 150.0)
+        null64 = pa.scalar(None, pa.int64())
+        u = batch["user_id"]
+        return pa.table({
+            "u_purchase": pc.if_else(
+                pc.and_(pc.equal(batch["event_type"], "purchase"), hot), u, null64),
+            "u_click": pc.if_else(
+                pc.and_(pc.equal(batch["event_type"], "click"), hot), u, null64),
+        })
+
+    keyed = ds.map_batches(derive, batch_format="pyarrow")
+    specs = [
+        SketchSpec("a", "u_purchase", functools.partial(ThetaSketch, 16384)),
+        SketchSpec("b", "u_click", functools.partial(ThetaSketch, 16384)),
+    ]
+    merged = sketch_aggregate(keyed, specs, merge="driver")
+    a, b = merged[""]["a"], merged[""]["b"]
+    est = lambda s: int(round(s.estimate()))  # noqa: E731
+    return pa.table({
+        "n_purchase": pa.array([est(a)], pa.int64()),
+        "n_click": pa.array([est(b)], pa.int64()),
+        "n_union": pa.array([est(theta_ops.union([a, b]))], pa.int64()),
+        "n_inter": pa.array([est(theta_ops.intersect(a, b))], pa.int64()),
+        "n_purchase_only": pa.array([est(theta_ops.a_not_b(a, b))], pa.int64()),
+    })
+
+
+def q_spacesaving_heavy_users(sf_dir: str) -> pa.Table:
+    """Top-20 users by event count via the Misra–Gries mergeable summary
+    (the deterministic-undercount side of the heavy-hitter toolkit; CMS
+    is the overestimate side). Per-block partials are one value_counts
+    each; the reduce is one concat+groupby over KB-sized summaries.
+
+    ORACLE-GATED via the sparse-exact principle: with k=4096 ≥ distinct
+    users at sf0.01 no decrement ever fires (err==0) and the summary IS
+    the exact per-user count table; at corpus scale the same pipeline
+    returns counts undercounted by ≤ n/(k+1) (bound-gated in
+    tests/test_spacesaving.py). Ties broken (n DESC, user_id ASC) —
+    numerically, in the query layer, matching the SQL oracle."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import SpaceSaving
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    specs = [SketchSpec("ss", "user_id", functools.partial(SpaceSaving, 4096))]
+    merged = sketch_aggregate(ds, specs, merge="driver")
+    sk = merged[""]["ss"]
+    df = sk.counts.rename_axis("item").reset_index(name="n_events")
+    df["user_id"] = df["item"].astype("int64")
+    df = df.sort_values(["n_events", "user_id"], ascending=[False, True]).head(20)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(df["n_events"].to_numpy(np.int64), pa.int64()),
+    })
+
+
 def q_sketch_quantiles(sf_dir: str) -> pa.Table:
     """KLL + REQ per-lang quantiles of n_chars via the merged-sketch UDAF.
 
@@ -2884,6 +2962,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fixed_histogram": q_fixed_histogram,
     "corpus_profile": q_corpus_profile,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "theta_user_sets": q_theta_user_sets,
+    "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "running_stats_by_lang": q_running_stats_by_lang,
@@ -3472,6 +3552,26 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY est DESC, token LIMIT 20
+    """,
+    "theta_user_sets": """
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase' AND value > 150),
+             b AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click' AND value > 150)
+        SELECT
+          CAST((SELECT count(*) FROM a) AS BIGINT) AS n_purchase,
+          CAST((SELECT count(*) FROM b) AS BIGINT) AS n_click,
+          CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+               AS BIGINT) AS n_union,
+          CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+               AS BIGINT) AS n_inter,
+          CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+               AS BIGINT) AS n_purchase_only
+    """,
+    "spacesaving_heavy_users": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 20
     """,
     "sketch_quantiles": """
         SELECT lang,

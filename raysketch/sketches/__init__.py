@@ -9,6 +9,8 @@ from .matrix import MatrixFlt, MatrixInt
 from .p2 import P2Histogram, P2Quantile
 from .req import REQ
 from .running_stats import RunningStats
+from .spacesaving import SpaceSaving
+from .theta import ThetaSketch
 from .time_series import TimeSeriesInt
 from .tdigest import TDigest
 
@@ -22,6 +24,8 @@ SKETCH_KINDS = {
     "matrix_flt": MatrixFlt,
     "req": REQ,
     "running_stats": RunningStats,
+    "spacesaving": SpaceSaving,
+    "theta": ThetaSketch,
     "time_series_int": TimeSeriesInt,
     "tdigest": TDigest,
 }
@@ -29,5 +33,6 @@ SKETCH_KINDS = {
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
     "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "REQ", "RunningStats",
-    "SKETCH_KINDS", "SketchUDAF", "TDigest", "TimeSeriesInt",
+    "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
+    "TimeSeriesInt",
 ]

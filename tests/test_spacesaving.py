@@ -1,0 +1,127 @@
+"""Misra–Gries / SpaceSaving kernel: exactness below k, the n/(k+1)
+undercount bound above it, point-query bracketing, merge bounds, codec."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raysketch.sketches.spacesaving import SpaceSaving
+
+
+def _zipf_stream(n=50_000, vocab=5_000, seed=3):
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(1.3, size=n)
+    return pd.Series([f"w{r % vocab}" for r in ranks])
+
+
+def test_exact_below_capacity():
+    s = pd.Series([f"k{i % 40}" for i in range(10_000)])
+    sk = SpaceSaving(k=64)
+    sk.update_batch(s)
+    assert sk.is_exact
+    vc = s.value_counts()
+    for item, n in vc.items():
+        lo, hi = sk.point_query(item)
+        assert lo == hi == n
+
+
+def test_undercount_bound_and_bracketing():
+    stream = _zipf_stream()
+    k = 128
+    sk = SpaceSaving(k=k)
+    # feed in batches like blocks would
+    for i in range(0, len(stream), 7000):
+        sk.update_batch(stream.iloc[i:i + 7000])
+    assert sk.err <= sk.n // (k + 1)
+    true = stream.value_counts()
+    for item, n in true.items():
+        lo, hi = sk.point_query(item)
+        assert lo <= n <= hi, (item, lo, n, hi)
+    # heavy hitters above the error bound must all be retained
+    for item in true[true > sk.err].index:
+        assert str(item) in sk.counts.index
+
+
+def test_codec_roundtrip_bit_identical():
+    sk = SpaceSaving(k=32)
+    sk.update_batch(_zipf_stream(n=5_000, vocab=500))
+    b = sk.to_bytes()
+    back = SpaceSaving.from_bytes(b)
+    assert back.to_bytes() == b
+    assert back.err == sk.err and back.n == sk.n
+    pd.testing.assert_series_equal(back.counts.sort_index(), sk.counts.sort_index(),
+                                   check_names=False)
+
+
+def test_merge_exact_is_order_independent():
+    chunks = [pd.Series([f"m{i % 30}" for i in range(j * 11, j * 11 + 400)])
+              for j in range(5)]
+    def build(order):
+        acc = SpaceSaving(k=256)
+        for j in order:
+            part = SpaceSaving(k=256)
+            part.update_batch(chunks[j])
+            acc.merge(part)
+        return acc
+    a, b = build(range(5)), build([4, 2, 0, 1, 3])
+    assert a.is_exact and a.to_bytes() == b.to_bytes()
+    whole = pd.concat(chunks).value_counts()
+    for item, n in whole.items():
+        assert a.point_query(item) == (n, n)
+
+
+def test_merge_bound_holds_when_truncating():
+    stream = _zipf_stream(n=60_000, vocab=3_000, seed=9)
+    k = 96
+    parts = []
+    for i in range(0, len(stream), 6_000):
+        p = SpaceSaving(k=k)
+        p.update_batch(stream.iloc[i:i + 6_000])
+        parts.append(p.to_bytes())
+    merged = SpaceSaving.merge_many(parts)
+    assert merged.n == len(stream)
+    true = stream.value_counts()
+    for item, n in true.items():
+        lo, hi = merged.point_query(item)
+        assert lo <= n <= hi
+    # pairwise fold obeys the same bound (order-dependent counts allowed)
+    acc = SpaceSaving.from_bytes(parts[0])
+    for p in parts[1:]:
+        acc.merge(SpaceSaving.from_bytes(p))
+    for item, n in true.items():
+        lo, hi = acc.point_query(item)
+        assert lo <= n <= hi
+
+
+def test_top_is_deterministic_with_ties():
+    sk = SpaceSaving(k=64)
+    sk.update_batch(pd.Series(["b", "a", "c", "a", "b", "c", "d"]))
+    assert sk.top(3) == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_nullable_int_column_does_not_float_widen_keys():
+    # a null-bearing int64 Arrow column must count under the SAME string
+    # key as a null-free one ("1", never "1.0")
+    import pyarrow as pa
+    with_nulls = pa.chunked_array([pa.array([1, None, 2, None, 1], pa.int64())])
+    without = pa.array([1, 2], pa.int64())
+    sk = SpaceSaving(k=16)
+    sk.update_batch(with_nulls)
+    sk.update_batch(without)
+    assert sk.point_query(1) == (3, 3)
+    assert sk.point_query(2) == (2, 2)
+    assert "1.0" not in sk.counts.index
+
+
+def test_validation_and_codec_errors():
+    with pytest.raises(ValueError):
+        SpaceSaving(k=0)
+    from raysketch.sketches.base import CodecError
+    with pytest.raises(CodecError):
+        SpaceSaving.from_bytes(b"NOPE" + b"\x00" * 30)
+    sk = SpaceSaving(k=8)
+    sk.update_batch(pd.Series(["x", "y"]))
+    with pytest.raises(CodecError):
+        SpaceSaving.from_bytes(sk.to_bytes() + b"\x00")
+    with pytest.raises(ValueError):
+        sk.merge(SpaceSaving(k=16))
