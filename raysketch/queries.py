@@ -601,6 +601,44 @@ def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
     return cms_topk(tokens, "token", k=20, epsilon=1e-4, delta=1e-3)
 
 
+def q_cms_join_size(sf_dir: str) -> pa.Table:
+    """JOIN-SIZE ESTIMATION WITHOUT A JOIN: Σ_k f_a(k)·f_b(k) from two
+    plain-update CMS inner products (Cormode–Muthukrishnan 2005 §4.2) —
+    the classic sketch answer to "how big would this join be?" that a
+    query planner asks before picking a join strategy. Also reports the
+    second frequency moment F2 = Σ_k f(k)² of lineitem.l_suppkey as the
+    self-inner-product (self-join size / skew measure).
+
+    Distributed shape: one map_batches pass per table builds per-block
+    plain-CMS partials over the pruned key column; the reduce merges
+    KB-sized sparse payloads; the inner products run on two merged
+    sketches on the driver — the INPUT TABLES never shuffle or join.
+    ORACLE-GATED via the sparse-exact principle: the 25-key nation domain
+    (and 100-key supplier domain) against width ~27k × 7 rows leaves at
+    least one hash row collision-free, so min-over-rows equals the exact
+    join cardinality; at corpus scale the same pipeline returns the
+    published true ≤ est ≤ true + ε·‖a‖₁·‖b‖₁ overestimate."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches.cms import CMSketch
+
+    factory = functools.partial(CMSketch, 1e-4, 1e-3, conservative=False)
+
+    def build(table: str, col: str) -> CMSketch:
+        ds = _read(sf_dir, table, [col])
+        merged = sketch_aggregate(
+            ds, [SketchSpec("s", col, factory)], merge="driver")
+        return merged[""]["s"]
+
+    cust = build("customer", "c_nationkey")
+    supp = build("supplier", "s_nationkey")
+    li = build("lineitem", "l_suppkey")
+    return pa.table({
+        "cust_supp_join_size": pa.array([cust.inner_product(supp)], pa.int64()),
+        "lineitem_suppkey_f2": pa.array([li.inner_product(li)], pa.int64()),
+    })
+
+
 def q_theta_user_sets(sf_dir: str) -> pa.Table:
     """Distinct-user SET ALGEBRA via theta sketches: |A|, |B|, |A∪B|,
     |A∩B|, |A\\B| for A = high-value purchasers, B = high-value clickers —
@@ -2962,6 +3000,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fixed_histogram": q_fixed_histogram,
     "corpus_profile": q_corpus_profile,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cms_join_size": q_cms_join_size,
     "theta_user_sets": q_theta_user_sets,
     "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3552,6 +3591,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
         WHERE token <> ''
         GROUP BY token ORDER BY est DESC, token LIMIT 20
+    """,
+    "cms_join_size": """
+        SELECT
+          CAST((SELECT count(*) FROM customer c JOIN supplier s
+                ON c.c_nationkey = s.s_nationkey) AS BIGINT)
+            AS cust_supp_join_size,
+          CAST((SELECT sum(cnt * cnt) FROM
+                (SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey))
+               AS BIGINT) AS lineitem_suppkey_f2
     """,
     "theta_user_sets": """
         WITH a AS (SELECT DISTINCT user_id FROM events

@@ -62,7 +62,8 @@ def _as_bytes(key: Any) -> bytes:
 class CMSketch:
     kind = "cms"
 
-    def __init__(self, epsilon: float, delta: float, fast_hash: bool = False) -> None:
+    def __init__(self, epsilon: float, delta: float, fast_hash: bool = False,
+                 conservative: bool = True) -> None:
         if not (0.0 < epsilon < 1.0):
             raise ValueError("epsilon must be in (0,1)")
         if not (0.0 < delta < 1.0):
@@ -81,6 +82,13 @@ class CMSketch:
         # on high-cardinality string columns. Reference parity tests use
         # the default XXH32 mode; the two modes never merge (codec flag).
         self.fast_hash = bool(fast_hash)
+        # conservative=True is the reference's update rule (cm_sketch.c:
+        # max(cell, est+n) — tighter point queries). conservative=False is
+        # the PLAIN Cormode–Muthukrishnan scatter-add: required by
+        # inner_product (conservative cells are sub-linear, breaking the
+        # a·b ≤ est guarantee — observed UNDERestimates). Modes never
+        # merge (codec flag bit 1).
+        self.conservative = bool(conservative)
 
     # -- hashing -----------------------------------------------------------
     def _indices(self, data: bytes) -> np.ndarray:
@@ -156,6 +164,12 @@ class CMSketch:
         if n > 0:
             if est == 0:
                 self.unique_count += 1
+            if not self.conservative:
+                # plain add on every row (saturating)
+                acc = cells.astype(np.uint64) + np.uint64(n)
+                self.counts[rows, idx] = np.minimum(acc, _U32_MAX).astype(np.uint32)
+                self.item_count = min(self.item_count + n, _U64_MAX)
+                return est + n
             added = 0
             for i in range(self.depth):
                 cnt = int(self.counts[i, idx[i]])
@@ -201,8 +215,19 @@ class CMSketch:
         cells = self.counts[rows, idx]  # (depth, K)
         est = cells.min(axis=0).astype(np.uint64)  # prior estimate per key
         self.unique_count += int((est == 0).sum())
-        new = np.minimum(est + n_per_key.astype(np.uint64), _U32_MAX).astype(np.uint32)
-        np.maximum.at(self.counts, (rows.repeat(idx.shape[1], 1), idx), new[None, :])
+        if self.conservative:
+            new = np.minimum(est + n_per_key.astype(np.uint64), _U32_MAX).astype(np.uint32)
+            np.maximum.at(self.counts, (rows.repeat(idx.shape[1], 1), idx), new[None, :])
+        else:
+            # plain scatter-add (saturating): dedupe shared cells first so
+            # the add happens once per cell in uint64, then clamp
+            flat = self.counts.ravel()
+            lin = (rows * self.width + idx).ravel()
+            vals = np.broadcast_to(n_per_key, (self.depth, n_per_key.size)).ravel()
+            ulin, inv = np.unique(lin, return_inverse=True)
+            sums = np.bincount(inv, weights=vals.astype(np.float64))
+            acc = flat[ulin].astype(np.uint64) + sums.astype(np.uint64)
+            flat[ulin] = np.minimum(acc, _U32_MAX).astype(np.uint32)
         self.item_count = min(self.item_count + int(n_per_key.sum()), _U64_MAX)
 
     def point_query_batch(self, values: Any) -> np.ndarray:
@@ -225,12 +250,45 @@ class CMSketch:
         rows = np.arange(self.depth)[:, None]
         return self.counts[rows, idx].min(axis=0).astype(np.uint64)
 
+    def inner_product(self, other: "CMSketch") -> int:
+        """Join-size / inner-product estimate Σ_k f_a(k)·f_b(k) from the two
+        sketches alone (Cormode & Muthukrishnan 2005 §4.2: est_d =
+        dot(row_d_a, row_d_b), answer = min_d est_d). Guarantee:
+        true ≤ est ≤ true + ε·‖a‖₁·‖b‖₁ with probability 1−δ. In the
+        collision-free regime (key domain ≪ width, the repo's sparse-exact
+        principle) the estimate IS the exact join cardinality.
+
+        Both sketches must share (width, depth, hash mode) — same-seed rows
+        are what aligns the per-row dot products."""
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("CMS inner_product: mismatched dimensions")
+        if other.fast_hash != self.fast_hash:
+            raise ValueError("CMS inner_product: mismatched hash modes")
+        if self.conservative or other.conservative:
+            raise ValueError(
+                "CMS inner_product requires plain-update sketches "
+                "(conservative=False): conservative cells are sub-linear "
+                "and void the overestimate guarantee"
+            )
+        # float64 accumulation: exact for dots < 2^53 (every oracle-gated
+        # regime); beyond that the ~1e-16 relative rounding is noise next
+        # to the ε·‖a‖₁·‖b‖₁ estimation slack. uint64 would WRAP instead
+        # (a single saturated-cell product already touches 2^64).
+        dots = np.einsum(
+            "dw,dw->d",
+            self.counts.astype(np.float64),
+            other.counts.astype(np.float64),
+        )
+        return int(dots.min())
+
     # -- merge (element-wise saturating sum) -------------------------------
     def merge(self, other: "CMSketch") -> "CMSketch":
         if (other.width, other.depth) != (self.width, self.depth):
             raise ValueError("CMS merge: mismatched dimensions")
         if other.fast_hash != self.fast_hash:
             raise ValueError("CMS merge: mismatched hash modes")
+        if other.conservative != self.conservative:
+            raise ValueError("CMS merge: mismatched update modes")
         s = self.counts.astype(np.uint64) + other.counts.astype(np.uint64)
         self.counts = np.minimum(s, _U32_MAX).astype(np.uint32)
         self.item_count = min(self.item_count + other.item_count, _U64_MAX)
@@ -249,8 +307,10 @@ class CMSketch:
             depth, width, ic, uc = struct.unpack_from("<2I2Q", buf)
             if (depth, width) != (first.depth, first.width):
                 raise ValueError("CMS merge: mismatched dimensions")
-            if bool(buf[25]) != first.fast_hash:
+            if bool(buf[25] & 1) != first.fast_hash:
                 raise ValueError("CMS merge: mismatched hash modes")
+            if (not (buf[25] & 2)) != first.conservative:
+                raise ValueError("CMS merge: mismatched update modes")
             item_count = min(item_count + ic, _U64_MAX)
             unique_count = min(unique_count + uc, _U64_MAX)
             mode, body = buf[24], buf[26:]
@@ -289,7 +349,10 @@ class CMSketch:
         """
         head = struct.pack("<2I2Q", self.depth, self.width,
                            self.item_count, self.unique_count)
-        hm = b"\x01" if self.fast_hash else b"\x00"
+        # flags byte: bit0 = fast_hash, bit1 = plain (non-conservative)
+        # update mode; old payloads (bit1 absent) decode as conservative
+        hm = bytes([(1 if self.fast_hash else 0)
+                    | (0 if self.conservative else 2)])
         flat = self.counts.ravel()
         nnz_idx = np.flatnonzero(flat)
         sparse_size = 8 + nnz_idx.size * 12
@@ -317,7 +380,8 @@ class CMSketch:
         cms.delta = delta if delta is not None else math.exp(-depth)
         cms.width, cms.depth = width, depth
         cms.item_count, cms.unique_count = item_count, unique_count
-        cms.fast_hash = bool(buf[25])
+        cms.fast_hash = bool(buf[25] & 1)
+        cms.conservative = not (buf[25] & 2)
         if mode == 0:
             if len(body) != 4 * depth * width:
                 raise CodecError(f"cms: bad length {len(buf)}")

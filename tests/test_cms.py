@@ -12,6 +12,7 @@ import os
 import random
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from raysketch.sketches.base import CodecError
@@ -150,3 +151,79 @@ def test_fast_hash_mode():
     assert rt.fast_hash and rt.point_query(keys[0]) == m.point_query(keys[0])
     with pytest.raises(ValueError):
         CMSketch(1e-3, 0.01).merge(m)
+
+
+def test_inner_product_exact_small_domain():
+    # collision-free regime: 25 keys vs width ~27k → the dot product IS
+    # the exact join size Σ_k f_a(k)·f_b(k)
+    rng = np.random.default_rng(11)
+    a_stream = [f"nk{i}" for i in rng.integers(0, 25, 4000)]
+    b_stream = [f"nk{i}" for i in rng.integers(0, 25, 900)]
+    ca = CMSketch(1e-4, 1e-3, conservative=False)
+    cb = CMSketch(1e-4, 1e-3, conservative=False)
+    ca.update_batch(pa.array(a_stream))
+    cb.update_batch(pa.array(b_stream))
+    fa, fb = {}, {}
+    for k in a_stream:
+        fa[k] = fa.get(k, 0) + 1
+    for k in b_stream:
+        fb[k] = fb.get(k, 0) + 1
+    true = sum(fa[k] * fb.get(k, 0) for k in fa)
+    assert ca.inner_product(cb) == true
+    assert cb.inner_product(ca) == true  # symmetric
+    # conservative sketches are rejected (sub-linear cells)
+    with pytest.raises(ValueError):
+        CMSketch(1e-4, 1e-3).inner_product(CMSketch(1e-4, 1e-3))
+
+
+def test_inner_product_bound_and_validation():
+    # estimating regime: overestimate bounded by eps*|a|1*|b|1 (w.h.p.;
+    # deterministic here — fixed seeds, fixed data)
+    rng = np.random.default_rng(5)
+    a_stream = [f"k{i}" for i in rng.integers(0, 3000, 20000)]
+    b_stream = [f"k{i}" for i in rng.integers(0, 3000, 20000)]
+    eps = 1e-3
+    ca = CMSketch(eps, 1e-3, conservative=False)
+    cb = CMSketch(eps, 1e-3, conservative=False)
+    ca.update_batch(pa.array(a_stream))
+    cb.update_batch(pa.array(b_stream))
+    fa, fb = {}, {}
+    for k in a_stream:
+        fa[k] = fa.get(k, 0) + 1
+    for k in b_stream:
+        fb[k] = fb.get(k, 0) + 1
+    true = sum(fa[k] * fb.get(k, 0) for k in fa)
+    est = ca.inner_product(cb)
+    assert true <= est <= true + eps * len(a_stream) * len(b_stream)
+    with pytest.raises(ValueError):
+        ca.inner_product(CMSketch(1e-2, 1e-3, conservative=False))
+    fast = CMSketch(eps, 1e-3, fast_hash=True, conservative=False)
+    fast.update_batch(pa.array(b_stream))
+    with pytest.raises(ValueError):
+        ca.inner_product(fast)
+
+
+def test_inner_product_of_merged_partials_matches_single_build():
+    # distributed shape: per-block partials merged then inner-product ==
+    # single-pass build (merge is exact cell-wise addition)
+    rng = np.random.default_rng(2)
+    stream = [f"nk{i}" for i in rng.integers(0, 25, 6000)]
+    whole = CMSketch(1e-4, 1e-3, conservative=False)
+    whole.update_batch(pa.array(stream))
+    parts = []
+    for lo in range(0, len(stream), 1500):
+        c = CMSketch(1e-4, 1e-3, conservative=False)
+        c.update_batch(pa.array(stream[lo:lo+1500]))
+        parts.append(c.to_bytes())
+    merged = CMSketch.merge_many(parts)
+    other = CMSketch(1e-4, 1e-3, conservative=False)
+    other.update_batch(pa.array([f"nk{i}" for i in range(25)] * 3))
+    assert merged.inner_product(other) == whole.inner_product(other)
+    # plain-vs-conservative payloads refuse to merge (codec flag bit 1)
+    cons = CMSketch(1e-4, 1e-3)
+    cons.update_batch(pa.array(stream[:100]))
+    with pytest.raises(ValueError):
+        CMSketch.merge_many([whole.to_bytes(), cons.to_bytes()])
+    # round-trip preserves the update mode
+    assert CMSketch.from_bytes(whole.to_bytes()).conservative is False
+    assert CMSketch.from_bytes(cons.to_bytes()).conservative is True
