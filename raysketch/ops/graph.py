@@ -1,0 +1,222 @@
+"""Distributed graph algorithms over edge-list Datasets.
+
+The reference library has no graph operators; this module extends the
+engine for the graphs a training-data pipeline actually builds — link
+graphs between documents/repos, near-dup cluster graphs
+(`ops/dedup.neardup_clusters`), entity co-occurrence — with PageRank as
+the first citizen.
+
+Design (the `neardup_clusters` message-passing shape): every iteration
+is coarse ``hash(node) % buckets`` groupby folds, NEVER a ``Dataset.join``
+— with near-empty key partitions the partitioned hash join cannot infer
+the right-side schema (Ray 2.49), and an iterative loop hits that case
+constantly. All fold rows carry non-null int64/float64 columns with a
+``kind`` discriminator (a nullable int64 would float-widen inside the
+pandas map_groups batches and round ids above 2^53).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_DRIVER_PAGERANK_LIMIT = 5_000_000  # edges; narrow int rows
+
+
+def _pagerank_driver(src: np.ndarray, dst: np.ndarray, damping: float,
+                     iters: int) -> pd.DataFrame:
+    """Vectorized single-process route: factorize nodes, bincount
+    scatter-sums per iteration (deterministic summation order)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    i_src = np.searchsorted(nodes, src)
+    i_dst = np.searchsorted(nodes, dst)
+    n = nodes.size
+    deg = np.bincount(i_src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling_mask = deg == 0
+    safe_deg = np.where(dangling_mask, 1.0, deg)
+    for _ in range(iters):
+        msg = r[i_src] / safe_deg[i_src]
+        s = np.bincount(i_dst, weights=msg, minlength=n)
+        dangling = float(r[dangling_mask].sum())
+        r = (1.0 - damping) / n + damping * (s + dangling / n)
+    return pd.DataFrame({"node": nodes.astype(np.int64), "rank": r})
+
+
+def pagerank(edges_ds, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 10,
+             driver_limit: int = _DRIVER_PAGERANK_LIMIT,
+             coarse_buckets: int = 256):
+    """Damped PageRank over a DIRECTED int64 edge-list Dataset →
+    ``ray.data.Dataset`` of ``(node, rank)`` covering every node that
+    appears as a source or destination. Parallel edge rows count as
+    multi-edges (contribute multiply); callers wanting a simple graph
+    dedupe first. Dangling nodes (no out-edges) redistribute their mass
+    uniformly (the standard Page et al. correction), so ``sum(rank)==1``.
+
+    Size-routed like every gather in this repo:
+
+    - ≤ ``driver_limit`` edge rows: vectorized numpy on the driver
+      (factorize + bincount per iteration) — exact, cheap, and the
+      common route at query scale.
+    - above: out-degrees attach to edges with ONE upfront coarse fold;
+      each iteration is then two coarse ``hash(node)`` groupby folds —
+      fold A co-locates every node's current rank WITH its out-edge rows
+      and emits one ``rank/deg`` message per edge (plus per-bucket
+      dangling mass rows); a tiny scalar aggregate collects the global
+      dangling mass; fold B sums messages per destination against the
+      static node universe. Shuffle volume per iteration = edges +
+      2·nodes narrow rows; rank state is node-sized and re-materialized
+      each round (never the input).
+
+    Both routes compute identical math (route-identity test up to float
+    summation order; the bincount/pandas-groupby sums differ in the last
+    ulp only).
+    """
+    import ray.data as rd
+
+    from ..engine.hashing import append_coarse_bucket
+
+    if not (0.0 < damping < 1.0):
+        raise ValueError("damping must be in (0,1)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    edges_ds = edges_ds.select_columns([src, dst]).materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "rank": pd.Series([], dtype="float64")})
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+
+    if n_edges <= driver_limit:
+        chunks_s, chunks_d = [], []
+        for b in edges_ds.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            chunks_s.append(b[src].to_numpy(zero_copy_only=False))
+            chunks_d.append(b[dst].to_numpy(zero_copy_only=False))
+        out = _pagerank_driver(
+            np.concatenate(chunks_s).astype(np.int64),
+            np.concatenate(chunks_d).astype(np.int64), damping, iters)
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+    # -- distributed route -------------------------------------------------
+    # Static prep 1: out-degree rides each edge row (one coarse fold on
+    # hash(src); deg = multi-edge out-row count per src).
+    def edge_rows(b: pa.Table) -> pa.Table:
+        t = pa.table({"node": pa.array(
+            b[src].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "dst": pa.array(b[dst].to_numpy(zero_copy_only=False).astype(np.int64))})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.groupby("node", sort=False)["dst"].transform("size")
+        return pd.DataFrame({
+            "node": df["node"].to_numpy(np.int64),
+            "dst": df["dst"].to_numpy(np.int64),
+            "deg": deg.to_numpy(np.int64),
+        })
+
+    edges_deg = (
+        edges_ds.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby("__pr").map_groups(attach_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    # Static prep 2: node universe (distinct src ∪ dst) + N.
+    def node_rows(b: pa.Table) -> pa.Table:
+        both = np.unique(np.concatenate([
+            b[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            b[dst].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        t = pa.table({"node": pa.array(both)})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+
+    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.unique(df["node"].to_numpy(np.int64))})
+
+    nodes_ds = (
+        edges_ds.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("__pr").map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes_ds.count()
+
+    # Ranks: (node, rank); initialized uniform.
+    def seed_ranks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "rank": pa.array(np.full(b.num_rows, 1.0 / n_nodes))})
+
+    ranks = nodes_ds.map_batches(seed_ranks, batch_format="pyarrow").materialize()
+
+    # Uniform fold-row schema (non-null throughout): kind 0 = rank row
+    # (node, rank), kind 1 = edge row (node=src, dst, deg).
+    def tag_rank(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        t = pa.table({
+            "node": b["node"], "kind": pa.array(z),
+            "dst": pa.array(z), "deg": pa.array(z), "rank": b["rank"]})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "node": b["node"],
+            "kind": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "dst": b["dst"], "deg": b["deg"],
+            "rank": pa.array(np.zeros(b.num_rows))})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+
+    def fold_messages(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["kind"] == 0].set_index("node")["rank"]
+        e = df[df["kind"] == 1]
+        msg = r.reindex(e["node"]).to_numpy() / e["deg"].to_numpy(np.float64)
+        msgs = pd.DataFrame({
+            "node": e["dst"].to_numpy(np.int64), "val": msg,
+            "kind": np.zeros(len(e), dtype=np.int64)})
+        dang = r[~r.index.isin(e["node"].unique())]
+        drows = pd.DataFrame({
+            "node": np.full(len(dang), -1, dtype=np.int64),
+            "val": dang.to_numpy(np.float64),
+            "kind": np.full(len(dang), 2, dtype=np.int64)})
+        return pd.concat([msgs, drows], ignore_index=True)
+
+    def tag_universe(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "node": b["node"],
+            "val": pa.array(np.zeros(b.num_rows)),
+            "kind": pa.array(np.full(b.num_rows, 3, dtype=np.int64))})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+
+    def rebucket_messages(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(
+            b.select(["node", "val", "kind"]), ["node"], coarse_buckets, "__pr")
+
+    for _ in range(iters):
+        tagged = ranks.map_batches(tag_rank, batch_format="pyarrow").union(
+            edges_deg.map_batches(tag_edge, batch_format="pyarrow"))
+        folded = (
+            tagged.groupby("__pr")
+            .map_groups(fold_messages, batch_format="pandas")
+            .materialize()
+        )
+        # tiny scalar: global dangling mass this round
+        dang_ds = folded.filter(expr="kind == 2")
+        dangling = dang_ds.sum("val") if dang_ds.count() else 0.0
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def fold_ranks(df: pd.DataFrame, _base=base) -> pd.DataFrame:
+            s = df[df["kind"] != 2].groupby("node", sort=False)["val"].sum()
+            return pd.DataFrame({
+                "node": s.index.to_numpy(np.int64),
+                "rank": _base + damping * s.to_numpy(np.float64)})
+
+        msgs = folded.filter(expr="kind == 0").map_batches(
+            rebucket_messages, batch_format="pyarrow")
+        uni = nodes_ds.map_batches(tag_universe, batch_format="pyarrow")
+        ranks = (
+            msgs.union(uni).groupby("__pr")
+            .map_groups(fold_ranks, batch_format="pandas")
+            .materialize()
+        )
+    return ranks

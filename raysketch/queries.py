@@ -601,6 +601,57 @@ def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
     return cms_topk(tokens, "token", k=20, epsilon=1e-4, delta=1e-3)
 
 
+def q_pagerank_suppliers(sf_dir: str) -> pa.Table:
+    """PageRank over the customer–supplier trade graph (edge c↔s iff c
+    ordered a lineitem from s): the link-analysis primitive a curation
+    pipeline uses to weight sources by graph centrality. Node ids encode
+    side in the parity bit (customer 2k, supplier 2k+1); the graph is
+    symmetrized so the SQL oracle needs no dangling-mass term.
+
+    Distributed shape: o_custkey attaches to lineitem by broadcast
+    lookup (orders ≪ lineitem), distinct edges resolve in one coarse
+    hash(src,dst) fold, and `ops/graph.pagerank` routes by edge volume —
+    driver numpy here, iterated coarse-bucket message-passing folds at
+    corpus scale (route-identity pinned in tests/test_graph.py).
+    ORACLE-GATED against 4 unrolled power iterations in SQL (round6)."""
+    from .engine.hashing import append_coarse_bucket
+    from .ops.graph import pagerank
+    from .ops.join import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    withcust = broadcast_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        src = pc.multiply(b["o_custkey"], pa.scalar(2, pa.int64()))
+        dst = pc.add(pc.multiply(b["l_suppkey"], pa.scalar(2, pa.int64())),
+                     pa.scalar(1, pa.int64()))
+        t = pa.table({"src": src, "dst": dst})
+        df = t.to_pandas().drop_duplicates()  # per-block pre-dedupe
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, ["src", "dst"], 256, "__e")
+
+    def dedup_and_sym(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["src", "dst"])
+        # symmetrize: parity encoding makes the reverse edge distinct
+        return pd.concat([
+            u[["src", "dst"]],
+            u.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+        ], ignore_index=True)
+
+    edges = (
+        withcust.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby("__e").map_groups(dedup_and_sym, batch_format="pandas")
+    )
+    ranks = pagerank(edges, damping=0.85, iters=4)
+    df = ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(df["node"].to_numpy(np.int64)),
+        "pr": pa.array(round6(df["rank"].to_numpy())),
+    })
+
+
 def q_sketch_warehouse(sf_dir: str) -> pa.Table:
     """SKETCH-WAREHOUSE pattern — the reason every reference sketch
     serializes (heka preserve/restore; the DataSketches "sketch table"):
@@ -3081,6 +3132,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_join_size": q_cms_join_size,
     "sketch_warehouse": q_sketch_warehouse,
+    "pagerank_suppliers": q_pagerank_suppliers,
     "theta_user_sets": q_theta_user_sets,
     "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3151,6 +3203,33 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curation_pipeline": q_curation_pipeline,
     "grouping_sets_pricing": q_grouping_sets_pricing,
 }
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL for q_pagerank_suppliers: DuckDB
+    recursive CTEs cannot aggregate over the recursive reference, so each
+    iteration is a plain LEFT JOIN + GROUP BY CTE. The symmetric graph
+    has no dangling nodes, so no redistribution term is needed."""
+    base = f"{1.0 - damping!r}/(SELECT n FROM nn)"
+    body = [f"""
+        WITH e AS (SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey + 1 AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        body.append(f""",
+        p{i} AS (SELECT x.node, {base} + {damping!r}*COALESCE(m.s, 0) AS r
+                 FROM nodes x LEFT JOIN (
+                   SELECT sym.dst AS node, sum(p.r / deg.d) AS s
+                   FROM sym JOIN p{i-1} p ON sym.src = p.node
+                            JOIN deg ON sym.src = deg.node
+                   GROUP BY sym.dst) m ON x.node = m.node)""")
+    body.append(f"""
+        SELECT node, round(r, 6) AS pr FROM p{iters} ORDER BY node""")
+    return "".join(body)
+
 
 def _fp_window_hash_sql(window: int = 16) -> str:
     """SQL expression for the engine's Rabin–Karp window hash at char
@@ -3672,6 +3751,7 @@ ORACLE_SQL: dict[str, str] = {
         WHERE token <> ''
         GROUP BY token ORDER BY est DESC, token LIMIT 20
     """,
+    "pagerank_suppliers": _pagerank_sql(4),
     "sketch_warehouse": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                AS distinct_users

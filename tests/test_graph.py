@@ -1,0 +1,104 @@
+"""PageRank: driver route vs distributed message-passing route identity,
+dangling-mass redistribution, multi-edge semantics, and a numpy
+power-iteration cross-check."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysketch.ops.graph import pagerank
+
+
+def _edges_ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, dtype=np.int64)),
+        "dst": pa.array(np.asarray(dst, dtype=np.int64))}))
+
+
+def _ranks(ds) -> pd.Series:
+    df = ds.to_pandas().sort_values("node").reset_index(drop=True)
+    return df.set_index("node")["rank"]
+
+
+def _power_iteration(src, dst, damping, iters):
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = nodes.size
+    i_s, i_d = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+    deg = np.bincount(i_s, minlength=n).astype(float)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        msg = np.where(deg[i_s] > 0, r[i_s] / np.maximum(deg[i_s], 1), 0.0)
+        s = np.bincount(i_d, weights=msg, minlength=n)
+        dang = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (s + dang / n)
+    return pd.Series(r, index=nodes)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    keep = src != dst
+    # node 61 exists only as a destination twice -> dangling node
+    src = np.concatenate([src[keep], [3, 5]])
+    dst = np.concatenate([dst[keep], [61, 61]])
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+def test_driver_route_matches_power_iteration(ray_session, graph):
+    src, dst = graph
+    got = _ranks(pagerank(_edges_ds(src, dst), damping=0.85, iters=8))
+    want = _power_iteration(src, dst, 0.85, 8)
+    assert got.index.tolist() == want.index.tolist()
+    assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1e-14)
+    assert abs(got.sum() - 1.0) < 1e-9  # dangling mass redistributed
+
+
+def test_distributed_route_identity(ray_session, graph):
+    src, dst = graph
+    drv = _ranks(pagerank(_edges_ds(src, dst), iters=4))
+    dist = _ranks(pagerank(_edges_ds(src, dst), iters=4, driver_limit=0,
+                           coarse_buckets=8))
+    assert drv.index.tolist() == dist.index.tolist()
+    # identical math; only float summation order differs between numpy
+    # bincount and the per-bucket pandas groupby sums
+    assert np.allclose(drv.to_numpy(), dist.to_numpy(), atol=1e-12)
+    assert abs(dist.sum() - 1.0) < 1e-9
+
+
+def test_multi_edges_count_multiply(ray_session):
+    # duplicating an edge doubles its contribution weight
+    single = _ranks(pagerank(_edges_ds([1, 2], [2, 1]), iters=3))
+    multi = _ranks(pagerank(_edges_ds([1, 1, 2], [2, 2, 1]), iters=3))
+    assert single.index.tolist() == multi.index.tolist() == [1, 2]
+    # symmetric 2-cycle: both uniform; multi-edge 1->2 (deg 2 both rows)
+    # still sends ALL of node 1's mass to 2 -> identical here by design
+    assert np.allclose(single.to_numpy(), multi.to_numpy())
+
+
+def test_converges_to_dominant_eigenvector(ray_session):
+    # star graph 0 <-> {1,2,3}: 200 damped iterations (0.85^200 ~ 1e-14)
+    # must reach the google-matrix dominant eigenvector
+    r = _ranks(pagerank(_edges_ds([0, 0, 0, 1, 2, 3], [1, 2, 3, 0, 0, 0]),
+                        iters=200))
+    P = np.array([[0, 1 / 3, 1 / 3, 1 / 3],
+                  [1, 0, 0, 0], [1, 0, 0, 0], [1, 0, 0, 0]]).T
+    G = 0.15 / 4 + 0.85 * P
+    w, v = np.linalg.eig(G)
+    pi = np.real(v[:, np.argmax(np.real(w))])
+    pi = pi / pi.sum()
+    assert np.allclose(r.sort_index().to_numpy(), pi, atol=1e-12)
+
+
+def test_validation_and_empty(ray_session):
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds([1], [2]), damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds([1], [2]), iters=0)
+    out = pagerank(_edges_ds([], []))
+    # empty-Dataset to_pandas drops columns (Ray 2.49) -> assert via schema
+    assert out.count() == 0 and out.schema().names == ["node", "rank"]
