@@ -289,3 +289,80 @@ def lsh_bucketed_topk(
         return df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
 
     return candidates.groupby("query_id").map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance / PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+def covariance(ds, col: str = "embedding"):
+    """EXACT population mean and covariance of a ``list<float>`` column in
+    one distributed pass: each block reduces to a single
+    ``(n, Σx, Σxxᵀ)`` partial (one numpy matmul — d and d² floats per
+    BLOCK, never per row), the driver folds blocks × 1 rows, and
+    ``C = Σxxᵀ/n − μμᵀ``. Shuffle-free; at 100 TB the fold input is
+    blocks × (d²+d) doubles. Returns ``(n, mean[d], cov[d, d])``."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        V = np.asarray(b[col].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "n": pa.array([V.shape[0]], pa.int64()),
+            "s": pa.array([V.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "xx": pa.array([(V.T @ V).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    # an empty Dataset's to_pandas drops columns entirely (Ray 2.49)
+    if len(parts) == 0 or int(parts["n"].sum()) == 0:
+        raise ValueError("covariance: empty input")
+    n = int(parts["n"].sum())
+    s = np.stack(parts["s"].to_numpy()).sum(axis=0)
+    d = s.size
+    xx = np.stack(parts["xx"].to_numpy()).sum(axis=0).reshape(d, d)
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca(ds, col: str = "embedding", k: int = 8):
+    """Distributed PCA: exact covariance (one pass, above) + driver
+    ``eigh`` on the d×d matrix. Components are sign-canonicalized (the
+    largest-|entry| coordinate is made positive) so results are
+    deterministic across LAPACK builds. Returns ``(mean[d],
+    components[k, d] row-major by descending eigenvalue, eigvals[k])``."""
+    n, mean, cov = covariance(ds, col)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T               # (k, d)
+    flips = np.sign(comps[np.arange(len(order)),
+                          np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                col: str = "embedding", out_prefix: str = "pc"):
+    """Project every vector onto the fitted components — one centered
+    matmul per block via a broadcast of ``(mean, components)``; appends
+    ``pc1..pck`` float64 columns and drops the embedding column."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put((np.asarray(mean, dtype=np.float64),
+                   np.asarray(components, dtype=np.float64)))
+
+    def project(b: pa.Table) -> pa.Table:
+        mu, W = ray.get(ref)
+        V = np.asarray(b[col].to_pylist(), dtype=np.float64)
+        P = (V - mu) @ W.T
+        out = b.drop_columns([col])
+        for j in range(W.shape[0]):
+            out = out.append_column(f"{out_prefix}{j + 1}",
+                                    pa.array(P[:, j], pa.float64()))
+        return out
+
+    return ds.map_batches(project, batch_format="pyarrow")

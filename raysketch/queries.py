@@ -2826,6 +2826,27 @@ def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_embedding_covariance(sf_dir: str) -> pa.Table:
+    """Full d×d population covariance of the embedding column — the
+    normalization / whitening statistic of an embedding pipeline and the
+    input to distributed PCA (`ops/similarity.pca`). One shuffle-free
+    pass: each block reduces to a single (n, Σx, Σxxᵀ) partial (one
+    numpy matmul per block), the driver folds blocks × 1 rows. The
+    oracle pays a d² cross join instead; both sides compute
+    avg(x·y) − avg(x)·avg(y) in float64, round6."""
+    from .ops.similarity import covariance
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n, mean, cov = covariance(ds, "embedding")
+    d = mean.size
+    i = np.repeat(np.arange(1, d + 1, dtype=np.int64), d)
+    j = np.tile(np.arange(1, d + 1, dtype=np.int64), d)
+    return pa.table({
+        "i": pa.array(i), "j": pa.array(j),
+        "cov": pa.array(round6(cov.ravel()), pa.float64()),
+    })
+
+
 def q_global_top_orders(sf_dir: str) -> pa.Table:
     """Global distributed sort + limit (Ray's range-partitioned sort —
     the one all-to-all this query deliberately exercises at the query
@@ -3195,6 +3216,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hourly_active_users": q_hourly_active_users,
     "multisource_union": q_multisource_union,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "embedding_covariance": q_embedding_covariance,
     "global_top_orders": q_global_top_orders,
     "part_supplier_pricing": q_part_supplier_pricing,
     "part_catalog_stats": q_part_catalog_stats,
@@ -4228,6 +4250,17 @@ ORACLE_SQL: dict[str, str] = {
                round(min(CAST(embedding[dim] AS DOUBLE)), 6) AS min_v,
                round(max(CAST(embedding[dim] AS DOUBLE)), 6) AS max_v
         FROM embeddings, dims GROUP BY dim ORDER BY dim
+    """,
+    "embedding_covariance": """
+        WITH d1 AS (SELECT unnest(generate_series(1, 64)) AS i),
+             d2 AS (SELECT unnest(generate_series(1, 64)) AS j)
+        SELECT i, j,
+               round(avg(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[j] AS DOUBLE))
+                     - avg(CAST(embedding[i] AS DOUBLE))
+                       * avg(CAST(embedding[j] AS DOUBLE)), 6) AS cov
+        FROM embeddings, d1, d2
+        GROUP BY i, j ORDER BY i, j
     """,
     "global_top_orders": """
         SELECT o_orderkey,

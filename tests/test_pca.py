@@ -1,0 +1,67 @@
+"""Distributed covariance / PCA: one-pass block partials vs numpy,
+eigh component properties, and the projection stage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raysketch.ops.similarity import covariance, pca, pca_project
+
+
+def _ds(X):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in X],
+                              pa.list_(pa.float32()))}))
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(9)
+    # anisotropic cloud: known dominant directions
+    W = rng.normal(size=(6, 6)) * np.array([5, 3, 2, 1, 0.5, 0.1])
+    X = (rng.normal(size=(4000, 6)) @ W).astype(np.float32)
+    return X
+
+
+def test_covariance_matches_numpy(ray_session, data):
+    ds = _ds(data).repartition(7)  # force multi-block partials
+    n, mean, cov = covariance(ds)
+    X = data.astype(np.float64)
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-10)
+    assert np.allclose(cov, np.cov(X, rowvar=False, bias=True), atol=1e-9)
+    with pytest.raises(ValueError):
+        covariance(_ds(data[:0]))
+
+
+def test_pca_components(ray_session, data):
+    mean, comps, eigvals = pca(_ds(data), k=4)
+    # orthonormal rows, descending eigenvalues
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+    assert (np.diff(eigvals) <= 1e-12).all() and (eigvals > 0).all()
+    # matches numpy PCA up to sign; sign canonicalization: the
+    # largest-|entry| coordinate of every component is positive
+    X = data.astype(np.float64)
+    w, v = np.linalg.eigh(np.cov(X, rowvar=False, bias=True))
+    top = v[:, np.argsort(w)[::-1][:4]].T
+    for r, ref in zip(comps, top):
+        assert np.allclose(r, ref, atol=1e-8) or np.allclose(r, -ref, atol=1e-8)
+        assert r[np.abs(r).argmax()] > 0
+
+
+def test_projection_variance_equals_eigvals(ray_session, data):
+    ds = _ds(data)
+    mean, comps, eigvals = pca(ds, k=3)
+    out = pca_project(ds, mean, comps, out_prefix="pc").to_pandas()
+    assert set(out.columns) == {"vec_id", "pc1", "pc2", "pc3"}
+    P = out.sort_values("vec_id")[["pc1", "pc2", "pc3"]].to_numpy()
+    # projections are centered and their population variance per
+    # component IS the eigenvalue; cross-component covariance vanishes
+    assert np.allclose(P.mean(axis=0), 0, atol=1e-9)
+    C = np.cov(P, rowvar=False, bias=True)
+    assert np.allclose(np.diag(C), eigvals, rtol=1e-8)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-8
