@@ -350,3 +350,85 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     scored = scored.map_batches(score, batch_format="pyarrow")
     return grouped_topn(scored, id_col, "tfidf", n, tiebreak_col="term",
                         carry_cols=["tf", "df"])
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+def bm25_topk(ds, terms: list[str], id_col: str = "doc_id",
+              text_col: str = "text", k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """Top-k documents by BM25 for a fixed query-term set (the Lucene
+    idf variant: ``ln((N - df + 0.5)/(df + 0.5) + 1)``; avgdl averages
+    over docs with >= 1 token). Two streaming passes, both vectorized:
+
+    - pass 1 reduces each block to ONE stats row (n_docs,
+      docs-with-tokens, total token count, per-term df via one exploded
+      isin + drop_duplicates — no per-doc loop); the driver folds
+      blocks x 1 rows into (idf per term, avgdl).
+    - pass 2 broadcasts the tiny (terms, idf, avgdl) tuple, scores each
+      block with one pivoted tf matrix, keeps a block-local top-k of
+      ROUNDED (round6) scores; the driver resorts candidates once.
+
+    Returns a driver pandas DataFrame (doc_id, score) of <= k rows,
+    sorted by (score desc, doc_id) on round6 scores so the SQL oracle
+    replays the exact cutoff."""
+    from ..queries import round6
+
+    terms = list(dict.fromkeys(terms))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("")
+        toks = s.str.split()
+        lens = toks.str.len()
+        ex = toks.explode().dropna()
+        fl = ex[ex.isin(terms)]
+        pairs = fl.reset_index().drop_duplicates()
+        dfc = pairs.groupby(pairs.columns[1], sort=False).size()
+        return pa.table({
+            "n_docs": pa.array([len(s)], pa.int64()),
+            "n_docs_tok": pa.array([int((lens > 0).sum())], pa.int64()),
+            "total_len": pa.array([int(lens.sum())], pa.int64()),
+            "df": pa.array([[int(dfc.get(t, 0)) for t in terms]],
+                           pa.list_(pa.int64())),
+        })
+
+    parts = ds.select_columns([text_col]).map_batches(
+        stats, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or int(parts["n_docs_tok"].sum()) == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    n = float(parts["n_docs"].sum())
+    avgdl = float(parts["total_len"].sum()) / float(parts["n_docs_tok"].sum())
+    df = np.stack(parts["df"].to_numpy()).sum(axis=0).astype(np.float64)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = s.str.split()
+        L = toks.str.len().to_numpy().astype(np.float64)
+        ex = toks.explode().dropna()
+        fl = ex[ex.isin(terms)]
+        if len(fl) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        tf = (fl.reset_index().groupby(["index", 0], sort=False).size()
+              .unstack(fill_value=0).reindex(columns=terms, fill_value=0))
+        rows = tf.index.to_numpy()
+        T = tf.to_numpy().astype(np.float64)           # (m, n_terms)
+        norm = k1 * (1.0 - b + b * L[rows, None] / avgdl)
+        sc = ((idf[None, :] * T * (k1 + 1.0)) / (T + norm)).sum(axis=1)
+        out = pd.DataFrame({id_col: ids[rows], "score": round6(sc)})
+        out = out.sort_values(["score", id_col],
+                              ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = ds.select_columns([id_col, text_col]).map_batches(
+        score_block, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:  # all-empty blocks drop columns (Ray 2.49)
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    return (cand.sort_values(["score", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))

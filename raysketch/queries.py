@@ -343,6 +343,40 @@ def q_events_hourly(sf_dir: str) -> pa.Table:
     )
 
 
+def q_daily_deltas(sf_dir: str) -> pa.Table:
+    """Day-over-day event-count deltas per event_type (the LAG window
+    function): distributed counts per (event_type, day) — map-side
+    partials + one coarse fold — then the lag/shift runs on the result
+    table, which is calendar-bounded (types × days) and therefore
+    driver-sized at ANY input scale. Oracle: GROUP BY + LAG OVER."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                           "day": day.to_pylist()})
+        g = df.groupby(["event_type", "day"], sort=False).size()
+        return pa.Table.from_pandas(g.reset_index(name="n"),
+                                    preserve_index=False)
+
+    counts = _fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], ["n"], [], [])
+    counts = counts.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = counts.groupby("event_type", sort=False)["n"].shift(1)
+    delta = (counts["n"] - prev).fillna(0).astype("int64")
+    first = prev.isna()
+    return pa.table({
+        "event_type": pa.array(counts["event_type"], pa.string()),
+        "day": pa.array(counts["day"].astype("int64")),
+        "n_events": pa.array(counts["n"].astype("int64")),
+        # first day per type reports delta 0 with is_first=1 (LAG default)
+        "delta": pa.array(np.where(first, 0, delta).astype(np.int64)),
+        "is_first": pa.array(first.astype("int64")),
+    })
+
+
 def q_lineitem_pricing(sf_dir: str) -> pa.Table:
     """TPC-H-Q1-shaped exact rollup (integer-valued sums stay exact)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
@@ -1181,6 +1215,20 @@ def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
         "tfidf": pa.array(round6(out["tfidf"].to_numpy(np.float64)),
                           pa.float64()),
     })
+
+
+def q_bm25_search(sf_dir: str) -> pa.Table:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75, Lucene idf) for the
+    query terms {hash, join, vector, spark} — the retrieval-scoring
+    primitive of a training-data search index. Two streaming passes
+    (corpus stats fold, then broadcast-scored blocks with block-local
+    top-k); the SQL oracle replays the formula term-for-term on
+    round6-identical scores."""
+    from .ops.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(ds, ["hash", "join", "vector", "spark"], k=20)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_quality_scores(sf_dir: str) -> pa.Table:
@@ -3141,6 +3189,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_count_per_doc": q_token_count_per_doc,
     "sha256_invariant": q_sha256_invariant,
     "events_hourly": q_events_hourly,
+    "daily_deltas": q_daily_deltas,
     "lineitem_pricing": q_lineitem_pricing,
     "rollup_pricing": q_rollup_pricing,
     "customer_order_profile": q_customer_order_profile,
@@ -3171,6 +3220,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_scores": q_quality_scores,
+    "bm25_search": q_bm25_search,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
     "window_stats": q_window_stats,
@@ -3353,6 +3403,50 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+    "bm25_search": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(string_split_regex(text, '\\s+')) AS tok
+                     FROM documents),
+        tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+               FROM tok2 GROUP BY doc_id),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        ad AS (SELECT sum(len) / count(*) AS a FROM dl),
+        df AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                      AS df
+               FROM tok2 WHERE tok IN ('hash', 'join', 'vector', 'spark')
+               GROUP BY tok),
+        idf AS (SELECT term,
+                       ln(((SELECT n FROM nd) - df + 0.5) / (df + 0.5) + 1)
+                         AS idf
+                FROM df),
+        tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+               FROM tok2 WHERE tok IN ('hash', 'join', 'vector', 'spark')
+               GROUP BY doc_id, tok),
+        sc AS (SELECT tf.doc_id,
+                      sum(idf.idf * tf.tf * (1.2 + 1) /
+                          (tf.tf + 1.2 * (1 - 0.75 +
+                           0.75 * dl.len / (SELECT a FROM ad)))) AS score
+               FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+               GROUP BY tf.doc_id)
+        SELECT doc_id, round(score, 6) AS score FROM sc
+        ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """,
+    "daily_deltas": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY event_type, day)
+        SELECT event_type, day, n_events,
+               CAST(COALESCE(n_events - LAG(n_events) OVER
+                    (PARTITION BY event_type ORDER BY day), 0) AS BIGINT)
+                 AS delta,
+               CAST(CASE WHEN LAG(n_events) OVER
+                    (PARTITION BY event_type ORDER BY day) IS NULL
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_first
+        FROM c ORDER BY event_type, day
     """,
     "hopping_window": """
         -- hopping 2h/1h: event in hop-bucket hb belongs to windows
