@@ -920,6 +920,97 @@ def q_sketch_quantiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def q_equi_depth_histogram(sf_dir: str) -> pa.Table:
+    """Equi-depth (quantile-bucketed) histogram of n_chars — the
+    optimizer statistic built exactly this way at warehouse scale:
+    bucket BOUNDARIES come from a merged KLL sketch (one cheap pass;
+    sparse-exact == quantile_disc at the gate scale, rank-error-bounded
+    at corpus scale), then one exact counting pass buckets every row
+    against the broadcast boundaries. Never a global sort."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import KLL
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    merged = sketch_aggregate(
+        ds, [SketchSpec("q", "n_chars", functools.partial(KLL, 2048))],
+        merge="driver")
+    kl = merged[""]["q"]
+    bounds = [int(kl.quantile(p)) for p in (0.25, 0.5, 0.75)]
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bucket i = first bound >= x (searchsorted 'left' maps x == bound
+        # into bucket i, matching the SQL CASE's first `<=` match even
+        # with duplicate bounds); index 3 = the open top bucket
+        idx = np.searchsorted(np.asarray(bounds, dtype=np.int64), x,
+                              side="left")
+        cnt = np.bincount(idx, minlength=4)
+        return pa.table({"bucket": pa.array(np.arange(1, 5, dtype=np.int64)),
+                         "n_rows": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow")
+    out = _fold_partials(parts, ["bucket"], ["n_rows"], [], [])
+    hi = np.array(bounds + [-1], dtype=np.int64)  # open top bucket
+    out = out.sort_values("bucket").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(out["bucket"].astype("int64")),
+        "hi_bound": pa.array(hi),
+        "n_rows": pa.array(out["n_rows"].astype("int64")),
+    })
+
+
+def q_key_skew_profile(sf_dir: str) -> pa.Table:
+    """Key-distribution skew report for the three lineitem/orders shuffle
+    keys — the statistic this repo's own salting / coarse-bucket planning
+    depends on: distinct keys, rows, max per-key count, top-5 share, and
+    the Herfindahl concentration index Σ share². Fully distributive:
+    per-block value_counts → coarse per-key fold → per-bucket partials of
+    (n_keys, n_rows, max, Σc², top-5 counts) → driver combine (the global
+    top-5 is contained in the union of per-bucket top-5s)."""
+    from .engine.hashing import append_coarse_bucket
+
+    def profile(table: str, col: str) -> dict:
+        ds = _read(sf_dir, table, [col])
+
+        def partial(b: pa.Table) -> pa.Table:
+            vc = pd.Series(
+                b[col].to_numpy(zero_copy_only=False)).value_counts()
+            t = pa.table({"k": pa.array(vc.index.to_numpy(np.int64)),
+                          "c": pa.array(vc.to_numpy(np.int64))})
+            return append_coarse_bucket(t, ["k"], 256, "__sk")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("k", sort=False)["c"].sum()
+            c = g.to_numpy(np.float64)
+            top = np.sort(c)[::-1][:5]
+            return pd.DataFrame({
+                "n_keys": [int(g.size)], "n_rows": [int(c.sum())],
+                "mx": [int(c.max())], "ss": [float((c * c).sum())],
+                "top": [top.tolist()],
+            })
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("__sk").map_groups(fold, batch_format="pandas")
+                 .to_pandas())
+        n_rows = int(parts["n_rows"].sum())
+        tops = np.sort(np.concatenate(parts["top"].to_numpy()))[::-1][:5]
+        return {
+            "col": col,
+            "n_keys": int(parts["n_keys"].sum()),
+            "n_rows": n_rows,
+            "max_count": int(parts["mx"].max()),
+            "top5_share": round6(float(tops.sum()) / n_rows),
+            "hhi": round6(float(parts["ss"].sum()) / (float(n_rows) ** 2)),
+        }
+
+    rows = [profile("lineitem", "l_suppkey"),
+            profile("lineitem", "l_partkey"),
+            profile("orders", "o_custkey")]
+    df = pd.DataFrame(rows)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_tdigest_quantiles(sf_dir: str) -> pa.Table:
     """t-digest per-lang quantiles (interpolated between centroids — not
     SQL-expressible; bench gates the merged rank error against the 0.75%
@@ -3207,6 +3298,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "key_skew_profile": q_key_skew_profile,
     "running_stats_by_lang": q_running_stats_by_lang,
     "bloom_membership": q_bloom_membership,
     "neardup_pairs": q_neardup_pairs,
@@ -3403,6 +3496,45 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+    "equi_depth_histogram": """
+        WITH b AS (SELECT quantile_disc(n_chars, 0.25) AS b1,
+                          quantile_disc(n_chars, 0.5)  AS b2,
+                          quantile_disc(n_chars, 0.75) AS b3
+                   FROM documents),
+        buckets AS (SELECT unnest(generate_series(1, 4)) AS bucket),
+        x AS (SELECT CASE WHEN n_chars <= b1 THEN 1
+                          WHEN n_chars <= b2 THEN 2
+                          WHEN n_chars <= b3 THEN 3 ELSE 4 END AS bucket
+              FROM documents, b),
+        cnt AS (SELECT bucket, count(*) AS n FROM x GROUP BY bucket)
+        SELECT bucket,
+               CAST(CASE bucket WHEN 1 THEN (SELECT b1 FROM b)
+                                WHEN 2 THEN (SELECT b2 FROM b)
+                                WHEN 3 THEN (SELECT b3 FROM b)
+                                ELSE -1 END AS BIGINT) AS hi_bound,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_rows
+        FROM buckets LEFT JOIN cnt USING (bucket) ORDER BY bucket
+    """,
+    "key_skew_profile": """
+        WITH p AS (
+          SELECT 'l_suppkey' AS col, l_suppkey AS k FROM lineitem
+          UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+          UNION ALL SELECT 'o_custkey', o_custkey FROM orders),
+        c AS (SELECT col, k, count(*) AS c FROM p GROUP BY col, k),
+        s AS (SELECT col, CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(max(c) AS BIGINT) AS max_count,
+                     sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS ss
+              FROM c GROUP BY col),
+        t AS (SELECT col, CAST(sum(c) AS DOUBLE) AS t5 FROM (
+                SELECT col, c, row_number() OVER
+                  (PARTITION BY col ORDER BY c DESC) AS rn
+                FROM c) WHERE rn <= 5 GROUP BY col)
+        SELECT s.col, n_keys, n_rows, max_count,
+               round(t5 / n_rows, 6) AS top5_share,
+               round(ss / (CAST(n_rows AS DOUBLE) * n_rows), 6) AS hhi
+        FROM s JOIN t USING (col) ORDER BY s.col
     """,
     "bm25_search": """
         WITH tok AS (SELECT doc_id,
