@@ -253,3 +253,50 @@ def bloom_semi_join(
         return batch.filter(pa.array(hits))
 
     return big_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def plan_equi_join(ds_a, key_a: str, ds_b, key_b: str,
+                   epsilon: float = 1e-4, delta: float = 1e-3,
+                   broadcast_row_limit: int = 5_000_000):
+    """Join planning from sketches alone — estimate the equi-join output
+    cardinality WITHOUT running the join (plain-update CMS inner
+    product, Cormode–Muthukrishnan §4.2: true ≤ est ≤ true +
+    ε·|A|·|B| w.h.p.) and pick the strategy this module's size-routing
+    uses everywhere:
+
+    - ``broadcast_b`` / ``broadcast_a``: the smaller side fits the
+      broadcast limit → `broadcast_lookup_join` (no shuffle).
+    - ``partitioned``: both sides large → Ray's native partitioned hash
+      join.
+
+    Each side costs one streaming sketch pass (the two run from driver
+    threads; dataset construction stays with the caller, so no
+    concurrent read_parquet first-imports). Returns
+    ``{est_rows, n_a, n_b, strategy}``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..engine.aggregate import sketch_aggregate
+    from ..engine.udaf import SketchSpec
+    from ..sketches.cms import CMSketch
+    import functools
+
+    factory = functools.partial(CMSketch, epsilon, delta, conservative=False)
+
+    def build(ds, col):
+        merged = sketch_aggregate(
+            ds, [SketchSpec("s", col, factory)], merge="driver")
+        return merged[""]["s"]
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(build, ds_a, key_a)
+        fb = ex.submit(build, ds_b, key_b)
+        ca, cb = fa.result(), fb.result()
+    n_a, n_b = int(ca.item_count), int(cb.item_count)
+    if n_b <= broadcast_row_limit and n_b <= n_a:
+        strategy = "broadcast_b"
+    elif n_a <= broadcast_row_limit:
+        strategy = "broadcast_a"
+    else:
+        strategy = "partitioned"
+    return {"est_rows": ca.inner_product(cb), "n_a": n_a, "n_b": n_b,
+            "strategy": strategy}

@@ -1238,6 +1238,36 @@ def q_ivf_ann(sf_dir: str) -> pa.Table:
     )
 
 
+def q_kfold_split(sf_dir: str) -> pa.Table:
+    """Deterministic k-fold assignment (k=5) for train/eval splitting —
+    fold = uint32(first 8 hex chars of sha256(str(doc_id))) % 5, so any
+    engine (and any re-run over re-partitioned data) assigns every doc
+    to the same fold with no coordination. Output: per-(fold, lang) doc
+    counts, the stratification check a split pipeline runs. Map-side
+    counting + one coarse fold; the oracle replays the digit arithmetic
+    in SQL."""
+    from .engine.hashing import sha256_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hx = sha256_batch(pa.array([str(i) for i in b["doc_id"].to_pylist()]))
+        fold = np.array([int(h[:8], 16) % 5 for h in hx], dtype=np.int64)
+        df = pd.DataFrame({"fold": fold, "lang": b["lang"].to_pylist()})
+        g = df.groupby(["fold", "lang"], sort=False).size()
+        return pa.Table.from_pandas(g.reset_index(name="n_docs"),
+                                    preserve_index=False)
+
+    out = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["fold", "lang"], ["n_docs"], [], [])
+    out = out.sort_values(["fold", "lang"]).reset_index(drop=True)
+    return pa.table({
+        "fold": pa.array(out["fold"].astype("int64")),
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64")),
+    })
+
+
 def q_hash_sample(sf_dir: str) -> pa.Table:
     """Deterministic exactly-50 uniform sample of documents (hash-order
     sample; the heka message-matcher sampling pattern generalized).
@@ -3309,6 +3339,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "hash_sample": q_hash_sample,
+    "kfold_split": q_kfold_split,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4060,6 +4091,18 @@ ORACLE_SQL: dict[str, str] = {
     "hash_sample": """
         SELECT doc_id, lang FROM documents
         ORDER BY sha256(CAST(doc_id AS VARCHAR)) LIMIT 50
+    """,
+    "kfold_split": """
+        WITH f AS (SELECT lang,
+          CAST(("""
+    + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS "
+        f"VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8))
+    + """) % 5 AS BIGINT) AS fold
+          FROM documents)
+        SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY fold, lang ORDER BY fold, lang
     """,
     "stratified_sample": """
         SELECT doc_id, lang FROM (

@@ -102,3 +102,32 @@ def test_validation_and_empty(ray_session):
     out = pagerank(_edges_ds([], []))
     # empty-Dataset to_pandas drops columns (Ray 2.49) -> assert via schema
     assert out.count() == 0 and out.schema().names == ["node", "rank"]
+
+
+def test_plan_equi_join(ray_session):
+    # (placed here to reuse the module's Ray fixture) join-size planning
+    # via CMS inner product: overestimate-bounded, exact in the sparse
+    # regime, and the strategy routes by the smaller side
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysketch.ops.join import plan_equi_join
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 30, 5000).astype(np.int64)
+    b = rng.integers(0, 30, 700).astype(np.int64)
+    ds_a = rd.from_arrow(pa.table({"k": pa.array(a)}))
+    ds_b = rd.from_arrow(pa.table({"k": pa.array(b)}))
+    plan = plan_equi_join(ds_a, "k", ds_b, "k")
+    ca = np.bincount(a, minlength=30)
+    cb = np.bincount(b, minlength=30)
+    true = int((ca * cb).sum())
+    assert plan["est_rows"] == true  # sparse-exact regime
+    assert plan["n_a"] == 5000 and plan["n_b"] == 700
+    assert plan["strategy"] == "broadcast_b"
+    # force the partitioned route
+    plan2 = plan_equi_join(ds_a, "k", ds_b, "k", broadcast_row_limit=10)
+    assert plan2["strategy"] == "partitioned"
+    plan3 = plan_equi_join(ds_b, "k", ds_a, "k", broadcast_row_limit=1000)
+    assert plan3["strategy"] == "broadcast_a"
+    assert plan3["est_rows"] == true  # symmetric
