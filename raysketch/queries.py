@@ -38,6 +38,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# size-routing threshold for narrow partial streams (rows): below it a
+# single vectorized driver fold beats a coarse shuffle's fixed cost;
+# above it the shuffle branch runs (route identity pinned in tests)
+_DRIVER_FOLD_LIMIT = 5_000_000
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
@@ -663,8 +669,7 @@ def q_pagerank_suppliers(sf_dir: str) -> pa.Table:
                      pa.scalar(1, pa.int64()))
         t = pa.table({"src": src, "dst": dst})
         df = t.to_pandas().drop_duplicates()  # per-block pre-dedupe
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        return append_coarse_bucket(t, ["src", "dst"], 256, "__e")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def dedup_and_sym(df: pd.DataFrame) -> pd.DataFrame:
         u = df.drop_duplicates(["src", "dst"])
@@ -674,10 +679,29 @@ def q_pagerank_suppliers(sf_dir: str) -> pa.Table:
             u.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
         ], ignore_index=True)
 
-    edges = (
-        withcust.map_batches(edge_partial, batch_format="pyarrow")
-        .groupby("__e").map_groups(dedup_and_sym, batch_format="pandas")
-    )
+    # size-routed reduce: per-block-distinct edge partials are bounded by
+    # the distinct (cust, supp) pair count; below the limit ONE driver
+    # dedupe + the op's vectorized driver route replaces two shuffles
+    # (measured 5-9s -> ~2s at sf0.1). Above it: coarse-bucket distinct
+    # fold + the op's distributed message-passing route (test-pinned).
+    pre = withcust.map_batches(edge_partial, batch_format="pyarrow").materialize()
+    if pre.count() <= _DRIVER_FOLD_LIMIT:
+        from .ops.graph import _pagerank_driver
+
+        e = dedup_and_sym(pre.to_pandas())
+        df = _pagerank_driver(e["src"].to_numpy(np.int64),
+                              e["dst"].to_numpy(np.int64),
+                              damping=0.85, iters=4)
+        df = df.sort_values("node").reset_index(drop=True)
+        return pa.table({
+            "node": pa.array(df["node"].to_numpy(np.int64)),
+            "pr": pa.array(round6(df["rank"].to_numpy())),
+        })
+    bucketed = pre.map_batches(
+        lambda t: append_coarse_bucket(t, ["src", "dst"], 64, "__e"),
+        batch_format="pyarrow")
+    edges = bucketed.groupby("__e").map_groups(
+        dedup_and_sym, batch_format="pandas")
     ranks = pagerank(edges, damping=0.85, iters=4)
     df = ranks.to_pandas().sort_values("node").reset_index(drop=True)
     return pa.table({
@@ -970,43 +994,71 @@ def q_key_skew_profile(sf_dir: str) -> pa.Table:
     top-5 is contained in the union of per-bucket top-5s)."""
     from .engine.hashing import append_coarse_bucket
 
-    def profile(table: str, col: str) -> dict:
-        ds = _read(sf_dir, table, [col])
-
-        def partial(b: pa.Table) -> pa.Table:
+    def li_partial(b: pa.Table) -> pa.Table:
+        # one lineitem pass emits per-block counts for BOTH key columns
+        frames = []
+        for cid, col in ((0, "l_suppkey"), (1, "l_partkey")):
             vc = pd.Series(
                 b[col].to_numpy(zero_copy_only=False)).value_counts()
-            t = pa.table({"k": pa.array(vc.index.to_numpy(np.int64)),
-                          "c": pa.array(vc.to_numpy(np.int64))})
-            return append_coarse_bucket(t, ["k"], 256, "__sk")
+            frames.append(pd.DataFrame({
+                "cid": np.full(vc.size, cid, dtype=np.int64),
+                "k": vc.index.to_numpy(np.int64),
+                "c": vc.to_numpy(np.int64)}))
+        t = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                 preserve_index=False)
+        return append_coarse_bucket(t, ["cid", "k"], 64, "__sk")
 
-        def fold(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("k", sort=False)["c"].sum()
+    def ord_partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            b["o_custkey"].to_numpy(zero_copy_only=False)).value_counts()
+        t = pa.table({
+            "cid": pa.array(np.full(vc.size, 2, dtype=np.int64)),
+            "k": pa.array(vc.index.to_numpy(np.int64)),
+            "c": pa.array(vc.to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["cid", "k"], 64, "__sk")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, sub in df.groupby("cid", sort=False):
+            g = sub.groupby("k", sort=False)["c"].sum()
             c = g.to_numpy(np.float64)
-            top = np.sort(c)[::-1][:5]
-            return pd.DataFrame({
-                "n_keys": [int(g.size)], "n_rows": [int(c.sum())],
-                "mx": [int(c.max())], "ss": [float((c * c).sum())],
-                "top": [top.tolist()],
-            })
+            rows.append({
+                "cid": int(cid), "n_keys": int(g.size),
+                "n_rows": int(c.sum()), "mx": int(c.max()),
+                "ss": float((c * c).sum()),
+                "top": np.sort(c)[::-1][:5].tolist()})
+        return pd.DataFrame(rows)
 
-        parts = (ds.map_batches(partial, batch_format="pyarrow")
-                 .groupby("__sk").map_groups(fold, batch_format="pandas")
-                 .to_pandas())
-        n_rows = int(parts["n_rows"].sum())
-        tops = np.sort(np.concatenate(parts["top"].to_numpy()))[::-1][:5]
-        return {
-            "col": col,
-            "n_keys": int(parts["n_keys"].sum()),
+    # ONE union pass for all three key profiles; the reduce is
+    # size-routed like every fold in this repo: per-block value_counts
+    # partials are key-cardinality-bounded, so below the limit a single
+    # vectorized driver groupby beats a coarse shuffle's fixed cost
+    # (measured 4-6s -> ~1s at sf0.1); above it, ONE coarse shuffle.
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        ord_partial, batch_format="pyarrow")
+    pre = li.union(orders).materialize()
+    if pre.count() <= _DRIVER_FOLD_LIMIT:
+        parts = fold(pre.to_pandas())
+    else:
+        parts = (pre.groupby("__sk")
+                 .map_groups(fold, batch_format="pandas").to_pandas())
+
+    names = {0: "l_suppkey", 1: "l_partkey", 2: "o_custkey"}
+    rows = []
+    for cid in (0, 1, 2):
+        sub = parts[parts["cid"] == cid]
+        n_rows = int(sub["n_rows"].sum())
+        tops = np.sort(np.concatenate(sub["top"].to_numpy()))[::-1][:5]
+        rows.append({
+            "col": names[cid],
+            "n_keys": int(sub["n_keys"].sum()),
             "n_rows": n_rows,
-            "max_count": int(parts["mx"].max()),
+            "max_count": int(sub["mx"].max()),
             "top5_share": round6(float(tops.sum()) / n_rows),
-            "hhi": round6(float(parts["ss"].sum()) / (float(n_rows) ** 2)),
-        }
-
-    rows = [profile("lineitem", "l_suppkey"),
-            profile("lineitem", "l_partkey"),
-            profile("orders", "o_custkey")]
+            "hhi": round6(float(sub["ss"].sum()) / (float(n_rows) ** 2)),
+        })
     df = pd.DataFrame(rows)
     return pa.Table.from_pandas(df, preserve_index=False)
 

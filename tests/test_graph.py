@@ -131,3 +131,20 @@ def test_plan_equi_join(ray_session):
     plan3 = plan_equi_join(ds_b, "k", ds_a, "k", broadcast_row_limit=1000)
     assert plan3["strategy"] == "broadcast_a"
     assert plan3["est_rows"] == true  # symmetric
+
+
+def test_query_shuffle_routes_match_driver_routes(ray_session, monkeypatch):
+    # force the >limit shuffle branches of pagerank_suppliers and
+    # key_skew_profile and pin them to the driver-route outputs
+    import raysketch.queries as q
+
+    d = "/root/testdata/sf0.001"
+    drv_pr = q.q_pagerank_suppliers(d).to_pandas()
+    drv_sk = q.q_key_skew_profile(d).to_pandas()
+    monkeypatch.setattr(q, "_DRIVER_FOLD_LIMIT", 0)
+    shf_pr = q.q_pagerank_suppliers(d).to_pandas()
+    shf_sk = q.q_key_skew_profile(d).to_pandas()
+    assert drv_pr["node"].tolist() == shf_pr["node"].tolist()
+    # float sum order differs between the routes; round6 must agree
+    assert drv_pr["pr"].tolist() == shf_pr["pr"].tolist()
+    assert drv_sk.equals(shf_sk)
