@@ -101,7 +101,18 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
             np.concatenate(chunks_d).astype(np.int64), damping, iters)
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
-    # -- distributed route -------------------------------------------------
+    state = _distributed_state(edges_ds, src, dst, coarse_buckets)
+    ranks = _seed_ranks(state)
+    return _distributed_iterations(state, ranks, 0, iters, damping,
+                                   coarse_buckets)
+
+
+def _distributed_state(edges_ds, src: str, dst: str, coarse_buckets: int):
+    """Static prep for the distributed route (deterministic; cheap to
+    recompute on resume): out-degrees attached to edge rows with one
+    coarse fold, plus the node universe and its size."""
+    from ..engine.hashing import append_coarse_bucket
+
     # Static prep 1: out-degree rides each edge row (one coarse fold on
     # hash(src); deg = multi-edge out-row count per src).
     def edge_rows(b: pa.Table) -> pa.Table:
@@ -140,15 +151,33 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         .groupby("__pr").map_groups(dedup_nodes, batch_format="pandas")
         .materialize()
     )
-    n_nodes = nodes_ds.count()
+    return {"edges_deg": edges_deg, "nodes_ds": nodes_ds,
+            "n_nodes": nodes_ds.count()}
 
-    # Ranks: (node, rank); initialized uniform.
-    def seed_ranks(b: pa.Table) -> pa.Table:
+
+def _seed_ranks(state):
+    """Uniform initial ranks over the node universe."""
+    n_nodes = state["n_nodes"]
+
+    def seed(b: pa.Table) -> pa.Table:
         return pa.table({
             "node": b["node"],
             "rank": pa.array(np.full(b.num_rows, 1.0 / n_nodes))})
 
-    ranks = nodes_ds.map_batches(seed_ranks, batch_format="pyarrow").materialize()
+    return state["nodes_ds"].map_batches(
+        seed, batch_format="pyarrow").materialize()
+
+
+def _distributed_iterations(state, ranks, start_iter: int, iters: int,
+                            damping: float, coarse_buckets: int,
+                            on_iter=None):
+    """Run iterations ``start_iter..iters-1`` from the given rank state;
+    ``on_iter(i, ranks)`` fires after each materialized iteration (the
+    checkpoint hook). Returns the final ranks Dataset."""
+    from ..engine.hashing import append_coarse_bucket
+
+    edges_deg, nodes_ds = state["edges_deg"], state["nodes_ds"]
+    n_nodes = state["n_nodes"]
 
     # Uniform fold-row schema (non-null throughout): kind 0 = rank row
     # (node, rank), kind 1 = edge row (node=src, dst, deg).
@@ -192,7 +221,7 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         return append_coarse_bucket(
             b.select(["node", "val", "kind"]), ["node"], coarse_buckets, "__pr")
 
-    for _ in range(iters):
+    for it in range(start_iter, iters):
         tagged = ranks.map_batches(tag_rank, batch_format="pyarrow").union(
             edges_deg.map_batches(tag_edge, batch_format="pyarrow"))
         folded = (
@@ -219,4 +248,70 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
             .map_groups(fold_ranks, batch_format="pandas")
             .materialize()
         )
+        if on_iter is not None:
+            on_iter(it, ranks)
     return ranks
+
+
+def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
+                          src: str = "src", dst: str = "dst",
+                          damping: float = 0.85, iters: int = 10,
+                          coarse_buckets: int = 64,
+                          _fail_after: int | None = None):
+    """Resumable distributed PageRank (`python -m raysketch.run
+    --pipeline pagerank`): iterative jobs are exactly the ones a
+    preemption kills mid-way, and re-running N-1 finished power
+    iterations is the waste checkpointing exists to avoid.
+
+    Checkpoint layout under ``checkpoint_root/job_id``: each iteration's
+    rank state publishes atomically as ``stage_iter_NNNN/`` via
+    `engine.sinks.write_dataset` (staging rename + ``_SUCCESS``; a
+    killed write is invisible). On resume the highest complete stage
+    seeds the loop and only the remaining iterations run; the static
+    prep (degrees, node universe) is deterministic and cheap relative
+    to iterations, so it recomputes rather than checkpoints. Rank
+    state is node-sized — the input edges never ride a checkpoint.
+
+    ``_fail_after=i`` (tests only) raises AFTER stage i commits,
+    simulating a mid-job kill. Returns ``{"ranks": Dataset,
+    "resumed_from_iter": int}`` — ranks read back from the final stage
+    so the returned result is exactly what is on disk."""
+    import os
+
+    import ray.data as rd
+
+    from ..engine import sinks
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    base = os.path.join(checkpoint_root, job_id)
+    os.makedirs(base, exist_ok=True)
+
+    def stage_dir(i: int) -> str:
+        return os.path.join(base, f"stage_iter_{i:04d}")
+
+    # resume point: highest iteration with a complete (_SUCCESS) sink
+    start = 0
+    ranks = None
+    edges_ds = rd.read_parquet(list(shard_paths), columns=[src, dst])
+    state = _distributed_state(edges_ds, src, dst, coarse_buckets)
+    for i in range(iters - 1, -1, -1):
+        try:
+            ranks = sinks.read_back(stage_dir(i)).materialize()
+            start = i + 1
+            break
+        except FileNotFoundError:
+            continue
+    if ranks is None:
+        ranks = _seed_ranks(state)
+
+    def on_iter(i: int, r) -> None:
+        sinks.write_dataset(r, stage_dir(i))
+        if _fail_after is not None and i == _fail_after:
+            raise RuntimeError(f"_fail_after: killed after iteration {i}")
+
+    if start < iters:
+        _distributed_iterations(state, ranks, start, iters, damping,
+                                coarse_buckets, on_iter=on_iter)
+    final = sinks.read_back(stage_dir(iters - 1))
+    return {"ranks": final, "resumed_from_iter": start}

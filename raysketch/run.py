@@ -45,14 +45,21 @@ def main() -> None:
     ap.add_argument("--group-key", default="lang")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--max-in-flight", type=int, default=32)
-    ap.add_argument("--pipeline", choices=["sketch", "dedup"], default="sketch",
+    ap.add_argument("--pipeline", choices=["sketch", "dedup", "pagerank"],
+                    default="sketch",
                     help="sketch = flagship profile build; dedup = resumable "
-                         "MinHash near-dup pairs over the corpus text")
+                         "MinHash near-dup pairs over the corpus text; "
+                         "pagerank = resumable iterative PageRank over "
+                         "(src, dst) edge shards")
     ap.add_argument("--dedup-threshold", type=float, default=0.7)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id",
                     help="int64 id column (validated against the first "
                          "shard's schema before any work is scheduled)")
+    ap.add_argument("--src-col", default="src")
+    ap.add_argument("--dst-col", default="dst")
+    ap.add_argument("--pr-iters", type=int, default=10)
+    ap.add_argument("--pr-damping", type=float, default=0.85)
     args = ap.parse_args()
 
     import ray
@@ -89,6 +96,9 @@ def _run(args: argparse.Namespace) -> None:
 
     if args.pipeline == "dedup":
         _run_dedup(args, shards)
+        return
+    if args.pipeline == "pagerank":
+        _run_pagerank(args, shards)
         return
 
     store = CheckpointStore(args.checkpoint_root, args.job_id)
@@ -163,6 +173,42 @@ def _run_dedup(args: argparse.Namespace, shards: list[str]) -> None:
         "verified_pairs": int(n),
         "wall_sec": round(wall, 2),
         "pairs_path": os.path.join(base, "stage_verified"),
+    }))
+
+
+def _run_pagerank(args: argparse.Namespace, shards: list[str]) -> None:
+    """Resumable iterative PageRank (per-iteration staged rank sinks)."""
+    import pyarrow.parquet as pq
+
+    from .ops.graph import pagerank_checkpointed
+
+    schema = pq.read_schema(shards[0])
+    for col, what in ((args.src_col, "--src-col"), (args.dst_col, "--dst-col")):
+        if col not in schema.names:
+            raise SystemExit(
+                f"{what}={col!r} not in shard schema {schema.names} "
+                f"(first shard: {shards[0]})"
+            )
+
+    t0 = time.perf_counter()
+    res = pagerank_checkpointed(
+        shards, args.checkpoint_root, args.job_id,
+        src=args.src_col, dst=args.dst_col,
+        damping=args.pr_damping, iters=args.pr_iters,
+    )
+    n = res["ranks"].count()
+    wall = time.perf_counter() - t0
+    base = os.path.join(args.checkpoint_root, args.job_id)
+    print(json.dumps({
+        "job_id": args.job_id,
+        "pipeline": "pagerank",
+        "shards_total": len(shards),
+        "nodes": int(n),
+        "iters": args.pr_iters,
+        "resumed_from_iter": res["resumed_from_iter"],
+        "wall_sec": round(wall, 2),
+        "ranks_path": os.path.join(
+            base, f"stage_iter_{args.pr_iters - 1:04d}"),
     }))
 
 

@@ -148,3 +148,51 @@ def test_query_shuffle_routes_match_driver_routes(ray_session, monkeypatch):
     # float sum order differs between the routes; round6 must agree
     assert drv_pr["pr"].tolist() == shf_pr["pr"].tolist()
     assert drv_sk.equals(shf_sk)
+
+
+def test_pagerank_checkpointed_kill_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raysketch.ops.graph import pagerank_checkpointed
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 50, 300).astype(np.int64)
+    dst = rng.integers(0, 50, 300).astype(np.int64)
+    shards = []
+    for i in range(3):
+        p = str(tmp_path / f"edges-{i}.parquet")
+        pq.write_table(pa.table({"src": pa.array(src[i::3]),
+                                 "dst": pa.array(dst[i::3])}), p)
+        shards.append(p)
+    ck = str(tmp_path / "ck")
+
+    # full run (no failures) in its own job: the ground truth
+    full = pagerank_checkpointed(shards, ck, "full", iters=4,
+                                 coarse_buckets=8)
+    assert full["resumed_from_iter"] == 0
+    want = full["ranks"].to_pandas().sort_values("node").reset_index(drop=True)
+
+    # killed after iteration 1 commits
+    with pytest.raises(RuntimeError, match="_fail_after"):
+        pagerank_checkpointed(shards, ck, "killed", iters=4,
+                              coarse_buckets=8, _fail_after=1)
+    # stages 0 and 1 are complete on disk; 2+ absent
+    assert os.path.exists(os.path.join(ck, "killed", "stage_iter_0001",
+                                       "_SUCCESS"))
+    assert not os.path.exists(os.path.join(ck, "killed", "stage_iter_0002"))
+
+    # resume: skips iterations 0-1, finishes 2-3, identical final ranks
+    res = pagerank_checkpointed(shards, ck, "killed", iters=4,
+                                coarse_buckets=8)
+    assert res["resumed_from_iter"] == 2
+    got = res["ranks"].to_pandas().sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(),
+                       atol=1e-15)
+
+    # a third run is a no-op resume (everything complete)
+    res2 = pagerank_checkpointed(shards, ck, "killed", iters=4,
+                                 coarse_buckets=8)
+    assert res2["resumed_from_iter"] == 4
