@@ -290,11 +290,10 @@ def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
     def stage_dir(i: int) -> str:
         return os.path.join(base, f"stage_iter_{i:04d}")
 
-    # resume point: highest iteration with a complete (_SUCCESS) sink
+    # resume point FIRST: a no-op resume (all stages complete) must not
+    # touch the input edges or rebuild the static prep at all
     start = 0
     ranks = None
-    edges_ds = rd.read_parquet(list(shard_paths), columns=[src, dst])
-    state = _distributed_state(edges_ds, src, dst, coarse_buckets)
     for i in range(iters - 1, -1, -1):
         try:
             ranks = sinks.read_back(stage_dir(i)).materialize()
@@ -302,8 +301,6 @@ def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
             break
         except FileNotFoundError:
             continue
-    if ranks is None:
-        ranks = _seed_ranks(state)
 
     def on_iter(i: int, r) -> None:
         sinks.write_dataset(r, stage_dir(i))
@@ -311,6 +308,10 @@ def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
             raise RuntimeError(f"_fail_after: killed after iteration {i}")
 
     if start < iters:
+        edges_ds = rd.read_parquet(list(shard_paths), columns=[src, dst])
+        state = _distributed_state(edges_ds, src, dst, coarse_buckets)
+        if ranks is None:
+            ranks = _seed_ranks(state)
         _distributed_iterations(state, ranks, start, iters, damping,
                                 coarse_buckets, on_iter=on_iter)
     final = sinks.read_back(stage_dir(iters - 1))
