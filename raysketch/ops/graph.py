@@ -316,3 +316,158 @@ def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
                                 coarse_buckets, on_iter=on_iter)
     final = sinks.read_back(stage_dir(iters - 1))
     return {"ranks": final, "resumed_from_iter": start}
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs and authorities)
+# ---------------------------------------------------------------------------
+
+def _hits_driver(src: np.ndarray, dst: np.ndarray,
+                 iters: int) -> pd.DataFrame:
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = nodes.size
+    i_s, i_d = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+    h = np.ones(n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        a = np.bincount(i_d, weights=h[i_s], minlength=n)
+        a = a / np.sqrt((a * a).sum())
+        h = np.bincount(i_s, weights=a[i_d], minlength=n)
+        h = h / np.sqrt((h * h).sum())
+    return pd.DataFrame({"node": nodes.astype(np.int64), "hub": h,
+                         "auth": a})
+
+
+def _push_sum(values_ds, edges_ds, from_col: str, to_col: str,
+              nodes_ds, coarse_buckets: int):
+    """One distributed HITS half-step: for every node, the sum of
+    ``value`` over incoming ``from → to`` edges (zero when none) — one
+    coarse hash(from) fold co-locating values with edges, then one
+    coarse hash(to) fold summing messages against the node universe."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def tag_val(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "node": b["node"],
+            "kind": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "other": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "val": b["value"]})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__h")
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "node": pa.array(
+                b[from_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "kind": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "other": pa.array(
+                b[to_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "val": pa.array(np.zeros(b.num_rows))})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__h")
+
+    def fold_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["kind"] == 0].set_index("node")["val"]
+        e = df[df["kind"] == 1]
+        return pd.DataFrame({
+            "node": e["other"].to_numpy(np.int64),
+            "val": v.reindex(e["node"]).to_numpy(np.float64)})
+
+    def tag_universe(b: pa.Table) -> pa.Table:
+        t = pa.table({"node": b["node"],
+                      "val": pa.array(np.zeros(b.num_rows))})
+        return append_coarse_bucket(t, ["node"], coarse_buckets, "__h")
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(
+            b.select(["node", "val"]), ["node"], coarse_buckets, "__h")
+
+    def fold_sums(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("node", sort=False)["val"].sum()
+        return pd.DataFrame({"node": s.index.to_numpy(np.int64),
+                             "value": s.to_numpy(np.float64)})
+
+    msgs = (
+        values_ds.map_batches(tag_val, batch_format="pyarrow")
+        .union(edges_ds.map_batches(tag_edge, batch_format="pyarrow"))
+        .groupby("__h").map_groups(fold_msgs, batch_format="pandas")
+        .map_batches(rebucket, batch_format="pyarrow")
+    )
+    uni = nodes_ds.map_batches(tag_universe, batch_format="pyarrow")
+    return (msgs.union(uni).groupby("__h")
+            .map_groups(fold_sums, batch_format="pandas").materialize())
+
+
+def _l2_normalize(values_ds):
+    """Divide the value column by its global L2 norm (one tiny scalar
+    aggregate + one map; norm of all-zero state raises)."""
+    import pyarrow.compute as pc
+
+    ss = values_ds.map_batches(
+        lambda b: pa.table({"s2": pa.array(
+            [float(pc.sum(pc.multiply(b["value"], b["value"])).as_py()
+                   or 0.0)])}),
+        batch_format="pyarrow").sum("s2")
+    z = float(np.sqrt(ss))
+    if z == 0.0:
+        raise ValueError("hits: zero vector (graph has no edges?)")
+
+    def div(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "value": pc.divide(b["value"], pa.scalar(z))})
+
+    return values_ds.map_batches(div, batch_format="pyarrow").materialize()
+
+
+def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 10,
+         driver_limit: int = _DRIVER_PAGERANK_LIMIT,
+         coarse_buckets: int = 256):
+    """HITS hubs/authorities over a directed int64 edge list (Kleinberg
+    1999): ``a ← Eᵀh, normalize; h ← Ea, normalize`` per iteration,
+    h₀ = 1. Nodes with no in-edges get authority 0; no out-edges → hub 0
+    (exactly the LEFT-JOIN-COALESCE semantics the SQL oracle replays).
+
+    Size-routed like `pagerank`: vectorized driver numpy under
+    ``driver_limit`` edges; above it each half-step is the `_push_sum`
+    message fold (values co-located with edges on hash(from), sums
+    against the node universe on hash(to)) plus one scalar L2 aggregate.
+    Returns a Dataset of ``(node, hub, auth)``."""
+    import ray.data as rd
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges_ds = edges_ds.select_columns([src, dst]).materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "hub": pd.Series([], dtype="float64"),
+                              "auth": pd.Series([], dtype="float64")})
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+
+    if n_edges <= driver_limit:
+        chunks_s, chunks_d = [], []
+        for b in edges_ds.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            chunks_s.append(b[src].to_numpy(zero_copy_only=False))
+            chunks_d.append(b[dst].to_numpy(zero_copy_only=False))
+        out = _hits_driver(np.concatenate(chunks_s).astype(np.int64),
+                           np.concatenate(chunks_d).astype(np.int64), iters)
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+    state = _distributed_state(edges_ds, src, dst, coarse_buckets)
+    nodes_ds = state["nodes_ds"]
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "value": pa.array(np.ones(b.num_rows))})
+
+    h = nodes_ds.map_batches(seed, batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = _l2_normalize(_push_sum(h, edges_ds, src, dst, nodes_ds,
+                                    coarse_buckets))
+        h = _l2_normalize(_push_sum(a, edges_ds, dst, src, nodes_ds,
+                                    coarse_buckets))
+
+    hp = h.to_pandas().rename(columns={"value": "hub"})
+    ap = a.to_pandas().rename(columns={"value": "auth"})
+    out = hp.merge(ap, on="node").sort_values("node").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -710,6 +710,52 @@ def q_pagerank_suppliers(sf_dir: str) -> pa.Table:
     })
 
 
+def q_hits_trade(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities over the DIRECTED customer→supplier trade
+    graph (Kleinberg 1999): customers score as hubs, suppliers as
+    authorities — the complementary centrality to `pagerank_suppliers`'
+    symmetric random walk. Same size-routed edge derivation; 3
+    iterations; ORACLE-GATED against the unrolled normalize-per-half-step
+    SQL (sqrt is correctly rounded IEEE, so round6 scores match
+    bit-for-bit)."""
+    from .ops.graph import _hits_driver, hits
+    from .ops.join import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    withcust = broadcast_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        src = pc.multiply(b["o_custkey"], pa.scalar(2, pa.int64()))
+        dst = pc.add(pc.multiply(b["l_suppkey"], pa.scalar(2, pa.int64())),
+                     pa.scalar(1, pa.int64()))
+        df = pa.table({"src": src, "dst": dst}).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = withcust.map_batches(edge_partial, batch_format="pyarrow").materialize()
+    if pre.count() <= _DRIVER_FOLD_LIMIT:
+        e = pre.to_pandas().drop_duplicates(["src", "dst"])
+        df = _hits_driver(e["src"].to_numpy(np.int64),
+                          e["dst"].to_numpy(np.int64), iters=3)
+    else:
+        from .engine.hashing import append_coarse_bucket
+
+        bucketed = pre.map_batches(
+            lambda t: append_coarse_bucket(t, ["src", "dst"], 64, "__e"),
+            batch_format="pyarrow")
+        edges = bucketed.groupby("__e").map_groups(
+            lambda d: d.drop_duplicates(["src", "dst"])[["src", "dst"]],
+            batch_format="pandas")
+        df = hits(edges, iters=3).to_pandas()
+    df = df.sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(df["node"].to_numpy(np.int64)),
+        "hub": pa.array(round6(df["hub"].to_numpy())),
+        "auth": pa.array(round6(df["auth"].to_numpy())),
+    })
+
+
 def q_sketch_warehouse(sf_dir: str) -> pa.Table:
     """SKETCH-WAREHOUSE pattern — the reason every reference sketch
     serializes (heka preserve/restore; the DataSketches "sketch table"):
@@ -3376,6 +3422,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cms_join_size": q_cms_join_size,
     "sketch_warehouse": q_sketch_warehouse,
     "pagerank_suppliers": q_pagerank_suppliers,
+    "hits_trade": q_hits_trade,
     "theta_user_sets": q_theta_user_sets,
     "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3451,6 +3498,36 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curation_pipeline": q_curation_pipeline,
     "grouping_sets_pricing": q_grouping_sets_pricing,
 }
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS SQL for q_hits_trade: per half-step a sum-join CTE
+    plus an L2 normalization subquery (DuckDB cannot aggregate over a
+    recursive reference). Nodes absent from a half-step's result take 0
+    via the final LEFT JOINs — the engine's bincount zeros."""
+    body = ["""
+        WITH e AS (SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey + 1 AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        h0 AS (SELECT node, 1.0 AS v FROM nodes)"""]
+    for i in range(1, iters + 1):
+        body.append(f""",
+        a{i}r AS (SELECT e.dst AS node, sum(p.v) AS v
+                  FROM e JOIN h{i-1} p ON e.src = p.node GROUP BY e.dst),
+        a{i} AS (SELECT node, v / (SELECT sqrt(sum(v*v)) FROM a{i}r) AS v
+                 FROM a{i}r),
+        h{i}r AS (SELECT e.src AS node, sum(p.v) AS v
+                  FROM e JOIN a{i} p ON e.dst = p.node GROUP BY e.src),
+        h{i} AS (SELECT node, v / (SELECT sqrt(sum(v*v)) FROM h{i}r) AS v
+                 FROM h{i}r)""")
+    body.append(f"""
+        SELECT n.node, round(COALESCE(h{iters}.v, 0), 6) AS hub,
+               round(COALESCE(a{iters}.v, 0), 6) AS auth
+        FROM nodes n LEFT JOIN h{iters} ON n.node = h{iters}.node
+                     LEFT JOIN a{iters} ON n.node = a{iters}.node
+        ORDER BY n.node""")
+    return "".join(body)
+
 
 def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     """Unrolled power-iteration SQL for q_pagerank_suppliers: DuckDB
@@ -4083,6 +4160,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY token ORDER BY est DESC, token LIMIT 20
     """,
     "pagerank_suppliers": _pagerank_sql(4),
+    "hits_trade": _hits_sql(3),
     "sketch_warehouse": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                AS distinct_users

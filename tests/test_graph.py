@@ -196,3 +196,29 @@ def test_pagerank_checkpointed_kill_resume(ray_session, tmp_path):
     res2 = pagerank_checkpointed(shards, ck, "killed", iters=4,
                                  coarse_buckets=8)
     assert res2["resumed_from_iter"] == 4
+
+
+def test_hits_routes_and_properties(ray_session, graph):
+    from raysketch.ops.graph import hits
+
+    src, dst = graph
+    drv = hits(_edges_ds(src, dst), iters=3).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    dist = hits(_edges_ds(src, dst), iters=3, driver_limit=0,
+                coarse_buckets=8).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert drv["node"].tolist() == dist["node"].tolist()
+    assert np.allclose(drv["hub"], dist["hub"], atol=1e-12)
+    assert np.allclose(drv["auth"], dist["auth"], atol=1e-12)
+    # L2 norms are 1 after the final normalization of each vector
+    assert abs(np.square(drv["hub"]).sum() - 1.0) < 1e-9
+    assert abs(np.square(drv["auth"]).sum() - 1.0) < 1e-9
+    # bipartite sanity: a node that is ONLY a destination has hub 0
+    only_dst = set(dst) - set(src)
+    if only_dst:
+        n0 = drv.set_index("node")
+        assert (n0.loc[sorted(only_dst), "hub"] == 0).all()
+    with pytest.raises(ValueError):
+        hits(_edges_ds([1], [2]), iters=0)
+    out = hits(_edges_ds([], []))
+    assert out.count() == 0 and out.schema().names == ["node", "hub", "auth"]
