@@ -990,6 +990,88 @@ def q_sketch_quantiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def q_quantity_cume_dist(sf_dir: str) -> pa.Table:
+    """Value-level empirical CDF of l_quantity (the CUME_DIST window
+    function collapsed to distinct values): one distributed counting
+    pass over the bounded-domain column, then the cumulative sum runs on
+    the value-cardinality-sized count table — the broadcastable ECDF a
+    quantile-normalization stage ships to every worker. Exact: counts
+    are ints, cume = running_count / n (one division, round6)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            b["l_quantity"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table({"qty": pa.array(vc.index.to_numpy(np.float64)),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    counts = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["qty"], ["n"], [], [])
+    counts = counts.sort_values("qty").reset_index(drop=True)
+    total = int(counts["n"].sum())
+    cume = counts["n"].cumsum().to_numpy(np.float64) / total
+    return pa.table({
+        "qty": pa.array(counts["qty"].to_numpy(np.float64)),
+        "n_rows": pa.array(counts["n"].astype("int64")),
+        "cume_dist": pa.array(round6(cume), pa.float64()),
+    })
+
+
+def q_above_avg_orders(sf_dir: str) -> pa.Table:
+    """Correlated-subquery shape WITHOUT the self-join: orders priced
+    above their own customer's average. One distributed pass builds the
+    per-customer (sum, count) table; the second pass broadcasts it and
+    filters orders with one vectorized lookup — the broadcast-
+    correlated-filter plan that replaces `orders JOIN (SELECT avg ...)`
+    at scale (the avg table is customer-cardinality-sized; route to the
+    partitioned join above broadcast budgets). Output: per-customer
+    count of above-average orders and their cents total, only for
+    customers having at least one."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "p": b["o_totalprice"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("c", sort=False)["p"].agg(["sum", "count"])
+        return pa.table({"c": pa.array(g.index.to_numpy(np.int64)),
+                         "s": pa.array(g["sum"].to_numpy(np.float64)),
+                         "n": pa.array(g["count"].to_numpy(np.int64))})
+
+    stats = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["c"], ["s", "n"], [], [])
+    # broadcast the per-customer mean; DuckDB's avg = sum/count in double
+    import ray
+
+    keys = stats["c"].to_numpy(np.int64)
+    means = stats["s"].to_numpy(np.float64) / stats["n"].to_numpy(np.float64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], means[order]))
+
+    def above(b: pa.Table) -> pa.Table:
+        k, m = ray.get(ref)
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        mu = m[np.searchsorted(k, c)]
+        mask = p > mu
+        df = pd.DataFrame({
+            "c": c[mask],
+            "cents": np.floor(p[mask] * 100 + 0.5).astype(np.int64)})
+        g = df.groupby("c", sort=False)["cents"].agg(["count", "sum"])
+        return pa.table({"c": pa.array(g.index.to_numpy(np.int64)),
+                         "n_above": pa.array(g["count"].to_numpy(np.int64)),
+                         "cents": pa.array(g["sum"].to_numpy(np.int64))})
+
+    out = _fold_partials(ds.map_batches(above, batch_format="pyarrow"),
+                         ["c"], ["n_above", "cents"], [], [])
+    out = out.sort_values("c").reset_index(drop=True)
+    return pa.table({
+        "o_custkey": pa.array(out["c"].astype("int64")),
+        "n_above": pa.array(out["n_above"].astype("int64")),
+        "above_cents": pa.array(out["cents"].astype("int64")),
+    })
+
+
 def q_equi_depth_histogram(sf_dir: str) -> pa.Table:
     """Equi-depth (quantile-bucketed) histogram of n_chars — the
     optimizer statistic built exactly this way at warehouse scale:
@@ -3428,6 +3510,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sketch_quantiles": q_sketch_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "equi_depth_histogram": q_equi_depth_histogram,
+    "quantity_cume_dist": q_quantity_cume_dist,
+    "above_avg_orders": q_above_avg_orders,
     "key_skew_profile": q_key_skew_profile,
     "running_stats_by_lang": q_running_stats_by_lang,
     "bloom_membership": q_bloom_membership,
@@ -3656,6 +3740,24 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
         FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+    "quantity_cume_dist": """
+        SELECT qty, CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(sum(count(*)) OVER (ORDER BY qty) AS DOUBLE)
+                     / (SELECT count(*) FROM lineitem), 6) AS cume_dist
+        FROM (SELECT l_quantity AS qty FROM lineitem)
+        GROUP BY qty ORDER BY qty
+    """,
+    "above_avg_orders": """
+        WITH m AS (SELECT o_custkey, sum(o_totalprice) / count(*) AS mu
+                   FROM orders GROUP BY o_custkey)
+        SELECT o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_above,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS above_cents
+        FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+        WHERE o.o_totalprice > m.mu
+        GROUP BY o.o_custkey ORDER BY o.o_custkey
     """,
     "equi_depth_histogram": """
         WITH b AS (SELECT quantile_disc(n_chars, 0.25) AS b1,

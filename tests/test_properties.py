@@ -165,3 +165,34 @@ def test_codec_roundtrips(keys):
     for obj, cls in ((c, CMSketch), (h, HyperLogLog), (b, BloomFilter)):
         rt = cls.from_bytes(obj.to_bytes())
         assert rt.to_bytes() == obj.to_bytes()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=300),
+       st.lists(_words, min_size=1, max_size=300),
+       st.integers(2, 5), st.integers(0, 2**32 - 1))
+def test_cms_inner_product_bound_and_merge_invariance(a, b, k, seed):
+    """Inner product: true <= est <= true + eps*|a|1*|b|1, symmetric,
+    and invariant under splitting either stream into merged partials."""
+    from collections import Counter
+
+    rng = np.random.default_rng(seed)
+    eps = 1e-3
+    ca = CMSketch(eps, 1e-2, conservative=False)
+    cb = CMSketch(eps, 1e-2, conservative=False)
+    ca.update_batch(pa.array(a, pa.string()))
+    cb.update_batch(pa.array(b, pa.string()))
+    fa, fb = Counter(a), Counter(b)
+    true = sum(fa[x] * fb.get(x, 0) for x in fa)
+    est = ca.inner_product(cb)
+    assert true <= est <= true + eps * len(a) * len(b) + 1
+    assert cb.inner_product(ca) == est  # symmetric
+    # split stream a into k merged partials: bit-identical sketch -> same est
+    parts = _split(a, k, rng)
+    payloads = []
+    for p in parts:
+        c = CMSketch(eps, 1e-2, conservative=False)
+        c.update_batch(pa.array(p, pa.string()))
+        payloads.append(c.to_bytes())
+    merged = CMSketch.merge_many(payloads)
+    assert merged.inner_product(cb) == est
