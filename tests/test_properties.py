@@ -117,8 +117,16 @@ def test_quantile_sketches_merge_rank_bound(vals, k, pyrng):
     sv = np.sort(np.asarray(vals, dtype=np.float64))
     for q_ in (0.1, 0.5, 0.9):
         for est in (td.quantile(q_), kl.quantile(q_)):
-            lo = np.searchsorted(sv, est, side="left") / sv.size
-            hi = np.searchsorted(sv, est, side="right") / sv.size
+            # t-digest INTERPOLATES between data points, so an estimate
+            # not present in the data legitimately represents any rank
+            # between its predecessor's left edge and its successor's
+            # right edge (searchsorted alone collapses that interval to
+            # a point and falsely fails on large value gaps)
+            nb = int(np.searchsorted(sv, est, side="left"))
+            lo_v = sv[nb - 1] if nb > 0 else sv[0]
+            hi_v = sv[nb] if nb < sv.size else sv[-1]
+            lo = np.searchsorted(sv, min(lo_v, est), side="left") / sv.size
+            hi = np.searchsorted(sv, max(hi_v, est), side="right") / sv.size
             # rank of the estimate within generous merged-sketch bounds
             assert lo - 0.12 <= q_ <= hi + 0.12, (q_, est, lo, hi)
 
