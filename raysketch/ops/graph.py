@@ -25,19 +25,25 @@ _DRIVER_PAGERANK_LIMIT = 5_000_000  # edges; narrow int rows
 
 
 def _pagerank_driver(src: np.ndarray, dst: np.ndarray, damping: float,
-                     iters: int) -> pd.DataFrame:
+                     iters: int, w: np.ndarray | None = None) -> pd.DataFrame:
     """Vectorized single-process route: factorize nodes, bincount
-    scatter-sums per iteration (deterministic summation order)."""
+    scatter-sums per iteration (deterministic summation order).
+    ``w`` (edge weights) turns the walk into a weight-proportional
+    transition: msg = r·w / out-strength; ``None`` == all-ones."""
     nodes = np.unique(np.concatenate([src, dst]))
     i_src = np.searchsorted(nodes, src)
     i_dst = np.searchsorted(nodes, dst)
     n = nodes.size
-    deg = np.bincount(i_src, minlength=n).astype(np.float64)
+    if w is None:
+        w = np.ones(src.size, dtype=np.float64)
+    else:
+        w = np.asarray(w, dtype=np.float64)
+    deg = np.bincount(i_src, weights=w, minlength=n)  # out-strength
     r = np.full(n, 1.0 / n, dtype=np.float64)
     dangling_mask = deg == 0
     safe_deg = np.where(dangling_mask, 1.0, deg)
     for _ in range(iters):
-        msg = r[i_src] / safe_deg[i_src]
+        msg = r[i_src] * w / safe_deg[i_src]
         s = np.bincount(i_dst, weights=msg, minlength=n)
         dangling = float(r[dangling_mask].sum())
         r = (1.0 - damping) / n + damping * (s + dangling / n)
@@ -47,13 +53,16 @@ def _pagerank_driver(src: np.ndarray, dst: np.ndarray, damping: float,
 def pagerank(edges_ds, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 10,
              driver_limit: int = _DRIVER_PAGERANK_LIMIT,
-             coarse_buckets: int = 256):
+             coarse_buckets: int = 256, weight: str | None = None):
     """Damped PageRank over a DIRECTED int64 edge-list Dataset →
     ``ray.data.Dataset`` of ``(node, rank)`` covering every node that
     appears as a source or destination. Parallel edge rows count as
     multi-edges (contribute multiply); callers wanting a simple graph
     dedupe first. Dangling nodes (no out-edges) redistribute their mass
     uniformly (the standard Page et al. correction), so ``sum(rank)==1``.
+    ``weight`` names an edge-weight column: the walk follows edges with
+    probability proportional to weight (msg = r·w / out-strength);
+    ``None`` is the uniform all-ones walk.
 
     Size-routed like every gather in this repo:
 
@@ -83,7 +92,8 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     if iters < 1:
         raise ValueError("iters must be >= 1")
 
-    edges_ds = edges_ds.select_columns([src, dst]).materialize()
+    cols = [src, dst] + ([weight] if weight else [])
+    edges_ds = edges_ds.select_columns(cols).materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
@@ -91,42 +101,52 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
 
     if n_edges <= driver_limit:
-        chunks_s, chunks_d = [], []
+        chunks_s, chunks_d, chunks_w = [], [], []
         for b in edges_ds.iter_batches(batch_size=1 << 20,
                                        batch_format="pyarrow"):
             chunks_s.append(b[src].to_numpy(zero_copy_only=False))
             chunks_d.append(b[dst].to_numpy(zero_copy_only=False))
+            if weight:
+                chunks_w.append(b[weight].to_numpy(zero_copy_only=False))
         out = _pagerank_driver(
             np.concatenate(chunks_s).astype(np.int64),
-            np.concatenate(chunks_d).astype(np.int64), damping, iters)
+            np.concatenate(chunks_d).astype(np.int64), damping, iters,
+            w=np.concatenate(chunks_w) if weight else None)
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
-    state = _distributed_state(edges_ds, src, dst, coarse_buckets)
+    state = _distributed_state(edges_ds, src, dst, coarse_buckets,
+                               weight=weight)
     ranks = _seed_ranks(state)
     return _distributed_iterations(state, ranks, 0, iters, damping,
                                    coarse_buckets)
 
 
-def _distributed_state(edges_ds, src: str, dst: str, coarse_buckets: int):
+def _distributed_state(edges_ds, src: str, dst: str, coarse_buckets: int,
+                       weight: str | None = None):
     """Static prep for the distributed route (deterministic; cheap to
     recompute on resume): out-degrees attached to edge rows with one
     coarse fold, plus the node universe and its size."""
     from ..engine.hashing import append_coarse_bucket
 
-    # Static prep 1: out-degree rides each edge row (one coarse fold on
-    # hash(src); deg = multi-edge out-row count per src).
+    # Static prep 1: out-strength rides each edge row (one coarse fold
+    # on hash(src); deg = Σ edge weights per src, count when unweighted).
     def edge_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        w = (b[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+             if weight else np.ones(n, dtype=np.float64))
         t = pa.table({"node": pa.array(
             b[src].to_numpy(zero_copy_only=False).astype(np.int64)),
-            "dst": pa.array(b[dst].to_numpy(zero_copy_only=False).astype(np.int64))})
+            "dst": pa.array(b[dst].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "w": pa.array(w)})
         return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
 
     def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
-        deg = df.groupby("node", sort=False)["dst"].transform("size")
+        deg = df.groupby("node", sort=False)["w"].transform("sum")
         return pd.DataFrame({
             "node": df["node"].to_numpy(np.int64),
             "dst": df["dst"].to_numpy(np.int64),
-            "deg": deg.to_numpy(np.int64),
+            "w": df["w"].to_numpy(np.float64),
+            "deg": deg.to_numpy(np.float64),
         })
 
     edges_deg = (
@@ -180,26 +200,30 @@ def _distributed_iterations(state, ranks, start_iter: int, iters: int,
     n_nodes = state["n_nodes"]
 
     # Uniform fold-row schema (non-null throughout): kind 0 = rank row
-    # (node, rank), kind 1 = edge row (node=src, dst, deg).
+    # (node, rank), kind 1 = edge row (node=src, dst, w, deg).
     def tag_rank(b: pa.Table) -> pa.Table:
         z = np.zeros(b.num_rows, dtype=np.int64)
+        zf = np.zeros(b.num_rows, dtype=np.float64)
         t = pa.table({
             "node": b["node"], "kind": pa.array(z),
-            "dst": pa.array(z), "deg": pa.array(z), "rank": b["rank"]})
+            "dst": pa.array(z), "w": pa.array(zf), "deg": pa.array(zf),
+            "rank": b["rank"]})
         return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
 
     def tag_edge(b: pa.Table) -> pa.Table:
         t = pa.table({
             "node": b["node"],
             "kind": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            "dst": b["dst"], "deg": b["deg"],
+            "dst": b["dst"], "w": b["w"], "deg": b["deg"],
             "rank": pa.array(np.zeros(b.num_rows))})
         return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
 
     def fold_messages(df: pd.DataFrame) -> pd.DataFrame:
         r = df[df["kind"] == 0].set_index("node")["rank"]
         e = df[df["kind"] == 1]
-        msg = r.reindex(e["node"]).to_numpy() / e["deg"].to_numpy(np.float64)
+        msg = (r.reindex(e["node"]).to_numpy()
+               * e["w"].to_numpy(np.float64)
+               / e["deg"].to_numpy(np.float64))
         msgs = pd.DataFrame({
             "node": e["dst"].to_numpy(np.int64), "val": msg,
             "kind": np.zeros(len(e), dtype=np.int64)})
@@ -257,6 +281,7 @@ def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
                           src: str = "src", dst: str = "dst",
                           damping: float = 0.85, iters: int = 10,
                           coarse_buckets: int = 64,
+                          weight: str | None = None,
                           _fail_after: int | None = None):
     """Resumable distributed PageRank (`python -m raysketch.run
     --pipeline pagerank`): iterative jobs are exactly the ones a
@@ -308,8 +333,10 @@ def pagerank_checkpointed(shard_paths, checkpoint_root: str, job_id: str,
             raise RuntimeError(f"_fail_after: killed after iteration {i}")
 
     if start < iters:
-        edges_ds = rd.read_parquet(list(shard_paths), columns=[src, dst])
-        state = _distributed_state(edges_ds, src, dst, coarse_buckets)
+        cols = [src, dst] + ([weight] if weight else [])
+        edges_ds = rd.read_parquet(list(shard_paths), columns=cols)
+        state = _distributed_state(edges_ds, src, dst, coarse_buckets,
+                                   weight=weight)
         if ranks is None:
             ranks = _seed_ranks(state)
         _distributed_iterations(state, ranks, start, iters, damping,

@@ -710,6 +710,60 @@ def q_pagerank_suppliers(sf_dir: str) -> pa.Table:
     })
 
 
+def q_pagerank_weighted(sf_dir: str) -> pa.Table:
+    """Volume-WEIGHTED PageRank over the symmetrized trade graph: edge
+    weight = lineitem count between (customer, supplier), so the walk
+    follows trade volume instead of mere adjacency. Same size-routed
+    plan as `pagerank_suppliers`; weights ride the per-block count
+    partials and fold exactly (ints). ORACLE-GATED against 4 unrolled
+    weighted power iterations (sum(r·w)/strength) in SQL."""
+    from .engine.hashing import append_coarse_bucket
+    from .ops.graph import _pagerank_driver, pagerank
+    from .ops.join import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    withcust = broadcast_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        src = pc.multiply(b["o_custkey"], pa.scalar(2, pa.int64()))
+        dst = pc.add(pc.multiply(b["l_suppkey"], pa.scalar(2, pa.int64())),
+                     pa.scalar(1, pa.int64()))
+        df = pa.table({"src": src, "dst": dst}).to_pandas()
+        g = df.groupby(["src", "dst"], sort=False).size().reset_index(name="w")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold_and_sym(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.groupby(["src", "dst"], sort=False)["w"].sum().reset_index()
+        return pd.concat([
+            u[["src", "dst", "w"]],
+            u.rename(columns={"src": "dst", "dst": "src"})[
+                ["src", "dst", "w"]],
+        ], ignore_index=True)
+
+    pre = withcust.map_batches(edge_partial, batch_format="pyarrow").materialize()
+    if pre.count() <= _DRIVER_FOLD_LIMIT:
+        e = fold_and_sym(pre.to_pandas())
+        df = _pagerank_driver(e["src"].to_numpy(np.int64),
+                              e["dst"].to_numpy(np.int64),
+                              damping=0.85, iters=4,
+                              w=e["w"].to_numpy(np.float64))
+    else:
+        bucketed = pre.map_batches(
+            lambda t: append_coarse_bucket(t, ["src", "dst"], 64, "__e"),
+            batch_format="pyarrow")
+        edges = bucketed.groupby("__e").map_groups(
+            fold_and_sym, batch_format="pandas")
+        df = pagerank(edges, damping=0.85, iters=4,
+                      weight="w").to_pandas()
+    df = df.sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(df["node"].to_numpy(np.int64)),
+        "pr": pa.array(round6(df["rank"].to_numpy())),
+    })
+
+
 def q_hits_trade(sf_dir: str) -> pa.Table:
     """HITS hubs/authorities over the DIRECTED customer→supplier trade
     graph (Kleinberg 1999): customers score as hubs, suppliers as
@@ -3505,6 +3559,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sketch_warehouse": q_sketch_warehouse,
     "pagerank_suppliers": q_pagerank_suppliers,
     "hits_trade": q_hits_trade,
+    "pagerank_weighted": q_pagerank_weighted,
     "theta_user_sets": q_theta_user_sets,
     "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3582,6 +3637,34 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curation_pipeline": q_curation_pipeline,
     "grouping_sets_pricing": q_grouping_sets_pricing,
 }
+
+def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled volume-weighted power iterations for q_pagerank_weighted
+    (deg = Σ edge weights, message = r·w/deg)."""
+    base = f"{1.0 - damping!r}/(SELECT n FROM nn)"
+    body = [f"""
+        WITH e AS (SELECT 2*o_custkey AS src, 2*l_suppkey + 1 AS dst,
+                          CAST(count(*) AS DOUBLE) AS w
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   GROUP BY src, dst),
+        sym AS (SELECT src, dst, w FROM e
+                UNION ALL SELECT dst, src, w FROM e),
+        deg AS (SELECT src AS node, sum(w) AS d FROM sym GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        body.append(f""",
+        p{i} AS (SELECT x.node, {base} + {damping!r}*COALESCE(m.s, 0) AS r
+                 FROM nodes x LEFT JOIN (
+                   SELECT sym.dst AS node, sum(p.r * sym.w / deg.d) AS s
+                   FROM sym JOIN p{i-1} p ON sym.src = p.node
+                            JOIN deg ON sym.src = deg.node
+                   GROUP BY sym.dst) m ON x.node = m.node)""")
+    body.append(f"""
+        SELECT node, round(r, 6) AS pr FROM p{iters} ORDER BY node""")
+    return "".join(body)
+
 
 def _hits_sql(iters: int) -> str:
     """Unrolled HITS SQL for q_hits_trade: per half-step a sum-join CTE
@@ -4263,6 +4346,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pagerank_suppliers": _pagerank_sql(4),
     "hits_trade": _hits_sql(3),
+    "pagerank_weighted": _pagerank_weighted_sql(4),
     "sketch_warehouse": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                AS distinct_users

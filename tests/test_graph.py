@@ -222,3 +222,32 @@ def test_hits_routes_and_properties(ray_session, graph):
         hits(_edges_ds([1], [2]), iters=0)
     out = hits(_edges_ds([], []))
     assert out.count() == 0 and out.schema().names == ["node", "hub", "auth"]
+
+
+def test_weighted_pagerank_routes_and_semantics(ray_session, graph):
+    import pyarrow as pa2
+    import ray.data as rd
+
+    src, dst = graph
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 9, src.size).astype(np.float64)
+    eds = rd.from_arrow(pa2.table({
+        "src": pa2.array(src), "dst": pa2.array(dst), "w": pa2.array(w)}))
+    drv = _ranks(pagerank(eds, iters=4, weight="w"))
+    dist = _ranks(pagerank(eds, iters=4, weight="w", driver_limit=0,
+                           coarse_buckets=8))
+    assert drv.index.tolist() == dist.index.tolist()
+    assert np.allclose(drv.to_numpy(), dist.to_numpy(), atol=1e-12)
+    assert abs(drv.sum() - 1.0) < 1e-9
+    # weight semantics: an integer weight k equals k parallel unit edges
+    multi = _ranks(pagerank(_edges_ds(
+        np.repeat(src, w.astype(int)), np.repeat(dst, w.astype(int))),
+        iters=4))
+    assert np.allclose(drv.to_numpy(), multi.to_numpy(), atol=1e-12)
+    # unweighted call is unchanged by the weight plumbing (w=1 identity)
+    u1 = _ranks(pagerank(_edges_ds(src, dst), iters=4))
+    ones = rd.from_arrow(pa2.table({
+        "src": pa2.array(src), "dst": pa2.array(dst),
+        "w": pa2.array(np.ones(src.size))}))
+    u2 = _ranks(pagerank(ones, iters=4, weight="w"))
+    assert (u1.to_numpy() == u2.to_numpy()).all()
