@@ -25,11 +25,15 @@ _DRIVER_PAGERANK_LIMIT = 5_000_000  # edges; narrow int rows
 
 
 def _pagerank_driver(src: np.ndarray, dst: np.ndarray, damping: float,
-                     iters: int, w: np.ndarray | None = None) -> pd.DataFrame:
+                     iters: int, w: np.ndarray | None = None,
+                     seeds: np.ndarray | None = None) -> pd.DataFrame:
     """Vectorized single-process route: factorize nodes, bincount
     scatter-sums per iteration (deterministic summation order).
     ``w`` (edge weights) turns the walk into a weight-proportional
-    transition: msg = r·w / out-strength; ``None`` == all-ones."""
+    transition: msg = r·w / out-strength; ``None`` == all-ones.
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport
+    distribution concentrates uniformly on the seed nodes
+    (r ← (1−d)·p + d·(msgs + dangling·p)); ``None`` == global uniform."""
     nodes = np.unique(np.concatenate([src, dst]))
     i_src = np.searchsorted(nodes, src)
     i_dst = np.searchsorted(nodes, dst)
@@ -38,22 +42,37 @@ def _pagerank_driver(src: np.ndarray, dst: np.ndarray, damping: float,
         w = np.ones(src.size, dtype=np.float64)
     else:
         w = np.asarray(w, dtype=np.float64)
+    if seeds is None:
+        p = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+        pos = np.searchsorted(nodes, seeds)
+        if (pos >= n).any() or (nodes[np.minimum(pos, n - 1)] != seeds).any():
+            raise ValueError("pagerank: seed nodes absent from the graph")
+        p = np.zeros(n, dtype=np.float64)
+        p[pos] = 1.0 / seeds.size
     deg = np.bincount(i_src, weights=w, minlength=n)  # out-strength
-    r = np.full(n, 1.0 / n, dtype=np.float64)
+    r = p.copy() if seeds is not None else np.full(n, 1.0 / n)
     dangling_mask = deg == 0
     safe_deg = np.where(dangling_mask, 1.0, deg)
     for _ in range(iters):
         msg = r[i_src] * w / safe_deg[i_src]
         s = np.bincount(i_dst, weights=msg, minlength=n)
         dangling = float(r[dangling_mask].sum())
-        r = (1.0 - damping) / n + damping * (s + dangling / n)
+        if seeds is None:
+            # division form, NOT (1/n)-vector multiplies: the global
+            # oracle SQL divides by n and the two differ in the last ulp
+            r = (1.0 - damping) / n + damping * (s + dangling / n)
+        else:
+            r = (1.0 - damping) * p + damping * (s + dangling * p)
     return pd.DataFrame({"node": nodes.astype(np.int64), "rank": r})
 
 
 def pagerank(edges_ds, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 10,
              driver_limit: int = _DRIVER_PAGERANK_LIMIT,
-             coarse_buckets: int = 256, weight: str | None = None):
+             coarse_buckets: int = 256, weight: str | None = None,
+             seeds=None):
     """Damped PageRank over a DIRECTED int64 edge-list Dataset →
     ``ray.data.Dataset`` of ``(node, rank)`` covering every node that
     appears as a source or destination. Parallel edge rows count as
@@ -62,7 +81,10 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     uniformly (the standard Page et al. correction), so ``sum(rank)==1``.
     ``weight`` names an edge-weight column: the walk follows edges with
     probability proportional to weight (msg = r·w / out-strength);
-    ``None`` is the uniform all-ones walk.
+    ``None`` is the uniform all-ones walk. ``seeds`` (an int64 array of
+    graph nodes) switches to PERSONALIZED PageRank — the teleport
+    distribution concentrates uniformly on the seed set, ranking the
+    graph by proximity to the seeds; every seed must be a graph node.
 
     Size-routed like every gather in this repo:
 
@@ -111,14 +133,23 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         out = _pagerank_driver(
             np.concatenate(chunks_s).astype(np.int64),
             np.concatenate(chunks_d).astype(np.int64), damping, iters,
-            w=np.concatenate(chunks_w) if weight else None)
+            w=np.concatenate(chunks_w) if weight else None,
+            seeds=seeds)
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
     state = _distributed_state(edges_ds, src, dst, coarse_buckets,
                                weight=weight)
-    ranks = _seed_ranks(state)
+    if seeds is not None:
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+        found = state["nodes_ds"].map_batches(
+            lambda b: pa.table({"n": pa.array([int(np.isin(
+                b["node"].to_numpy(zero_copy_only=False), seeds).sum())])}),
+            batch_format="pyarrow").sum("n")
+        if int(found) != seeds.size:
+            raise ValueError("pagerank: seed nodes absent from the graph")
+    ranks = _seed_ranks(state, seeds=seeds)
     return _distributed_iterations(state, ranks, 0, iters, damping,
-                                   coarse_buckets)
+                                   coarse_buckets, seeds=seeds)
 
 
 def _distributed_state(edges_ds, src: str, dst: str, coarse_buckets: int,
@@ -175,22 +206,27 @@ def _distributed_state(edges_ds, src: str, dst: str, coarse_buckets: int,
             "n_nodes": nodes_ds.count()}
 
 
-def _seed_ranks(state):
-    """Uniform initial ranks over the node universe."""
+def _seed_ranks(state, seeds: np.ndarray | None = None):
+    """Initial ranks over the node universe: uniform, or the teleport
+    distribution concentrated on ``seeds`` (personalized)."""
     n_nodes = state["n_nodes"]
+    pmass = None if seeds is None else 1.0 / seeds.size
 
-    def seed(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": b["node"],
-            "rank": pa.array(np.full(b.num_rows, 1.0 / n_nodes))})
+    def seed_fn(b: pa.Table) -> pa.Table:
+        if seeds is None:
+            val = np.full(b.num_rows, 1.0 / n_nodes)
+        else:
+            nodes = b["node"].to_numpy(zero_copy_only=False)
+            val = np.where(np.isin(nodes, seeds), pmass, 0.0)
+        return pa.table({"node": b["node"], "rank": pa.array(val)})
 
     return state["nodes_ds"].map_batches(
-        seed, batch_format="pyarrow").materialize()
+        seed_fn, batch_format="pyarrow").materialize()
 
 
 def _distributed_iterations(state, ranks, start_iter: int, iters: int,
                             damping: float, coarse_buckets: int,
-                            on_iter=None):
+                            on_iter=None, seeds: np.ndarray | None = None):
     """Run iterations ``start_iter..iters-1`` from the given rank state;
     ``on_iter(i, ranks)`` fires after each materialized iteration (the
     checkpoint hook). Returns the final ranks Dataset."""
@@ -234,16 +270,40 @@ def _distributed_iterations(state, ranks, start_iter: int, iters: int,
             "kind": np.full(len(dang), 2, dtype=np.int64)})
         return pd.concat([msgs, drows], ignore_index=True)
 
-    def tag_universe(b: pa.Table) -> pa.Table:
-        t = pa.table({
-            "node": b["node"],
-            "val": pa.array(np.zeros(b.num_rows)),
-            "kind": pa.array(np.full(b.num_rows, 3, dtype=np.int64))})
-        return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+    pmass = None if seeds is None else 1.0 / seeds.size
+
+    def make_tag_universe(base_const: float, dangling: float):
+        # universe rows carry each node's TELEPORT term (kind 3): the
+        # base constant when global, (1−d)·p(n) + d·dangling·p(n) when
+        # personalized — so the rank fold stays one uniform kind-split
+        def tag_universe(b: pa.Table) -> pa.Table:
+            if seeds is None:
+                val = np.full(b.num_rows, base_const)
+            else:
+                nodes = b["node"].to_numpy(zero_copy_only=False)
+                mass = ((1.0 - damping) * pmass
+                        + damping * dangling * pmass)
+                val = np.where(np.isin(nodes, seeds), mass, 0.0)
+            t = pa.table({
+                "node": b["node"], "val": pa.array(val),
+                "kind": pa.array(np.full(b.num_rows, 3, dtype=np.int64))})
+            return append_coarse_bucket(t, ["node"], coarse_buckets, "__pr")
+
+        return tag_universe
 
     def rebucket_messages(b: pa.Table) -> pa.Table:
         return append_coarse_bucket(
             b.select(["node", "val", "kind"]), ["node"], coarse_buckets, "__pr")
+
+    def fold_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        # rank = teleport term (one kind-3 row per node) + d·Σ messages
+        t = df[df["kind"] == 3].groupby("node", sort=False)["val"].sum()
+        s = df[df["kind"] == 0].groupby("node", sort=False)["val"].sum()
+        s = s.reindex(t.index, fill_value=0.0)
+        return pd.DataFrame({
+            "node": t.index.to_numpy(np.int64),
+            "rank": t.to_numpy(np.float64)
+            + damping * s.to_numpy(np.float64)})
 
     for it in range(start_iter, iters):
         tagged = ranks.map_batches(tag_rank, batch_format="pyarrow").union(
@@ -258,15 +318,10 @@ def _distributed_iterations(state, ranks, start_iter: int, iters: int,
         dangling = dang_ds.sum("val") if dang_ds.count() else 0.0
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
 
-        def fold_ranks(df: pd.DataFrame, _base=base) -> pd.DataFrame:
-            s = df[df["kind"] != 2].groupby("node", sort=False)["val"].sum()
-            return pd.DataFrame({
-                "node": s.index.to_numpy(np.int64),
-                "rank": _base + damping * s.to_numpy(np.float64)})
-
         msgs = folded.filter(expr="kind == 0").map_batches(
             rebucket_messages, batch_format="pyarrow")
-        uni = nodes_ds.map_batches(tag_universe, batch_format="pyarrow")
+        uni = nodes_ds.map_batches(make_tag_universe(base, dangling),
+                                   batch_format="pyarrow")
         ranks = (
             msgs.union(uni).groupby("__pr")
             .map_groups(fold_ranks, batch_format="pandas")

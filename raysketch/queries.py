@@ -764,6 +764,63 @@ def q_pagerank_weighted(sf_dir: str) -> pa.Table:
     })
 
 
+def q_ppr_trade(sf_dir: str) -> pa.Table:
+    """PERSONALIZED PageRank on the symmetrized trade graph: the
+    teleport distribution concentrates on the 10 lowest-keyed customers
+    present in the graph, ranking every node by proximity to that seed
+    cohort ("suppliers related to these customers"). Same size-routed
+    plan as `pagerank_suppliers`; the symmetric graph has no dangling
+    nodes, so the SQL oracle is the plain (1−d)·p + d·Σ form."""
+    from .engine.hashing import append_coarse_bucket
+    from .ops.graph import _pagerank_driver, pagerank
+    from .ops.join import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    withcust = broadcast_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        src = pc.multiply(b["o_custkey"], pa.scalar(2, pa.int64()))
+        dst = pc.add(pc.multiply(b["l_suppkey"], pa.scalar(2, pa.int64())),
+                     pa.scalar(1, pa.int64()))
+        df = pa.table({"src": src, "dst": dst}).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup_and_sym(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["src", "dst"])
+        return pd.concat([
+            u[["src", "dst"]],
+            u.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+        ], ignore_index=True)
+
+    pre = withcust.map_batches(edge_partial, batch_format="pyarrow").materialize()
+    # seed discovery is distributive: per-block 10 smallest customer
+    # nodes, then one tiny driver fold
+    mins = pre.map_batches(
+        lambda b: pa.table({"m": pa.array(np.sort(np.unique(
+            b["src"].to_numpy(zero_copy_only=False)))[:10])}),
+        batch_format="pyarrow").to_pandas()
+    seeds = np.sort(np.unique(mins["m"].to_numpy(np.int64)))[:10]
+    if pre.count() <= _DRIVER_FOLD_LIMIT:
+        e = dedup_and_sym(pre.to_pandas())
+        df = _pagerank_driver(e["src"].to_numpy(np.int64),
+                              e["dst"].to_numpy(np.int64),
+                              damping=0.85, iters=4, seeds=seeds)
+    else:
+        bucketed = pre.map_batches(
+            lambda t: append_coarse_bucket(t, ["src", "dst"], 64, "__e"),
+            batch_format="pyarrow")
+        edges = bucketed.groupby("__e").map_groups(
+            dedup_and_sym, batch_format="pandas")
+        df = pagerank(edges, damping=0.85, iters=4, seeds=seeds).to_pandas()
+    df = df.sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(df["node"].to_numpy(np.int64)),
+        "ppr": pa.array(round6(df["rank"].to_numpy())),
+    })
+
+
 def q_hits_trade(sf_dir: str) -> pa.Table:
     """HITS hubs/authorities over the DIRECTED customer→supplier trade
     graph (Kleinberg 1999): customers score as hubs, suppliers as
@@ -3560,6 +3617,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pagerank_suppliers": q_pagerank_suppliers,
     "hits_trade": q_hits_trade,
     "pagerank_weighted": q_pagerank_weighted,
+    "ppr_trade": q_ppr_trade,
     "theta_user_sets": q_theta_user_sets,
     "spacesaving_heavy_users": q_spacesaving_heavy_users,
     "sketch_quantiles": q_sketch_quantiles,
@@ -3663,6 +3721,37 @@ def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
                    GROUP BY sym.dst) m ON x.node = m.node)""")
     body.append(f"""
         SELECT node, round(r, 6) AS pr FROM p{iters} ORDER BY node""")
+    return "".join(body)
+
+
+def _ppr_sql(iters: int, damping: float = 0.85, k_seeds: int = 10) -> str:
+    """Unrolled personalized power iterations for q_ppr_trade: teleport
+    mass 1/k on the k lowest customer (even) nodes; the symmetric graph
+    has no dangling nodes so each step is (1−d)·p + d·Σ(r/deg)."""
+    one_minus = repr(1.0 - damping)
+    body = [f"""
+        WITH e AS (SELECT DISTINCT 2*o_custkey AS src, 2*l_suppkey + 1 AS dst
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        seeds AS (SELECT node FROM nodes WHERE node % 2 = 0
+                  ORDER BY node LIMIT {k_seeds}),
+        p AS (SELECT node, CASE WHEN node IN (SELECT node FROM seeds)
+                                THEN 1.0/{k_seeds} ELSE 0.0 END AS pv
+              FROM nodes),
+        p0 AS (SELECT node, pv AS r FROM p)"""]
+    for i in range(1, iters + 1):
+        body.append(f""",
+        p{i} AS (SELECT x.node, {one_minus}*x.pv + {damping!r}*COALESCE(m.s, 0)
+                        AS r
+                 FROM p x LEFT JOIN (
+                   SELECT sym.dst AS node, sum(q.r / deg.d) AS s
+                   FROM sym JOIN p{i-1} q ON sym.src = q.node
+                            JOIN deg ON sym.src = deg.node
+                   GROUP BY sym.dst) m ON x.node = m.node)""")
+    body.append(f"""
+        SELECT node, round(r, 6) AS ppr FROM p{iters} ORDER BY node""")
     return "".join(body)
 
 
@@ -4347,6 +4436,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(4),
     "hits_trade": _hits_sql(3),
     "pagerank_weighted": _pagerank_weighted_sql(4),
+    "ppr_trade": _ppr_sql(4),
     "sketch_warehouse": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                AS distinct_users

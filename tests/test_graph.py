@@ -251,3 +251,23 @@ def test_weighted_pagerank_routes_and_semantics(ray_session, graph):
         "w": pa2.array(np.ones(src.size))}))
     u2 = _ranks(pagerank(ones, iters=4, weight="w"))
     assert (u1.to_numpy() == u2.to_numpy()).all()
+
+
+def test_personalized_pagerank(ray_session, graph):
+    src, dst = graph
+    seeds = np.unique(src)[:3]
+    drv = _ranks(pagerank(_edges_ds(src, dst), iters=6, seeds=seeds))
+    dist = _ranks(pagerank(_edges_ds(src, dst), iters=6, seeds=seeds,
+                           driver_limit=0, coarse_buckets=8))
+    assert drv.index.tolist() == dist.index.tolist()
+    assert np.allclose(drv.to_numpy(), dist.to_numpy(), atol=1e-12)
+    # mass conserved; seeds hold concentrated mass vs the global walk
+    assert abs(drv.sum() - 1.0) < 1e-9
+    glob = _ranks(pagerank(_edges_ds(src, dst), iters=6))
+    assert drv.loc[seeds].sum() > glob.loc[seeds].sum()
+    # a node far from seeds ranks lower than under the global teleport
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(src, dst), seeds=np.array([10**9]))
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(src, dst), seeds=np.array([10**9]),
+                 driver_limit=0, coarse_buckets=8)
