@@ -271,3 +271,27 @@ def test_personalized_pagerank(ray_session, graph):
     with pytest.raises(ValueError):
         pagerank(_edges_ds(src, dst), seeds=np.array([10**9]),
                  driver_limit=0, coarse_buckets=8)
+
+
+def test_polars_hash_width_independent_and_role_based_pool():
+    # the role-based POLARS_MAX_THREADS sizing is safe ONLY because hash
+    # values are identical at any pool width — pin that in fresh
+    # subprocesses (pool width is fixed at first polars import)
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['POLARS_MAX_THREADS'] = '{w}'\n"
+        "import pyarrow as pa\n"
+        "from raysketch.engine.hashing import hash64_batch_aligned\n"
+        "h, fam = hash64_batch_aligned("
+        "pa.array(['a','b','c','dd','eee']))\n"
+        "print(list(h), bool(fam.all()))\n"
+    )
+    outs = []
+    for w in ("1", "8"):
+        r = subprocess.run([sys.executable, "-c", code.format(w=w)],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1] and outs[0].strip()
