@@ -102,6 +102,8 @@ def run_headline(num_cpus: int) -> dict:
     return {
         "seconds": elapsed,
         "attempt_seconds": attempts,
+        "methodology": "best_of_2",  # min of two back-to-back runs; both
+        # attempts recorded so single-run records stay comparable
         "files": int(n_files),
         "files_per_sec": round(n_files / elapsed, 1),
         "groups": result.num_rows,
@@ -295,15 +297,35 @@ def main() -> None:
         queries = run_queries(args.sf_dir)
         errors = measure_errors()
         total = headline["seconds"] + sum(queries.values())
+        # Two lines, full timings FIRST and the compact summary LAST:
+        # the driver captures a bounded stdout tail and parses the final
+        # line — the 100+-query timing dict outgrew it in round 3
+        # ("parsed": null), amputating the totals. The summary keeps a
+        # small `queries` subset (the historically perf-watched ones) so
+        # the parsed artifact still answers the regression questions;
+        # the full per-query dict is the preceding line.
+        print(json.dumps({"metric": "per_query_seconds", "unit": "sec",
+                          "queries": queries}))
+        watch = [
+            "dedup_doc_counts", "neardup_pairs", "time_series_window",
+            "pagerank_suppliers", "pagerank_weighted", "ppr_trade",
+            "hits_trade", "similar_customers", "tfidf_top_terms",
+            "customer_order_profile",
+        ]
         print(json.dumps({
             "metric": "bench_total_wall_seconds",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": queries,
+            "queries": {k: queries[k] for k in watch if k in queries},
+            "queries_total_seconds": round(sum(queries.values()), 3),
+            "queries_count": len(queries),
+            "queries_full": "per_query_seconds line above",
             "sf": args.sf_dir,
             "num_cpus": args.cpus,
             "headline_files_per_sec": headline["files_per_sec"],
             "headline_seconds": headline["seconds"],
+            "headline_attempt_seconds": headline["attempt_seconds"],
+            "headline_methodology": headline["methodology"],
             "headline_files": headline["files"],
             "merged_estimate_errors": errors,
         }))

@@ -32,22 +32,33 @@ import os as _os
 # 15.5 s at 1 thread vs 2.3 s unrestricted on the same input).
 
 
-def _polars_pool_width() -> str:
+def _in_ray_worker() -> bool:
     import sys
 
-    if "ray" in sys.modules:  # never force the heavy import ourselves
-        try:
-            import ray
+    if "ray" not in sys.modules:  # never force the heavy import ourselves
+        return False
+    try:
+        import ray
 
-            if ray._private.worker.global_worker.mode == \
-                    ray._private.worker.WORKER_MODE:
-                return "1"
-        except Exception:
-            return "1"  # unknown ray state: be conservative
-    return str(min(8, _os.cpu_count() or 1))
+        return (ray._private.worker.global_worker.mode
+                == ray._private.worker.WORKER_MODE)
+    except Exception:
+        return True  # unknown ray state: be conservative
 
 
-_os.environ.setdefault("POLARS_MAX_THREADS", _polars_pool_width())
+if _in_ray_worker():
+    # FORCE-assign, never setdefault: the driver's width-8 value rides
+    # os.environ into every raylet/worker child, so a setdefault here
+    # would silently keep 8 per worker — dozens of workers × a wide
+    # rayon pool is exactly the over-subscription this cap prevents.
+    # Hash values are pool-width-independent (pinned in test_graph.py),
+    # so the forced narrow pool is always safe. No-op for hashing
+    # results if polars was somehow imported first; only thread count
+    # is at stake, and polars reads the env at first import.
+    _os.environ["POLARS_MAX_THREADS"] = "1"
+else:
+    _os.environ.setdefault(
+        "POLARS_MAX_THREADS", str(min(8, _os.cpu_count() or 1)))
 
 from raysketch.sketches.bloom import BloomFilter
 from raysketch.sketches.cms import CMSketch

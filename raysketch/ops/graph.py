@@ -257,13 +257,20 @@ def _distributed_iterations(state, ranks, start_iter: int, iters: int,
     def fold_messages(df: pd.DataFrame) -> pd.DataFrame:
         r = df[df["kind"] == 0].set_index("node")["rank"]
         e = df[df["kind"] == 1]
-        msg = (r.reindex(e["node"]).to_numpy()
-               * e["w"].to_numpy(np.float64)
-               / e["deg"].to_numpy(np.float64))
+        # deg == 0 (a weighted node whose out-edges all carry weight 0)
+        # is DANGLING, not a division: its edges emit nothing and its
+        # rank joins the dangling mass — mirroring the driver route's
+        # safe_deg handling (route-identity would otherwise diverge on
+        # NaN/inf propagating into every downstream rank)
+        live = e["deg"].to_numpy(np.float64) > 0.0
+        el = e[live]
+        msg = (r.reindex(el["node"]).to_numpy()
+               * el["w"].to_numpy(np.float64)
+               / el["deg"].to_numpy(np.float64))
         msgs = pd.DataFrame({
-            "node": e["dst"].to_numpy(np.int64), "val": msg,
-            "kind": np.zeros(len(e), dtype=np.int64)})
-        dang = r[~r.index.isin(e["node"].unique())]
+            "node": el["dst"].to_numpy(np.int64), "val": msg,
+            "kind": np.zeros(len(el), dtype=np.int64)})
+        dang = r[~r.index.isin(el["node"].unique())]
         drows = pd.DataFrame({
             "node": np.full(len(dang), -1, dtype=np.int64),
             "val": dang.to_numpy(np.float64),

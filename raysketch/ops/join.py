@@ -137,21 +137,27 @@ def attach_by_key(
     value_cols: list[str],
     broadcast_limit_rows: int = 2_000_000,
     num_partitions: int = 8,
+    how: str = "inner",
 ):
-    """SIZE-ROUTED dimension attach (inner): the dim's (key, values)
-    projection is materialized once (narrow) and counted; at or under
+    """SIZE-ROUTED dimension attach: the dim's (key, values) projection
+    is materialized once (narrow) and counted; at or under
     ``broadcast_limit_rows`` the shuffle-free broadcast lookup wins,
     above it Ray's native partitioned hash join carries the attach with
     neither side on the driver. The partitioned route only engages at
     volumes where every key partition is non-empty (the tiny-input
-    empty-partition pitfall can't fire above the limit)."""
+    empty-partition pitfall can't fire above the limit).
+    ``how="left"`` keeps unmatched fact rows with nulls (broadcast
+    ``how="left"`` / partitioned ``left_outer``)."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     dim = dim_ds.select_columns([dim_key] + value_cols).materialize()
     if dim.count() <= broadcast_limit_rows:
         return broadcast_lookup_join(fact_ds, dim, fact_key, dim_key,
-                                     value_cols)
+                                     value_cols, how=how)
     # Ray's join already omits the right-side key from the output, so
     # both routes emit the same columns: fact columns + value_cols
-    return fact_ds.join(dim, "inner", num_partitions,
+    return fact_ds.join(dim, "inner" if how == "inner" else "left_outer",
+                        num_partitions,
                         on=(fact_key,), right_on=(dim_key,))
 
 

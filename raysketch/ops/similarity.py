@@ -306,6 +306,14 @@ def covariance(ds, col: str = "embedding"):
 
     def partial(b: pa.Table) -> pa.Table:
         V = np.asarray(b[col].to_pylist(), dtype=np.float64)
+        if V.size == 0:
+            # Ray 2.49 can hand an empty block; np.asarray([]) is 1-D so
+            # sum(axis=0) would scalar-collapse and break the list schema
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.float64())),
+                "xx": pa.array([], pa.list_(pa.float64())),
+            })
         return pa.table({
             "n": pa.array([V.shape[0]], pa.int64()),
             "s": pa.array([V.sum(axis=0).tolist()],

@@ -279,11 +279,12 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     2. DF: the tf rows collapse per block to distinct (term, 1) partials,
        then one coarse-bucket ``hash(term)`` shuffle sums them —
        vocabulary-sized, never corpus-sized.
-    3. IDF attach: the (term, df) table broadcasts once via ``ray.put``
-       (``ops.join.broadcast_lookup_join``); the tf stream resolves each
-       batch with one vectorized ``index_in``. Vocabulary beyond worker
-       memory → swap this stage for the native partitioned hash join
-       (same contract as ops/dedup.attach_pair_payloads).
+    3. IDF attach: SIZE-ROUTED (``ops.join.attach_by_key``) — the
+       (term, df) table broadcasts once via ``ray.put`` while it fits
+       the limit (the tf stream resolves each batch with one vectorized
+       ``index_in``); a vocabulary beyond worker memory routes to the
+       native partitioned hash join automatically (same contract as
+       ops/dedup.attach_pair_payloads).
     4. Per-doc top-n: ``ops.topk.grouped_topn`` (map-side pre-filter,
        coarse-bucket re-select; ties broken by term ascending).
 
@@ -292,7 +293,7 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     import pyarrow.compute as pc  # noqa: F401
 
-    from .join import broadcast_lookup_join
+    from .join import attach_by_key
     from .topk import grouped_topn
 
     if n_docs is None:
@@ -338,7 +339,7 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         "tb").map_groups(lambda g: df_fold(g.drop(columns=["tb"])),
                          batch_format="pandas")
 
-    scored = broadcast_lookup_join(tf_ds, df_ds, "term", "term", ["df"])
+    scored = attach_by_key(tf_ds, df_ds, "term", "term", ["df"])
 
     def score(batch: pa.Table) -> pa.Table:
         tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)

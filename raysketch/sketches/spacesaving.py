@@ -91,12 +91,18 @@ class SpaceSaving:
 
     def _truncate(self, merged: pd.Series) -> None:
         if len(merged) > self.k:
-            # Misra–Gries decrement: subtract the (k+1)-th largest count
-            # from everything, keep strictly-positive counters (≤ k remain)
+            # TRUE Misra–Gries decrement: subtract the (k+1)-th largest
+            # count from EVERY counter, keep strictly-positive survivors
+            # (≤ k remain, since at least len-k counters hit zero). The
+            # subtraction is what makes the n/(k+1) bound hold: each
+            # truncation removes cut·m mass with m ≥ k+1 live counters,
+            # so Σcut ≤ n/(k+1). (Evicting without subtracting keeps
+            # brackets sound but lets err grow ~k× past the bound under
+            # long-tail streams — regression-pinned in tests.)
             vals = merged.to_numpy()
             cut = int(np.partition(vals, len(vals) - self.k - 1)[len(vals) - self.k - 1])
             self.err += cut
-            merged = merged[merged > cut]
+            merged = merged[merged > cut] - cut
         self.counts = merged
 
     # -- query ---------------------------------------------------------

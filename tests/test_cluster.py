@@ -2,7 +2,7 @@
 invariance, assignment tiebreak, Lloyd recovery of planted blobs, and
 block-structure-fixed determinism of the fit."""
 
-import hashlib
+# (sha256 seed rule replaced by the vectorized seed_key32 in round 4)
 
 import numpy as np
 import pandas as pd
@@ -32,12 +32,35 @@ def _blobs(n_per: int = 120, k: int = 3, d: int = 16, seed: int = 9):
     return df, labels
 
 
+def test_seed_key32_matches_duckdb_integer_replay():
+    # the numpy mix and the oracle's BIGINT/HUGEINT SQL must agree
+    # bit-for-bit, including ids above 2^32
+    import duckdb
+
+    from raysketch.ops.cluster import seed_key32
+
+    ids = np.concatenate([
+        np.arange(10_000, dtype=np.int64),
+        np.array([2**52 + 7, 2**40 + 1, 123456789012345], dtype=np.int64)])
+    got = seed_key32(ids)
+    tbl = pd.DataFrame({"i": ids})
+    want = duckdb.query("""
+        SELECT CAST(xor(h2, h2 // 65536) AS BIGINT) AS skey FROM (
+          SELECT (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2 FROM (
+            SELECT (CAST(i AS HUGEINT) * 2654435761) % 4294967296 AS h1
+            FROM tbl) a) b
+    """).df()["skey"].to_numpy()
+    assert (got == want).all()
+
+
 @pytest.mark.usefixtures("ray_session")
-def test_seeds_match_sha256_rule_and_block_invariance():
+def test_seeds_match_key_rule_and_block_invariance():
+    from raysketch.ops.cluster import seed_key32
+
     df, _ = _blobs()
-    expect = sorted(
-        range(len(df)), key=lambda i: hashlib.sha256(str(i).encode()).hexdigest()
-    )[:5]
+    keys = seed_key32(df["vec_id"].to_numpy())
+    expect = [int(i) for i in
+              np.lexsort((df["vec_id"].to_numpy(), keys))[:5]]
     for par in (1, 4, 7):
         sid, svec = kmeans_seeds(_mk(df, par), 5)
         assert sorted(sid.tolist()) == sorted(expect)

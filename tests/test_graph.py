@@ -295,3 +295,73 @@ def test_polars_hash_width_independent_and_role_based_pool():
         assert r.returncode == 0, r.stderr
         outs.append(r.stdout)
     assert outs[0] == outs[1] and outs[0].strip()
+
+
+def test_weighted_zero_out_strength_node_is_dangling(ray_session):
+    # a node whose out-edges ALL carry weight 0 has out-strength 0: the
+    # driver route treats it as dangling via safe_deg; the distributed
+    # fold must do the same (not divide by deg==0 into NaN/inf) —
+    # round-3 advisor finding, route identity pinned here
+    import pyarrow as pa2
+    import ray.data as rd
+
+    eds = rd.from_arrow(pa2.table({
+        "src": pa2.array(np.array([1, 2, 3, 3], dtype=np.int64)),
+        "dst": pa2.array(np.array([2, 3, 1, 2], dtype=np.int64)),
+        "w": pa2.array(np.array([1.0, 2.0, 0.0, 0.0]))}))
+    drv = _ranks(pagerank(eds, iters=4, weight="w"))
+    dist = _ranks(pagerank(eds, iters=4, weight="w", driver_limit=0,
+                           coarse_buckets=4))
+    assert np.isfinite(dist.to_numpy()).all()
+    assert drv.index.tolist() == dist.index.tolist()
+    assert np.allclose(drv.to_numpy(), dist.to_numpy(), atol=1e-12)
+    assert abs(dist.sum() - 1.0) < 1e-9  # node 3's mass redistributed
+
+
+def test_ray_worker_forces_narrow_polars_pool(ray_session):
+    # the driver's POLARS_MAX_THREADS=8 rides os.environ into every Ray
+    # worker child; raysketch's package init must FORCE-assign 1 there
+    # (setdefault would silently keep 8 per worker) — round-3 advisor
+    # finding, verified inside a real worker process
+    import ray
+
+    @ray.remote
+    def probe():
+        import os
+
+        import raysketch  # noqa: F401  (package init ran at import)
+        import polars as pl
+
+        return os.environ.get("POLARS_MAX_THREADS"), pl.thread_pool_size()
+
+    env_val, pool = ray.get(probe.remote())
+    assert env_val == "1"
+    assert pool == 1
+
+
+def test_graph_queries_partitioned_attach_route_identity(
+        ray_session, monkeypatch):
+    # round-3 verdict item #1: the five trade-graph queries now build
+    # their edge lists through the SIZE-ROUTED attach_by_key. Force the
+    # partitioned hash-join branch and pin it to the broadcast-branch
+    # output (oracle-shaped results are round6 -> bit-comparable).
+    import raysketch.ops.join as join_mod
+    import raysketch.queries as q
+
+    d = "/root/testdata/sf0.001"
+    real = join_mod.attach_by_key
+
+    def forced(fact_ds, dim_ds, fact_key, dim_key, value_cols, **kw):
+        kw["broadcast_limit_rows"] = 0
+        kw.setdefault("num_partitions", 4)
+        return real(fact_ds, dim_ds, fact_key, dim_key, value_cols, **kw)
+
+    for fn in (q.q_pagerank_suppliers, q.q_hits_trade,
+               q.q_customer_order_profile):
+        monkeypatch.undo()
+        want = fn(d).to_pandas()
+        monkeypatch.setattr(join_mod, "attach_by_key", forced)
+        got = fn(d).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(got.columns.tolist()).reset_index(drop=True),
+            want.sort_values(want.columns.tolist()).reset_index(drop=True))

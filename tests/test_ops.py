@@ -644,3 +644,39 @@ def test_ngram_count_partial():
 
     with pytest.raises(ValueError):
         ngram_count_partial(t, n=0)
+
+
+def test_attach_by_key_left_route_identity(ray_session):
+    """how='left': unmatched fact rows survive with nulls in BOTH the
+    broadcast and the left_outer partitioned routes."""
+    import ray.data as rd
+
+    from raysketch.ops.join import attach_by_key
+
+    rng = np.random.default_rng(29)
+    fact = pd.DataFrame({
+        "fk": rng.integers(0, 120, 4000).astype(np.int64),  # 100..119 unmatched
+        "v": rng.integers(0, 1000, 4000).astype(np.int64),
+    })
+    dim = pd.DataFrame({
+        "dk": np.arange(100, dtype=np.int64),
+        "attr": np.arange(100, dtype=np.int64) * 10,
+    })
+    f_ds = rd.from_pandas(fact).repartition(4)
+    d_ds = rd.from_pandas(dim).repartition(2)
+
+    def canon(ds):
+        df = ds.to_pandas()[["fk", "v", "attr"]]
+        df["attr"] = df["attr"].astype("float64")  # null-bearing int
+        return df.sort_values(["fk", "v"]).reset_index(drop=True)
+
+    b = canon(attach_by_key(f_ds, d_ds, "fk", "dk", ["attr"], how="left",
+                            broadcast_limit_rows=10_000))
+    p = canon(attach_by_key(f_ds, d_ds, "fk", "dk", ["attr"], how="left",
+                            broadcast_limit_rows=0, num_partitions=2))
+    assert len(b) == len(fact)  # every fact row kept
+    assert b["attr"].isna().sum() > 0  # unmatched keys present
+    pd.testing.assert_frame_equal(b, p)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        attach_by_key(f_ds, d_ds, "fk", "dk", ["attr"], how="outer")

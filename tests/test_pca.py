@@ -65,3 +65,23 @@ def test_projection_variance_equals_eigvals(ray_session, data):
     assert np.allclose(np.diag(C), eigvals, rtol=1e-8)
     off = C - np.diag(np.diag(C))
     assert np.abs(off).max() < 1e-8
+
+
+def test_covariance_survives_empty_blocks(ray_session, data):
+    # Ray 2.49 hands empty blocks to map_batches (e.g. a filter that
+    # clears a block); the per-block partial must emit a schema-stable
+    # empty partial instead of crashing on a 1-D empty array — round-3
+    # advisor finding
+    import ray.data as rd
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(data), dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in data],
+                              pa.list_(pa.float32()))})
+    ds = rd.from_arrow([tbl.slice(0, 0), tbl, tbl.slice(0, 0)])
+    n, mean, cov = covariance(ds)
+    assert n == len(data)
+    np.testing.assert_allclose(mean, data.astype(np.float64).mean(axis=0),
+                               rtol=1e-10)
+    np.testing.assert_allclose(
+        cov, np.cov(data.astype(np.float64).T, bias=True), rtol=1e-8)

@@ -125,3 +125,21 @@ def test_validation_and_codec_errors():
         SpaceSaving.from_bytes(sk.to_bytes() + b"\x00")
     with pytest.raises(ValueError):
         sk.merge(SpaceSaving(k=16))
+
+
+def test_mg_bound_under_long_tail_truncations():
+    # Round-3 advisor repro: 8 heavy items x100, then 200 singleton
+    # batches. Evicting below the cut WITHOUT subtracting it from the
+    # survivors let err reach ~200 vs the n/(k+1)=111 bound; the true
+    # Misra-Gries decrement keeps the documented guarantee.
+    k = 8
+    sk = SpaceSaving(k=k)
+    sk.update_batch(pd.Series([f"h{i}" for i in range(8)] * 100))
+    for j in range(200):
+        sk.update_batch(pd.Series([f"t{j}"]))
+    assert sk.n == 1000
+    assert sk.err <= sk.n // (k + 1), (sk.err, sk.n // (k + 1))
+    # brackets stay sound for the heavy items
+    for i in range(8):
+        lo, hi = sk.point_query(f"h{i}")
+        assert lo <= 100 <= hi
