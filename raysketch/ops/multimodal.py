@@ -13,9 +13,13 @@ Codec status — REAL where the container allows, stubbed where it can't:
 - **WAV (PCM16) audio** — decoded and encoded for real via the stdlib
   ``wave`` module + numpy; RMS/ZCR/frame-energy features run on actual
   samples.
-- **JPEG/PNG/MP3/video codecs** — NOT in this container.
+- **JPEG (baseline sequential)** — decoded and encoded for real by the
+  pure-numpy codec in :mod:`raysketch.ops.jpeg` (ITU-T T.81 baseline
+  subset built from the public spec; Annex K tables). Lossy by nature:
+  tests gate on PSNR and the analytic DC-only path, not bit equality.
+- **PNG/MP3/video codecs** — NOT in this container.
   ``DecodeImage(real=True)`` raises ``NotImplementedError`` exactly
-  where libjpeg/PIL would run; the default deterministic fake derives
+  where libpng/ffmpeg would run; the default deterministic fake derives
   pixels from the payload hash so downstream stages still exercise real
   array plumbing.
 
@@ -48,6 +52,7 @@ MEDIA_SCHEMA = pa.schema(
 
 MIME_PPM = "image/x-portable-pixmap"
 MIME_WAV = "audio/wav"
+MIME_JPEG = "image/jpeg"
 
 
 # ---------------------------------------------------------------------------
@@ -121,24 +126,31 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
     """Deterministic media rows. ``image`` rows carry genuine binary PPM
-    payloads and ``audio`` rows genuine PCM16 WAV (both decodable by any
-    standard tool); ``video`` payloads stay opaque fakes (no container
-    codec available)."""
+    payloads, ``jpeg`` rows genuine baseline JFIF (ops/jpeg.py codec),
+    and ``audio`` rows genuine PCM16 WAV (all decodable by any standard
+    tool); ``video`` payloads stay opaque fakes (no container codec
+    available)."""
     payloads, w, h, nf, sr, mime = [], [], [], [], [], []
     for i in ids:
         seed = hashlib.sha256(f"media{i}".encode()).digest()
         rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
         wi = 32 + (i % 7) * 16
         hi = 32 + (i % 5) * 16
-        if kind == "image":
+        if kind in ("image", "jpeg"):
             # gradient + seeded noise: realistic-ish pixels, deterministic
             gx = np.linspace(0, 255, wi, dtype=np.float64)
             gy = np.linspace(0, 255, hi, dtype=np.float64)
             base = (gy[:, None] + gx[None, :]) / 2
             px = np.stack([base, base[::-1], 255 - base], axis=2)
             px = np.clip(px + rng.normal(0, 20, (hi, wi, 3)), 0, 255).astype(np.uint8)
-            payloads.append(encode_ppm(px))
-            mime.append(MIME_PPM)
+            if kind == "jpeg":
+                from .jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(px, quality=90))
+                mime.append(MIME_JPEG)
+            else:
+                payloads.append(encode_ppm(px))
+                mime.append(MIME_PPM)
             nf.append(1)
             sr.append(0)
         elif kind == "audio":
@@ -179,9 +191,10 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
 class DecodeImage:
     """Actor stage: payload → pixel tensor.
 
-    PPM payloads decode FOR REAL; other mimes use the deterministic fake
-    (payload-hash pixels) unless ``real=True``, which raises
-    ``NotImplementedError`` exactly where libjpeg/PIL would plug in.
+    PPM and baseline JPEG payloads decode FOR REAL (pure-numpy codecs,
+    no libraries); other mimes use the deterministic fake (payload-hash
+    pixels) unless ``real=True``, which raises ``NotImplementedError``
+    exactly where libpng/ffmpeg would plug in.
     """
 
     def __init__(self, real: bool = False) -> None:
@@ -190,10 +203,14 @@ class DecodeImage:
     def _decode_one(self, payload: bytes, mime: str, w: int, h: int) -> np.ndarray:
         if mime == MIME_PPM:
             return decode_ppm(payload)
+        if mime == MIME_JPEG:
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         if self.real:
             raise NotImplementedError(
-                "image codecs are not available in this environment; "
-                "plug PIL/turbojpeg here"
+                "png/video codecs are not available in this environment; "
+                "plug libpng/ffmpeg here (jpeg/ppm/wav decode for real)"
             )
         seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
         reps = int(np.ceil(h * w * 3 / seed.size))
