@@ -306,3 +306,145 @@ def plan_equi_join(ds_a, key_a: str, ds_b, key_b: str,
         strategy = "partitioned"
     return {"est_rows": ca.inner_product(cb), "n_a": n_a, "n_b": n_b,
             "strategy": strategy}
+
+
+# per-WORKER-PROCESS dim-bucket cache for bucketed_copartition_join's
+# task-based join stage: Ray reuses worker processes, so each process
+# reads a given dim bucket once; bounded FIFO so long sessions touching
+# many layouts/buckets can't grow without limit
+_DIM_BUCKET_CACHE: dict = {}
+_DIM_BUCKET_CACHE_MAX = 8
+
+
+def _dim_bucket_index(dpath: str, dim_key: str, value_cols: list[str]):
+    key = (dpath, dim_key, tuple(value_cols))
+    hit = _DIM_BUCKET_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(dpath, columns=[dim_key] + list(value_cols))
+        k = t[dim_key].combine_chunks()
+        if len(pc.unique(k)) != len(k):
+            raise ValueError(
+                "bucketed_copartition_join: dim keys must be unique "
+                "(duplicate keys need a real equi-join, e.g. Dataset.join)")
+        hit = (k, {c: t[c].combine_chunks() for c in value_cols})
+        while len(_DIM_BUCKET_CACHE) >= _DIM_BUCKET_CACHE_MAX:
+            _DIM_BUCKET_CACHE.pop(next(iter(_DIM_BUCKET_CACHE)))
+        _DIM_BUCKET_CACHE[key] = hit
+    return hit
+
+
+def bucketed_copartition_join(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    value_cols: list[str],
+    n_buckets: int = 16,
+    layout_root: str | None = None,
+):
+    """Storage-layout join: write BOTH sides hive-partitioned by
+    ``hash64(key) % n_buckets`` (``engine.sinks.write_dataset``, atomic
+    _SUCCESS publish), then join bucket-by-bucket with NO runtime
+    shuffle — each bucket's dim slice broadcasts only into that bucket's
+    fact partition (the co-partitioned map-join every warehouse relies
+    on when one layout is reused across many joins).
+
+    The scale contract: a bucketed layout is written ONCE and amortized
+    over every subsequent join/aggregation on the same key — at corpus
+    scale ``n_buckets`` is sized so one dim bucket fits a worker's heap
+    (dim_rows / n_buckets ≤ broadcast budget), and failed runs resume
+    per-partition (``read_partition`` prunes to one hive directory).
+
+    Returns ``(joined_dataset, layout_root)``; the layout stays on disk
+    for reuse/inspection, caller cleans up.
+    """
+    import os
+    import uuid
+
+    from ..engine.hashing import hash64_batch_aligned
+    from ..engine.sinks import read_back, write_dataset
+
+    if layout_root is None:
+        layout_root = os.path.join(
+            "/tmp/raysketch_layouts",
+            f"copart_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+
+    def with_bucket(key: str):
+        def add(b):
+            import numpy as np
+            import pyarrow as pa
+
+            h, valid = hash64_batch_aligned(b[key])
+            if not valid.all():
+                raise ValueError(f"null join key in {key}")
+            bk = (h % np.uint64(n_buckets)).astype(np.int64)
+            return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+        return add
+
+    write_dataset(
+        fact_ds.map_batches(with_bucket(fact_key), batch_format="pyarrow"),
+        os.path.join(layout_root, "fact"), partition_cols=["bucket"])
+    write_dataset(
+        dim_ds.map_batches(with_bucket(dim_key), batch_format="pyarrow"),
+        os.path.join(layout_root, "dim"), partition_cols=["bucket"])
+
+    dim_root = os.path.join(layout_root, "dim")
+
+    # ONE stateless-TASK stage over the whole fact layout (NOT an actor
+    # pool: a user-level error raised inside a Ray Data actor — e.g. the
+    # dup-key refusal below — triggers the executor's infinite actor
+    # restart/retry loop in Ray 2.49 and the pipeline hangs instead of
+    # failing; task errors fail fast, and tasks also keep operator
+    # fusion with the upstream read). Each batch comes from one hive
+    # partition file, so its ``bucket`` column is (near-)constant; the
+    # task loads dim buckets inside the worker — never through the
+    # driver — via a process-level cache (worker processes are reused,
+    # so each dim bucket is read ~once per worker; entries are at most
+    # ``dim_rows / n_buckets`` rows, the layout's memory contract).
+    def layout_join(batch: pa.Table) -> pa.Table:
+        bks = batch["bucket"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        batch = batch.drop_columns(["bucket"])
+        pieces = []
+        for b in np.unique(bks):
+            part = batch.filter(pa.array(bks == b))
+            dpath = os.path.join(dim_root, f"bucket={int(b)}")
+            if not os.path.isdir(dpath):
+                continue  # no dim rows -> inner join emits nothing
+            keys, vals = _dim_bucket_index(dpath, dim_key, value_cols)
+            idx = pc.index_in(part[fact_key], value_set=keys)
+            mask = pc.is_valid(idx)
+            part = part.filter(mask)
+            idx = idx.filter(mask)
+            for c in value_cols:
+                part = part.append_column(c, pc.take(vals[c], idx))
+            pieces.append(part)
+        if not pieces:
+            # schema-stable empty output: dim value types from the layout
+            import glob
+
+            import pyarrow.parquet as pq
+
+            sample = sorted(glob.glob(
+                os.path.join(dim_root, "bucket=*", "*.parquet")))
+            sch = pq.read_schema(sample[0])
+            out = batch.slice(0, 0)
+            for c in value_cols:
+                out = out.append_column(
+                    c, pa.array([], sch.field(c).type))
+            return out
+        return pa.concat_tables(pieces)
+
+    fact = read_back(os.path.join(layout_root, "fact"))
+    # the hive reader returns the partition column (string-typed in Ray
+    # 2.49); normalize to int64 before the join stage
+    def norm_bucket(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("bucket")
+        return b.set_column(i, "bucket", pc.cast(b["bucket"], pa.int64()))
+
+    joined = fact.map_batches(norm_bucket, batch_format="pyarrow") \
+        .map_batches(layout_join, batch_format="pyarrow")
+    return joined, layout_root

@@ -3743,12 +3743,108 @@ def q_grouping_sets_pricing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_pmi_cooccurrence(sf_dir: str) -> pa.Table:
+    """Doc-level PMI association mining over the top-64 vocabulary
+    (ops/lm.py): token df fold → fixed-size vocabulary broadcast → one
+    boolean doc×V presence matrix per block whose Gram matrix (BᵀB)
+    yields the pair doc-counts — a single int matmul per block, partial
+    keyspace bounded by V²/2 at any corpus size — one coarse fold, then
+    pmi = round6(ln(n_docs·c_ab/(df_a·df_b))) on exact integer operands
+    (the SQL oracle replays the ln on identical doubles)."""
+    from .ops.lm import pmi_cooccurrence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_cooccurrence(ds, vocab_size=64, top_pairs=50)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_bigram_lm_scores(sf_dir: str) -> pa.Table:
+    """Per-document average bigram log-probability under an add-one
+    corpus LM (ops/lm.py) — the perplexity-style data-quality signal.
+    Bigram/unigram count tables train as coarse-bucket folds; the LM
+    table and the per-doc bigram stream attach through the SIZE-ROUTED
+    attach_by_key; each bigram's ln((c12+1)/(c1+V)) becomes an INTEGER
+    micro-nat (round half-away ×1e6 — the nation_revenue cents trick),
+    so the distributed per-doc sums are order-free and DuckDB replays
+    every score bit-for-bit."""
+    from .ops.lm import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_scores(ds).sort("doc_id")
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+    df = tbl.to_pandas()
+    df["n_bigrams"] = df["n_bigrams"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_bucketed_join_layout(sf_dir: str) -> pa.Table:
+    """Storage-layout co-partitioned join (ops/join.py
+    bucketed_copartition_join): lineitem and orders are WRITTEN
+    hive-partitioned by hash64(orderkey) % 16 (atomic _SUCCESS sinks),
+    then joined bucket-by-bucket with NO runtime shuffle — each bucket's
+    join stage loads its dim partition inside the worker, never through
+    the driver. Revenue folds as integer cents per custkey; top 20.
+    The oracle verifies the layout-mediated join against a plain SQL
+    join, proving bucket routing loses/duplicates nothing."""
+    import shutil
+
+    from .engine.hashing import append_coarse_bucket
+    from .ops.join import bucketed_copartition_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined, root = bucketed_copartition_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"],
+        n_buckets=16)
+    try:
+        def cents_partial(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            cents = np.floor(
+                df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+            ).astype(np.int64)
+            g = pd.DataFrame({"o_custkey": df["o_custkey"], "c": cents}) \
+                .groupby("o_custkey", sort=False)["c"].sum().reset_index()
+            return pa.table({
+                "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
+                "c": pa.array(g["c"].to_numpy(np.int64))})
+
+        parts = joined.map_batches(cents_partial, batch_format="pyarrow")
+
+        def bucket(b: pa.Table) -> pa.Table:
+            return append_coarse_bucket(b, ["o_custkey"], 64, "kb")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("o_custkey", sort=False)["c"].sum().reset_index()
+            g.columns = ["o_custkey", "revenue_cents"]
+            return g.sort_values(
+                ["revenue_cents", "o_custkey"],
+                ascending=[False, True]).head(20)
+
+        cand = parts.map_batches(bucket, batch_format="pyarrow").groupby(
+            "kb").map_groups(lambda g: fold(g.drop(columns=["kb"])),
+                             batch_format="pandas").to_pandas()
+        out = cand.sort_values(["revenue_cents", "o_custkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20) \
+            .reset_index(drop=True)
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
 # followed by the 13 whose last driver check was round 1; the rest
 # (r2/r3-checked) trail and stay gated by tests/test_oracle_parity.py.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "pmi_cooccurrence": q_pmi_cooccurrence,
+    "bigram_lm_scores": q_bigram_lm_scores,
+    "bucketed_join_layout": q_bucketed_join_layout,
     "hopping_window": q_hopping_window,
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
@@ -4007,6 +4103,92 @@ def _sw_sql(langs: list[str] | None = None) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    # doc-level PMI: vocabulary = top 64 tokens by (df DESC, tok ASC);
+    # pair (a<b, ASCII corpus so byte order == codepoint order); pmi on
+    # exact integer operands so ln sees identical doubles both sides
+    "pmi_cooccurrence": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                FROM dt GROUP BY tok),
+        vocab AS (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 64),
+        dv AS (SELECT dt.doc_id, dt.tok FROM dt
+               JOIN vocab ON dt.tok = vocab.tok),
+        pairs AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM dv a JOIN dv b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+        ),
+        topp AS (SELECT * FROM pairs
+                 ORDER BY n_docs DESC, tok_a, tok_b LIMIT 50)
+        SELECT t.tok_a, t.tok_b, t.n_docs,
+               round(ln(CAST(t.n_docs *
+                             (SELECT count(*) FROM documents) AS DOUBLE)
+                        / (dfa.df * dfb.df)), 6) AS pmi
+        FROM topp t
+        JOIN vocab dfa ON t.tok_a = dfa.tok
+        JOIN vocab dfb ON t.tok_b = dfb.tok
+        ORDER BY t.n_docs DESC, t.tok_a, t.tok_b
+    """,
+    # add-one bigram LM: per-bigram INTEGER micro-nats (round half-away
+    # of ln((c12+1)/(c1+V))*1e6) summed per doc — order-free, replayed
+    # exactly; V = corpus distinct tokens, c1 = unigram occurrences
+    "bigram_lm_scores": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), big AS (
+          SELECT doc_id,
+                 ts[CAST(i AS INTEGER)] || ' ' ||
+                 ts[CAST(i AS INTEGER) + 1] AS ngram
+          FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+        ), uni AS (
+          SELECT unnest(ts) AS tok FROM toks
+        ), c1t AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY tok
+        ), vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1t),
+        c12t AS (
+          SELECT ngram, CAST(count(*) AS BIGINT) AS c12
+          FROM big GROUP BY ngram
+        ), docbi AS (
+          SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS n
+          FROM big GROUP BY doc_id, ngram
+        ), scored AS (
+          SELECT d.doc_id, d.n,
+                 CAST(round(ln(CAST(c.c12 + 1 AS DOUBLE)
+                               / (u.c1 + vn.v)) * 1e6, 0) AS BIGINT)
+                   * d.n AS mn
+          FROM docbi d
+          JOIN c12t c ON d.ngram = c.ngram
+          JOIN c1t u ON string_split(d.ngram, ' ')[1] = u.tok
+          CROSS JOIN vn
+        )
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(mn) AS DOUBLE) / (1e6 * sum(n)), 6)
+                 AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    # the layout-mediated join must equal a plain SQL join: bucket
+    # routing is internal and loses/duplicates nothing
+    "bucketed_join_layout": """
+        WITH j AS (
+          SELECT o.o_custkey,
+                 CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY o_custkey
+        ORDER BY revenue_cents DESC, o_custkey LIMIT 20
+    """,
     "doc_stats_by_lang": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
