@@ -1,0 +1,179 @@
+"""Corpus-curation operators: context-window chunking, benchmark
+decontamination, and per-group token-budget mixing — the steps between
+"cleaned corpus" and "training batches" in an LLM data pipeline.
+
+All three are streaming ``map_batches`` transforms plus the engine's
+standard folds; everything is deterministic and SQL-replayable so the
+queries carry full DuckDB oracles:
+
+- :func:`chunk_documents` — split each doc's whitespace tokens into
+  fixed-size overlapping windows (``chunk_size``, ``stride``), the
+  standard context-window preparation. Pure per-block (no shuffle);
+  chunk text re-joins with single spaces.
+- :func:`decontaminate` — flag training docs sharing ≥ ``min_hits``
+  distinct ``n``-token shingles with an evaluation set (train/test
+  overlap scrubbing). The eval shingle set broadcasts via ``ray.put``
+  (eval sets are benchmark-sized by nature); the docstring documents
+  the Bloom-prefilter escape for adversarially large eval sets
+  (``ops.join.bloom_semi_join`` shape).
+- :func:`token_budget_mix` — keep each group's docs in a deterministic
+  hash order until a token budget is exhausted (data-mixing rebalance);
+  the per-group running token sums ride :func:`ops.scan.running_scan`
+  (one coarse shuffle, vectorized folds), so no group ever sits on the
+  driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(ds, chunk_size: int = 16, overlap: int = 4,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (doc_id, chunk_idx, n_tokens, chunk_text): whitespace
+    tokens windowed at ``stride = chunk_size - overlap``; starts are
+    ``0, stride, 2·stride, …  < n_tokens`` (every token is covered; the
+    final window may be short — the simple rule both sides replay).
+    Empty/whitespace-only docs produce no chunks."""
+    if chunk_size < 1 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError("need chunk_size >= 1 and 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        out_id, out_ix, out_n, out_tx = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = t.split() if t is not None else []
+            n = len(toks)
+            if n == 0:
+                continue
+            for ix, start in enumerate(range(0, n, stride)):
+                w = toks[start:start + chunk_size]
+                out_id.append(did)
+                out_ix.append(ix)
+                out_n.append(len(w))
+                out_tx.append(" ".join(w))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_ix, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_tx, pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train/eval shingle overlap)
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(batch: pa.Table, n: int, id_col: str, text_col: str):
+    """(doc_ids int64[], shingles object[]) — DISTINCT n-token shingles
+    per doc, vectorized over the block's whole word stream."""
+    ids = pd.Series(batch[id_col].to_pylist())
+    s = pd.Series(batch[text_col].to_pylist(), dtype="object")
+    ex = s.str.split().explode().dropna()
+    if len(ex) < n:
+        return np.zeros(0, np.int64), np.zeros(0, object)
+    idx = ex.index.to_numpy()
+    w = ex.to_numpy(dtype=object)
+    m = len(w) - n + 1
+    same = np.ones(m, dtype=bool)
+    for j in range(n - 1):
+        same &= idx[j:j + m] == idx[j + 1:j + 1 + m]
+    if not same.any():
+        return np.zeros(0, np.int64), np.zeros(0, object)
+    sh = w[:m][same]
+    for j in range(1, n):
+        sh = sh + " " + w[j:j + m][same]
+    docs = ids.reindex(idx[:m][same]).to_numpy(np.int64)
+    df = pd.DataFrame({"d": docs, "s": sh}).drop_duplicates()
+    return df["d"].to_numpy(np.int64), df["s"].to_numpy(dtype=object)
+
+
+def decontaminate(train_ds, eval_ds, n: int = 5, min_hits: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (doc_id, n_shared_shingles) — training docs whose
+    DISTINCT ``n``-token shingle overlap with the union of the eval
+    set's shingles reaches ``min_hits``.
+
+    The eval shingle set gathers once and broadcasts via ``ray.put``
+    (benchmark suites are small by nature — the only gather in the op);
+    every training block then resolves with one vectorized ``isin``.
+    For an eval side too big to broadcast exactly, swap the probe for a
+    Bloom broadcast + exact shuffle verify (``ops/join.bloom_semi_join``
+    + ``partitioned_semi_join`` — same contract as dormant_customers).
+    """
+    import ray
+
+    ev: set = set()
+    for b in eval_ds.select_columns([id_col, text_col]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        _, sh = _doc_shingles(b, n, id_col, text_col)
+        ev.update(sh.tolist())
+    ev_ref = ray.put(ev)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        docs, sh = _doc_shingles(batch, n, id_col, text_col)
+        if docs.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_shared_shingles": pa.array([], pa.int64())})
+        hit = pd.Series(sh).isin(evs).to_numpy()
+        g = (pd.DataFrame({"d": docs[hit]})
+             .groupby("d").size().reset_index(name="h"))
+        g = g[g["h"] >= min_hits]
+        return pa.table({
+            id_col: pa.array(g["d"].to_numpy(np.int64)),
+            "n_shared_shingles": pa.array(g["h"].to_numpy(np.int64)),
+        })
+
+    return train_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-budget data mixing
+# ---------------------------------------------------------------------------
+
+def token_budget_mix(ds, budget: int, group_col: str = "lang",
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Per-group token-budget selection (data-mixing rebalance): docs
+    are ordered inside each group by ``(seed_key32(doc_id), doc_id)``
+    (the engine's SQL-replayable spreading key — a deterministic
+    shuffle) and kept while the group's running whitespace-token total
+    stays ≤ ``budget``.
+
+    Returns a Dataset of kept (group, doc_id, n_tokens, running) rows.
+    The running sums come from :func:`ops.scan.running_scan`'s hash
+    route — one coarse shuffle, no group on the driver.
+    """
+    from .cluster import seed_key32
+    from .scan import running_scan
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("")
+        n = s.str.split().map(len).to_numpy(np.int64)
+        return pa.table({
+            group_col: batch[group_col],
+            id_col: pa.array(ids, pa.int64()),
+            "skey": pa.array(seed_key32(ids), pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    keyed = ds.map_batches(tokens, batch_format="pyarrow")
+    scanned = running_scan(keyed, group_col, ["skey", id_col], "n_tokens")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        run = batch["running"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(run <= budget)).select(
+            [group_col, id_col, "n_tokens", "running"])
+
+    return scanned.map_batches(keep, batch_format="pyarrow")

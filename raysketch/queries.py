@@ -3743,6 +3743,66 @@ def q_grouping_sets_pricing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_doc_chunks(sf_dir: str) -> pa.Table:
+    """Context-window chunking (ops/curate.chunk_documents): whitespace
+    tokens windowed at size 16 / overlap 4 (stride 12), pure per-block
+    streaming — no shuffle at any corpus size. Oracle replays the
+    start-grid + list_slice + re-join rule exactly."""
+    from .ops.curate import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, chunk_size=16, overlap=4) \
+        .sort(["doc_id", "chunk_idx"])
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+
+
+def q_decontamination(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (ops/curate.decontaminate): eval set =
+    docs with doc_id % 23 == 0; training docs sharing ≥1 distinct
+    5-token shingle with ANY eval doc are flagged with their overlap
+    count. Eval shingles broadcast once (benchmark-sized); the training
+    stream probes with one vectorized isin per block (Bloom-prefilter
+    escape documented for huge eval sides)."""
+    from .ops.curate import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(want_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 23 == 0)
+            return b.filter(pa.array(m if want_eval else ~m))
+
+        return f
+
+    ev = docs.map_batches(_split(True), batch_format="pyarrow")
+    tr = docs.map_batches(_split(False), batch_format="pyarrow")
+    out = decontaminate(tr, ev, n=5, min_hits=1).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+
+
+def q_token_budget_mix(sf_dir: str) -> pa.Table:
+    """Per-language token-budget data mixing (ops/curate
+    .token_budget_mix): docs ordered inside each language by the
+    SQL-replayable seed_key32 shuffle key, kept while the language's
+    running token total stays ≤ 2000. Running sums ride running_scan's
+    hash route (one coarse shuffle); the oracle replays the identical
+    window cumsum."""
+    from .ops.curate import token_budget_mix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = token_budget_mix(ds, budget=2000, group_col="lang")
+    df = out.to_pandas().sort_values(["lang", "doc_id"]) \
+        .reset_index(drop=True)
+    for c in ("doc_id", "n_tokens", "running"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_pmi_cooccurrence(sf_dir: str) -> pa.Table:
     """Doc-level PMI association mining over the top-64 vocabulary
     (ops/lm.py): token df fold → fixed-size vocabulary broadcast → one
@@ -3845,6 +3905,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
+    "doc_chunks": q_doc_chunks,
+    "decontamination": q_decontamination,
+    "token_budget_mix": q_token_budget_mix,
     "hopping_window": q_hopping_window,
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
@@ -4175,6 +4238,74 @@ ORACLE_SQL: dict[str, str] = {
                round(CAST(sum(mn) AS DOUBLE) / (1e6 * sum(n)), 6)
                  AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    # start grid 0, stride, 2·stride … < n_tokens; DuckDB list_slice is
+    # 1-based-inclusive and clamps at the list end, matching the python
+    # toks[start:start+size] rule
+    "doc_chunks": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(ts, CAST(i AS INTEGER) * 12 + 1,
+                                   CAST(i AS INTEGER) * 12 + 16))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list_slice(ts, CAST(i AS INTEGER) * 12 + 1,
+                            CAST(i AS INTEGER) * 12 + 16), ' ')
+                 AS chunk_text
+        FROM toks, UNNEST(range(0, (len(ts) + 11) // 12)) AS t(i)
+        ORDER BY doc_id, chunk_idx
+    """,
+    # eval set = doc_id % 23 == 0; DISTINCT 5-token shingles both sides
+    "decontamination": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(
+                   list_slice(ts, CAST(i AS INTEGER),
+                              CAST(i AS INTEGER) + 4), ' ') AS s
+          FROM toks, UNNEST(range(1, len(ts) - 3)) AS t(i)
+        ), ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0)
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_shingles
+        FROM sh d JOIN ev USING (s)
+        WHERE d.doc_id % 23 <> 0
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    # seed_key32 replay (the kmeans_assign HUGEINT recipe) orders each
+    # language's docs; window cumsum keeps rows while running <= budget
+    "token_budget_mix": """
+        WITH keyed AS (
+          SELECT lang, doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(xor(h2, h2 // 65536) AS BIGINT) AS skey
+          FROM (
+            SELECT lang, doc_id, text,
+                   (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+            FROM (
+              SELECT lang, doc_id, text,
+                     (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296 AS h1
+              FROM documents) a) b
+        ), scanned AS (
+          SELECT lang, doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY skey, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+          FROM keyed
+        )
+        SELECT lang, doc_id, n_tokens, running
+        FROM scanned WHERE running <= 2000 ORDER BY lang, doc_id
     """,
     # the layout-mediated join must equal a plain SQL join: bucket
     # routing is internal and loses/duplicates nothing

@@ -1,0 +1,99 @@
+"""Curation ops (ops/curate.py): brute-force parity on synthetic docs,
+block invariance, parameter validation. (Corpus-scale DuckDB oracles are
+gated in test_oracle_parity.py via doc_chunks / decontamination /
+token_budget_mix.)"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(texts, langs=None, npart=3):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    if langs is not None:
+        df["lang"] = langs
+    return rd.from_pandas(df).repartition(npart)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunking_rule_and_coverage():
+    from raysketch.ops.curate import chunk_documents
+
+    texts = ["a b c d e f g h i j",  # 10 toks, size 4 / overlap 1 -> stride 3
+             "x y",                   # short: one chunk
+             ""]                      # empty: no chunks
+    got = chunk_documents(_ds(texts), chunk_size=4, overlap=1) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    d0 = got[got.doc_id == 0]
+    assert d0["chunk_text"].tolist() == [
+        "a b c d", "d e f g", "g h i j", "j"]
+    assert d0["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert got[got.doc_id == 1]["chunk_text"].tolist() == ["x y"]
+    assert (got.doc_id == 2).sum() == 0
+    # every token covered: concat of stride-prefixes == original
+    rebuilt = " ".join(t if i == len(d0) - 1 else " ".join(t.split()[:3])
+                       for i, t in enumerate(d0["chunk_text"]))
+    assert rebuilt == texts[0]
+    with pytest.raises(ValueError):
+        chunk_documents(_ds(texts), chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(_ds(texts), chunk_size=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_counts_distinct_shared_shingles():
+    from raysketch.ops.curate import decontaminate
+
+    ev = _ds(["one two three four five six"])          # shingles: 2
+    tr_texts = [
+        "one two three four five six seven",  # shares both eval shingles
+        "zzz one two three four five zzz",    # shares one
+        "totally different words here now ok",  # none
+        # repeats the same eval shingle twice -> DISTINCT count is 1
+        "one two three four five one two three four five",
+    ]
+    tr = _ds(tr_texts)
+    got = decontaminate(tr, ev, n=5).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 3]
+    assert got["n_shared_shingles"].tolist() == [2, 1, 1]
+    # min_hits threshold
+    got2 = decontaminate(tr, ev, n=5, min_hits=2).to_pandas()
+    assert got2["doc_id"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_mix_respects_budget_and_order():
+    from raysketch.ops.cluster import seed_key32
+    from raysketch.ops.curate import token_budget_mix
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(["w"] * int(n)) for n in rng.integers(5, 40, 60)]
+    langs = [("en", "de")[i % 2] for i in range(60)]
+    got = token_budget_mix(_ds(texts, langs, npart=4), budget=150) \
+        .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+    # brute force: same order, same cumsum rule
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "lang": langs,
+                       "n_tokens": [len(t.split()) for t in texts]})
+    df["skey"] = seed_key32(df["doc_id"].to_numpy())
+    keep = []
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["skey", "doc_id"])
+        run = g["n_tokens"].cumsum()
+        k = g[run <= 150].copy()
+        k["running"] = run[run <= 150]
+        keep.append(k[["lang", "doc_id", "n_tokens", "running"]])
+    want = pd.concat(keep).sort_values(["lang", "doc_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lang", "doc_id", "n_tokens", "running"]].astype(
+            {"running": "int64"}),
+        want.astype({"running": "int64"}), check_dtype=False)
+    # budget respected per group
+    assert (got.groupby("lang")["n_tokens"].sum() <= 150).all()

@@ -289,8 +289,13 @@ def test_media_pipeline_plumbing(ray_session):
 
 def test_decode_real_path_raises():
     dec = mm.DecodeImage(real=True)
-    with pytest.raises(NotImplementedError):
+    # jpeg decodes FOR REAL since round 4 (ops/jpeg.py): garbage bytes
+    # are a codec error, not a missing-codec stub
+    with pytest.raises(ValueError):
         dec._decode_one(b"payload", "image/jpeg", 4, 4)
+    # png/video still have no codec — the honest stub remains
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"\x89PNG....", "image/png", 4, 4)
 
 
 def test_ppm_codec_roundtrip():
