@@ -177,3 +177,42 @@ def token_budget_mix(ds, budget: int, group_col: str = "lang",
             [group_col, id_col, "n_tokens", "running"])
 
     return scanned.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# training-shard emission (the pipeline's last mile)
+# ---------------------------------------------------------------------------
+
+def write_training_shards(ds, out_root: str, n_shards: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    """Write the corpus as ``n_shards`` deterministic training shards
+    (hive dirs ``shard=i/``, atomic ``_SUCCESS`` publish) and return the
+    root. Shard assignment is ``seed_key32(doc_id) % n_shards`` — a
+    deterministic hash shuffle, the scale-honest stand-in for an RNG
+    pass (SQL-replayable, stable under any re-run or partitioning, and
+    docs land spread across shards regardless of input order). Within a
+    shard, consumer order is the deterministic ``(seed_key32(id), id)``
+    rule — a pure function of content, so nothing order-dependent needs
+    to survive the parallel write. Rows carry ``n_tokens`` so consumers
+    can budget batches without re-tokenizing."""
+    from ..engine.sinks import write_dataset
+    from .cluster import seed_key32
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("")
+        n = s.str.split().map(len).to_numpy(np.int64)
+        shard = seed_key32(ids) % np.int64(n_shards)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            text_col: batch[text_col],
+            "n_tokens": pa.array(n, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    return write_dataset(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        out_root, partition_cols=["shard"])

@@ -3803,6 +3803,53 @@ def q_token_budget_mix(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_training_shards(sf_dir: str) -> pa.Table:
+    """Last-mile shard emission (ops/curate.write_training_shards): the
+    corpus is WRITTEN as 8 deterministic hash shards (hive dirs, atomic
+    _SUCCESS), then the per-shard profile (n_docs, total_tokens, id
+    range, content checksum) folds from the READ-BACK of the written
+    bytes — the oracle replays the seed_key32 %8 assignment from the
+    raw table, so a lost/duplicated/misrouted row anywhere in the
+    write → read path breaks the hash compare."""
+    import shutil
+    import uuid
+
+    from .engine.sinks import read_back
+    from .ops.curate import write_training_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = os.path.join(
+        "/tmp/raysketch_shards",
+        f"train_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    try:
+        write_training_shards(ds, root, n_shards=8)
+
+        def profile(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["shard"] = df["shard"].astype("int64")
+            ids = df["doc_id"].to_numpy(np.int64)
+            g = df.groupby("shard").agg(
+                n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"),
+                min_doc=("doc_id", "min"), max_doc=("doc_id", "max"))
+            g["checksum"] = pd.Series(ids * ids, index=df["shard"]) \
+                .groupby(level=0).sum()
+            return pa.Table.from_pandas(g.reset_index(),
+                                        preserve_index=False)
+
+        parts = read_back(root).map_batches(profile, batch_format="pyarrow")
+        df = parts.to_pandas().groupby("shard").agg(
+            n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum"),
+            min_doc=("min_doc", "min"), max_doc=("max_doc", "max"),
+            checksum=("checksum", "sum")).reset_index()
+        df = df.sort_values("shard").reset_index(drop=True)
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_pmi_cooccurrence(sf_dir: str) -> pa.Table:
     """Doc-level PMI association mining over the top-64 vocabulary
     (ops/lm.py): token df fold → fixed-size vocabulary broadcast → one
@@ -3908,6 +3955,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_chunks": q_doc_chunks,
     "decontamination": q_decontamination,
     "token_budget_mix": q_token_budget_mix,
+    "training_shards": q_training_shards,
     "hopping_window": q_hopping_window,
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
@@ -4279,6 +4327,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh d JOIN ev USING (s)
         WHERE d.doc_id % 23 <> 0
         GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    # shard = seed_key32(doc_id) % 8 replayed in HUGEINT arithmetic;
+    # the Ray side folds from the WRITTEN shard bytes, so this compare
+    # gates the whole write -> read-back path
+    "training_shards": """
+        WITH keyed AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(xor(h2, h2 // 65536) AS BIGINT) % 8 AS shard
+          FROM (
+            SELECT doc_id, text,
+                   (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+            FROM (
+              SELECT doc_id, text,
+                     (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296 AS h1
+              FROM documents) a) b
+        )
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc,
+               CAST(sum(doc_id * doc_id) AS BIGINT) AS checksum
+        FROM keyed GROUP BY shard ORDER BY shard
     """,
     # seed_key32 replay (the kmeans_assign HUGEINT recipe) orders each
     # language's docs; window cumsum keeps rows while running <= budget

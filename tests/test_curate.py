@@ -97,3 +97,37 @@ def test_token_budget_mix_respects_budget_and_order():
         want.astype({"running": "int64"}), check_dtype=False)
     # budget respected per group
     assert (got.groupby("lang")["n_tokens"].sum() <= 150).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_shards_deterministic_and_complete(tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from raysketch.engine.sinks import read_back
+    from raysketch.ops.cluster import seed_key32
+    from raysketch.ops.curate import write_training_shards
+
+    texts = [" ".join(["t"] * (3 + i % 5)) for i in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts})
+    root = str(tmp_path / "shards")
+    write_training_shards(rd.from_pandas(df).repartition(4), root,
+                          n_shards=4)
+    assert os.path.exists(os.path.join(root, "_SUCCESS"))
+    back = read_back(root).to_pandas()
+    back["shard"] = back["shard"].astype("int64")
+    # complete: every doc exactly once
+    assert sorted(back["doc_id"].tolist()) == list(range(200))
+    # assignment rule replayed
+    want = seed_key32(df["doc_id"].to_numpy()) % 4
+    got = back.sort_values("doc_id")["shard"].to_numpy()
+    assert (got == want).all()
+    # token counts carried
+    assert back.sort_values("doc_id")["n_tokens"].tolist() == \
+        [3 + i % 5 for i in range(200)]
+    # every shard non-empty on 200 docs (hash spreads)
+    assert back["shard"].nunique() == 4
+    with pytest.raises(ValueError):
+        write_training_shards(rd.from_pandas(df), root + "2", n_shards=0)
