@@ -221,15 +221,59 @@ def doc_bigram_partial(batch: pa.Table, id_col: str = "doc_id",
                      "n": pa.array(df["n"].to_numpy(np.int64))})
 
 
+def _doc_ngram_tagged(batch: pa.Table, id_col: str,
+                      text_col: str) -> pa.Table:
+    """ONE pass over the block's word stream emitting BOTH per-doc
+    unigram counts (kind=1) and per-doc bigram counts (kind=2) as
+    (kind, doc_id, ngram, n) rows — the corpus is read once and every
+    downstream table of :func:`bigram_lm_scores` folds from these
+    partials."""
+    empty = pa.table({"kind": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "ngram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    ids = pd.Series(batch[id_col].to_pylist())
+    s = pd.Series(batch[text_col].to_pylist(), dtype="object")
+    ex = s.str.split().explode().dropna()
+    if ex.empty:
+        return empty
+    idx = ex.index.to_numpy()
+    w = ex.to_numpy(dtype=object)
+    docs_all = ids.reindex(idx).to_numpy(np.int64)
+    u = (pd.DataFrame({"doc_id": docs_all, "ngram": w})
+         .groupby(["doc_id", "ngram"], sort=False).size()
+         .reset_index(name="n"))
+    frames = [u.assign(kind=1)]
+    m = len(w) - 1
+    if m > 0:
+        same = idx[:m] == idx[1:m + 1]
+        if same.any():
+            grams = (w[:m][same] + " " + w[1:][same])
+            docs = ids.reindex(idx[:m][same]).to_numpy(np.int64)
+            b2 = (pd.DataFrame({"doc_id": docs, "ngram": grams})
+                  .groupby(["doc_id", "ngram"], sort=False).size()
+                  .reset_index(name="n"))
+            frames.append(b2.assign(kind=2))
+    df = pd.concat(frames, ignore_index=True)
+    return pa.table({
+        "kind": pa.array(df["kind"].to_numpy(np.int64)),
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "ngram": pa.array(df["ngram"].to_numpy(dtype=object), pa.string()),
+        "n": pa.array(df["n"].to_numpy(np.int64))})
+
+
 def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
                      broadcast_limit_rows: int = 2_000_000):
     """Per-document average bigram log-probability under an add-one
     corpus LM — the perplexity-style quality signal.
 
-    Training (all distributed, vocabulary-sized folds):
-      - bigram counts ``c12(w1 w2)`` and unigram counts ``c1(w1)`` via
-        ``ops.text.ngram_count_partial`` (n=2 / n=1) + coarse folds;
-      - ``V`` = corpus distinct-token count (the unigram table's size).
+    ONE corpus pass (:func:`_doc_ngram_tagged`) emits per-doc unigram
+    and bigram count partials; everything else folds from those
+    materialized partials (the corpus is never re-read):
+      - bigram counts ``c12`` / unigram counts ``c1``: coarse-bucket
+        folds of the kind=2 / kind=1 partials summed over docs;
+      - ``V`` = corpus distinct-token count (the unigram table's size);
+      - the per-doc bigram stream is the kind=2 partials themselves.
 
     The LM table attaches ``c1`` to each bigram row keyed by its first
     word (vocabulary × vocabulary-sized — the SIZE-ROUTED
@@ -246,27 +290,42 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     from ..engine.hashing import append_coarse_bucket
     from .join import attach_by_key
-    from .text import ngram_count_partial
 
-    # --- train: bigram + unigram count tables ---------------------------
-    def fold_counts(parts, key="ngram"):
-        def bucket(b: pa.Table) -> pa.Table:
-            return append_coarse_bucket(b, [key], 256, "cb")
+    tagged = ds.map_batches(
+        lambda b: _doc_ngram_tagged(b, id_col, text_col),
+        batch_format="pyarrow").materialize()
 
-        def fold(df: pd.DataFrame) -> pd.DataFrame:
-            return (df.groupby(key, sort=False)["n_count"]
-                    .sum().reset_index())
+    def _kind(k: int, keep_doc: bool):
+        def f(b: pa.Table) -> pa.Table:
+            kk = b["kind"].to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(kk == k))
+            cols = ["doc_id", "ngram", "n"] if keep_doc else ["ngram", "n"]
+            return t.select(cols)
 
-        return parts.map_batches(bucket, batch_format="pyarrow").groupby(
-            "cb").map_groups(lambda g: fold(g.drop(columns=["cb"])),
-                             batch_format="pandas")
+        return f
 
-    bi = fold_counts(ds.map_batches(
-        lambda b: ngram_count_partial(b, text_col, n=2),
-        batch_format="pyarrow")).materialize()
-    uni = fold_counts(ds.map_batches(
-        lambda b: ngram_count_partial(b, text_col, n=1),
-        batch_format="pyarrow")).materialize()
+    # --- train: BOTH count tables from ONE ngram-keyed shuffle ----------
+    def bucket(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b.select(["kind", "ngram", "n"]),
+                                    ["ngram"], 256, "cb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["kind", "ngram"], sort=False)["n"].sum() \
+            .reset_index()
+        g.columns = ["kind", "ngram", "n_count"]
+        return g
+
+    counts = tagged.map_batches(bucket, batch_format="pyarrow").groupby(
+        "cb").map_groups(lambda g: fold(g.drop(columns=["cb"])),
+                         batch_format="pandas").materialize()
+    bi = counts.map_batches(
+        lambda b: b.filter(pa.array(
+            b["kind"].to_numpy(zero_copy_only=False) == 2))
+        .select(["ngram", "n_count"]), batch_format="pyarrow")
+    uni = counts.map_batches(
+        lambda b: b.filter(pa.array(
+            b["kind"].to_numpy(zero_copy_only=False) == 1))
+        .select(["ngram", "n_count"]), batch_format="pyarrow")
     vocab_n = uni.count()
 
     # --- LM table: (ngram, c12, c1) --------------------------------------
@@ -286,10 +345,8 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
                        broadcast_limit_rows=broadcast_limit_rows) \
         .select_columns(["ngram", "c12", "c1"])
 
-    # --- score: per-doc bigram stream ⋈ LM table → integer fold ---------
-    doc_bi = ds.map_batches(
-        lambda b: doc_bigram_partial(b, id_col, text_col),
-        batch_format="pyarrow")
+    # --- score: per-doc bigram stream (the kind=2 partials) ⋈ LM table --
+    doc_bi = tagged.map_batches(_kind(2, True), batch_format="pyarrow")
     scored = attach_by_key(doc_bi, lm, "ngram", "ngram", ["c12", "c1"],
                            broadcast_limit_rows=broadcast_limit_rows)
 
