@@ -192,35 +192,6 @@ def pmi_cooccurrence(ds, vocab_size: int = 64, top_pairs: int = 50,
 # bigram LM scoring (add-one smoothing, integer micro-nats)
 # ---------------------------------------------------------------------------
 
-def doc_bigram_partial(batch: pa.Table, id_col: str = "doc_id",
-                       text_col: str = "text") -> pa.Table:
-    """Per-block (doc_id, ngram, n) rows: each doc's bigram multiset
-    (whitespace words joined by one space), counted within the doc."""
-    ids = pd.Series(batch[id_col].to_pylist())
-    s = pd.Series(batch[text_col].to_pylist(), dtype="object")
-    ex = s.str.split().explode().dropna()
-    if ex.empty:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "ngram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
-    idx = ex.index.to_numpy()
-    w = ex.to_numpy(dtype=object)
-    m = len(w) - 1
-    if m <= 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "ngram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
-    same = idx[:m] == idx[1:m + 1]
-    grams = (w[:m][same] + " " + w[1:][same])
-    docs = ids.reindex(idx[:m][same]).to_numpy(np.int64)
-    df = (pd.DataFrame({"doc_id": docs, "ngram": grams})
-          .groupby(["doc_id", "ngram"], sort=False).size().reset_index(name="n"))
-    return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
-                     "ngram": pa.array(df["ngram"].to_numpy(dtype=object),
-                                       pa.string()),
-                     "n": pa.array(df["n"].to_numpy(np.int64))})
-
-
 def _doc_ngram_tagged(batch: pa.Table, id_col: str,
                       text_col: str) -> pa.Table:
     """ONE pass over the block's word stream emitting BOTH per-doc
