@@ -310,7 +310,8 @@ def main() -> None:
             "dedup_doc_counts", "neardup_pairs", "time_series_window",
             "pagerank_suppliers", "pagerank_weighted", "ppr_trade",
             "hits_trade", "similar_customers", "tfidf_top_terms",
-            "customer_order_profile",
+            "customer_order_profile", "bigram_lm_scores",
+            "bucketed_join_layout", "pmi_cooccurrence", "training_shards",
         ]
         print(json.dumps({
             "metric": "bench_total_wall_seconds",

@@ -216,3 +216,92 @@ def write_training_shards(ds, out_root: str, n_shards: int = 8,
     return write_dataset(
         ds.map_batches(assign, batch_format="pyarrow"),
         out_root, partition_cols=["shard"])
+
+
+def write_training_shards_checkpointed(
+    shard_paths: list[str],
+    out_root: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _fail_after: int | None = None,
+) -> dict:
+    """Resumable shard emission for corpus-scale runs: each INPUT chunk
+    (one source parquet shard) writes its own atomically-published
+    layout directory ``out_root/chunk-<j>/shard=<i>/...`` — a killed run
+    re-submitted with the same ``out_root`` skips every chunk whose
+    ``_SUCCESS`` marker exists and produces byte-identical shards
+    (assignment is the deterministic ``seed_key32 % n_shards``; no RNG,
+    no cross-chunk state). Consumers read training shard ``i`` as the
+    union of ``chunk-*/shard=<i>`` (``read_training_shard``).
+
+    The resume unit is the input chunk because shard assignment is
+    row-local: unlike the dedup pipeline's global shuffle stages there
+    is NO stage whose output spans chunks, so per-chunk granularity is
+    both honest and maximal. ``_fail_after=j`` is the test kill hook
+    (raises after chunk index ``j`` publishes).
+
+    Returns ``{"chunks_total", "chunks_skipped_resume", "chunks_written"}``.
+    """
+    import os
+
+    import ray.data as rd
+
+    from ..engine.sinks import SUCCESS_MARKER, write_dataset
+    from .cluster import seed_key32
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(out_root, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("")
+        n = s.str.split().map(len).to_numpy(np.int64)
+        shard = seed_key32(ids) % np.int64(n_shards)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            text_col: batch[text_col],
+            "n_tokens": pa.array(n, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    skipped = written = 0
+    for j, src in enumerate(sorted(shard_paths)):
+        chunk_dir = os.path.join(out_root, f"chunk-{j:05d}")
+        if os.path.exists(os.path.join(chunk_dir, SUCCESS_MARKER)):
+            skipped += 1
+            continue
+        ds = rd.read_parquet(src, columns=[id_col, text_col])
+        write_dataset(ds.map_batches(assign, batch_format="pyarrow"),
+                      chunk_dir, partition_cols=["shard"])
+        written += 1
+        if _fail_after is not None and j >= _fail_after:
+            raise RuntimeError(f"injected failure after chunk {j}")
+    return {"chunks_total": len(shard_paths),
+            "chunks_skipped_resume": skipped,
+            "chunks_written": written}
+
+
+def read_training_shard(out_root: str, shard: int):
+    """Dataset over ONE training shard across every published chunk of a
+    :func:`write_training_shards_checkpointed` layout (chunks without a
+    ``_SUCCESS`` marker — crashed partial writes — are never read)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ..engine.sinks import SUCCESS_MARKER
+
+    dirs = []
+    for chunk in sorted(glob.glob(os.path.join(out_root, "chunk-*"))):
+        if not os.path.exists(os.path.join(chunk, SUCCESS_MARKER)):
+            continue
+        sub = os.path.join(chunk, f"shard={shard}")
+        if os.path.isdir(sub):
+            dirs.append(sub)
+    if not dirs:
+        raise FileNotFoundError(
+            f"{out_root}: no published chunks carry shard={shard}")
+    return rd.read_parquet(dirs, file_extensions=["parquet"])

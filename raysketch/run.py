@@ -45,12 +45,14 @@ def main() -> None:
     ap.add_argument("--group-key", default="lang")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--max-in-flight", type=int, default=32)
-    ap.add_argument("--pipeline", choices=["sketch", "dedup", "pagerank"],
+    ap.add_argument("--pipeline",
+                    choices=["sketch", "dedup", "pagerank", "shards"],
                     default="sketch",
                     help="sketch = flagship profile build; dedup = resumable "
                          "MinHash near-dup pairs over the corpus text; "
                          "pagerank = resumable iterative PageRank over "
-                         "(src, dst) edge shards")
+                         "(src, dst) edge shards; shards = resumable "
+                         "training-shard emission (per-input-chunk resume)")
     ap.add_argument("--dedup-threshold", type=float, default=0.7)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id",
@@ -60,6 +62,7 @@ def main() -> None:
     ap.add_argument("--dst-col", default="dst")
     ap.add_argument("--pr-iters", type=int, default=10)
     ap.add_argument("--pr-damping", type=float, default=0.85)
+    ap.add_argument("--n-shards", type=int, default=8)
     args = ap.parse_args()
 
     import ray
@@ -99,6 +102,9 @@ def _run(args: argparse.Namespace) -> None:
         return
     if args.pipeline == "pagerank":
         _run_pagerank(args, shards)
+        return
+    if args.pipeline == "shards":
+        _run_shards(args, shards)
         return
 
     store = CheckpointStore(args.checkpoint_root, args.job_id)
@@ -174,6 +180,26 @@ def _run_dedup(args: argparse.Namespace, shards: list[str]) -> None:
         "wall_sec": round(wall, 2),
         "pairs_path": os.path.join(base, "stage_verified"),
     }))
+
+
+def _run_shards(args: argparse.Namespace, shards: list[str]) -> None:
+    """Resumable training-shard emission (ops.curate per-chunk resume).
+
+    --output is the layout root (REQUIRED); re-running with the same
+    --output skips published chunks. --job-id rides only the summary."""
+    import json as _json
+
+    from .ops.curate import write_training_shards_checkpointed
+
+    if not args.output:
+        raise SystemExit("--pipeline shards requires --output (layout root)")
+    t0 = time.perf_counter()
+    stats = write_training_shards_checkpointed(
+        shards, args.output, n_shards=args.n_shards,
+        id_col=args.id_col, text_col=args.text_col)
+    print(_json.dumps({
+        "job_id": args.job_id, "pipeline": "shards",
+        "wall_sec": round(time.perf_counter() - t0, 2), **stats}))
 
 
 def _run_pagerank(args: argparse.Namespace, shards: list[str]) -> None:

@@ -131,3 +131,71 @@ def test_training_shards_deterministic_and_complete(tmp_path):
     assert back["shard"].nunique() == 4
     with pytest.raises(ValueError):
         write_training_shards(rd.from_pandas(df), root + "2", n_shards=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpointed_shards_kill_resume(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.ops.curate import (read_training_shard,
+                                      write_training_shards_checkpointed)
+
+    # 5 input chunks of 40 docs each
+    srcs = []
+    for j in range(5):
+        ids = np.arange(j * 40, (j + 1) * 40, dtype=np.int64)
+        t = pa.table({"doc_id": pa.array(ids),
+                      "text": pa.array([f"d{i} tok tok" for i in ids])})
+        p = str(tmp_path / f"src-{j}.parquet")
+        pq.write_table(t, p)
+        srcs.append(p)
+
+    # uninterrupted reference run
+    ref_root = str(tmp_path / "ref")
+    stats = write_training_shards_checkpointed(srcs, ref_root, n_shards=4)
+    assert stats == {"chunks_total": 5, "chunks_skipped_resume": 0,
+                     "chunks_written": 5}
+
+    # killed after chunk 1 publishes -> resume skips 2, writes 3
+    root = str(tmp_path / "resumable")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        write_training_shards_checkpointed(srcs, root, n_shards=4,
+                                           _fail_after=1)
+    stats2 = write_training_shards_checkpointed(srcs, root, n_shards=4)
+    assert stats2["chunks_skipped_resume"] == 2
+    assert stats2["chunks_written"] == 3
+
+    # byte-identical shards vs the uninterrupted run, read across chunks
+    for i in range(4):
+        a = read_training_shard(ref_root, i).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = read_training_shard(root, i).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+    # all 200 docs present exactly once across shards
+    allb = pd.concat([read_training_shard(root, i).to_pandas()
+                      for i in range(4)])
+    assert sorted(allb["doc_id"].tolist()) == list(range(200))
+
+    # CLI drive (own Ray session in a subprocess)
+    out_root = str(tmp_path / "cli")
+    r = subprocess.run(
+        [sys.executable, "-m", "raysketch.run", "--pipeline", "shards",
+         "--input", str(tmp_path / "src-*.parquet"), "--job-id", "t1",
+         "--output", out_root, "--n-shards", "4", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    import json as _json
+
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    assert _json.loads(line)["chunks_written"] == 5
+    c = read_training_shard(out_root, 2).to_pandas()
+    want = read_training_shard(ref_root, 2).to_pandas()
+    pd.testing.assert_frame_equal(
+        c.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True))
