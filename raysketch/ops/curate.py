@@ -305,3 +305,87 @@ def read_training_shard(out_root: str, shard: int):
         raise FileNotFoundError(
             f"{out_root}: no published chunks carry shard={shard}")
     return rd.read_parquet(dirs, file_extensions=["parquet"])
+
+
+def pack_sequences(ds, seq_tokens: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """GPT-style sequence packing (concatenate-and-split): the corpus's
+    whitespace tokens are concatenated in the deterministic
+    ``(seed_key32(doc_id), doc_id)`` shuffle order and split every
+    ``seq_tokens`` tokens; returns a Dataset of per-sequence profiles
+    ``(seq_id, n_docs, n_tokens)`` — ``n_tokens == seq_tokens``
+    everywhere except the final partial sequence.
+
+    Plan: per-doc token counts ride :func:`ops.scan.running_scan`'s
+    SORTED route (the single global order is one hot key by
+    construction — exactly the hot-key case the sort-partitioned prefix
+    scan exists for; the driver folds only per-block summaries). Each
+    doc then knows its global token span ``[running - n, running)`` and
+    emits one row per sequence it touches (≤ n/seq_tokens + 2 rows,
+    vectorized repeat/arithmetic — no Python loop), and one coarse
+    fold sums per-sequence contributions.
+    """
+    from ..engine.hashing import append_coarse_bucket
+    from .cluster import seed_key32
+    from .scan import running_scan
+
+    if seq_tokens < 1:
+        raise ValueError("seq_tokens must be >= 1")
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("")
+        n = s.str.split().map(len).to_numpy(np.int64)
+        return pa.table({
+            "g": pa.array(np.zeros(len(ids), np.int64)),
+            id_col: pa.array(ids, pa.int64()),
+            "skey": pa.array(seed_key32(ids), pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    keyed = ds.map_batches(tokens, batch_format="pyarrow")
+    scanned = running_scan(keyed, "g", ["skey", id_col], "n_tokens",
+                           route="sorted")
+
+    S = np.int64(seq_tokens)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        run = batch["running"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        live = n > 0  # empty docs touch no sequence
+        run, n = run[live], n[live]
+        if run.size == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        start = run - n
+        first, last = start // S, (run - 1) // S
+        reps = (last - first + 1).astype(np.int64)
+        base = np.repeat(first, reps)
+        # within-doc sequence index 0..reps-1 via grouped cumcount
+        ends = np.cumsum(reps)
+        offs = np.arange(ends[-1], dtype=np.int64) \
+            - np.repeat(ends - reps, reps)
+        seq = base + offs
+        st = np.repeat(start, reps)
+        en = np.repeat(run, reps)
+        t = np.minimum(en, (seq + 1) * S) - np.maximum(st, seq * S)
+        return pa.table({"seq_id": pa.array(seq, pa.int64()),
+                         "t": pa.array(t, pa.int64()),
+                         "d": pa.array(np.ones(seq.size, np.int64))})
+
+    parts = scanned.map_batches(spans, batch_format="pyarrow")
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b, ["seq_id"], 256, "sb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seq_id", sort=False).agg(
+            n_docs=("d", "sum"), n_tokens=("t", "sum")).reset_index()
+        return g[["seq_id", "n_docs", "n_tokens"]]
+
+    return parts.map_batches(bucket, batch_format="pyarrow").groupby(
+        "sb").map_groups(lambda g: fold(g.drop(columns=["sb"])),
+                         batch_format="pandas")

@@ -3850,6 +3850,25 @@ def q_training_shards(sf_dir: str) -> pa.Table:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sequence_packing(sf_dir: str) -> pa.Table:
+    """GPT-style concatenate-and-split packing (ops/curate
+    .pack_sequences): corpus tokens concatenated in the deterministic
+    seed_key32 shuffle order, split every 32 tokens; per-sequence
+    profile (docs contributing, token count). The single global order
+    is the canonical hot key — the running offsets ride running_scan's
+    SORTED route (per-block prefix scans + a driver fold of block
+    summaries only). Oracle replays the window cumsum + span
+    arithmetic exactly."""
+    from .ops.curate import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(ds, seq_tokens=32).to_pandas() \
+        .sort_values("seq_id").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_pmi_cooccurrence(sf_dir: str) -> pa.Table:
     """Doc-level PMI association mining over the top-64 vocabulary
     (ops/lm.py): token df fold → fixed-size vocabulary broadcast → one
@@ -3956,6 +3975,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "decontamination": q_decontamination,
     "token_budget_mix": q_token_budget_mix,
     "training_shards": q_training_shards,
+    "sequence_packing": q_sequence_packing,
     "hopping_window": q_hopping_window,
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
@@ -4353,6 +4373,43 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(doc_id) AS BIGINT) AS max_doc,
                CAST(sum(doc_id * doc_id) AS BIGINT) AS checksum
         FROM keyed GROUP BY shard ORDER BY shard
+    """,
+    # global token offsets from the same seed_key32-ordered window
+    # cumsum; each doc emits one row per 32-token sequence its span
+    # touches, per-seq token counts by least/greatest arithmetic
+    "sequence_packing": """
+        WITH keyed AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(xor(h2, h2 // 65536) AS BIGINT) AS skey
+          FROM (
+            SELECT doc_id, text,
+                   (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+            FROM (
+              SELECT doc_id, text,
+                     (CAST(doc_id AS HUGEINT) * 2654435761)
+                         % 4294967296 AS h1
+              FROM documents) a) b
+        ), scanned AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+          FROM keyed
+        ), spans AS (
+          SELECT s.running - s.n_tokens AS st, s.running AS en,
+                 CAST(q AS BIGINT) AS seq_id
+          FROM scanned s,
+               UNNEST(range((s.running - s.n_tokens) // 32,
+                            ((s.running - 1) // 32) + 1)) AS t(q)
+          WHERE s.n_tokens > 0
+        )
+        SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(en, (seq_id + 1) * 32)
+                        - greatest(st, seq_id * 32)) AS BIGINT)
+                 AS n_tokens
+        FROM spans GROUP BY seq_id ORDER BY seq_id
     """,
     # seed_key32 replay (the kmeans_assign HUGEINT recipe) orders each
     # language's docs; window cumsum keeps rows while running <= budget

@@ -199,3 +199,35 @@ def test_checkpointed_shards_kill_resume(tmp_path):
     pd.testing.assert_frame_equal(
         c.sort_values("doc_id").reset_index(drop=True),
         want.sort_values("doc_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sequence_packing_brute_parity_and_block_invariance():
+    from raysketch.ops.cluster import seed_key32
+    from raysketch.ops.curate import pack_sequences
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(["w"] * int(n)) for n in rng.integers(0, 23, 80)]
+    S = 10
+
+    # brute force: concatenate in (skey, doc_id) order, split every S
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "n": [len(t.split()) for t in texts]})
+    df["skey"] = seed_key32(df["doc_id"].to_numpy())
+    df = df.sort_values(["skey", "doc_id"])
+    owners = np.repeat(df["doc_id"].to_numpy(), df["n"].to_numpy())
+    seq = np.arange(owners.size) // S
+    want = (pd.DataFrame({"seq_id": seq, "doc": owners})
+            .groupby("seq_id")
+            .agg(n_docs=("doc", "nunique"), n_tokens=("doc", "size"))
+            .reset_index())
+
+    for npart in (1, 4, 9):
+        got = pack_sequences(_ds(texts, npart=npart), seq_tokens=S) \
+            .to_pandas().sort_values("seq_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # structure: every sequence except the last is exactly S tokens
+    assert (got.iloc[:-1]["n_tokens"] == S).all()
+    assert got["n_tokens"].sum() == owners.size
+    with pytest.raises(ValueError):
+        pack_sequences(_ds(texts), seq_tokens=0)
