@@ -3869,6 +3869,42 @@ def q_sequence_packing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_bpe_vocab(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training (ops/bpe.py): ONE distributed word-count
+    pass (coarse-bucket fold, shuffle bounded by distinct words), then
+    the deterministic merge loop over the weighted vocabulary — the
+    standard Sennrich structure, corpus-size-independent after the
+    fold. Rows-only by design (iterative argmax is not
+    SQL-expressible); gated in-repo by a textbook-reference golden +
+    determinism tests."""
+    from .ops.bpe import bpe_train, word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    wc = word_counts(ds).to_pandas().sort_values("word") \
+        .reset_index(drop=True)
+    out = bpe_train(wc, n_merges=48)
+    out["rank"] = out["rank"].astype("int64")
+    out["pair_count"] = out["pair_count"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_bpe_token_counts(sf_dir: str) -> pa.Table:
+    """Apply the trained BPE table to the corpus (streaming
+    map_batches; per-batch distinct-word encode cache): per-doc word
+    and BPE-token counts. Rows-only (the greedy merge apply is not
+    SQL-expressible); invariants + golden in tests/test_bpe.py."""
+    from .ops.bpe import bpe_encode, bpe_train, word_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wc = word_counts(ds).to_pandas().sort_values("word") \
+        .reset_index(drop=True)
+    merges = bpe_train(wc, n_merges=48)
+    out = bpe_encode(ds, merges).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+
+
 def q_pmi_cooccurrence(sf_dir: str) -> pa.Table:
     """Doc-level PMI association mining over the top-64 vocabulary
     (ops/lm.py): token df fold → fixed-size vocabulary broadcast → one
@@ -3976,6 +4012,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_budget_mix": q_token_budget_mix,
     "training_shards": q_training_shards,
     "sequence_packing": q_sequence_packing,
+    "bpe_vocab": q_bpe_vocab,
+    "bpe_token_counts": q_bpe_token_counts,
     "hopping_window": q_hopping_window,
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
