@@ -1,0 +1,257 @@
+"""Corpus quality-filter rules: Gopher-style repetition signals, word
+entropy, and the C4 duplicate-span profile — the heuristic filter pass
+a pretraining pipeline runs between language-ID and dedup.
+
+All three are deterministic and SQL-replayable (full DuckDB oracles in
+``queries.py``); the first two are pure per-block streaming transforms
+(no shuffle at ANY corpus size), the span profile is the engine's
+standard two-coarse-fold shape.
+
+- :func:`repetition_stats` — per-doc repetition heuristics from the
+  Gopher paper's rule family (Rae et al. 2021, "Scaling Language
+  Models", §A1.1): type-token ratio, most-frequent-bigram share, and
+  the fraction of bigram instances belonging to repeated bigrams, plus
+  a composite ``keep`` flag evaluated on the ROUNDED values so the SQL
+  oracle replays the exact comparisons.
+- :func:`token_entropy` — per-doc Shannon entropy of the word
+  distribution in INTEGER micro-nats (``H = ln n − (Σ c·ln c)/n``; the
+  Σ term rounds half-away per word ×1e6 and sums as int64, so
+  distributed summation order cannot perturb a bit — the
+  ``bigram_lm_scores`` trick, see ``ops/lm.py``).
+- :func:`duplicate_span_profile` — for every doc, how many of its
+  DISTINCT ``n``-token spans also appear in at least one OTHER doc
+  (the corpus-level signal behind C4's duplicate-span removal,
+  Raffel et al. 2020 §2.2). Distinct (doc, span) pairs fold through
+  ONE coarse shuffle on hash(span) — each span's full posting list
+  lands in exactly one bucket, so within-bucket doc counts ARE global
+  — then per-doc sums fold through a second coarse shuffle on
+  hash(doc). Shuffle volume is the distinct pair stream (the same
+  volume MinHash dedup's shingle pass moves); nothing ever gathers on
+  the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _round6(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, dtype=np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
+def _explode_words(batch: pa.Table, id_col: str, text_col: str):
+    """(doc index-aligned ids Series, exploded word Series) — one
+    vectorized split over the block's whole word stream."""
+    ids = pd.Series(batch[id_col].to_pylist())
+    s = pd.Series(batch[text_col].to_pylist(), dtype="object")
+    ex = s.str.split().explode().dropna()
+    return ids, ex
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (pure per-block streaming)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                     max_top2_frac: float = 0.20,
+                     max_dup2_frac: float = 0.60,
+                     min_ttr: float = 0.20):
+    """Dataset of per-doc repetition heuristics:
+
+    - ``n_tokens`` int64 — whitespace token count
+    - ``ttr`` float64 — type-token ratio ``round6(distinct / n)``
+    - ``top2_frac`` float64 — share of the most frequent bigram among
+      the doc's ``n−1`` bigram instances (0.0 when n < 2)
+    - ``dup2_frac`` float64 — fraction of bigram instances whose bigram
+      occurs ≥ 2 times in the doc (0.0 when n < 2)
+    - ``keep`` int64 — 1 iff ``top2_frac ≤ max_top2_frac AND dup2_frac
+      ≤ max_dup2_frac AND ttr ≥ min_ttr``, compared on the ROUNDED
+      values (bit-identical to the SQL oracle's CASE)
+
+    Pure per-block map (docs never span blocks in Ray Data) — no
+    shuffle at any corpus size; every step is a pandas/numpy kernel
+    over the block's exploded word stream, never a per-row loop."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, ex = _explode_words(batch, id_col, text_col)
+        if len(ex) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "ttr": pa.array([], pa.float64()),
+                "top2_frac": pa.array([], pa.float64()),
+                "dup2_frac": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.int64()),
+            })
+        idx = ex.index.to_numpy()
+        w = ex.to_numpy(dtype=object)
+        tok = pd.DataFrame({"d": idx, "w": w})
+        per = tok.groupby("d").agg(n=("w", "size"),
+                                   nd=("w", "nunique"))
+        # bigrams: adjacent positions within the same doc
+        m = len(w) - 1
+        if m > 0:
+            same = idx[:m] == idx[1:]
+            bd = idx[:m][same]
+            bg = w[:m][same] + " " + w[1:][same]
+            bc = (pd.DataFrame({"d": bd, "b": bg})
+                  .groupby(["d", "b"]).size().rename("c").reset_index())
+            c = bc["c"].to_numpy(np.int64)
+            bc["dup"] = np.where(c >= 2, c, 0)
+            bagg = bc.groupby("d").agg(nb=("c", "sum"), topc=("c", "max"),
+                                       dupc=("dup", "sum"))
+        else:
+            bagg = pd.DataFrame(columns=["nb", "topc", "dupc"])
+        per = per.join(bagg, how="left").fillna(0)
+        n = per["n"].to_numpy(np.int64)
+        nd = per["nd"].to_numpy(np.int64)
+        nb = per["nb"].to_numpy(np.int64)
+        topc = per["topc"].to_numpy(np.int64)
+        dupc = per["dupc"].to_numpy(np.int64)
+        ttr = _round6(nd.astype(np.float64) / n.astype(np.float64))
+        safe_nb = np.maximum(nb, 1).astype(np.float64)
+        top2 = _round6(np.where(nb > 0, topc / safe_nb, 0.0))
+        dup2 = _round6(np.where(nb > 0, dupc / safe_nb, 0.0))
+        keep = ((top2 <= max_top2_frac) & (dup2 <= max_dup2_frac)
+                & (ttr >= min_ttr)).astype(np.int64)
+        doc_ids = ids.reindex(per.index).to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64()),
+            "top2_frac": pa.array(top2, pa.float64()),
+            "dup2_frac": pa.array(dup2, pa.float64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# word-distribution entropy (integer micro-nats)
+# ---------------------------------------------------------------------------
+
+def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (doc_id, n_tokens, n_distinct, s_micro, entropy):
+
+    ``H = ln n − (Σ_w c_w·ln c_w)/n`` over the doc's word counts; the
+    Σ term is carried as ``s_micro`` int64 = Σ floor(c·ln(c)·1e6 + 0.5)
+    (c ≥ 1 so every term is ≥ 0 — no sign handling needed) and
+    ``entropy = round6(ln(n) − (s_micro/1e6)/n)`` with the identical
+    IEEE expression order the DuckDB oracle uses. Integer summation
+    makes the result independent of block boundaries and fold order.
+    Pure per-block streaming — no shuffle at any corpus size."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        ids, ex = _explode_words(batch, id_col, text_col)
+        if len(ex) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "s_micro": pa.array([], pa.int64()),
+                "entropy": pa.array([], pa.float64()),
+            })
+        wc = (pd.DataFrame({"d": ex.index.to_numpy(),
+                            "w": ex.to_numpy(dtype=object)})
+              .groupby(["d", "w"]).size().rename("c").reset_index())
+        cf = wc["c"].to_numpy(np.int64).astype(np.float64)
+        wc["m"] = np.floor(cf * np.log(cf) * 1e6 + 0.5).astype(np.int64)
+        per = wc.groupby("d").agg(n=("c", "sum"), nd=("c", "size"),
+                                  s=("m", "sum"))
+        n = per["n"].to_numpy(np.int64)
+        s = per["s"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        entropy = _round6(np.log(nf) - (s.astype(np.float64) / 1e6) / nf)
+        doc_ids = ids.reindex(per.index).to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_distinct": pa.array(per["nd"].to_numpy(np.int64), pa.int64()),
+            "s_micro": pa.array(s, pa.int64()),
+            "entropy": pa.array(entropy, pa.float64()),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C4 duplicate-span profile (two coarse folds)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_profile(ds, n: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_buckets: int = 256):
+    """Dataset of (doc_id, n_spans, n_shared_spans, shared_frac): for
+    every doc, its count of DISTINCT ``n``-token spans (shingles) and
+    how many of those also occur in at least one OTHER doc —
+    ``shared_frac = round6(n_shared_spans / n_spans)``. Docs shorter
+    than ``n`` tokens emit no row (they have no spans).
+
+    Plan (the engine's standard exact-dedup shape, see module
+    docstring): distinct (doc, span) block partials → coarse shuffle
+    on hash(span) (a span's full posting list is co-located, so the
+    within-bucket distinct-doc count is the GLOBAL document frequency)
+    → per-doc partial sums → second coarse shuffle on hash(doc) →
+    final sums. Driver never sees the pair stream."""
+    from ..engine.hashing import append_coarse_bucket
+    from .curate import _doc_shingles
+
+    if n < 1:
+        raise ValueError("span length n must be >= 1")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        d, s = _doc_shingles(batch, n, id_col, text_col)
+        return pa.table({id_col: pa.array(d, pa.int64()),
+                         "s": pa.array(s, pa.string())})
+
+    def by_span(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b, ["s"], num_buckets, "__b")
+
+    def fold_span(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_spans": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        # rows are globally distinct (doc, span); posting lists whole
+        df = df.assign(sh=(df.groupby("s")[id_col].transform("size") >= 2)
+                       .to_numpy(np.int64))
+        out = df.groupby(id_col, as_index=False).agg(
+            n_spans=("s", "size"), n_shared=("sh", "sum"))
+        out[id_col] = out[id_col].astype("int64")
+        out["n_spans"] = out["n_spans"].astype("int64")
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    def by_doc(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b, [id_col], num_buckets, "__b")
+
+    def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_spans": pd.Series([], dtype="int64"),
+                "n_shared_spans": pd.Series([], dtype="int64"),
+                "shared_frac": pd.Series([], dtype="float64")})
+        out = df.groupby(id_col, as_index=False).agg(
+            n_spans=("n_spans", "sum"), n_shared_spans=("n_shared", "sum"))
+        out[id_col] = out[id_col].astype("int64")
+        out["n_spans"] = out["n_spans"].astype("int64")
+        out["n_shared_spans"] = out["n_shared_spans"].astype("int64")
+        out["shared_frac"] = _round6(
+            out["n_shared_spans"].to_numpy(np.int64).astype(np.float64)
+            / out["n_spans"].to_numpy(np.int64).astype(np.float64))
+        return out
+
+    per_span = (ds.map_batches(pairs, batch_format="pyarrow")
+                .map_batches(by_span, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(lambda df: fold_span(df.drop(columns="__b")),
+                            batch_format="pandas"))
+    return (per_span.map_batches(by_doc, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda df: fold_doc(df.drop(columns="__b")),
+                        batch_format="pandas"))

@@ -3998,12 +3998,64 @@ def q_bucketed_join_layout(sf_dir: str) -> pa.Table:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_repetition_profile(sf_dir: str) -> pa.Table:
+    """Gopher-style per-doc repetition filters (ops/rules
+    .repetition_stats): type-token ratio, most-frequent-bigram share,
+    repeated-bigram instance fraction, and the composite keep flag
+    evaluated on the ROUND6 values so the SQL oracle replays the exact
+    comparisons. Pure per-block streaming — no shuffle at any corpus
+    size."""
+    from .ops.rules import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repetition_stats(ds).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+
+
+def q_token_entropy(sf_dir: str) -> pa.Table:
+    """Per-doc word-distribution Shannon entropy (ops/rules
+    .token_entropy): H = ln n − (Σ c·ln c)/n with the Σ term carried
+    as INTEGER micro-nats (floor(c·ln(c)·1e6 + 0.5), c ≥ 1 so always
+    non-negative) — distributed sum order cannot move a bit, and the
+    oracle replays the identical IEEE expression. Pure per-block
+    streaming."""
+    from .ops.rules import token_entropy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = token_entropy(ds).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+
+
+def q_span_dedup_profile(sf_dir: str) -> pa.Table:
+    """C4-style duplicate-span profile (ops/rules
+    .duplicate_span_profile): per doc, its DISTINCT 8-token spans and
+    how many also occur in at least one OTHER doc. Distinct (doc,
+    span) pairs fold through ONE coarse hash(span) shuffle (posting
+    lists co-located → within-bucket doc counts are global), then a
+    second coarse hash(doc) fold sums per doc — the pair stream never
+    gathers on the driver."""
+    from .ops.rules import duplicate_span_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_span_profile(ds, n=8).sort("doc_id")
+    return pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")])
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
 # followed by the 13 whose last driver check was round 1; the rest
 # (r2/r3-checked) trail and stay gated by tests/test_oracle_parity.py.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "repetition_profile": q_repetition_profile,
+    "token_entropy": q_token_entropy,
+    "span_dedup_profile": q_span_dedup_profile,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -4272,6 +4324,98 @@ def _sw_sql(langs: list[str] | None = None) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    # Gopher repetition rules: bigram counts per doc; ratios round6,
+    # keep flag compared on the ROUNDED values (identical CASE both
+    # sides); docs are never empty but the len(ts) > 0 guard mirrors
+    # the python skip-empty rule
+    "repetition_profile": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 ts[CAST(i AS INTEGER)] || ' '
+                   || ts[CAST(i AS INTEGER) + 1] AS b
+          FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+        ), bc AS (
+          SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+        ), bagg AS (
+          SELECT doc_id, sum(c) AS nb, max(c) AS topc,
+                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc
+          FROM bc GROUP BY doc_id
+        ), base AS (
+          SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                 round(CAST(len(list_distinct(ts)) AS DOUBLE)
+                       / CAST(len(ts) AS DOUBLE), 6) AS ttr,
+                 round(CASE WHEN coalesce(nb, 0) > 0
+                            THEN CAST(topc AS DOUBLE) / CAST(nb AS DOUBLE)
+                            ELSE 0.0 END, 6) AS top2_frac,
+                 round(CASE WHEN coalesce(nb, 0) > 0
+                            THEN CAST(dupc AS DOUBLE) / CAST(nb AS DOUBLE)
+                            ELSE 0.0 END, 6) AS dup2_frac
+          FROM toks t LEFT JOIN bagg USING (doc_id)
+          WHERE len(ts) > 0
+        )
+        SELECT doc_id, n_tokens, ttr, top2_frac, dup2_frac,
+               CAST(top2_frac <= 0.2 AND dup2_frac <= 0.6
+                    AND ttr >= 0.2 AS BIGINT) AS keep
+        FROM base ORDER BY doc_id
+    """,
+    # word-distribution entropy in integer micro-nats: c >= 1 so every
+    # floor(c*ln(c)*1e6 + 0.5) term is >= 0 (no sign handling); the
+    # final expression order ln(n) - (s/1e6)/n matches numpy exactly
+    "token_entropy": """
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ), wc AS (
+          SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w
+        ), s AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                                     * ln(CAST(c AS DOUBLE))
+                                     * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS s_micro
+          FROM wc GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct, s_micro,
+               round(ln(CAST(n_tokens AS DOUBLE))
+                     - (CAST(s_micro AS DOUBLE) / 1000000.0)
+                       / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        FROM s ORDER BY doc_id
+    """,
+    # C4 duplicate-span profile: DISTINCT 8-token spans per doc (rows
+    # are already distinct, so count(*) per span == distinct-doc df);
+    # docs shorter than 8 tokens emit no row on either side
+    "span_dedup_profile": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                            CAST(i AS INTEGER) + 7),
+                                 ' ') AS s
+          FROM toks, UNNEST(range(1, len(ts) - 6)) AS t(i)
+        ), df AS (
+          SELECT s, count(*) AS dcnt FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN dcnt >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared_spans,
+               round(CAST(sum(CASE WHEN dcnt >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS shared_frac
+        FROM sh JOIN df USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
     # doc-level PMI: vocabulary = top 64 tokens by (df DESC, tok ASC);
     # pair (a<b, ASCII corpus so byte order == codepoint order); pmi on
     # exact integer operands so ln sees identical doubles both sides
