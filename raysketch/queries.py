@@ -4047,6 +4047,56 @@ def q_span_dedup_profile(sf_dir: str) -> pa.Table:
                                      batch_format="pyarrow")])
 
 
+def q_lm_quality_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): docs
+    split into head/middle/tail terciles of the bigram-LM avg_logprob
+    (ops/lm.bigram_lm_scores), then one per-bucket rollup. Boundaries
+    come from a merged KLL sketch over the per-doc scores (sparse-exact
+    == the ceil(q·n) discrete-quantile rule at the gate scale,
+    rank-error-bounded at corpus scale); bucketing is one exact
+    counting pass against the two broadcast boundaries — never a
+    global sort. Mean scores sum as INTEGER micro-nats (scores are
+    round6, so ×1e6 is exact), keeping the fold order-free."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .ops.lm import bigram_lm_scores
+    from .sketches import KLL
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scores = bigram_lm_scores(ds).materialize()  # used twice
+    merged = sketch_aggregate(
+        scores, [SketchSpec("q", "avg_logprob",
+                            functools.partial(KLL, 2048))],
+        merge="driver")
+    kl = merged[""]["q"]
+    bounds = np.array([kl.quantile(1.0 / 3.0), kl.quantile(2.0 / 3.0)],
+                      dtype=np.float64)
+
+    def part(b: pa.Table) -> pa.Table:
+        x = b["avg_logprob"].to_numpy(zero_copy_only=False)
+        m = (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(np.int64)
+        idx = np.searchsorted(bounds, x, side="left")
+        g = pd.DataFrame({"bucket": idx + 1, "m": m, "x": x}).groupby(
+            "bucket", as_index=False).agg(
+                n_docs=("m", "size"), s_micro=("m", "sum"),
+                min_score=("x", "min"), max_score=("x", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(scores.map_batches(part, batch_format="pyarrow"),
+                         ["bucket"], ["n_docs", "s_micro"],
+                         ["min_score"], ["max_score"])
+    agg = agg.sort_values("bucket").reset_index(drop=True)
+    n = agg["n_docs"].to_numpy(np.int64).astype(np.float64)
+    s = agg["s_micro"].to_numpy(np.int64).astype(np.float64)
+    return pa.table({
+        "bucket": pa.array(agg["bucket"].astype("int64")),
+        "n_docs": pa.array(agg["n_docs"].astype("int64")),
+        "min_score": pa.array(agg["min_score"].astype("float64")),
+        "max_score": pa.array(agg["max_score"].astype("float64")),
+        "mean_score": pa.array(round6((s / 1e6) / n), pa.float64()),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4056,6 +4106,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
+    "lm_quality_buckets": q_lm_quality_buckets,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -5863,3 +5914,40 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY l_returnflag, l_linestatus
     """,
 }
+
+# CCNet tercile bucketing composes the full bigram-LM oracle as a
+# subquery: boundaries replay KLL's discrete rule (value at 1-based
+# position ceil(q·n) of the sorted scores — sparse-exact at the gate
+# scale), bucket CASE matches searchsorted(side='left'), and the mean
+# re-sums the round6 scores as exact integer micro-nats.
+ORACLE_SQL["lm_quality_buckets"] = f"""
+    WITH scored AS ({ORACLE_SQL["bigram_lm_scores"]}),
+    ranked AS (
+      SELECT avg_logprob,
+             row_number() OVER (ORDER BY avg_logprob) AS r,
+             count(*) OVER () AS n
+      FROM scored
+    ), b AS (
+      SELECT max(CASE WHEN r = CAST(ceil((1.0/3.0) * CAST(n AS DOUBLE))
+                                   AS BIGINT)
+                      THEN avg_logprob END) AS b1,
+             max(CASE WHEN r = CAST(ceil((2.0/3.0) * CAST(n AS DOUBLE))
+                                   AS BIGINT)
+                      THEN avg_logprob END) AS b2
+      FROM ranked
+    ), x AS (
+      SELECT CASE WHEN avg_logprob <= b1 THEN 1
+                  WHEN avg_logprob <= b2 THEN 2 ELSE 3 END AS bucket,
+             avg_logprob,
+             CAST(floor(abs(avg_logprob) * 1000000 + 0.5) AS BIGINT)
+               * (CASE WHEN avg_logprob < 0 THEN -1 ELSE 1 END) AS m
+      FROM scored, b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(avg_logprob) AS min_score,
+           max(avg_logprob) AS max_score,
+           round((CAST(sum(m) AS DOUBLE) / 1000000.0)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_score
+    FROM x GROUP BY bucket ORDER BY bucket
+"""
