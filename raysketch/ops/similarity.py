@@ -374,3 +374,75 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray,
         return out
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def centroid_cosines(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label"):
+    """Per-vector ROUND6 cosine similarity to its own label's centroid —
+    the embedding-space outlier / mislabel signal of a curation
+    pipeline (low cosine = far from the class mean).
+
+    Two shuffle-free passes:
+
+    1. Centroids: each block reduces to one (label, n, Σx) partial (a
+       vectorized per-label column sum — labels × d values per block);
+       the driver folds blocks × labels tiny rows and broadcasts the
+       label-indexed centroid matrix via ``ray.put`` (labels × d — a
+       model-sized side at any corpus size).
+    2. Scoring: each block computes ``cos = (x·c) / (√(x·x)·√(c·c))``
+       with ONE vectorized gather + row-wise product against the
+       broadcast matrix; centroid coordinates are ``s/n`` computed
+       BEFORE the dot product, the exact expression the SQL oracle
+       replays. Degenerate zero vectors/centroids score 0.0 on both
+       sides.
+
+    Returns a Dataset of (id_col, label_col, cos) with ``cos`` round6
+    float64."""
+    import ray
+
+    def part(b: pa.Table) -> pa.Table:
+        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        lab = np.asarray(b[label_col].to_pylist(), dtype=np.int64)
+        if V.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64()))})
+        order = np.argsort(lab, kind="stable")
+        labs, starts = np.unique(lab[order], return_index=True)
+        sums = np.add.reduceat(V[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab)))
+        return pa.table({
+            "label": pa.array(labs, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "s": pa.array([r.tolist() for r in sums],
+                          pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError("centroid_cosines: empty input")
+    g = parts.groupby("label")
+    labels = np.asarray(sorted(g.groups), dtype=np.int64)
+    cent = np.stack([
+        np.stack(g.get_group(l)["s"].to_numpy()).sum(axis=0)
+        / float(g.get_group(l)["n"].sum()) for l in labels])
+    cc = (cent * cent).sum(axis=1)  # (labels,)
+    ref = ray.put((labels, cent, cc))
+
+    def score(b: pa.Table) -> pa.Table:
+        labels_, cent_, cc_ = ray.get(ref)
+        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        lab = np.asarray(b[label_col].to_pylist(), dtype=np.int64)
+        idx = np.searchsorted(labels_, lab)
+        C = cent_[idx]
+        xc = (V * C).sum(axis=1)
+        xx = (V * V).sum(axis=1)
+        ccv = cc_[idx]
+        ok = (xx > 0) & (ccv > 0)
+        cos = np.where(ok, xc / (np.sqrt(xx) * np.sqrt(ccv)), 0.0)
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: b[id_col],
+            label_col: pa.array(lab, pa.int64()),
+            "cos": pa.array(cos, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

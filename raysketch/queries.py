@@ -4097,6 +4097,30 @@ def q_lm_quality_buckets(sf_dir: str) -> pa.Table:
     })
 
 
+def q_embedding_outliers(sf_dir: str) -> pa.Table:
+    """Embedding-space outlier detection (ops/similarity
+    .centroid_cosines): per-vector round6 cosine to its own label's
+    centroid, then the 5 most-outlying vectors per label via the exact
+    grouped top-n (ascending cos, vec_id tiebreak — selection compares
+    the ROUND6 values so SQL replays it bit-for-bit). Centroids are a
+    labels × d driver fold broadcast once; scoring is one vectorized
+    pass — no shuffle beyond grouped_topn's narrow candidate fold."""
+    from .ops.similarity import centroid_cosines
+    from .ops.topk import grouped_topn
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    scored = centroid_cosines(ds)
+    out = grouped_topn(scored, "label", "cos", 5, "vec_id",
+                       ascending=True).to_pandas()
+    out = out.sort_values(["label", "rank"]).reset_index(drop=True)
+    return pa.table({
+        "label": pa.array(out["label"].astype("int64")),
+        "rank": pa.array(out["rank"].astype("int64")),
+        "vec_id": pa.array(out["vec_id"].astype("int64")),
+        "cos": pa.array(out["cos"].astype("float64")),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4107,6 +4131,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
     "lm_quality_buckets": q_lm_quality_buckets,
+    "embedding_outliers": q_embedding_outliers,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -5950,4 +5975,39 @@ ORACLE_SQL["lm_quality_buckets"] = f"""
            round((CAST(sum(m) AS DOUBLE) / 1000000.0)
                  / CAST(count(*) AS DOUBLE), 6) AS mean_score
     FROM x GROUP BY bucket ORDER BY bucket
+"""
+
+# embedding outliers: centroid coordinates are s/n computed BEFORE the
+# dot product (the python expression order); selection compares the
+# ROUND6 cosines with vec_id tiebreak, so the top-5 per label is
+# deterministic on both sides; zero vectors/centroids score 0.0
+ORACLE_SQL["embedding_outliers"] = """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ), cent AS (
+      SELECT label, d, sum(CAST(v AS DOUBLE)) AS s, count(*) AS n
+      FROM ex GROUP BY label, d
+    ), dots AS (
+      SELECT e.vec_id, e.label,
+             sum(CAST(e.v AS DOUBLE) * (c.s / c.n)) AS xc,
+             sum(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS xx
+      FROM ex e JOIN cent c ON e.label = c.label AND e.d = c.d
+      GROUP BY e.vec_id, e.label
+    ), cn AS (
+      SELECT label, sum((s / n) * (s / n)) AS cc FROM cent GROUP BY label
+    ), scored AS (
+      SELECT d.vec_id, d.label,
+             round(CASE WHEN xx > 0 AND cc > 0
+                        THEN xc / (sqrt(xx) * sqrt(cc))
+                        ELSE 0.0 END, 6) AS cos
+      FROM dots d JOIN cn USING (label)
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(rn AS BIGINT) AS rank,
+           vec_id, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cos, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5 ORDER BY label, rank
 """

@@ -685,3 +685,44 @@ def test_attach_by_key_left_route_identity(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         attach_by_key(f_ds, d_ds, "fk", "dk", ["attr"], how="outer")
+
+
+def test_centroid_cosines_brute_parity_and_block_invariance(ray_session, sf_dir):
+    import ray.data as rd
+
+    from raysketch.ops.similarity import centroid_cosines
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    V = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    lab = np.asarray(emb["label"].to_pylist(), dtype=np.int64)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    got = centroid_cosines(ds).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+
+    # numpy ground truth: centroid = mean per label, cos vs own centroid
+    want = {}
+    for l in np.unique(lab):
+        m = lab == l
+        c = V[m].sum(axis=0) / m.sum()
+        cc = float((c * c).sum())
+        for i in np.where(m)[0]:
+            x = V[i]
+            xx = float((x * x).sum())
+            cos = float((x * c).sum()) / (np.sqrt(xx) * np.sqrt(cc))
+            want[int(ids[i])] = np.floor(abs(cos) * 1e6 + 0.5) / 1e6 \
+                * (1 if cos >= 0 else -1)
+    assert got["vec_id"].tolist() == sorted(want)
+    np.testing.assert_allclose(
+        got["cos"].to_numpy(), [want[v] for v in got["vec_id"]],
+        rtol=0, atol=2e-6)  # fold order vs flat numpy sum: <= 1 ulp of round6
+    # most vectors should lean toward their own centroid
+    assert (got["cos"] > 0).mean() > 0.8
+
+    # block invariance of the ROUND6 output
+    a = centroid_cosines(ds.repartition(1)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = centroid_cosines(ds.repartition(7)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
