@@ -97,3 +97,92 @@ def funnel(
             base["stage_idx"].map(sums).fillna(0).astype(np.int64)
         )
     return rd.from_pandas(base)
+
+
+def assoc_rules(ds, user_col: str = "user_id",
+                item_col: str = "event_type", num_buckets: int = 256):
+    """Market-basket association rules over an event stream: for every
+    ordered item pair (a, b), a ≠ b, that co-occurs in at least one
+    user's basket (the user's DISTINCT item set), emit
+
+        support    = n_ab / N          (fraction of users with both)
+        confidence = n_ab / n_a        (P(b | a))
+        lift       = (n_ab · N) / (n_a · n_b)
+
+    on exact integer counts, ratios round6 — the SQL oracle replays
+    every expression. Returns a driver-sized pa.Table of (a, b, n_ab,
+    support, confidence, lift) ordered by (a, b): the item vocabulary
+    is small and fixed (event taxonomies, product catalogs' top level),
+    so the result is |V|² rows regardless of corpus size.
+
+    Plan: per-block DISTINCT (user, item) partials → ONE coarse shuffle
+    on hash(user) (baskets co-located; a user MAY span blocks, so the
+    fold re-distincts inside the bucket — block-level distinct is only
+    a volume reducer) → each bucket builds its users × V presence
+    matrix and reduces to ONE (V×V pair-count matmul, V item counts,
+    user count) partial → the driver sums buckets × (V² + V + 1) tiny
+    rows. Shuffle volume is distinct (user, item) pairs, never raw
+    events."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": b[user_col].to_numpy(zero_copy_only=False),
+            "it": b[item_col].to_pylist()}).drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(np.int64)),
+                         "it": pa.array(df["it"].to_numpy(object),
+                                        pa.string())})
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b, ["u"], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["u", "it"])
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        items = np.asarray(sorted(df["it"].unique()), dtype=object)
+        ii = pd.Index(items)
+        u_codes, _ = pd.factorize(df["u"], sort=False)
+        i_codes = ii.get_indexer(df["it"])
+        P = np.zeros((u_codes.max() + 1, len(items)), dtype=np.int64)
+        P[u_codes, i_codes] = 1
+        M = P.T @ P  # co-occurrence counts; diagonal = item counts
+        a_ix, b_ix = np.nonzero(M)
+        out = pd.DataFrame({"a": items[a_ix], "b": items[b_ix],
+                            "n": M[a_ix, b_ix]})
+        nu = pd.DataFrame({"a": ["\x00users"], "b": ["\x00users"],
+                           "n": [P.shape[0]]})
+        return pd.concat([out, nu], ignore_index=True)
+
+    parts = (ds.map_batches(pairs, batch_format="pyarrow")
+             .map_batches(bucket, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    tot = parts.to_pandas().groupby(["a", "b"], as_index=False)["n"].sum()
+    n_users = int(tot.loc[tot["a"] == "\x00users", "n"].sum())
+    tot = tot[tot["a"] != "\x00users"]
+    diag = tot[tot["a"] == tot["b"]].set_index("a")["n"]
+    rules = tot[tot["a"] != tot["b"]].sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    n_ab = rules["n"].to_numpy(np.int64)
+    n_a = diag.reindex(rules["a"]).to_numpy(np.int64)
+    n_b = diag.reindex(rules["b"]).to_numpy(np.int64)
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    fab = n_ab.astype(np.float64)
+    return pa.table({
+        "a": pa.array(rules["a"].to_numpy(object), pa.string()),
+        "b": pa.array(rules["b"].to_numpy(object), pa.string()),
+        "n_ab": pa.array(n_ab, pa.int64()),
+        "support": pa.array(r6(fab / np.float64(n_users)), pa.float64()),
+        "confidence": pa.array(r6(fab / n_a.astype(np.float64)),
+                               pa.float64()),
+        "lift": pa.array(r6((fab * np.float64(n_users))
+                            / (n_a.astype(np.float64)
+                               * n_b.astype(np.float64))), pa.float64()),
+    })

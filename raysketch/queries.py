@@ -4121,6 +4121,19 @@ def q_embedding_outliers(sf_dir: str) -> pa.Table:
     })
 
 
+def q_assoc_rules(sf_dir: str) -> pa.Table:
+    """Market-basket association rules over user event baskets
+    (ops/funnel.assoc_rules): support / confidence / lift for every
+    co-occurring ordered event-type pair, on exact integer counts
+    (round6 ratios). Distinct (user, item) partials → one hash(user)
+    shuffle → per-bucket presence-matrix matmul partials → driver sums
+    buckets × (V² + V + 1) tiny rows."""
+    from .ops.funnel import assoc_rules
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return assoc_rules(ds)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4132,6 +4145,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "span_dedup_profile": q_span_dedup_profile,
     "lm_quality_buckets": q_lm_quality_buckets,
     "embedding_outliers": q_embedding_outliers,
+    "assoc_rules": q_assoc_rules,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -6010,4 +6024,30 @@ ORACLE_SQL["embedding_outliers"] = """
                                        ORDER BY cos, vec_id) AS rn
           FROM scored)
     WHERE rn <= 5 ORDER BY label, rank
+"""
+
+# association rules: baskets = DISTINCT (user, event_type); the self
+# join enumerates exactly the co-occurring ordered pairs the presence
+# matmul's nonzero off-diagonal produces; expression order of every
+# ratio matches the python side
+ORACLE_SQL["assoc_rules"] = """
+    WITH bk AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    ic AS (SELECT event_type, count(*) AS c FROM bk GROUP BY event_type),
+    pc AS (
+      SELECT x.event_type AS a, y.event_type AS b, count(*) AS cab
+      FROM bk x JOIN bk y USING (user_id)
+      WHERE x.event_type <> y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(cab AS BIGINT) AS n_ab,
+           round(CAST(cab AS DOUBLE) / nu, 6) AS support,
+           round(CAST(cab AS DOUBLE) / ia.c, 6) AS confidence,
+           round((CAST(cab AS DOUBLE) * nu)
+                 / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+    FROM pc
+    JOIN ic ia ON ia.event_type = a
+    JOIN ic ib ON ib.event_type = b
+    CROSS JOIN n
+    ORDER BY a, b
 """

@@ -94,3 +94,41 @@ def test_bad_stages_raise():
         funnel(None, "u", "t", "e", [])
     with pytest.raises(ValueError):
         funnel(None, "u", "t", "e", ["a", "a"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assoc_rules_brute_parity_users_span_blocks():
+    import ray.data as rd
+
+    from raysketch.ops.funnel import assoc_rules
+
+    rng = np.random.default_rng(3)
+    items = np.array(["a", "b", "c", "d"])
+    # interleave users so every user's events span many blocks
+    users = np.tile(np.arange(12, dtype=np.int64), 15)
+    its = rng.choice(items, size=len(users))
+    df = pd.DataFrame({"user_id": users, "event_type": its})
+    got = assoc_rules(rd.from_pandas(df).repartition(9)).to_pandas()
+
+    # brute force
+    baskets = df.drop_duplicates().groupby("user_id")["event_type"] \
+        .agg(set)
+    N = len(baskets)
+    cnt = {i: sum(1 for s in baskets if i in s) for i in items}
+    rows = []
+    for a in sorted(items):
+        for b in sorted(items):
+            if a == b:
+                continue
+            cab = sum(1 for s in baskets if a in s and b in s)
+            if cab == 0:
+                continue
+            rows.append((a, b, cab, cab / N, cab / cnt[a],
+                         (cab * N) / (cnt[a] * cnt[b])))
+    assert [tuple(r[:3]) for r in rows] == \
+        list(got[["a", "b", "n_ab"]].itertuples(index=False, name=None))
+    r6 = lambda x: np.floor(abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+    np.testing.assert_array_equal(got["support"], [r6(r[3]) for r in rows])
+    np.testing.assert_array_equal(got["confidence"],
+                                  [r6(r[4]) for r in rows])
+    np.testing.assert_array_equal(got["lift"], [r6(r[5]) for r in rows])
