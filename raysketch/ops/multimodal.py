@@ -53,6 +53,7 @@ MEDIA_SCHEMA = pa.schema(
 MIME_PPM = "image/x-portable-pixmap"
 MIME_WAV = "audio/wav"
 MIME_JPEG = "image/jpeg"
+MIME_PNG = "image/png"
 
 
 # ---------------------------------------------------------------------------
@@ -127,16 +128,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
     """Deterministic media rows. ``image`` rows carry genuine binary PPM
     payloads, ``jpeg`` rows genuine baseline JFIF (ops/jpeg.py codec),
-    and ``audio`` rows genuine PCM16 WAV (all decodable by any standard
-    tool); ``video`` payloads stay opaque fakes (no container codec
-    available)."""
+    ``png`` rows genuine PNG (ops/png.py codec), and ``audio`` rows
+    genuine PCM16 WAV (all decodable by any standard tool); ``video``
+    payloads stay opaque fakes (no container codec available)."""
     payloads, w, h, nf, sr, mime = [], [], [], [], [], []
     for i in ids:
         seed = hashlib.sha256(f"media{i}".encode()).digest()
         rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
         wi = 32 + (i % 7) * 16
         hi = 32 + (i % 5) * 16
-        if kind in ("image", "jpeg"):
+        if kind in ("image", "jpeg", "png"):
             # gradient + seeded noise: realistic-ish pixels, deterministic
             gx = np.linspace(0, 255, wi, dtype=np.float64)
             gy = np.linspace(0, 255, hi, dtype=np.float64)
@@ -148,6 +149,11 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
 
                 payloads.append(encode_jpeg(px, quality=90))
                 mime.append(MIME_JPEG)
+            elif kind == "png":
+                from .png import encode_png
+
+                payloads.append(encode_png(px))
+                mime.append(MIME_PNG)
             else:
                 payloads.append(encode_ppm(px))
                 mime.append(MIME_PPM)
@@ -191,10 +197,11 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
 class DecodeImage:
     """Actor stage: payload → pixel tensor.
 
-    PPM and baseline JPEG payloads decode FOR REAL (pure-numpy codecs,
-    no libraries); other mimes use the deterministic fake (payload-hash
-    pixels) unless ``real=True``, which raises ``NotImplementedError``
-    exactly where libpng/ffmpeg would plug in.
+    PPM, baseline JPEG, and PNG payloads decode FOR REAL (pure-numpy
+    codecs + stdlib zlib, no libraries); other mimes use the
+    deterministic fake (payload-hash pixels) unless ``real=True``,
+    which raises ``NotImplementedError`` exactly where ffmpeg would
+    plug in.
     """
 
     def __init__(self, real: bool = False) -> None:
@@ -207,10 +214,17 @@ class DecodeImage:
             from .jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if mime == MIME_PNG:
+            from .png import decode_png
+
+            px = decode_png(payload)
+            if px.shape[2] == 1:  # grayscale -> RGB for the feature stages
+                px = np.repeat(px, 3, axis=2)
+            return px
         if self.real:
             raise NotImplementedError(
-                "png/video codecs are not available in this environment; "
-                "plug libpng/ffmpeg here (jpeg/ppm/wav decode for real)"
+                "video codecs are not available in this environment; "
+                "plug ffmpeg here (jpeg/png/ppm/wav decode for real)"
             )
         seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
         reps = int(np.ceil(h * w * 3 / seed.size))

@@ -2332,11 +2332,12 @@ def q_monitor_rollup(sf_dir: str) -> pa.Table:
 
 def q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal pipelines over synthesized media: images carry GENUINE
-    binary PPM or baseline JPEG payloads (jpeg via the pure-numpy
-    T.81-baseline codec in ops/jpeg.py; decode → nearest-neighbor resize
-    → channel/histogram features, all real pixel work) and audio carries
-    genuine PCM16 WAV (stdlib decode → RMS/ZCR/frame-energy features);
-    only the png/mp3/video codecs remain documented stubs."""
+    binary PPM, baseline JPEG, or PNG payloads (jpeg via the pure-numpy
+    T.81-baseline codec in ops/jpeg.py, png via ops/png.py + stdlib
+    zlib; decode → nearest-neighbor resize → channel/histogram
+    features, all real pixel work) and audio carries genuine PCM16 WAV
+    (stdlib decode → RMS/ZCR/frame-energy features); only the mp3/video
+    codecs remain documented stubs."""
     import ray.data as rd
 
     from .ops.multimodal import (DecodeImage, ImageFeatures, ResizeImage,
@@ -2345,6 +2346,7 @@ def q_media_features(sf_dir: str) -> pa.Table:
     imgs = rd.from_arrow(pa.concat_tables([
         synthesize_media_batch(list(range(64)), kind="image"),
         synthesize_media_batch(list(range(96, 128)), kind="jpeg"),
+        synthesize_media_batch(list(range(128, 160)), kind="png"),
     ]))
     img_out = imgs.map_batches(DecodeImage(), batch_format="pyarrow", batch_size=16) \
         .map_batches(ResizeImage(32, 32), batch_format="pyarrow", batch_size=16) \
