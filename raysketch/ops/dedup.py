@@ -1459,3 +1459,83 @@ def embedding_neardup_pairs(
     # Dataset out (pandas conversion is the caller's choice, like every
     # other pair-producing op in this module)
     return rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted content-hash index
+# ---------------------------------------------------------------------------
+
+def build_dedup_index(ds, index_root: str, text_col: str = "text") -> str:
+    """Persist the corpus content-hash index: the DISTINCT sha256 hex of
+    every ``text_col`` value, written as partitioned parquet with the
+    engine's atomic ``_SUCCESS`` publish (``engine/sinks.write_dataset``).
+    sha256 keeps the index collision-free at any corpus size (hash
+    equality == content equality — the exact_dedup contract), so later
+    shards can dedup against the INDEX without re-reading the corpus.
+
+    Plan: hash + project in one fused map (content never leaves the
+    read stage), per-block unique, one coarse hash(h) fold for the
+    global distinct, then the sink. Index volume is distinct docs × 64
+    bytes."""
+    from ..engine.hashing import append_coarse_bucket
+    from ..engine.sinks import write_dataset
+
+    def hashes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = add_content_hash(b, text_col)["content_hash"]
+        return pa.table({"content_hash": pc.unique(h.combine_chunks())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["content_hash"])
+
+    distinct = (ds.map_batches(hashes, batch_format="pyarrow")
+                .map_batches(lambda b: append_coarse_bucket(
+                    b, ["content_hash"], 256, "__b"),
+                    batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(lambda df: fold(df.drop(columns="__b")),
+                            batch_format="pandas"))
+    return write_dataset(distinct, index_root)
+
+
+def incremental_dedup(incoming_ds, index_root: str, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      broadcast_limit: int = 2_000_000,
+                      index_broadcast_limit: int | None = None):
+    """Dedup an INCOMING shard against a persisted corpus index
+    (:func:`build_dedup_index`) — the production ingestion pattern: new
+    data arrives continuously; the corpus itself is never re-read.
+
+    Two stages, both size-routed:
+
+    1. index probe — drop incoming rows whose content hash is already
+       in the index: broadcast anti-join (``ray.put`` the hash set,
+       one vectorized ``is_in`` per batch) while the index fits under
+       ``broadcast_limit`` rows; the partitioned hash-bucket anti-join
+       above it (no driver gather — the 100-TB route).
+    2. within-shard dedup — :func:`exact_dedup` keeps the min-id row
+       per surviving text (new duplicates of each other).
+
+    Returns the surviving incoming rows (original columns) as a
+    Dataset. The caller appends the survivors' hashes to the index for
+    the next shard (see ``queries.q_incremental_dedup`` — union +
+    rewrite through the same atomic sink)."""
+    from ..engine.sinks import read_back
+    from .join import broadcast_semi_join, partitioned_semi_join
+
+    idx = read_back(index_root)
+    hashed = incoming_ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+    if index_broadcast_limit is None:
+        index_broadcast_limit = broadcast_limit
+    if idx.count() <= index_broadcast_limit:
+        fresh = broadcast_semi_join(hashed, idx, "content_hash",
+                                    anti=True)
+    else:
+        fresh = partitioned_semi_join(hashed, idx, "content_hash",
+                                      anti=True)
+    cols = [c for c in incoming_ds.schema().names]
+    return exact_dedup(fresh.select_columns(cols),  # exact_dedup rehashes
+                       text_col=text_col, id_col=id_col,
+                       broadcast_limit=broadcast_limit)

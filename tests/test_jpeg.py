@@ -171,10 +171,13 @@ def test_decode_image_stage_decodes_real_jpeg(ray_session):
     b = np.stack(ppm_feats.sort_values("media_id")["features"].to_numpy())
     assert np.abs(a[:, :6] - b[:, :6]).max() < 0.02  # mean/std per channel
 
-    # real=True no longer raises for jpeg payloads (the closed stub) —
-    # but still refuses mimes with no codec
+    # real=True no longer raises for jpeg/png payloads (closed stubs) —
+    # garbage png bytes are a CODEC error now, and mimes with no codec
+    # (video) still refuse honestly
     stage = DecodeImage(real=True)
     out = stage(tbl.slice(0, 2))
     assert "pixels" in out.column_names
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         stage._decode_one(b"\x89PNG....", "image/png", 8, 8)
+    with pytest.raises(NotImplementedError):
+        stage._decode_one(b"frames", "video/x-fake", 8, 8)

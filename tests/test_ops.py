@@ -293,9 +293,12 @@ def test_decode_real_path_raises():
     # are a codec error, not a missing-codec stub
     with pytest.raises(ValueError):
         dec._decode_one(b"payload", "image/jpeg", 4, 4)
-    # png/video still have no codec — the honest stub remains
-    with pytest.raises(NotImplementedError):
+    # png decodes FOR REAL since round 4 (ops/png.py): truncated bytes
+    # are a codec error; video remains the honest stub
+    with pytest.raises(ValueError):
         dec._decode_one(b"\x89PNG....", "image/png", 4, 4)
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"frames", "video/x-fake", 4, 4)
 
 
 def test_ppm_codec_roundtrip():
@@ -726,3 +729,41 @@ def test_centroid_cosines_brute_parity_and_block_invariance(ray_session, sf_dir)
     b = centroid_cosines(ds.repartition(7)).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_dedup_routes_and_semantics(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raysketch.ops.dedup import build_dedup_index, incremental_dedup
+
+    existing = pd.DataFrame({
+        "doc_id": np.arange(1, 7, dtype=np.int64) * 3 + 1,  # ids 4..19
+        "text": ["alpha", "beta", "gamma", "delta", "alpha", "beta"],
+        "lang": ["en"] * 6})
+    incoming = pd.DataFrame({
+        "doc_id": np.array([0, 3, 6, 9, 12], dtype=np.int64),
+        "text": ["alpha",        # already in index -> dropped
+                 "epsilon",      # new -> kept
+                 "epsilon",      # within-shard dup -> dropped (id 3 wins)
+                 "zeta",         # new -> kept
+                 "beta"],        # in index -> dropped
+        "lang": ["en"] * 5})
+    root = str(tmp_path / "idx")
+    build_dedup_index(rd.from_pandas(existing).repartition(3), root)
+
+    def run(limit):
+        # limit steers the INDEX probe route only; exact_dedup's output
+        # join keeps the broadcast path (the partitioned Dataset.join is
+        # a bulk primitive — known-fragile on tiny inputs, CLAUDE.md)
+        out = incremental_dedup(
+            rd.from_pandas(incoming).repartition(2), root,
+            index_broadcast_limit=limit).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        return out
+
+    broad = run(2_000_000)   # index (4 hashes) broadcasts
+    part = run(0)            # forces the partitioned anti-join probe
+    assert broad["doc_id"].tolist() == [3, 9]
+    assert broad["text"].tolist() == ["epsilon", "zeta"]
+    pd.testing.assert_frame_equal(
+        broad, part[broad.columns])  # route identity
