@@ -186,3 +186,80 @@ def assoc_rules(ds, user_col: str = "user_id",
                             / (n_a.astype(np.float64)
                                * n_b.astype(np.float64))), pa.float64()),
     })
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     week_us: int = 604_800_000_000,
+                     num_buckets: int = 256) -> pa.Table:
+    """Cohort retention matrix: users are cohorted by the week of their
+    FIRST event (integer week = epoch_us // week_us — no calendar
+    arithmetic, replayable in SQL); each (cohort_week, week_offset)
+    cell counts the cohort's users active that week, with
+    ``retention = round6(n_active / cohort_size)``.
+
+    Plan: per-block DISTINCT (user, week) partials → ONE coarse shuffle
+    on hash(user) (a user's whole history co-locates, so the in-bucket
+    min week IS the global cohort) → each bucket emits (cohort, offset)
+    count partials → the driver folds buckets × cohorts × offsets tiny
+    rows. Shuffle volume is distinct (user, week) pairs, never raw
+    events. Returns a driver-sized pa.Table (cohorts × offsets is
+    calendar-bounded regardless of corpus size)."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):  # normalize ns/ms inputs
+            ts = pc.cast(ts, pa.timestamp("us"))
+        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        w = us // week_us
+        df = pd.DataFrame({
+            "u": b[user_col].to_numpy(zero_copy_only=False),
+            "w": w}).drop_duplicates()
+        return pa.table({"u": pa.array(df["u"].to_numpy(np.int64)),
+                         "w": pa.array(df["w"].to_numpy(np.int64))})
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b, ["u"], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "n_active": pd.Series([], dtype="int64")})
+        df = df.drop_duplicates(["u", "w"])  # users span blocks
+        df["cw"] = df.groupby("u")["w"].transform("min")
+        out = (df.assign(off=df["w"] - df["cw"])
+               .groupby(["cw", "off"]).size().rename("n_active")
+               .reset_index())
+        out.columns = ["cohort_week", "week_offset", "n_active"]
+        return out.astype("int64")
+
+    parts = (ds.map_batches(pairs, batch_format="pyarrow")
+             .map_batches(bucket, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    agg = parts.to_pandas().groupby(
+        ["cohort_week", "week_offset"], as_index=False)["n_active"].sum()
+    size = agg.loc[agg["week_offset"] == 0,
+                   ["cohort_week", "n_active"]] \
+        .rename(columns={"n_active": "cohort_size"})
+    agg = agg.merge(size, on="cohort_week") \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    return pa.table({
+        "cohort_week": pa.array(agg["cohort_week"].astype("int64")),
+        "week_offset": pa.array(agg["week_offset"].astype("int64")),
+        "n_active": pa.array(agg["n_active"].astype("int64")),
+        "cohort_size": pa.array(agg["cohort_size"].astype("int64")),
+        "retention": pa.array(
+            r6(agg["n_active"].to_numpy(np.int64).astype(np.float64)
+               / agg["cohort_size"].to_numpy(np.int64).astype(np.float64)),
+            pa.float64()),
+    })

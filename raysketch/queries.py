@@ -4197,6 +4197,19 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
         shutil.rmtree(root + "-v2", ignore_errors=True)
 
 
+def q_cohort_retention(sf_dir: str) -> pa.Table:
+    """Weekly cohort retention matrix (ops/funnel.cohort_retention):
+    users cohorted by the integer week of their first event
+    (epoch_us // week_us — calendar-free, SQL-replayable); each
+    (cohort, offset) cell counts active users with round6 retention.
+    Distinct (user, week) partials → one hash(user) shuffle (in-bucket
+    min week IS the global cohort) → driver folds tiny count rows."""
+    from .ops.funnel import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4210,6 +4223,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_outliers": q_embedding_outliers,
     "assoc_rules": q_assoc_rules,
     "incremental_dedup": q_incremental_dedup,
+    "cohort_retention": q_cohort_retention,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -6137,4 +6151,28 @@ ORACLE_SQL["incremental_dedup"] = """
              AS index_total
     FROM documents d JOIN surv USING (doc_id) CROSS JOIN idx
     GROUP BY d.lang, ex_n ORDER BY d.lang
+"""
+
+# cohort retention: integer weeks (epoch_us // week), cohort = min week
+# per user, offset-0 cell == cohort size by construction; retention
+# ratio round6 with the identical cast order
+ORACLE_SQL["cohort_retention"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+      FROM events
+    ), ch AS (
+      SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id
+    ), sz AS (
+      SELECT cw, count(*) AS n0 FROM ch GROUP BY cw
+    )
+    SELECT c.cw AS cohort_week,
+           CAST(u.w - c.cw AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(n0 AS BIGINT) AS cohort_size,
+           round(CAST(count(*) AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+             AS retention
+    FROM uw u JOIN ch c USING (user_id) JOIN sz ON sz.cw = c.cw
+    GROUP BY c.cw, u.w - c.cw, n0
+    ORDER BY cohort_week, week_offset
 """

@@ -132,3 +132,46 @@ def test_assoc_rules_brute_parity_users_span_blocks():
     np.testing.assert_array_equal(got["confidence"],
                                   [r6(r[4]) for r in rows])
     np.testing.assert_array_equal(got["lift"], [r6(r[5]) for r in rows])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_retention_brute_parity():
+    import ray.data as rd
+
+    from raysketch.ops.funnel import cohort_retention
+
+    rng = np.random.default_rng(5)
+    WEEK = 604_800_000_000
+    rows = []
+    for u in range(25):
+        first = rng.integers(0, 4)
+        for w in sorted({first} | set(rng.integers(first, 8,
+                                                   size=rng.integers(1, 6)))):
+            # a couple of events inside the week, any offset
+            for _ in range(rng.integers(1, 3)):
+                rows.append((u, w * WEEK + int(rng.integers(0, WEEK))))
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    got = cohort_retention(
+        rd.from_pandas(df[["user_id", "ts"]]).repartition(6)).to_pandas()
+
+    # brute force
+    uw = df.assign(w=df["ts_us"] // WEEK)[["user_id", "w"]] \
+        .drop_duplicates()
+    cw = uw.groupby("user_id")["w"].min().rename("cw")
+    j = uw.join(cw, on="user_id")
+    j["off"] = j["w"] - j["cw"]
+    exp = j.groupby(["cw", "off"]).size().rename("n_active").reset_index()
+    sz = exp[exp["off"] == 0].set_index("cw")["n_active"]
+    exp["cohort_size"] = sz.reindex(exp["cw"]).to_numpy()
+    exp = exp.sort_values(["cw", "off"]).reset_index(drop=True)
+    assert got["cohort_week"].tolist() == exp["cw"].tolist()
+    assert got["week_offset"].tolist() == exp["off"].tolist()
+    assert got["n_active"].tolist() == exp["n_active"].tolist()
+    assert got["cohort_size"].tolist() == exp["cohort_size"].tolist()
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(
+        got["retention"],
+        r6(exp["n_active"].to_numpy(float) / exp["cohort_size"].to_numpy(float)))
+    # offset-0 retention is exactly 1.0 for every cohort
+    assert (got.loc[got["week_offset"] == 0, "retention"] == 1.0).all()
