@@ -255,3 +255,72 @@ def duplicate_span_profile(ds, n: int = 8, id_col: str = "doc_id",
             .groupby("__b")
             .map_groups(lambda df: fold_doc(df.drop(columns="__b")),
                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (two-sample Kolmogorov–Smirnov per group)
+# ---------------------------------------------------------------------------
+
+def ks_drift(ds, group_col: str, value_col: str, num_buckets: int = 64):
+    """Per-group two-sample Kolmogorov–Smirnov drift statistic: for
+    every group g, ``ks = round6(max_v |F_g(v) − F_rest(v)|)`` — the
+    empirical-CDF distance between the group's integer ``value_col``
+    distribution and the REST of the corpus (the data-drift /
+    source-shift monitor of a curation pipeline).
+
+    Plan: per-block (group, value) count partials → one coarse
+    hash(group, value) fold → the driver pivots groups × DISTINCT
+    values and computes every ECDF with one numpy cumsum. The fold
+    output is bounded by groups × the VALUE DOMAIN (lengths, scores,
+    bucketed features — domain-bounded by construction), independent
+    of corpus row count; for unbounded real-valued columns, quantize
+    first (e.g. ``equi_depth_histogram`` buckets).
+
+    Returns a driver-sized pa.Table of (group, n_rows, ks)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_pylist(),
+            "v": b[value_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["g", "v"], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.table({"g": pa.array(g["g"].to_numpy(object),
+                                       pa.string()),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, ["g", "v"], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["g", "v"], as_index=False)["n"].sum()
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .map_batches(bucket, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    counts = parts.to_pandas()
+    if counts.empty:
+        raise ValueError("ks_drift: empty input")
+    # pivot: groups × distinct values (value-domain bounded)
+    pv = counts.pivot_table(index="v", columns="g", values="n",
+                            aggfunc="sum", fill_value=0).sort_index()
+    M = pv.to_numpy(np.int64)                      # (values, groups)
+    cs = np.cumsum(M, axis=0).astype(np.float64)   # per-group cum counts
+    ns = M.sum(axis=0).astype(np.float64)          # per-group totals
+    gc = cs.sum(axis=1, keepdims=True)             # global cum counts
+    n_tot = float(ns.sum())
+    f_g = cs / ns                                  # (values, groups)
+    f_rest = (gc - cs) / (n_tot - ns)
+    ks = np.abs(f_g - f_rest).max(axis=0)
+    ks = np.floor(ks * 1e6 + 0.5) / 1e6
+    groups = list(pv.columns)
+    order = np.argsort(np.asarray(groups, dtype=object))
+    return pa.table({
+        group_col: pa.array(np.asarray(groups, object)[order], pa.string()),
+        "n_rows": pa.array(ns.astype(np.int64)[order], pa.int64()),
+        "ks": pa.array(ks[order], pa.float64()),
+    })

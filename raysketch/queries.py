@@ -4210,6 +4210,18 @@ def q_cohort_retention(sf_dir: str) -> pa.Table:
     return cohort_retention(ds)
 
 
+def q_source_drift(sf_dir: str) -> pa.Table:
+    """Per-source distribution drift (ops/rules.ks_drift): two-sample
+    Kolmogorov–Smirnov distance between each source's n_chars ECDF and
+    the rest of the corpus — the data-drift monitor of an ingestion
+    pipeline. One coarse (group, value) count fold; the driver pivot is
+    bounded by sources × the value DOMAIN, independent of corpus rows."""
+    from .ops.rules import ks_drift
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return ks_drift(ds, "source", "n_chars")
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4224,6 +4236,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "assoc_rules": q_assoc_rules,
     "incremental_dedup": q_incremental_dedup,
     "cohort_retention": q_cohort_retention,
+    "source_drift": q_source_drift,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -6175,4 +6188,35 @@ ORACLE_SQL["cohort_retention"] = """
     FROM uw u JOIN ch c USING (user_id) JOIN sz ON sz.cw = c.cw
     GROUP BY c.cw, u.w - c.cw, n0
     ORDER BY cohort_week, week_offset
+"""
+
+# KS drift: ECDFs on the groups x distinct-values grid; every division
+# and subtraction is the identical IEEE expression (integer-valued
+# doubles below 2^53), so max + round6 agree bit-for-bit
+ORACLE_SQL["source_drift"] = """
+    WITH c AS (
+      SELECT source AS g, n_chars AS v, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT gg.g, vv.v
+      FROM (SELECT DISTINCT g FROM c) gg, (SELECT DISTINCT v FROM c) vv
+    ), cum AS (
+      SELECT grid.g, grid.v,
+             sum(coalesce(c.n, 0)) OVER (PARTITION BY grid.g
+                                         ORDER BY grid.v) AS cs
+      FROM grid LEFT JOIN c USING (g, v)
+    ), tot AS (SELECT g, sum(n) AS ns FROM c GROUP BY g),
+    gtot AS (SELECT sum(n) AS nt FROM c),
+    gcum AS (SELECT v, sum(cs) AS gc FROM cum GROUP BY v),
+    d AS (
+      SELECT cum.g,
+             abs(CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+                 - CAST(gc - cs AS DOUBLE)
+                   / CAST(nt - ns AS DOUBLE)) AS dv
+      FROM cum JOIN tot USING (g) JOIN gcum USING (v) CROSS JOIN gtot
+    )
+    SELECT d.g AS source, CAST(ns AS BIGINT) AS n_rows,
+           round(max(dv), 6) AS ks
+    FROM d JOIN tot ON tot.g = d.g
+    GROUP BY d.g, ns ORDER BY d.g
 """

@@ -133,3 +133,41 @@ def test_duplicate_span_profile_block_invariance():
     assert d0["n_spans"] == 2 and d0["n_shared_spans"] == 2
     d3 = a[a.doc_id == 3].iloc[0]
     assert d3["n_spans"] == 2 and d3["n_shared_spans"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_drift_brute_parity():
+    import ray.data as rd
+
+    from raysketch.ops.rules import ks_drift
+
+    rng = np.random.default_rng(13)
+    # source B drawn from a shifted distribution -> high KS vs rest
+    rows = []
+    for _ in range(300):
+        rows.append(("A", int(rng.integers(0, 30))))
+    for _ in range(200):
+        rows.append(("B", int(rng.integers(20, 50))))
+    for _ in range(250):
+        rows.append(("C", int(rng.integers(0, 30))))
+    df = pd.DataFrame(rows, columns=["source", "n_chars"])
+    got = ks_drift(rd.from_pandas(df).repartition(5),
+                   "source", "n_chars").to_pandas()
+
+    # brute force ECDF distance per group vs the complement
+    vals = np.sort(df["n_chars"].unique())
+    exp = {}
+    for g in ["A", "B", "C"]:
+        x = df.loc[df["source"] == g, "n_chars"].to_numpy()
+        y = df.loc[df["source"] != g, "n_chars"].to_numpy()
+        fx = np.searchsorted(np.sort(x), vals, side="right") / len(x)
+        fy = np.searchsorted(np.sort(y), vals, side="right") / len(y)
+        exp[g] = np.abs(fx - fy).max()
+    assert got["source"].tolist() == ["A", "B", "C"]
+    for g, ks in zip(got["source"], got["ks"]):
+        assert abs(ks - exp[g]) < 2e-6, (g, ks, exp[g])
+    # the shifted source must dominate
+    ks = dict(zip(got["source"], got["ks"]))
+    assert ks["B"] > ks["A"] and ks["B"] > ks["C"]
+    assert ks["B"] > 0.5
+    assert got["n_rows"].tolist() == [300, 200, 250]
