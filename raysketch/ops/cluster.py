@@ -223,3 +223,55 @@ def kmeans_fit(
         if delta < tol:
             return cent_ids, C, it + 1
     return cent_ids, C, iters
+
+
+def feature_hashing(ds, features, n_dims: int = 32,
+                    id_col: str = "doc_id"):
+    """The hashing trick (Weinberger et al. 2009): project arbitrary
+    categorical features into a fixed ``n_dims``-dimensional signed
+    count vector without a vocabulary pass — the feature-engineering
+    step a training pipeline runs before model input at corpus scale
+    (no global dictionary to build, ship, or grow).
+
+    ``features`` maps feature NAME → a callable(batch: pa.Table) →
+    numpy object array of string values; each row contributes the
+    token ``"<name>=<value>"``. For every token,
+    ``h = uint64(first 16 hex chars of sha256(token))``, landing in
+    ``dim = h % n_dims`` with ``sign = 1 − 2·((h // n_dims) % 2)``
+    (sign bits independent of the dim bits) — both replayable in SQL
+    (DuckDB ``sha256`` + HUGEINT arithmetic), so the oracle gates the
+    whole projection.
+
+    Pure per-block streaming: hashes are computed once per DISTINCT
+    token in the block (feature domains are tiny relative to rows)
+    and mapped vectorized; emits aggregated (id, dim, weight) rows,
+    weight = signed collision count. No shuffle at any corpus size."""
+    import hashlib
+
+    if n_dims < 1:
+        raise ValueError("n_dims must be >= 1")
+    names = sorted(features)
+
+    def project(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        frames = []
+        for name in names:
+            vals = features[name](b)
+            toks = np.asarray([f"{name}={v}" for v in vals], dtype=object)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            h = np.asarray([
+                int(hashlib.sha256(t.encode()).hexdigest()[:16], 16)
+                for t in uniq], dtype=np.uint64)
+            dim = (h % np.uint64(n_dims)).astype(np.int64)
+            sign = 1 - 2 * ((h // np.uint64(n_dims)) % np.uint64(2)) \
+                .astype(np.int64)
+            frames.append(pd.DataFrame({
+                id_col: ids, "dim": dim[inv], "w": sign[inv]}))
+        out = pd.concat(frames, ignore_index=True) \
+            .groupby([id_col, "dim"], as_index=False)["w"].sum()
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            "dim": pa.array(out["dim"].to_numpy(np.int64)),
+            "weight": pa.array(out["w"].to_numpy(np.int64))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

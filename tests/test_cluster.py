@@ -119,3 +119,38 @@ def test_fit_deterministic_for_fixed_blocks():
     assert (r1[0] == r2[0]).all()
     assert np.array_equal(r1[1], r2[1])  # bit-identical centroids
     assert r1[2] == r2[2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feature_hashing_hand_values_and_block_invariance():
+    import hashlib
+
+    import ray.data as rd
+
+    from raysketch.ops.cluster import feature_hashing
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lang": ["en", "de", "en", "fr", "de", "en"],
+    })
+    feats = {"lang": lambda b: np.asarray(b["lang"].to_pylist(),
+                                          dtype=object)}
+
+    def run(npart):
+        return feature_hashing(
+            rd.from_pandas(df).repartition(npart), feats, n_dims=8) \
+            .to_pandas().sort_values(["doc_id", "dim"]) \
+            .reset_index(drop=True)
+
+    got = run(3)
+    pd.testing.assert_frame_equal(got, run(1))  # block invariance
+
+    # hand-replay the projection for every row
+    for _, r in got.merge(df, on="doc_id").iterrows():
+        h = int(hashlib.sha256(f"lang={r['lang']}".encode())
+                .hexdigest()[:16], 16)
+        assert r["dim"] == h % 8
+        assert r["weight"] == 1 - 2 * ((h // 8) % 2)
+    assert len(got) == 6  # one feature -> one row per doc
+    with pytest.raises(ValueError):
+        feature_hashing(rd.from_pandas(df), feats, n_dims=0)
