@@ -4248,6 +4248,52 @@ def q_feature_hashing(sf_dir: str) -> pa.Table:
                                      batch_format="pyarrow")])
 
 
+def q_hybrid_search(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the distributed BM25 top-50 candidate set is re-ranked by
+    fusing its relevance ranking with a quality ranking
+    (``rrf = 1/(60+r_bm25) + 1/(60+r_quality)``, ranks over ROUND6
+    scores with doc_id tiebreaks so the SQL oracle replays both
+    orderings and the fusion bit-for-bit). Candidates come from the
+    streaming BM25 passes; quality scores touch ONLY the broadcast
+    candidate set (k rows) — the corpus streams once per ranking
+    regardless of scale."""
+    import ray
+    import ray.data as rd
+
+    from .ops.join import broadcast_semi_join
+    from .ops.text import QualityScorer, bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = bm25_topk(ds, ["hash", "join", "vector", "spark"], k=50)
+    cand = cand.reset_index(drop=True)
+    cand["bm25_rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+
+    ids = rd.from_arrow(pa.table({
+        "doc_id": pa.array(cand["doc_id"].to_numpy(np.int64))}))
+    q = broadcast_semi_join(ds, ids, "doc_id") \
+        .map_batches(QualityScorer(), batch_format="pyarrow") \
+        .select_columns(["doc_id", "q_score"]).to_pandas()
+    q["q_score"] = round6(q["q_score"].to_numpy(np.float64))
+    q = q.sort_values(["q_score", "doc_id"],
+                      ascending=[False, True]).reset_index(drop=True)
+    q["q_rank"] = np.arange(1, len(q) + 1, dtype=np.int64)
+
+    m = cand.merge(q, on="doc_id")
+    rrf = (1.0 / (60 + m["bm25_rank"].to_numpy(np.int64))
+           + 1.0 / (60 + m["q_rank"].to_numpy(np.int64)))
+    m["rrf"] = round6(rrf)
+    m = m.sort_values(["rrf", "doc_id"],
+                      ascending=[False, True]).head(20) \
+        .reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(m["doc_id"].to_numpy(np.int64)),
+        "bm25_rank": pa.array(m["bm25_rank"].to_numpy(np.int64)),
+        "q_rank": pa.array(m["q_rank"].to_numpy(np.int64)),
+        "rrf": pa.array(m["rrf"].to_numpy(np.float64), pa.float64()),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4264,6 +4310,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cohort_retention": q_cohort_retention,
     "source_drift": q_source_drift,
     "feature_hashing": q_feature_hashing,
+    "hybrid_search": q_hybrid_search,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -6268,4 +6315,31 @@ ORACLE_SQL["feature_hashing"] = f"""
            CAST(sum(1 - 2 * CAST((hv // 32) % 2 AS BIGINT)) AS BIGINT)
              AS weight
     FROM h GROUP BY doc_id, hv % 32 ORDER BY doc_id, dim
+"""
+
+# hybrid RRF: the bm25 oracle (LIMIT widened to 50) supplies the
+# candidate ranking; the quality oracle restricted to candidates
+# supplies the second; fusion 1/(60+r) + 1/(60+r) on integer ranks is
+# the identical IEEE expression both sides
+ORACLE_SQL["hybrid_search"] = f"""
+    WITH cand AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id)
+               AS bm25_rank
+      FROM ({ORACLE_SQL["bm25_search"].replace("LIMIT 20", "LIMIT 50")})
+    ), qs AS (
+      SELECT q.doc_id, q.q_score FROM ({ORACLE_SQL["quality_scores"]}) q
+      JOIN cand USING (doc_id)
+    ), qr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY q_score DESC, doc_id) AS q_rank
+      FROM qs
+    )
+    SELECT cand.doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(q_rank AS BIGINT) AS q_rank,
+           round(1.0 / (60 + bm25_rank) + 1.0 / (60 + q_rank), 6) AS rrf
+    FROM cand JOIN qr USING (doc_id)
+    ORDER BY round(1.0 / (60 + bm25_rank) + 1.0 / (60 + q_rank), 6) DESC,
+             cand.doc_id
+    LIMIT 20
 """
