@@ -17,11 +17,16 @@ Codec status — REAL where the container allows, stubbed where it can't:
   pure-numpy codec in :mod:`raysketch.ops.jpeg` (ITU-T T.81 baseline
   subset built from the public spec; Annex K tables). Lossy by nature:
   tests gate on PSNR and the analytic DC-only path, not bit equality.
-- **PNG/MP3/video codecs** — NOT in this container.
-  ``DecodeImage(real=True)`` raises ``NotImplementedError`` exactly
-  where libpng/ffmpeg would run; the default deterministic fake derives
-  pixels from the payload hash so downstream stages still exercise real
-  array plumbing.
+- **PNG** — decoded and encoded for real by :mod:`raysketch.ops.png`
+  (stdlib zlib + numpy, all five row filters; lossless round-trip).
+- **Video (uncompressed YUV4MPEG2)** — decoded for real by
+  :mod:`raysketch.ops.y4m` (`SampleVideoFrames`: decode → frame
+  sample → luma/motion features).
+- **MP3 / compressed video codecs** — NOT in this container; the one
+  remaining honest stub. ``DecodeImage(real=True)`` raises
+  ``NotImplementedError`` exactly where ffmpeg would run; the default
+  deterministic fake derives pixels from the payload hash so
+  downstream stages still exercise real array plumbing.
 
 Scale notes: binary payloads are wide — callers should cap ``batch_size``
 (e.g. 64–256 rows) and let ``concurrency × num_cpus`` match the node; the
@@ -54,6 +59,7 @@ MIME_PPM = "image/x-portable-pixmap"
 MIME_WAV = "audio/wav"
 MIME_JPEG = "image/jpeg"
 MIME_PNG = "image/png"
+MIME_Y4M = "video/x-yuv4mpeg"
 
 
 # ---------------------------------------------------------------------------
@@ -128,9 +134,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
     """Deterministic media rows. ``image`` rows carry genuine binary PPM
     payloads, ``jpeg`` rows genuine baseline JFIF (ops/jpeg.py codec),
-    ``png`` rows genuine PNG (ops/png.py codec), and ``audio`` rows
-    genuine PCM16 WAV (all decodable by any standard tool); ``video``
-    payloads stay opaque fakes (no container codec available)."""
+    ``png`` rows genuine PNG (ops/png.py codec), ``audio`` rows genuine
+    PCM16 WAV, and ``video`` rows genuine uncompressed YUV4MPEG2
+    (ops/y4m.py) — all decodable by any standard tool."""
     payloads, w, h, nf, sr, mime = [], [], [], [], [], []
     for i in ids:
         seed = hashlib.sha256(f"media{i}".encode()).digest()
@@ -168,6 +174,22 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
             mime.append(MIME_WAV)
             nf.append(1)
             sr.append(rate)
+        elif kind == "video":
+            from .y4m import encode_y4m
+
+            n_frames = 8 + i % 8
+            gx = np.linspace(0, 255, wi, dtype=np.float64)
+            gy = np.linspace(0, 255, hi, dtype=np.float64)
+            base = (gy[:, None] + gx[None, :]) / 2
+            fr = []
+            for f in range(n_frames):  # horizontal drift = real motion
+                sh = np.roll(base, f * 2, axis=1)
+                px = np.stack([sh, sh[::-1], 255 - sh], axis=2)
+                fr.append(np.clip(px, 0, 255).astype(np.uint8))
+            payloads.append(encode_y4m(np.stack(fr)))
+            mime.append(MIME_Y4M)
+            nf.append(n_frames)
+            sr.append(0)
         else:
             payloads.append(seed * (64 + (i % 17)))
             mime.append(f"{kind}/x-fake")
@@ -223,8 +245,9 @@ class DecodeImage:
             return px
         if self.real:
             raise NotImplementedError(
-                "video codecs are not available in this environment; "
-                "plug ffmpeg here (jpeg/png/ppm/wav decode for real)"
+                "compressed video/mp3 codecs are not available in this "
+                "environment; uncompressed y4m video decodes for real "
+                "via SampleVideoFrames (jpeg/png/ppm/wav/y4m are real)"
             )
         seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
         reps = int(np.ceil(h * w * 3 / seed.size))
@@ -317,6 +340,32 @@ class DecodeAudio:
         return batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float64()))
         )
+
+
+class SampleVideoFrames:
+    """Actor stage for video rows: REAL y4m decode (ops/y4m.py), sample
+    every ``every_k``-th frame, and reduce each video to a feature
+    vector [n_frames_sampled, mean luma, std luma, mean |frame diff|
+    (motion)] — the decode→frame-sample→featurize shape of a video
+    curation stage. One decode per row, all-numpy."""
+
+    def __init__(self, every_k: int = 4) -> None:
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .y4m import decode_y4m, sample_frames
+
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            fr = sample_frames(decode_y4m(payload), self.every_k)
+            luma = fr.astype(np.float64).mean(axis=3) if fr.shape[3] == 3 \
+                else fr[..., 0].astype(np.float64)
+            motion = 0.0 if fr.shape[0] < 2 else float(
+                np.abs(np.diff(luma, axis=0)).mean())
+            feats.append([float(fr.shape[0]), float(luma.mean()),
+                          float(luma.std()), motion])
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64())))
 
 
 class FrameSampler:

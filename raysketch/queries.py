@@ -2335,13 +2335,15 @@ def q_media_features(sf_dir: str) -> pa.Table:
     binary PPM, baseline JPEG, or PNG payloads (jpeg via the pure-numpy
     T.81-baseline codec in ops/jpeg.py, png via ops/png.py + stdlib
     zlib; decode → nearest-neighbor resize → channel/histogram
-    features, all real pixel work) and audio carries genuine PCM16 WAV
-    (stdlib decode → RMS/ZCR/frame-energy features); only the mp3/video
-    codecs remain documented stubs."""
+    features, all real pixel work), audio carries genuine PCM16 WAV
+    (stdlib decode → RMS/ZCR/frame-energy features), and video carries
+    genuine uncompressed YUV4MPEG2 (ops/y4m.py decode → frame sample →
+    luma/motion features); mp3 is the one remaining documented stub."""
     import ray.data as rd
 
     from .ops.multimodal import (DecodeImage, ImageFeatures, ResizeImage,
-                                 audio_feature_pipeline, synthesize_media_batch)
+                                 SampleVideoFrames, audio_feature_pipeline,
+                                 synthesize_media_batch)
 
     imgs = rd.from_arrow(pa.concat_tables([
         synthesize_media_batch(list(range(64)), kind="image"),
@@ -2353,8 +2355,14 @@ def q_media_features(sf_dir: str) -> pa.Table:
         .map_batches(ImageFeatures(), batch_format="pyarrow", batch_size=16).to_pandas()
     aud = rd.from_arrow(synthesize_media_batch(list(range(64, 96)), kind="audio"))
     aud_out = audio_feature_pipeline(aud, batch_size=16).to_pandas()
+    vid = rd.from_arrow(synthesize_media_batch(list(range(160, 176)),
+                                               kind="video"))
+    vid_out = vid.map_batches(SampleVideoFrames(every_k=4),
+                              batch_format="pyarrow",
+                              batch_size=8).to_pandas()
     out = pd.concat([img_out[["media_id", "kind", "features"]],
-                     aud_out[["media_id", "kind", "features"]]],
+                     aud_out[["media_id", "kind", "features"]],
+                     vid_out[["media_id", "kind", "features"]]],
                     ignore_index=True).sort_values("media_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
