@@ -389,3 +389,48 @@ def pack_sequences(ds, seq_tokens: int = 32, id_col: str = "doc_id",
     return parts.map_batches(bucket, batch_format="pyarrow").groupby(
         "sb").map_groups(lambda g: fold(g.drop(columns=["sb"])),
                          batch_format="pandas")
+
+
+def write_range_shards(ds, out_root: str, key_col: str,
+                       n_shards: int = 8, kll_k: int = 2048):
+    """Write the corpus as ``n_shards`` RANGE-partitioned shards (hive
+    dirs ``shard=i/``, atomic ``_SUCCESS`` publish) and return
+    ``(root, bounds)`` — the sorted-layout counterpart of
+    :func:`write_training_shards`' hash layout. Range layout is what
+    enables merge joins, sorted scans, and key-range pruning at
+    warehouse scale.
+
+    Shard boundaries are the ``(i/n)``-quantiles of ``key_col`` from a
+    merged KLL sketch (one cheap pass; sparse-exact — the ceil(q·n)
+    discrete rule — below compaction capacity, rank-error-bounded
+    above, which only skews shard SIZES, never correctness); shard
+    assignment is ``searchsorted(bounds, key, side='left')`` — shards
+    are DISJOINT, CONTIGUOUS key ranges by construction: every key in
+    shard i is ≤ every bound_j (j ≥ i) and > bound_{i-1}. One counting
+    pass assigns and writes; never a global sort."""
+    import functools
+
+    from ..engine.aggregate import sketch_aggregate
+    from ..engine.sinks import write_dataset
+    from ..engine.udaf import SketchSpec
+    from ..sketches import KLL
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    merged = sketch_aggregate(
+        ds, [SketchSpec("q", key_col, functools.partial(KLL, kll_k))],
+        merge="driver")
+    kl = merged[""]["q"]
+    bounds = np.asarray(
+        [kl.quantile(i / n_shards) for i in range(1, n_shards)],
+        dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        shard = np.searchsorted(bounds, k, side="left").astype(np.int64)
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
+
+    root = write_dataset(ds.map_batches(assign, batch_format="pyarrow"),
+                         out_root, partition_cols=["shard"])
+    return root, bounds

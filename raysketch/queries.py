@@ -4302,6 +4302,58 @@ def q_hybrid_search(sf_dir: str) -> pa.Table:
     })
 
 
+def q_range_export(sf_dir: str) -> pa.Table:
+    """Range-partitioned export (ops/curate.write_range_shards): the
+    corpus is WRITTEN as 8 disjoint contiguous n_chars key ranges
+    (KLL octile bounds — sparse-exact ceil(q·n) at gate scale — hive
+    dirs, atomic _SUCCESS), the layout that enables merge joins and
+    key-range pruning; the per-shard profile (rows, key min/max, id
+    checksum) folds from the READ-BACK bytes, so the oracle gates
+    bounds + routing + the write → read path in one compare."""
+    import shutil
+    import uuid
+
+    from .engine.sinks import read_back
+    from .ops.curate import write_range_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    root = os.path.join(
+        "/tmp/raysketch_range_shards",
+        f"rng_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    try:
+        write_range_shards(ds, root, "n_chars", n_shards=8)
+
+        def profile(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["shard"] = df["shard"].astype("int64")
+            ids = df["doc_id"].to_numpy(np.int64)
+            df["ck"] = ids * ids
+            g = df.groupby("shard", as_index=False).agg(
+                n_rows=("doc_id", "size"), lo=("n_chars", "min"),
+                hi=("n_chars", "max"), checksum=("ck", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = _fold_partials(
+            read_back(root).map_batches(profile, batch_format="pyarrow"),
+            ["shard"], ["n_rows", "checksum"], ["lo"], ["hi"])
+        agg = agg.sort_values("shard").reset_index(drop=True)
+        # disjoint contiguous ranges: each shard's max <= next shard's min
+        his = agg["hi"].to_numpy(np.int64)
+        los = agg["lo"].to_numpy(np.int64)
+        if not (his[:-1] <= los[1:]).all():
+            raise AssertionError("range shards overlap")
+        return pa.table({
+            "shard": pa.array(agg["shard"].astype("int64")),
+            "n_rows": pa.array(agg["n_rows"].astype("int64")),
+            "lo": pa.array(agg["lo"].astype("int64")),
+            "hi": pa.array(agg["hi"].astype("int64")),
+            "checksum": pa.array(agg["checksum"].astype("int64")),
+        })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the 37 queries that have never had a driver CORRECTNESS row lead,
@@ -4319,6 +4371,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "source_drift": q_source_drift,
     "feature_hashing": q_feature_hashing,
     "hybrid_search": q_hybrid_search,
+    "range_export": q_range_export,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -6351,3 +6404,38 @@ ORACLE_SQL["hybrid_search"] = f"""
              cand.doc_id
     LIMIT 20
 """
+
+# range export: octile bounds replay KLL's ceil(q*n) discrete rule
+# (eighths are dyadic doubles -> exact); shard = first bound >= value
+# (searchsorted 'left'); profile folds from the WRITTEN bytes
+def _range_export_sql(n_shards: int = 8) -> str:
+    qs = [i / n_shards for i in range(1, n_shards)]
+    bsel = ",\n             ".join(
+        f"max(CASE WHEN r = CAST(ceil({q!r} * CAST(n AS DOUBLE)) AS BIGINT)"
+        f" THEN v END) AS b{i}"
+        for i, q in enumerate(qs, 1))
+    case = " ".join(
+        f"WHEN n_chars <= b{i} THEN {i - 1}" for i in range(1, n_shards))
+    return f"""
+    WITH ranked AS (
+      SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS r,
+             count(*) OVER () AS n
+      FROM documents
+    ), b AS (
+      SELECT {bsel}
+      FROM ranked
+    ), x AS (
+      SELECT doc_id, n_chars,
+             CASE {case} ELSE {n_shards - 1} END AS shard
+      FROM documents, b
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(n_chars) AS BIGINT) AS lo,
+           CAST(max(n_chars) AS BIGINT) AS hi,
+           CAST(sum(doc_id * doc_id) AS BIGINT) AS checksum
+    FROM x GROUP BY shard ORDER BY shard
+    """
+
+
+ORACLE_SQL["range_export"] = _range_export_sql(8)

@@ -231,3 +231,37 @@ def test_sequence_packing_brute_parity_and_block_invariance():
     assert got["n_tokens"].sum() == owners.size
     with pytest.raises(ValueError):
         pack_sequences(_ds(texts), seq_tokens=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_shards_disjoint_complete_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from raysketch.engine.sinks import read_back
+    from raysketch.ops.curate import write_range_shards
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "n_chars": rng.integers(10, 500, 400).astype(np.int64)})
+    root, bounds = write_range_shards(
+        rd.from_pandas(df).repartition(5), str(tmp_path / "rng"),
+        "n_chars", n_shards=4)
+    assert len(bounds) == 3 and (np.diff(bounds) >= 0).all()
+    back = read_back(root).to_pandas()
+    back["shard"] = back["shard"].astype("int64")
+    # complete: every row exactly once
+    assert sorted(back["doc_id"]) == list(range(400))
+    # routing matches searchsorted on the returned bounds
+    exp = np.searchsorted(bounds, back["n_chars"].to_numpy(np.float64),
+                          side="left")
+    np.testing.assert_array_equal(back["shard"].to_numpy(), exp)
+    # shards are disjoint contiguous ranges
+    g = back.groupby("shard")["n_chars"].agg(["min", "max"]).sort_index()
+    assert (g["max"].to_numpy()[:-1] <= g["min"].to_numpy()[1:]).all()
+    # quantile bounds balance shard sizes (sparse-exact at this n)
+    sizes = back.groupby("shard").size()
+    assert sizes.min() >= 400 // 4 - 25
+    with pytest.raises(ValueError):
+        write_range_shards(rd.from_pandas(df), str(tmp_path / "r2"),
+                           "n_chars", n_shards=0)
