@@ -4356,9 +4356,10 @@ def q_range_export(sf_dir: str) -> pa.Table:
 
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
-# the 37 queries that have never had a driver CORRECTNESS row lead,
-# followed by the 13 whose last driver check was round 1; the rest
-# (r2/r3-checked) trail and stay gated by tests/test_oracle_parity.py.
+# the window holds 50 queries that are BOTH oracle-gated and have
+# never had a driver CORRECTNESS row (late-round-4 wave first, then
+# the round-3/4 backlog); rows-only entries and everything checked in
+# r1-r3 trail, gated by tests/test_oracle_parity.py's full sweep.
 QUERIES: dict[str, Callable[[str], Any]] = {
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
@@ -4372,6 +4373,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "feature_hashing": q_feature_hashing,
     "hybrid_search": q_hybrid_search,
     "range_export": q_range_export,
+    "curation_pipeline": q_curation_pipeline,
+    "embedding_covariance": q_embedding_covariance,
+    "global_top_orders": q_global_top_orders,
     "pmi_cooccurrence": q_pmi_cooccurrence,
     "bigram_lm_scores": q_bigram_lm_scores,
     "bucketed_join_layout": q_bucketed_join_layout,
@@ -4380,8 +4384,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "token_budget_mix": q_token_budget_mix,
     "training_shards": q_training_shards,
     "sequence_packing": q_sequence_packing,
-    "bpe_vocab": q_bpe_vocab,
-    "bpe_token_counts": q_bpe_token_counts,
     "hopping_window": q_hopping_window,
     "asof_join_orders": q_asof_join_orders,
     "sessionized_stats": q_sessionized_stats,
@@ -4393,7 +4395,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "csv_source_agg": q_csv_source_agg,
     "jsonl_source_agg": q_jsonl_source_agg,
     "kmeans_assign": q_kmeans_assign,
-    "kmeans_clusters": q_kmeans_clusters,
     "rolling_spend": q_rolling_spend,
     "event_funnel": q_event_funnel,
     "json_props_agg": q_json_props_agg,
@@ -4411,14 +4412,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hourly_active_users": q_hourly_active_users,
     "multisource_union": q_multisource_union,
     "embedding_dim_stats": q_embedding_dim_stats,
-    "embedding_covariance": q_embedding_covariance,
-    "global_top_orders": q_global_top_orders,
     "part_supplier_pricing": q_part_supplier_pricing,
     "part_catalog_stats": q_part_catalog_stats,
     "lineitem_by_status": q_lineitem_by_status,
     "supplier_balances": q_supplier_balances,
-    "curation_pipeline": q_curation_pipeline,
     "grouping_sets_pricing": q_grouping_sets_pricing,
+    "bpe_vocab": q_bpe_vocab,
+    "bpe_token_counts": q_bpe_token_counts,
+    "kmeans_clusters": q_kmeans_clusters,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
     "window_stats": q_window_stats,
