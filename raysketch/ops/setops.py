@@ -97,3 +97,62 @@ def distinct_set_op(
             lambda df: fold(df.drop(columns=["__kb"])), batch_format="pandas"
         )
     )
+
+
+def table_diff(ds_old, ds_new, id_col: str, content_cols: list[str],
+               num_buckets: int = 256):
+    """CDC-style snapshot diff between two versions of a keyed table:
+    a Dataset of (id, status) where status ∈ {'added', 'removed',
+    'changed'} — unchanged rows are dropped inside the fold and never
+    leave the reduce tasks (the common case at snapshot scale).
+
+    Plan: each side reduces to NARROW (id, content hash64, side)
+    partials in the same fused map that reads it (content never rides
+    the shuffle); ONE coarse shuffle on ``hash(id)`` co-locates both
+    versions of a key; the per-bucket fold compares vectorized. A
+    64-bit content hash can collide a changed row into 'unchanged' at
+    astronomically low probability (~n²/2⁶⁴ per key-pair is not the
+    relevant bound — collisions only matter per-KEY, old vs new value:
+    p ≈ 2⁻⁶⁴ per changed row); swap in ``sha256_batch`` where absolute
+    certainty beats the 4× hash throughput."""
+    from ..engine.hashing import append_coarse_bucket, hash64_batch
+
+    def side(tag: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            blob = pd.Series([""] * len(ids), dtype="object")
+            for c in content_cols:  # stable field separator
+                blob = blob + pd.Series(b[c].to_pylist(),
+                                        dtype="object").astype(str) + "\x1f"
+            h = hash64_batch(blob.to_numpy(dtype=object)) \
+                .astype(np.int64)
+            return pa.table({
+                "id": pa.array(ids), "h": pa.array(h),
+                "side": pa.array(np.full(len(ids), tag, np.int64))})
+
+        return f
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pv = df.pivot_table(index="id", columns="side", values="h",
+                            aggfunc="first")
+        old = pv[0] if 0 in pv.columns else pd.Series(index=pv.index,
+                                                      dtype="float64")
+        new = pv[1] if 1 in pv.columns else pd.Series(index=pv.index,
+                                                      dtype="float64")
+        status = np.where(
+            old.isna(), "added",
+            np.where(new.isna(), "removed",
+                     np.where(old != new, "changed", "unchanged")))
+        out = pd.DataFrame({"id": pv.index.to_numpy(np.int64),
+                            "status": status})
+        return out[out["status"] != "unchanged"].reset_index(drop=True)
+
+    tagged = (ds_old.map_batches(side(0), batch_format="pyarrow")
+              .union(ds_new.map_batches(side(1), batch_format="pyarrow")))
+    return (tagged.map_batches(
+        lambda b: append_coarse_bucket(b, ["id"], num_buckets, "__b"),
+        batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda df: fold(df.drop(columns="__b")),
+                    batch_format="pandas"))

@@ -61,3 +61,24 @@ def test_disjoint_and_empty_side():
 def test_unknown_op_raises():
     with pytest.raises(ValueError):
         distinct_set_op(None, None, "x", ops=("minus",))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_diff_statuses_and_unchanged_dropped():
+    import ray.data as rd
+
+    from raysketch.ops.setops import table_diff
+
+    old = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "text": [f"row {i}" for i in range(8)]})
+    new = pd.DataFrame({
+        "id": np.array([0, 1, 2, 3, 5, 6, 7, 9], dtype=np.int64),
+        "text": ["row 0", "row 1 EDITED", "row 2", "row 3",
+                 "row 5", "row 6 EDITED", "row 7", "brand new"]})
+    got = table_diff(rd.from_pandas(old).repartition(3),
+                     rd.from_pandas(new).repartition(2),
+                     "id", ["text"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(got.itertuples(index=False, name=None)) == [
+        (1, "changed"), (4, "removed"), (6, "changed"), (9, "added")]
