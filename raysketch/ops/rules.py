@@ -2,10 +2,11 @@
 entropy, and the C4 duplicate-span profile — the heuristic filter pass
 a pretraining pipeline runs between language-ID and dedup.
 
-All three are deterministic and SQL-replayable (full DuckDB oracles in
-``queries.py``); the first two are pure per-block streaming transforms
-(no shuffle at ANY corpus size), the span profile is the engine's
-standard two-coarse-fold shape.
+All four ops here are deterministic and SQL-replayable (full DuckDB
+oracles in ``queries.py``); repetition/entropy are pure per-block
+streaming transforms (no shuffle at ANY corpus size), the span profile
+is the engine's standard two-coarse-fold shape, and :func:`ks_drift`
+is one count fold plus a value-domain-bounded driver pivot.
 
 - :func:`repetition_stats` — per-doc repetition heuristics from the
   Gopher paper's rule family (Rae et al. 2021, "Scaling Language
