@@ -99,6 +99,82 @@ def funnel(
     return rd.from_pandas(base)
 
 
+def transition_matrix(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id",
+                      num_buckets: int = 256) -> pa.Table:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered type pair (prev, nxt) that appears as
+    consecutive events of one user (ordered by ``(ts, order_col)``),
+    emit the exact transition count and ``p = round6(n / n_from)``
+    where ``n_from`` is all transitions leaving ``prev`` — the
+    row-stochastic estimate a sequence model trains on.
+
+    Plan: ONE coarse shuffle on ``hash(user) % num_buckets`` co-locates
+    each user's events (the sessionize/funnel contract); the per-bucket
+    fold is one vectorized sort + shift + pair groupby and emits at most
+    |V|² tiny count rows per bucket; the driver sums buckets. Shuffle
+    volume is (user, ts, order, type) — value columns never move.
+    Returns a driver-sized pa.Table (|V|² is taxonomy-bounded
+    regardless of corpus size), ordered by (prev_type, next_type)."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def coarse(b: pa.Table) -> pa.Table:
+        b = b.select([user_col, ts_col, order_col, type_col])
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):  # normalize ns/ms inputs
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        else:
+            ts = pc.cast(ts, pa.int64())
+        b = b.set_column(b.schema.get_field_index(ts_col), ts_col, ts)
+        return append_coarse_bucket(b, [user_col], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype="object"),
+                                 "next_type": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values([user_col, ts_col, order_col], kind="stable")
+        same = df[user_col].to_numpy() == df[user_col].shift(1).to_numpy()
+        out = (pd.DataFrame({
+            "prev_type": df[type_col].shift(1).to_numpy(object),
+            "next_type": df[type_col].to_numpy(object)})[same]
+            .groupby(["prev_type", "next_type"]).size().rename("n")
+            .reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (ds.map_batches(coarse, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    agg = parts.to_pandas()
+    if agg.empty:
+        return pa.table({"prev_type": pa.array([], pa.string()),
+                         "next_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "p": pa.array([], pa.float64())})
+    agg = agg.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    agg["n_from"] = agg.groupby("prev_type")["n"].transform("sum")
+    agg = agg.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    return pa.table({
+        "prev_type": pa.array(agg["prev_type"].to_numpy(object),
+                              pa.string()),
+        "next_type": pa.array(agg["next_type"].to_numpy(object),
+                              pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "p": pa.array(r6(agg["n"].to_numpy(np.int64).astype(np.float64)
+                         / agg["n_from"].to_numpy(np.int64)
+                         .astype(np.float64)), pa.float64()),
+    })
+
+
 def assoc_rules(ds, user_col: str = "user_id",
                 item_col: str = "event_type", num_buckets: int = 256):
     """Market-basket association rules over an event stream: for every

@@ -4389,6 +4389,51 @@ def q_table_diff(sf_dir: str) -> pa.Table:
                      "status": pa.array(out["status"], pa.string())})
 
 
+def q_event_transitions(sf_dir: str) -> pa.Table:
+    """First-order Markov transition matrix over per-user event
+    sequences (ops/funnel.transition_matrix): one coarse hash(user)
+    shuffle co-locates each user's history; the per-bucket fold is one
+    vectorized sort+shift+groupby; the driver folds |V|²-bounded count
+    partials. p = round6(n / transitions-out-of-prev)."""
+    from .ops.funnel import transition_matrix
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return transition_matrix(ev)
+
+
+def q_dist_moments(sf_dir: str) -> pa.Table:
+    """Exact grouped skewness/kurtosis (ops/stats.grouped_moments):
+    per-block int64 power sums (order-free), driver applies the
+    sample-adjusted G1/G2 closed forms DuckDB's skewness()/kurtosis()
+    implement — the distribution-shape extension of the reference's
+    running_stats.c Welford pass."""
+    from .ops.stats import grouped_moments
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_moments(li, "l_returnflag", "l_quantity")
+
+
+def q_event_pivot(sf_dir: str) -> pa.Table:
+    """Long→wide pivot (ops/reshape.pivot_wide): one wide feature row
+    per user with per-event-type counts and exact integer-cents value
+    sums; vocabulary discovered with a tiny distinct fold; raw events
+    never shuffle (per-block (key,type) partials ride the one
+    hash(user) exchange). Driver sort is the sf-scale convenience —
+    the wide result itself is a Dataset."""
+    from .ops.reshape import pivot_wide
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    wide = pivot_wide(ev, "user_id", "event_type", "value")
+    df = wide.to_pandas().sort_values("user_id").reset_index(drop=True)
+    cols = {"user_id": pa.array(df["user_id"].astype("int64"))}
+    for c in df.columns:
+        if c.startswith("n_"):
+            cols[c] = pa.array(df[c].astype("int64"))
+        elif c.startswith("sum_"):
+            cols[c] = pa.array(df[c].astype("float64"))
+    return pa.table(cols)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4396,6 +4441,9 @@ def q_table_diff(sf_dir: str) -> pa.Table:
 # the round-3/4 backlog); rows-only entries and everything checked in
 # r1-r3 trail, gated by tests/test_oracle_parity.py's full sweep.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "event_transitions": q_event_transitions,
+    "dist_moments": q_dist_moments,
+    "event_pivot": q_event_pivot,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6498,4 +6546,46 @@ ORACLE_SQL["table_diff"] = """
       FROM oldt o FULL OUTER JOIN newt n ON o.id = n.id
     )
     SELECT id, status FROM j WHERE status IS NOT NULL ORDER BY id
+"""
+
+ORACLE_SQL["event_transitions"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), pc AS (
+      SELECT prev AS prev_type, event_type AS next_type,
+             count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p
+    FROM pc ORDER BY prev_type, next_type
+"""
+
+ORACLE_SQL["dist_moments"] = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_quantity), 6) AS mean,
+           round(stddev_samp(l_quantity), 6) AS stddev,
+           round(skewness(l_quantity), 6) AS skewness,
+           round(kurtosis(l_quantity), 6) AS kurtosis
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["event_pivot"] = """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'click'), 0), 2) AS sum_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'error'), 0), 2) AS sum_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS sum_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'signup'), 0), 2) AS sum_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'view'), 0), 2) AS sum_view
+    FROM events GROUP BY user_id ORDER BY user_id
 """

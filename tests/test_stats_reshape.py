@@ -1,0 +1,139 @@
+"""ops/stats.grouped_moments, ops/reshape.pivot_wide,
+ops/funnel.transition_matrix — brute-force parity on random frames,
+block invariance, contract validation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raysketch.ops.funnel import transition_matrix
+from raysketch.ops.reshape import pivot_wide
+from raysketch.ops.stats import grouped_moments
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+def _moments_brute(x: np.ndarray):
+    n = len(x)
+    m = x.mean()
+    m2 = ((x - m) ** 2).sum() / n
+    m3 = ((x - m) ** 3).sum() / n
+    m4 = ((x - m) ** 4).sum() / n
+    g1 = m3 / m2**1.5
+    sk = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / m2**2 - 3
+    ku = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return m, np.sqrt(m2 * n / (n - 1)), sk, ku
+
+
+def test_grouped_moments_matches_brute(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 3000),
+        "v": rng.integers(-40, 200, 3000).astype(np.float64),
+    })
+    out = grouped_moments(_mk(df, 7), "g", "v").to_pandas()
+    assert list(out["g"]) == ["a", "b", "c"]
+    for _, row in out.iterrows():
+        x = df.loc[df["g"] == row["g"], "v"].to_numpy()
+        m, sd, sk, ku = _moments_brute(x)
+        assert row["n"] == len(x)
+        for got, want in [(row["mean"], m), (row["stddev"], sd),
+                          (row["skewness"], sk), (row["kurtosis"], ku)]:
+            assert abs(got - round(want, 6)) < 2e-6
+
+
+def test_grouped_moments_block_invariance(ray_session):
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"g": rng.choice(["x", "y"], 500),
+                       "v": rng.integers(0, 50, 500).astype(np.float64)})
+    a = grouped_moments(_mk(df, 1), "g", "v").to_pandas()
+    b = grouped_moments(_mk(df, 9), "g", "v").to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # int sums → bit-identical
+
+
+def test_grouped_moments_rejects_fractional(ray_session):
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, 2.5, 3.0, 4.0]})
+    with pytest.raises(Exception, match="integer-valued"):
+        grouped_moments(_mk(df, 1), "g", "v").to_pandas()
+
+
+def test_pivot_wide_matches_brute(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 2000),
+        "t": rng.choice(["p", "q", "r"], 2000),
+        "v": np.floor(rng.uniform(-50, 50, 2000) * 100 + 0.5) / 100,
+    })
+    out = (pivot_wide(_mk(df, 6), "k", "t", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = df.groupby(["k", "t"]).agg(n=("v", "size"), s=("v", "sum"))
+    for _, row in out.iterrows():
+        for t in ["p", "q", "r"]:
+            if (row["k"], t) in want.index:
+                w = want.loc[(row["k"], t)]
+                assert row[f"n_{t}"] == w["n"]
+                assert abs(row[f"sum_{t}"] - w["s"]) < 1e-6
+            else:
+                assert row[f"n_{t}"] == 0 and row[f"sum_{t}"] == 0.0
+    # every key present exactly once
+    assert sorted(out["k"]) == sorted(df["k"].unique())
+
+
+def test_pivot_wide_rejects_excess_decimals(ray_session):
+    df = pd.DataFrame({"k": [1, 2], "t": ["a", "a"], "v": [1.234, 2.0]})
+    with pytest.raises(Exception, match="more decimals"):
+        pivot_wide(_mk(df, 1), "k", "t", "v").to_pandas()
+
+
+def test_transition_matrix_matches_brute(ray_session):
+    rng = np.random.default_rng(10)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": rng.integers(0, 10_000, n).astype("datetime64[us]"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+    })
+    out = transition_matrix(_mk(df, 8)).to_pandas()
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    same = s["user_id"].to_numpy() == s["user_id"].shift(1).to_numpy()
+    pairs = pd.DataFrame({"p": s["event_type"].shift(1).to_numpy(object),
+                          "nx": s["event_type"].to_numpy(object)})[same]
+    want = pairs.groupby(["p", "nx"]).size()
+    n_from = pairs.groupby("p").size()
+    assert len(out) == len(want)
+    for _, row in out.iterrows():
+        assert row["n"] == want.loc[(row["prev_type"], row["next_type"])]
+        p = want.loc[(row["prev_type"], row["next_type"])] / n_from.loc[
+            row["prev_type"]]
+        assert abs(row["p"] - round(p, 6)) < 2e-6
+
+
+def test_transition_matrix_tie_breaks_on_order_col(ray_session):
+    # two same-ts events: order_col decides prev→next direction
+    df = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([100, 100], unit="us"),
+        "event_id": [5, 4],
+        "event_type": ["late", "early"],
+    })
+    out = transition_matrix(_mk(df, 1)).to_pandas()
+    assert len(out) == 1
+    assert (out.loc[0, "prev_type"], out.loc[0, "next_type"]) == (
+        "early", "late")
+
+
+def test_transition_matrix_empty(ray_session):
+    df = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "event_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object")})
+    out = transition_matrix(_mk(df, 1)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["prev_type", "next_type", "n", "p"]
