@@ -1539,3 +1539,175 @@ def incremental_dedup(incoming_ds, index_root: str, text_col: str = "text",
     return exact_dedup(fresh.select_columns(cols),  # exact_dedup rehashes
                        text_col=text_col, id_col=id_col,
                        broadcast_limit=broadcast_limit)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance fuzzy dedup
+# ---------------------------------------------------------------------------
+
+_TEXT_BROADCAST_BYTES = 256 << 20
+
+
+def batch_levenshtein(texts_a: list, texts_b: list) -> np.ndarray:
+    """Exact Levenshtein distance for a BATCH of string pairs, vectorized
+    across pairs via anti-diagonal dynamic programming: diagonal d of
+    every pair's DP matrix is computed in one numpy step from diagonals
+    d-1/d-2 (deletion/insertion from d-1, substitution from d-2 with the
+    equality costs gathered as a reversed slice), so the Python loop is
+    O(max_len_a + max_len_b) per batch — never per pair, never per cell.
+    Cells outside a shorter pair's matrix hold garbage but can never flow
+    into valid cells (a valid cell's three parents are valid); each
+    pair's answer is captured when d reaches len_a+len_b.
+
+    Operates on UTF-8 BYTES — identical to character-level distance on
+    ASCII corpora (the DuckDB ``levenshtein`` replay contract; the bench
+    corpus is pure ASCII)."""
+    P = len(texts_a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    enc_a = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts_a]
+    enc_b = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts_b]
+    la = np.array([e.size for e in enc_a], dtype=np.int64)
+    lb = np.array([e.size for e in enc_b], dtype=np.int64)
+    M, N = int(la.max()), int(lb.max())
+    A = np.zeros((P, max(M, 1)), dtype=np.int16)
+    # pad B with -1 (≠ any byte and ≠ A's 0-pad); width M+N so the
+    # reversed diagonal slices never truncate
+    B = np.full((P, M + N + 1), -1, dtype=np.int16)
+    for p in range(P):
+        A[p, : la[p]] = enc_a[p]
+        B[p, : lb[p]] = enc_b[p]
+    BIG = np.int32(1 << 29)
+    total = la + lb
+    ans = np.zeros(P, dtype=np.int64)
+    prev2 = np.full((P, M + 1), BIG, np.int32)  # diagonal d-2
+    prev = np.full((P, M + 1), BIG, np.int32)   # diagonal d-1
+    prev2[:, 0] = 0                             # d=0: cell (0,0)
+    prev[:, 0] = 1                              # d=1: cell (0,1)
+    if M >= 1:
+        prev[:, 1] = 1                          # d=1: cell (1,0)
+    ans[total == 1] = 1
+    for d in range(2, M + N + 1):
+        cur = np.full((P, M + 1), BIG, np.int32)
+        cur[:, 0] = d                           # boundary cell (0, d)
+        if d <= M:
+            cur[:, d] = d                       # boundary cell (d, 0)
+        i1 = min(M, d - 1)
+        if i1 >= 1:
+            dele = prev[:, 0:i1] + 1            # from (i-1, j)
+            ins = prev[:, 1:i1 + 1] + 1         # from (i, j-1)
+            # substitution cost: A[i-1] vs B[d-i-1] for i = 1..i1 — the
+            # B side is a reversed contiguous slice
+            b_sl = B[:, d - 1 - i1:d - 1][:, ::-1]
+            sub = prev2[:, 0:i1] + (A[:, 0:i1] != b_sl)
+            cur[:, 1:i1 + 1] = np.minimum(np.minimum(dele, ins), sub)
+        hit = total == d
+        if hit.any():
+            ans[hit] = cur[hit, la[hit]]
+        prev2, prev = prev, cur
+    return ans
+
+
+def fuzzy_dedup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_floor: float = 0.5,
+    min_edit_sim: float = 0.9,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+):
+    """Edit-distance fuzzy dedup: MinHash/LSH candidates verified by
+    exact shingle Jaccard (≥ ``jaccard_floor`` — :func:`minhash_dedup_pairs`,
+    whose oracle proves LSH recall at this floor), then refined by EXACT
+    Levenshtein distance: a pair survives iff
+    ``1 - lev/max(len_a, len_b) >= min_edit_sim`` (the CCNet/Gopher-style
+    "same doc modulo small edits" rule that token-set Jaccard alone
+    cannot express — transpositions and reorderings keep Jaccard high
+    but blow up edit distance).
+
+    The text gather onto the verified-pair stream is SIZE-ROUTED like
+    every near-dup verify in this module: the candidate-doc payload side
+    broadcasts under ``_TEXT_BROADCAST_BYTES`` (``ray.put`` once,
+    searchsorted lookup per batch), else it rides the partitioned hash
+    join (:func:`attach_pair_payloads`). Both routes run
+    :func:`batch_levenshtein`, so results are identical.
+
+    Returns a Dataset of (id_a, id_b, lev int64, edit_sim round6)."""
+    import ray
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "lev": pd.Series([], dtype="int64"),
+                          "edit_sim": pd.Series([], dtype="float64")})
+    pairs = minhash_dedup_pairs(
+        ds, text_col, id_col, threshold=jaccard_floor,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _as_pairs_ds(empty)
+
+    from .join import bloom_semi_join
+
+    def ids_of(b: pa.Table) -> pa.Table:
+        return pa.table({"did": pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])})
+
+    docs_needed = bloom_semi_join(
+        ds.select_columns([id_col, text_col]),
+        pairs.map_batches(ids_of, batch_format="pyarrow"),
+        big_key=id_col, small_key="did",
+        capacity=max(1024, 2 * n_pairs), fpr=0.01,
+    ).materialize()
+
+    def _verify_rows(ids_a, ids_b, ta: list, tb: list) -> pd.DataFrame:
+        lev = batch_levenshtein(ta, tb)
+        mx = np.maximum(
+            np.fromiter((len(t) for t in ta), np.int64, len(ta)),
+            np.fromiter((len(t) for t in tb), np.int64, len(tb)))
+        # the UNROUNDED ratio decides the filter — bit-identical to the
+        # SQL replay's WHERE (one correctly-rounded double division)
+        sim = 1.0 - lev / np.maximum(mx, 1)
+        out = pd.DataFrame({
+            "id_a": np.asarray(ids_a, np.int64),
+            "id_b": np.asarray(ids_b, np.int64),
+            "lev": lev,
+            "edit_sim": np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6,
+        })
+        return out[sim >= min_edit_sim]
+
+    if docs_needed.size_bytes() <= _TEXT_BROADCAST_BYTES:
+        df = docs_needed.to_pandas()
+        order = np.argsort(df[id_col].to_numpy(np.int64))
+        ref = ray.put((df[id_col].to_numpy(np.int64)[order],
+                       df[text_col].to_numpy(object)[order]))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_pandas(empty, preserve_index=False)
+            ids_sorted, texts = ray.get(ref)  # shared-memory read
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            ia, ok_a = _lookup_sorted(ids_sorted, a)
+            ib, ok_b = _lookup_sorted(ids_sorted, b)
+            keep = ok_a & ok_b  # missing payload -> pair dropped
+            a, b, ia, ib = a[keep], b[keep], ia[keep], ib[keep]
+            out = _verify_rows(a, b, list(texts[ia]), list(texts[ib]))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
+    side = docs_needed.map_batches(
+        lambda b: pa.table({"join_id": b[id_col], "payload": b[text_col]}),
+        batch_format="pyarrow")
+    npart = int(max(8, min(64, n_pairs // 250_000 + 8)))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        return _verify_rows(df["id_a"].to_numpy(), df["id_b"].to_numpy(),
+                            list(df["payload_a"]), list(df["payload_b"]))
+
+    return attach_pair_payloads(pairs, side, num_partitions=npart) \
+        .map_batches(verify, batch_format="pandas")

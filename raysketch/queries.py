@@ -4434,6 +4434,27 @@ def q_event_pivot(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def q_fuzzy_dedup(sf_dir: str) -> pa.Table:
+    """Edit-distance fuzzy dedup (ops/dedup.fuzzy_dedup_pairs): LSH→
+    exact-Jaccard candidates (recall proven by the neardup_pairs
+    oracle) refined by EXACT vectorized Levenshtein; survives iff
+    1 - lev/max(len) ≥ 0.9. The oracle replays candidate generation
+    (all-pairs 5-gram Jaccard ≥ 0.5) and DuckDB levenshtein() — exact
+    on this ASCII corpus where byte == char distance."""
+    from .ops.dedup import fuzzy_dedup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _pairs_df(fuzzy_dedup_pairs(docs),
+                   {"id_a": "int64", "id_b": "int64",
+                    "lev": "int64", "edit_sim": "float64"})
+    return pa.table({
+        "id_a": pa.array(df["id_a"].astype("int64")),
+        "id_b": pa.array(df["id_b"].astype("int64")),
+        "lev": pa.array(df["lev"].astype("int64")),
+        "edit_sim": pa.array(df["edit_sim"].astype("float64")),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4444,6 +4465,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_transitions": q_event_transitions,
     "dist_moments": q_dist_moments,
     "event_pivot": q_event_pivot,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6588,4 +6610,43 @@ ORACLE_SQL["event_pivot"] = """
            CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
            round(COALESCE(sum(value) FILTER (WHERE event_type = 'view'), 0), 2) AS sum_view
     FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["fuzzy_dedup"] = """
+    -- candidate generation replays the neardup_pairs oracle (all-pairs
+    -- 5-gram Jaccard >= 0.5, byte-window == char-window on this ASCII
+    -- corpus); levenshtein() refines — byte distance == char distance
+    -- for the same reason. greatest(..., 1) guards the empty-empty pair.
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
+    ),
+    lv AS (
+      SELECT p.id_a, p.id_b,
+             levenshtein(da.text, db.text) AS lev,
+             greatest(length(da.text), length(db.text), 1) AS mx
+      FROM p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+           round(1 - lev::DOUBLE / mx, 6) AS edit_sim
+    FROM lv
+    WHERE 1 - lev::DOUBLE / mx >= 0.9
+    ORDER BY id_a, id_b
 """
