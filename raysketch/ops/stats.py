@@ -95,3 +95,121 @@ def grouped_moments(ds, group_col: str, value_col: str) -> pa.Table:
         "skewness": pa.array(_r6(sk), pa.float64()),
         "kurtosis": pa.array(_r6(ku), pa.float64()),
     })
+
+
+def _weighted_median(vals: np.ndarray, cnt: np.ndarray) -> float:
+    """Interpolating median of a value→count histogram (what DuckDB's
+    median() computes on the expanded column): for even n the mean of
+    the two middle order statistics, else the middle one. Exact when
+    values are exact binary fractions (integers, halves)."""
+    order = np.argsort(vals)
+    v, c = vals[order], cnt[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    if n % 2:
+        return float(v[np.searchsorted(cum, n // 2 + 1)])
+    lo = float(v[np.searchsorted(cum, n // 2)])
+    hi = float(v[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def robust_profile(ds, group_col: str, value_col: str,
+                   z_cut: float = 3.0) -> pa.Table:
+    """Robust per-group distribution profile from ONE counting pass:
+    exact interpolating median, MAD (median of |x − median|, the
+    robust scale DuckDB's mad() returns), and the count of robust
+    outliers (|x − median| > z_cut · MAD) — the data-QC screen that
+    survives heavy tails where mean/stddev rules break.
+
+    Requires a BOUNDED integer value domain (ratings, counts,
+    quantities): each block reduces to ≤ |groups|×|domain| count rows,
+    the driver folds them, and every statistic is computed from the
+    exact histogram — medians land on halves, MADs on quarters, all
+    exact binary fractions, so the DuckDB replay matches bit-for-bit
+    with no rounding slack. Outlier comparison uses the unrounded
+    values on both sides."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi, v.astype(np.float64)):
+            raise ValueError(
+                f"robust_profile: {value_col} must be integer-valued")
+        df = pd.DataFrame({
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "v": vi, "n": np.ones(len(vi), dtype=np.int64)})
+        out = df.groupby(["g", "v"], sort=False, as_index=False)["n"].sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "v": pa.array(out["v"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "median": pa.array([], pa.float64()),
+                         "mad": pa.array([], pa.float64()),
+                         "n_outliers": pa.array([], pa.int64())})
+    hist = parts.groupby(["g", "v"], as_index=False)["n"].sum()
+    rows = []
+    for g, sub in hist.groupby("g", sort=True):
+        v = sub["v"].to_numpy(np.int64).astype(np.float64)
+        c = sub["n"].to_numpy(np.int64)
+        med = _weighted_median(v, c)
+        dev = np.abs(v - med)  # halves — exact
+        mad = _weighted_median(dev, c)
+        out = int(c[dev > z_cut * mad].sum())
+        rows.append((g, int(c.sum()), med, mad, out))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "median": pa.array([r[2] for r in rows], pa.float64()),
+        "mad": pa.array([r[3] for r in rows], pa.float64()),
+        "n_outliers": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def grouped_mode(ds, group_col: str, value_col: str,
+                 num_buckets: int = 256):
+    """Exact modal value per group with a DETERMINISTIC tie-break (the
+    smallest value among the most frequent — SQL-replayable via
+    row_number, unlike DuckDB's order-dependent mode()). Groups are
+    corpus-sized (users, documents), so the result is a Dataset.
+
+    Plan: per-block (group, value) count partials (one vectorized
+    groupby — raw rows never shuffle) → ONE coarse shuffle on
+    ``hash(group)`` → each bucket folds duplicate partials and takes
+    the per-group argmax. Returns (group, mode_value, n_mode)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_numpy(zero_copy_only=False),
+            "v": pd.Series(b[value_col].to_pylist(), dtype="object"),
+            "n": np.ones(b.num_rows, dtype=np.int64)})
+        out = df.groupby(["g", "v"], sort=False, as_index=False)["n"].sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(np.int64)),
+            "v": pa.array(out["v"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["g", "v"], as_index=False)["n"].sum()
+        agg = agg.sort_values(["g", "n", "v"],
+                              ascending=[True, False, True], kind="stable")
+        top = agg.drop_duplicates("g", keep="first")
+        return pd.DataFrame({
+            group_col: top["g"].to_numpy(np.int64),
+            "mode_value": top["v"].to_numpy(object),
+            "n_mode": top["n"].to_numpy(np.int64)})
+
+    return (ds.select_columns([group_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(
+                lambda b: append_coarse_bucket(b, ["g"], num_buckets, "__b"),
+                batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda df: fold(df.drop(columns="__b")),
+                        batch_format="pandas"))

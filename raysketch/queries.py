@@ -4455,6 +4455,35 @@ def q_fuzzy_dedup(sf_dir: str) -> pa.Table:
     })
 
 
+def q_robust_quantities(sf_dir: str) -> pa.Table:
+    """Robust per-group profile (ops/stats.robust_profile): exact
+    interpolating median, MAD, and |x−med| > 3·MAD outlier counts from
+    ONE counting pass over the bounded integer quantity domain — every
+    statistic an exact binary fraction, replayed by DuckDB
+    median()/mad() with no rounding slack."""
+    from .ops.stats import robust_profile
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return robust_profile(li, "l_returnflag", "l_quantity")
+
+
+def q_user_mode_event(sf_dir: str) -> pa.Table:
+    """Exact modal event type per user (ops/stats.grouped_mode) with
+    the deterministic smallest-value tie-break (SQL row_number replay;
+    DuckDB's own mode() is order-dependent on ties). Per-block count
+    partials ride one hash(user) shuffle; raw events never move."""
+    from .ops.stats import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = grouped_mode(ev, "user_id", "event_type").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].astype("int64")),
+        "mode_value": pa.array(df["mode_value"], pa.string()),
+        "n_mode": pa.array(df["n_mode"].astype("int64")),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4466,6 +4495,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dist_moments": q_dist_moments,
     "event_pivot": q_event_pivot,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "robust_quantities": q_robust_quantities,
+    "user_mode_event": q_user_mode_event,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6649,4 +6680,35 @@ ORACLE_SQL["fuzzy_dedup"] = """
     FROM lv
     WHERE 1 - lev::DOUBLE / mx >= 0.9
     ORDER BY id_a, id_b
+"""
+
+ORACLE_SQL["robust_quantities"] = """
+    WITH m AS (
+      SELECT l_returnflag AS g, count(*) AS n,
+             median(l_quantity) AS med, mad(l_quantity) AS madv
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT l.l_returnflag AS g, count(*) AS n_out
+      FROM lineitem l JOIN m ON m.g = l.l_returnflag
+      WHERE abs(l.l_quantity - m.med) > 3 * m.madv
+      GROUP BY 1
+    )
+    SELECT m.g AS l_returnflag, CAST(m.n AS BIGINT) AS n,
+           round(m.med, 6) AS median, round(m.madv, 6) AS mad,
+           CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers
+    FROM m LEFT JOIN o ON o.g = m.g
+    ORDER BY m.g
+"""
+
+ORACLE_SQL["user_mode_event"] = """
+    SELECT user_id, mode_value, CAST(n_mode AS BIGINT) AS n_mode
+    FROM (
+      SELECT user_id, event_type AS mode_value, count(*) AS n_mode,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC)
+               AS rn
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE rn = 1 ORDER BY user_id
 """

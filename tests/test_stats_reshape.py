@@ -137,3 +137,46 @@ def test_transition_matrix_empty(ray_session):
     out = transition_matrix(_mk(df, 1)).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["prev_type", "next_type", "n", "p"]
+
+
+def test_robust_profile_matches_brute(ray_session):
+    from raysketch.ops.stats import robust_profile
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 4001),
+        "v": rng.integers(0, 30, 4001).astype(np.float64)})
+    # plant far outliers
+    df.loc[:4, "v"] = 500.0
+    out = robust_profile(_mk(df, 6), "g", "v").to_pandas()
+    for _, row in out.iterrows():
+        x = np.sort(df.loc[df["g"] == row["g"], "v"].to_numpy())
+        n = len(x)
+        med = x[n // 2] if n % 2 else (x[n // 2 - 1] + x[n // 2]) / 2
+        dev = np.sort(np.abs(x - med))
+        mad = dev[n // 2] if n % 2 else (dev[n // 2 - 1] + dev[n // 2]) / 2
+        assert row["n"] == n
+        assert row["median"] == med and row["mad"] == mad
+        assert row["n_outliers"] == int((np.abs(x - med) > 3 * mad).sum())
+
+
+def test_robust_profile_rejects_fractional(ray_session):
+    from raysketch.ops.stats import robust_profile
+
+    df = pd.DataFrame({"g": ["a"] * 3, "v": [1.0, 2.5, 3.0]})
+    with pytest.raises(Exception, match="integer-valued"):
+        robust_profile(_mk(df, 1), "g", "v").to_pandas()
+
+
+def test_grouped_mode_tie_break_and_split_blocks(ray_session):
+    from raysketch.ops.stats import grouped_mode
+
+    # user 1: tie between 'a' and 'c' -> smallest value 'a' wins;
+    # user 2 spans blocks: counts must fold across partials
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1] + [2] * 10,
+        "t": ["c", "c", "a", "a"] + ["x"] * 4 + ["y"] * 6})
+    out = (grouped_mode(_mk(df.rename(columns={"k": "u"}), 5), "u", "t")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert list(out["mode_value"]) == ["a", "y"]
+    assert list(out["n_mode"]) == [2, 6]
