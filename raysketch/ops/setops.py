@@ -156,3 +156,67 @@ def table_diff(ds_old, ds_new, id_col: str, content_cols: list[str],
         .groupby("__b")
         .map_groups(lambda df: fold(df.drop(columns="__b")),
                     batch_format="pandas"))
+
+
+def fk_orphan_counts(child_ds, parent_ds, fk_col: str, pk_col: str,
+                     num_buckets: int = 256) -> tuple[int, int]:
+    """Referential-integrity audit: how many child ROWS (and distinct
+    child KEYS) reference a parent key that does not exist — the
+    dangling-pointer screen a pipeline runs before joining fact tables
+    at 100 TB (an orphan side silently drops rows in inner joins).
+
+    Plan: the child reduces to per-block DISTINCT ``(fk, n)`` count
+    partials and the parent to per-block distinct keys (both narrow —
+    no payload, no raw-row shuffle); ONE coarse ``hash(key)`` shuffle
+    co-locates both streams and each bucket emits a single
+    ``(orphan_rows, orphan_keys)`` partial — child keys with no parent
+    key in the bucket. The driver sums buckets. Both sides stream;
+    neither is broadcast, so fact-sized PARENTS (the
+    lineitem→orders edge) cost one narrow exchange, never a driver
+    gather. Returns ``(orphan_rows, orphan_keys)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def child_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b[fk_col].to_numpy(zero_copy_only=False),
+            "n": np.ones(b.num_rows, dtype=np.int64)})
+        out = df.groupby("k", sort=False, as_index=False)["n"].sum()
+        return pa.table({"k": pa.array(out["k"].to_numpy(np.int64)),
+                         "n": pa.array(out["n"].to_numpy(np.int64)),
+                         "side": pa.array(
+                             np.zeros(len(out), dtype=np.int64))})
+
+    def parent_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = pc.unique(b[pk_col])
+        return pa.table({"k": k.cast(pa.int64()),
+                         "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+                         "side": pa.array(np.ones(len(k), dtype=np.int64))})
+
+    tagged = child_ds.select_columns([fk_col]).map_batches(
+        child_partial, batch_format="pyarrow").union(
+        parent_ds.select_columns([pk_col]).map_batches(
+            parent_partial, batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        parent = df.loc[df["side"] == 1, "k"].unique()
+        ch = df[df["side"] == 0].groupby("k", as_index=False)["n"].sum()
+        orph = ch[~ch["k"].isin(parent)]
+        return pd.DataFrame({
+            "orphan_rows": [int(orph["n"].sum())],
+            "orphan_keys": [int(len(orph))]})
+
+    parts = (tagged.map_batches(
+        lambda b: append_coarse_bucket(b, ["k"], num_buckets, "__b"),
+        batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda df: fold(df.drop(columns="__b")),
+                    batch_format="pandas")
+        .to_pandas())
+    if parts.empty:
+        return 0, 0
+    return int(parts["orphan_rows"].sum()), int(parts["orphan_keys"].sum())

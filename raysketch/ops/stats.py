@@ -213,3 +213,84 @@ def grouped_mode(ds, group_col: str, value_col: str,
             .groupby("__b")
             .map_groups(lambda df: fold(df.drop(columns="__b")),
                         batch_format="pandas"))
+
+
+def table_profile(ds, columns: list[str], num_buckets: int = 256) -> pa.Table:
+    """Distributed data-profiling pass (the engine's DESCRIBE): for each
+    numeric column, exact row count, null count, DISTINCT count, min and
+    max — the schema-drift screen a pipeline runs on every new drop.
+
+    ONE pass over the data emits two kinds of narrow partials per block:
+    a scalar summary row per column (n, nulls, min, max) and the block's
+    DISTINCT (column, value) pairs. Both ride ONE coarse
+    ``hash(col, value)`` shuffle; each bucket counts its distinct values
+    and folds its scalar rows, and the driver combines buckets ×
+    |columns| tiny partials. Exact distinct counts cost the only value
+    exchange, and it ships each distinct value at most once per block.
+    Values are profiled as float64 (distinctness-preserving for int64
+    below 2⁵³ and fixed-decimal data — the numeric-column contract)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for ci, c in enumerate(columns):
+            col = b[c]
+            nn = col.null_count
+            vals = pc.drop_null(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            u = np.unique(vals)
+            # kind 0: one scalar summary row; kind 1: distinct values
+            outs.append(pd.DataFrame({
+                "ci": np.full(1 + len(u), ci, dtype=np.int64),
+                "kind": np.r_[np.zeros(1, np.int64), np.ones(len(u), np.int64)],
+                "n": np.r_[np.int64(len(col)), np.zeros(len(u), np.int64)],
+                "n_null": np.r_[np.int64(nn), np.zeros(len(u), np.int64)],
+                "v": np.r_[np.float64(0), u],
+                "mn": np.r_[u.min() if u.size else np.inf,
+                            np.zeros(len(u))],
+                "mx": np.r_[u.max() if u.size else -np.inf,
+                            np.zeros(len(u))],
+            }))
+        df = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        sc = df[df["kind"] == 0]
+        dv = df[df["kind"] == 1].drop_duplicates(["ci", "v"])
+        nd = dv.groupby("ci").size()
+        rows = []
+        for ci in sorted(set(sc["ci"]) | set(dv["ci"])):
+            s = sc[sc["ci"] == ci]
+            rows.append((
+                ci, int(s["n"].sum()), int(s["n_null"].sum()),
+                int(nd.get(ci, 0)),
+                float(s["mn"].min()) if len(s) else np.inf,
+                float(s["mx"].max()) if len(s) else -np.inf))
+        return pd.DataFrame(rows, columns=["ci", "n", "n_null",
+                                           "n_distinct", "mn", "mx"])
+
+    from ..engine.hashing import append_coarse_bucket
+
+    parts = (ds.select_columns(columns)
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(
+                 lambda b: append_coarse_bucket(b, ["ci", "v"],
+                                                num_buckets, "__b"),
+                 batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("ci").agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        n_distinct=("n_distinct", "sum"),
+        mn=("mn", "min"), mx=("mx", "max")).sort_index()
+    return pa.table({
+        "col_name": pa.array([columns[i] for i in agg.index], pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "n_null": pa.array(agg["n_null"].to_numpy(np.int64)),
+        "n_distinct": pa.array(agg["n_distinct"].to_numpy(np.int64)),
+        "vmin": pa.array(agg["mn"].to_numpy(np.float64)),
+        "vmax": pa.array(agg["mx"].to_numpy(np.float64)),
+    })

@@ -4484,6 +4484,57 @@ def q_user_mode_event(sf_dir: str) -> pa.Table:
     })
 
 
+def q_fk_integrity(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit (ops/setops.fk_orphan_counts): child
+    rows/keys whose foreign key has no parent — three real TPC-H edges
+    (all clean, the audit proves it) plus one synthetically broken edge
+    (events.user_id + 1400 → customer, the table_diff in-query-mutation
+    precedent) so nonzero counts exercise the orphan path. Each edge is
+    one narrow hash(key) exchange of pre-reduced (key, n) partials —
+    fact-sized parents are never broadcast."""
+    from .ops.setops import fk_orphan_counts
+
+    def shift_users(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False) + 1400
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    edges = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
+         _read(sf_dir, "part", ["p_partkey"]), "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("events.shifted_user->customer.c_custkey",
+         _read(sf_dir, "events", ["user_id"]).map_batches(
+             shift_users, batch_format="pyarrow"), "user_id",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+    ]
+    rows = [(name, *fk_orphan_counts(child, parent, fk, pk))
+            for name, child, fk, parent, pk in edges]
+    rows.sort()
+    return pa.table({
+        "edge": pa.array([r[0] for r in rows], pa.string()),
+        "orphan_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "orphan_keys": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def q_table_profile(sf_dir: str) -> pa.Table:
+    """Distributed DESCRIBE (ops/stats.table_profile): exact n / nulls /
+    distinct / min / max for four lineitem numeric columns in one pass —
+    distinct counts ride one hash(col, value) exchange that ships each
+    distinct value at most once per block."""
+    from .ops.stats import table_profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", cols)
+    return table_profile(li, cols).sort_by("col_name")
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4497,6 +4548,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "robust_quantities": q_robust_quantities,
     "user_mode_event": q_user_mode_event,
+    "fk_integrity": q_fk_integrity,
+    "table_profile": q_table_profile,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6711,4 +6764,64 @@ ORACLE_SQL["user_mode_event"] = """
       FROM events GROUP BY user_id, event_type
     )
     WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLE_SQL["fk_integrity"] = """
+    WITH e AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS edge,
+             count(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphan_rows,
+             count(DISTINCT l.l_orderkey)
+               FILTER (WHERE o.o_orderkey IS NULL) AS orphan_keys
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             count(*) FILTER (WHERE p.p_partkey IS NULL),
+             count(DISTINCT l.l_partkey) FILTER (WHERE p.p_partkey IS NULL)
+      FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             count(*) FILTER (WHERE c.c_custkey IS NULL),
+             count(DISTINCT o.o_custkey) FILTER (WHERE c.c_custkey IS NULL)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'events.shifted_user->customer.c_custkey',
+             count(*) FILTER (WHERE c.c_custkey IS NULL),
+             count(DISTINCT ev.user_id + 1400)
+               FILTER (WHERE c.c_custkey IS NULL)
+      FROM events ev
+      LEFT JOIN customer c ON c.c_custkey = ev.user_id + 1400
+    )
+    SELECT edge, CAST(orphan_rows AS BIGINT) AS orphan_rows,
+           CAST(orphan_keys AS BIGINT) AS orphan_keys
+    FROM e ORDER BY edge
+"""
+
+ORACLE_SQL["table_profile"] = """
+    WITH p AS (
+      SELECT 'l_quantity' AS col_name, count(*) AS n,
+             count(*) - count(l_quantity) AS n_null,
+             count(DISTINCT l_quantity) AS n_distinct,
+             CAST(min(l_quantity) AS DOUBLE) AS vmin,
+             CAST(max(l_quantity) AS DOUBLE) AS vmax
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+             count(DISTINCT l_extendedprice),
+             CAST(min(l_extendedprice) AS DOUBLE),
+             CAST(max(l_extendedprice) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*), count(*) - count(l_discount),
+             count(DISTINCT l_discount),
+             CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', count(*), count(*) - count(l_tax),
+             count(DISTINCT l_tax),
+             CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+      FROM lineitem
+    )
+    SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct, vmin, vmax
+    FROM p ORDER BY col_name
 """

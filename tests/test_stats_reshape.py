@@ -180,3 +180,42 @@ def test_grouped_mode_tie_break_and_split_blocks(ray_session):
            .to_pandas().sort_values("u").reset_index(drop=True))
     assert list(out["mode_value"]) == ["a", "y"]
     assert list(out["n_mode"]) == [2, 6]
+
+
+def test_fk_orphan_counts_matches_brute(ray_session):
+    from raysketch.ops.setops import fk_orphan_counts
+
+    rng = np.random.default_rng(13)
+    child = pd.DataFrame({"fk": rng.integers(0, 120, 3000)})
+    parent = pd.DataFrame({"pk": np.arange(0, 100, dtype=np.int64)})
+    rows, keys = fk_orphan_counts(_mk(child, 6), _mk(parent, 3),
+                                  "fk", "pk")
+    orphan = child[child["fk"] >= 100]
+    assert rows == len(orphan)
+    assert keys == orphan["fk"].nunique()
+
+
+def test_fk_orphan_counts_clean_edge(ray_session):
+    from raysketch.ops.setops import fk_orphan_counts
+
+    child = pd.DataFrame({"fk": np.array([1, 2, 3, 3], dtype=np.int64)})
+    parent = pd.DataFrame({"pk": np.array([1, 2, 3, 9], dtype=np.int64)})
+    assert fk_orphan_counts(_mk(child, 2), _mk(parent, 2),
+                            "fk", "pk") == (0, 0)
+
+
+def test_table_profile_matches_brute(ray_session):
+    from raysketch.ops.stats import table_profile
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame({
+        "a": rng.integers(-50, 50, 2500).astype(np.float64),
+        "b": rng.choice([0.25, 1.5, np.nan, 7.0, -3.25], 2500)})
+    out = (table_profile(_mk(df, 7), ["a", "b"]).to_pandas()
+           .set_index("col_name"))
+    for c in ["a", "b"]:
+        s = df[c]
+        assert out.loc[c, "n"] == len(s)
+        assert out.loc[c, "n_null"] == int(s.isna().sum())
+        assert out.loc[c, "n_distinct"] == s.dropna().nunique()
+        assert out.loc[c, "vmin"] == s.min() and out.loc[c, "vmax"] == s.max()
