@@ -294,3 +294,125 @@ def table_profile(ds, columns: list[str], num_buckets: int = 256) -> pa.Table:
         "vmin": pa.array(agg["mn"].to_numpy(np.float64)),
         "vmax": pa.array(agg["mx"].to_numpy(np.float64)),
     })
+
+
+def _disc_quantile(vals: np.ndarray, cnt: np.ndarray,
+                   qs: list[float]) -> list[float]:
+    """quantile_disc over a value→count histogram: the order statistic
+    at index ceil(q·n)−1 (the DuckDB rule used across this repo)."""
+    import math
+
+    order = np.argsort(vals)
+    v, c = vals[order], cnt[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    return [float(v[np.searchsorted(cum, math.ceil(q * n) - 1 + 1)])
+            for q in qs]
+
+
+def windowed_quantiles(ds, window_col: str, value_col: str, scale: int,
+                       qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pa.Table:
+    """Exact per-window value percentiles (the latency/size monitoring
+    staple) from ONE counting pass: ``value_col`` must be fixed-decimal
+    with ≤ log10(scale) decimals over a bounded domain, so each block
+    reduces to ≤ |windows|×|domain| exact integer count rows
+    (validated per block), the driver folds them, and each window's
+    discrete quantiles come off the exact histogram — the
+    quantile_disc(ceil(q·n)−1) rule, replayed bit-for-bit in SQL.
+    Returns (window, n, q50, q90, q99) ordered by window."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(np.abs(v) * scale + 0.5) * np.sign(v)
+        if not np.allclose(cents / scale, v, rtol=0, atol=1e-9):
+            raise ValueError(
+                f"windowed_quantiles: {value_col} carries more decimals "
+                f"than scale={scale} represents")
+        df = pd.DataFrame({
+            "w": b[window_col].to_numpy(zero_copy_only=False),
+            "v": cents.astype(np.int64),
+            "n": np.ones(len(v), dtype=np.int64)})
+        out = df.groupby(["w", "v"], sort=False, as_index=False)["n"].sum()
+        return pa.table({"w": pa.array(out["w"].to_numpy(np.int64)),
+                         "v": pa.array(out["v"].to_numpy(np.int64)),
+                         "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([window_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    cols = {window_col: [], "n": []}
+    for q in qs:
+        cols[f"q{int(round(q * 100))}"] = []
+    if not parts.empty:
+        hist = parts.groupby(["w", "v"], as_index=False)["n"].sum()
+        for w, sub in hist.groupby("w", sort=True):
+            v = sub["v"].to_numpy(np.int64)
+            c = sub["n"].to_numpy(np.int64)
+            cols[window_col].append(int(w))
+            cols["n"].append(int(c.sum()))
+            # int-cents / scale: nearest double to the exact decimal on
+            # both sides of the oracle
+            for q, x in zip(qs, _disc_quantile(v.astype(np.float64), c, list(qs))):
+                cols[f"q{int(round(q * 100))}"].append(x / np.float64(scale))
+    out = {window_col: pa.array(cols[window_col], pa.int64()),
+           "n": pa.array(cols["n"], pa.int64())}
+    for q in qs:
+        k = f"q{int(round(q * 100))}"
+        out[k] = pa.array(cols[k], pa.float64())
+    return pa.table(out)
+
+
+def trimmed_mean(ds, group_col: str, value_col: str,
+                 alpha: float = 0.05) -> pa.Table:
+    """Exact per-group α-trimmed mean of an integer-valued column from
+    ONE counting pass: drop the floor(α·n) smallest and largest
+    observations and average the exact integer sum of the rest — the
+    outlier-resistant location estimate, replayed in SQL with a
+    row_number window. Returns (group, n, n_used, trimmed_mean round6)
+    ordered by group."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi, v.astype(np.float64)):
+            raise ValueError(
+                f"trimmed_mean: {value_col} must be integer-valued")
+        df = pd.DataFrame({
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "v": vi, "n": np.ones(len(vi), dtype=np.int64)})
+        out = df.groupby(["g", "v"], sort=False, as_index=False)["n"].sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "v": pa.array(out["v"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "n_used": pa.array([], pa.int64()),
+                         "trimmed_mean": pa.array([], pa.float64())})
+    hist = parts.groupby(["g", "v"], as_index=False)["n"].sum()
+    rows = []
+    for g, sub in hist.groupby("g", sort=True):
+        sub = sub.sort_values("v")
+        v = sub["v"].to_numpy(np.int64)
+        c = sub["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = int(np.floor(alpha * n))
+        # exact integer count of survivors per value after trimming
+        # k from each tail: clip cumulative ranks into [k, n-k]
+        cum_hi = np.cumsum(c)
+        cum_lo = cum_hi - c
+        kept = np.minimum(cum_hi, n - k) - np.maximum(cum_lo, k)
+        kept = np.maximum(kept, 0)
+        s = int((v * kept).sum())
+        used = int(kept.sum())
+        rows.append((g, n, used, s / np.float64(used)))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "n_used": pa.array([r[2] for r in rows], pa.int64()),
+        "trimmed_mean": pa.array(_r6(np.array([r[3] for r in rows])),
+                                 pa.float64()),
+    })

@@ -4535,6 +4535,38 @@ def q_table_profile(sf_dir: str) -> pa.Table:
     return table_profile(li, cols).sort_by("col_name")
 
 
+def q_daily_value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-day value percentiles (ops/stats.windowed_quantiles):
+    the latency-monitoring staple — integer-cents counting partials,
+    driver folds days × bounded-domain rows, quantile_disc rule
+    (ceil(q·n)−1) off the exact histogram."""
+    from .ops.stats import windowed_quantiles
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(us // 86_400_000_000, pa.int64()),
+                         "value": b["value"]})
+
+    return windowed_quantiles(
+        ev.map_batches(day, batch_format="pyarrow"), "day", "value", 100)
+
+
+def q_trimmed_quantity_mean(sf_dir: str) -> pa.Table:
+    """Exact per-group 5%-trimmed mean (ops/stats.trimmed_mean): drop
+    floor(0.05·n) from each tail via cumulative-rank clipping on the
+    counting histogram; integer survivor sums make the average
+    bit-identical to the SQL row_number replay."""
+    from .ops.stats import trimmed_mean
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return trimmed_mean(li, "l_returnflag", "l_quantity")
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4550,6 +4582,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_mode_event": q_user_mode_event,
     "fk_integrity": q_fk_integrity,
     "table_profile": q_table_profile,
+    "daily_value_quantiles": q_daily_value_quantiles,
+    "trimmed_quantity_mean": q_trimmed_quantity_mean,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6824,4 +6858,29 @@ ORACLE_SQL["table_profile"] = """
     SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
            CAST(n_distinct AS BIGINT) AS n_distinct, vmin, vmax
     FROM p ORDER BY col_name
+"""
+
+ORACLE_SQL["daily_value_quantiles"] = """
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_disc(value, 0.5) AS q50,
+           quantile_disc(value, 0.9) AS q90,
+           quantile_disc(value, 0.99) AS q99
+    FROM events GROUP BY 1 ORDER BY day
+"""
+
+ORACLE_SQL["trimmed_quantity_mean"] = """
+    WITH r AS (
+      SELECT l_returnflag AS g, l_quantity AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_used,
+           round(avg(v), 6) AS trimmed_mean
+    FROM r
+    WHERE rn > floor(0.05 * n) AND rn <= n - floor(0.05 * n)
+    GROUP BY g ORDER BY g
 """

@@ -219,3 +219,48 @@ def test_table_profile_matches_brute(ray_session):
         assert out.loc[c, "n_null"] == int(s.isna().sum())
         assert out.loc[c, "n_distinct"] == s.dropna().nunique()
         assert out.loc[c, "vmin"] == s.min() and out.loc[c, "vmax"] == s.max()
+
+
+def test_windowed_quantiles_matches_brute(ray_session):
+    from raysketch.ops.stats import windowed_quantiles
+    import math
+
+    rng = np.random.default_rng(15)
+    df = pd.DataFrame({
+        "w": rng.integers(0, 5, 3000),
+        "v": np.floor(rng.uniform(0, 40, 3000) * 100 + 0.5) / 100})
+    out = windowed_quantiles(_mk(df, 6), "w", "v", 100).to_pandas()
+    assert list(out["w"]) == sorted(df["w"].unique())
+    for _, row in out.iterrows():
+        x = np.sort(df.loc[df["w"] == row["w"], "v"].to_numpy())
+        n = len(x)
+        assert row["n"] == n
+        for q, col in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+            assert row[col] == x[math.ceil(q * n) - 1]
+
+
+def test_windowed_quantiles_rejects_excess_decimals(ray_session):
+    from raysketch.ops.stats import windowed_quantiles
+
+    df = pd.DataFrame({"w": [1, 1], "v": [1.234, 2.0]})
+    with pytest.raises(Exception, match="more decimals"):
+        windowed_quantiles(_mk(df, 1), "w", "v", 100).to_pandas()
+
+
+def test_trimmed_mean_matches_brute(ray_session):
+    from raysketch.ops.stats import trimmed_mean
+
+    rng = np.random.default_rng(16)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 2203),
+        "v": rng.integers(0, 100, 2203).astype(np.float64)})
+    df.loc[:9, "v"] = 10_000.0  # tail mass the trim must drop
+    out = trimmed_mean(_mk(df, 5), "g", "v", alpha=0.05).to_pandas()
+    for _, row in out.iterrows():
+        x = np.sort(df.loc[df["g"] == row["g"], "v"].to_numpy())
+        n = len(x)
+        k = int(np.floor(0.05 * n))
+        kept = x[k:n - k]
+        assert row["n"] == n and row["n_used"] == len(kept)
+        assert abs(row["trimmed_mean"] - round(kept.mean(), 6)) < 2e-6
+        assert row["trimmed_mean"] < 200  # outliers trimmed away
