@@ -416,3 +416,87 @@ def trimmed_mean(ds, group_col: str, value_col: str,
         "trimmed_mean": pa.array(_r6(np.array([r[3] for r in rows])),
                                  pa.float64()),
     })
+
+
+def _chunked_int_sum(a: np.ndarray, chunk: int = 8192) -> int:
+    """Exact arbitrary-precision sum of an int64 array: chunk sums stay
+    below 2⁶³ (caller bounds per-element magnitude), chunk results fold
+    as Python ints — overflow-proof at any row count."""
+    return sum(int(a[i:i + chunk].sum()) for i in range(0, len(a), chunk))
+
+
+def grouped_linear_fit(ds, group_col: str, x_col: str, y_col: str,
+                       y_scale: int = 1) -> pa.Table:
+    """Exact per-group simple linear regression (slope, intercept, R²)
+    in ONE distributed pass — the closed-form normal equations over
+    EXACT integer power sums. ``x_col`` must be integer-valued;
+    ``y_col`` fixed-decimal with ≤ log10(y_scale) decimals (both
+    validated per block). Power sums ride the exchange as DECIMAL
+    STRINGS and fold in Python arbitrary-precision ints, so no row
+    count overflows them; the driver evaluates slope/intercept/R² with
+    exact integer numerators and one correctly-rounded float division
+    each — matching DuckDB regr_slope/regr_intercept/regr_r2 at round6.
+    Groups must be taxonomy-bounded (the per-block loop is over groups,
+    never rows)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = x.astype(np.int64)
+        if not np.array_equal(xi.astype(np.float64), x):
+            raise ValueError(
+                f"grouped_linear_fit: {x_col} must be integer-valued")
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        yc = np.floor(np.abs(y) * y_scale + 0.5) * np.sign(y)
+        if not np.allclose(yc / y_scale, y, rtol=0, atol=1e-9):
+            raise ValueError(
+                f"grouped_linear_fit: {y_col} carries more decimals "
+                f"than y_scale={y_scale} represents")
+        yi = yc.astype(np.int64)
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        rows = []
+        for gv in sorted(g.unique()):
+            m = (g == gv).to_numpy()
+            xm, ym = xi[m], yi[m]
+            rows.append((
+                gv, len(xm),
+                str(_chunked_int_sum(xm)), str(_chunked_int_sum(ym)),
+                str(_chunked_int_sum(xm * xm)),
+                str(_chunked_int_sum(ym * ym, chunk=64)),
+                str(_chunked_int_sum(xm * ym, chunk=512))))
+        out = pd.DataFrame(rows, columns=["g", "n", "sx", "sy",
+                                          "sxx", "syy", "sxy"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (ds.select_columns([group_col, x_col, y_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "slope": pa.array([], pa.float64()),
+                         "intercept": pa.array([], pa.float64()),
+                         "r2": pa.array([], pa.float64())})
+    rows = []
+    for gv, sub in parts.groupby("g", sort=True):
+        n = int(sub["n"].sum())
+        sx = sum(int(s) for s in sub["sx"])
+        sy = sum(int(s) for s in sub["sy"])
+        sxx = sum(int(s) for s in sub["sxx"])
+        syy = sum(int(s) for s in sub["syy"])
+        sxy = sum(int(s) for s in sub["sxy"])
+        # exact integer numerators/denominators; one float division each
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        dxy = n * sxy - sx * sy
+        slope = dxy / dxx / y_scale
+        intercept = (sy / y_scale - slope * sx) / n
+        r2 = (dxy * dxy) / (dxx * dyy) if dxx and dyy else float("nan")
+        rows.append((gv, n, slope, intercept, r2))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "slope": pa.array(_r6(np.array([r[2] for r in rows])),
+                          pa.float64()),
+        "intercept": pa.array(_r6(np.array([r[3] for r in rows])),
+                              pa.float64()),
+        "r2": pa.array(_r6(np.array([r[4] for r in rows])), pa.float64()),
+    })

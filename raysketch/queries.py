@@ -4567,6 +4567,20 @@ def q_trimmed_quantity_mean(sf_dir: str) -> pa.Table:
     return trimmed_mean(li, "l_returnflag", "l_quantity")
 
 
+def q_price_quantity_fit(sf_dir: str) -> pa.Table:
+    """Exact per-group simple linear regression
+    (ops/stats.grouped_linear_fit): price-on-quantity slope /
+    intercept / R² from overflow-proof integer power sums (decimal-
+    string partials, arbitrary-precision fold) — DuckDB
+    regr_slope/regr_intercept/regr_r2 replay at round6."""
+    from .ops.stats import grouped_linear_fit
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_linear_fit(li, "l_returnflag", "l_quantity",
+                              "l_extendedprice", y_scale=100)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4584,6 +4598,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "table_profile": q_table_profile,
     "daily_value_quantiles": q_daily_value_quantiles,
     "trimmed_quantity_mean": q_trimmed_quantity_mean,
+    "price_quantity_fit": q_price_quantity_fit,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6883,4 +6898,13 @@ ORACLE_SQL["trimmed_quantity_mean"] = """
     FROM r
     WHERE rn > floor(0.05 * n) AND rn <= n - floor(0.05 * n)
     GROUP BY g ORDER BY g
+"""
+
+ORACLE_SQL["price_quantity_fit"] = """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6)
+             AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

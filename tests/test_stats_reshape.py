@@ -264,3 +264,43 @@ def test_trimmed_mean_matches_brute(ray_session):
         assert row["n"] == n and row["n_used"] == len(kept)
         assert abs(row["trimmed_mean"] - round(kept.mean(), 6)) < 2e-6
         assert row["trimmed_mean"] < 200  # outliers trimmed away
+
+
+def test_grouped_linear_fit_matches_numpy(ray_session):
+    from raysketch.ops.stats import grouped_linear_fit
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": rng.integers(1, 50, n).astype(np.float64)})
+    df["y"] = np.floor((df["x"] * 12.5
+                        + rng.normal(0, 30, n)) * 100 + 0.5) / 100
+    out = grouped_linear_fit(_mk(df, 6), "g", "x", "y",
+                             y_scale=100).to_pandas()
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]
+        sl, ic = np.polyfit(sub["x"], sub["y"], 1)
+        r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(row["slope"] - sl) < 1e-6
+        assert abs(row["intercept"] - ic) < 1e-6
+        assert abs(row["r2"] - r * r) < 1e-6
+
+
+def test_grouped_linear_fit_block_invariance(ray_session):
+    from raysketch.ops.stats import grouped_linear_fit
+
+    rng = np.random.default_rng(18)
+    df = pd.DataFrame({"g": ["z"] * 400,
+                       "x": rng.integers(0, 9, 400).astype(np.float64)})
+    df["y"] = np.floor(rng.uniform(0, 5, 400) * 100 + 0.5) / 100
+    a = grouped_linear_fit(_mk(df, 1), "g", "x", "y", 100).to_pandas()
+    b = grouped_linear_fit(_mk(df, 9), "g", "x", "y", 100).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # exact int sums → bit-identical
+
+
+def test_chunked_int_sum_exact_beyond_int64():
+    from raysketch.ops.stats import _chunked_int_sum
+
+    a = np.full(2000, 9_000_000_000_000_000, dtype=np.int64)
+    assert _chunked_int_sum(a, chunk=1000) == 9_000_000_000_000_000 * 2000
