@@ -1711,3 +1711,58 @@ def fuzzy_dedup_pairs(
 
     return attach_pair_payloads(pairs, side, num_partitions=npart) \
         .map_batches(verify, batch_format="pandas")
+
+
+def fuzzy_join(
+    ds_a,
+    ds_b,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_floor: float = 0.5,
+    min_edit_sim: float = 0.9,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+):
+    """Entity resolution / record linkage: match rows of table A to rows
+    of table B by text content — LSH candidates → exact shingle Jaccard
+    ≥ ``jaccard_floor`` → exact Levenshtein edit-similarity ≥
+    ``min_edit_sim``, exactly :func:`fuzzy_dedup_pairs`' rule but
+    ACROSS two tables (the dedup machinery is reused wholesale: ids are
+    side-encoded as ``2·id + side`` into one union Dataset — ids must
+    fit 62 bits — and within-side pairs are dropped after the verify).
+    Returns a Dataset of (id_a from A, id_b from B, lev, edit_sim)."""
+
+    def enc(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if ids.size and int(ids.max()) >= (1 << 62):
+                raise ValueError("fuzzy_join: ids must fit 62 bits")
+            return pa.table({
+                id_col: pa.array(ids * 2 + side, pa.int64()),
+                text_col: b[text_col]})
+        return f
+
+    u = ds_a.select_columns([id_col, text_col]) \
+        .map_batches(enc(0), batch_format="pyarrow").union(
+            ds_b.select_columns([id_col, text_col])
+            .map_batches(enc(1), batch_format="pyarrow"))
+    pairs = fuzzy_dedup_pairs(
+        u, text_col, id_col, jaccard_floor, min_edit_sim,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+
+    def decode(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        cross = (a % 2) != (c % 2)
+        a, c = a[cross], c[cross]
+        left = np.where(a % 2 == 0, a, c) // 2
+        right = np.where(a % 2 == 0, c, a) // 2
+        return pa.table({
+            "id_a": pa.array(left, pa.int64()),
+            "id_b": pa.array(right, pa.int64()),
+            "lev": b["lev"].filter(pa.array(cross)),
+            "edit_sim": b["edit_sim"].filter(pa.array(cross)),
+        })
+
+    return pairs.map_batches(decode, batch_format="pyarrow")

@@ -4581,6 +4581,39 @@ def q_price_quantity_fit(sf_dir: str) -> pa.Table:
                               "l_extendedprice", y_scale=100)
 
 
+def q_fuzzy_join_docs(sf_dir: str) -> pa.Table:
+    """Entity resolution across two snapshots (ops/dedup.fuzzy_join):
+    match v2 rows (doc_id % 17 removed, % 13 rewritten '… v2' — the
+    table_diff mutation) back to their originals by CONTENT —
+    LSH→Jaccard≥0.5→edit-similarity≥0.9, the record-linkage rule keyed
+    on text, not ids. The oracle replays the full cross-table
+    candidate set (all A×B pairs by shingle Jaccard) + levenshtein."""
+    from .ops.dedup import fuzzy_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_v2(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pd.Series(b["text"].to_pylist(), dtype="object")
+        keep = ids % 17 != 0
+        mod = pd.Series(np.where(ids % 13 == 0, txt + " v2", txt),
+                        dtype="object")
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "text": pa.array(mod[keep].to_numpy(object), pa.string())})
+
+    v2 = docs.map_batches(make_v2, batch_format="pyarrow")
+    df = _pairs_df(fuzzy_join(docs, v2),
+                   {"id_a": "int64", "id_b": "int64",
+                    "lev": "int64", "edit_sim": "float64"})
+    return pa.table({
+        "id_a": pa.array(df["id_a"].astype("int64")),
+        "id_b": pa.array(df["id_b"].astype("int64")),
+        "lev": pa.array(df["lev"].astype("int64")),
+        "edit_sim": pa.array(df["edit_sim"].astype("float64")),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4599,6 +4632,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "daily_value_quantiles": q_daily_value_quantiles,
     "trimmed_quantity_mean": q_trimmed_quantity_mean,
     "price_quantity_fit": q_price_quantity_fit,
+    "fuzzy_join_docs": q_fuzzy_join_docs,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -6907,4 +6941,52 @@ ORACLE_SQL["price_quantity_fit"] = """
              AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["fuzzy_join_docs"] = """
+    -- cross-table record linkage: all A x B candidate pairs by 5-gram
+    -- shingle Jaccard >= 0.5 (byte-window == char-window on this ASCII
+    -- corpus), refined by levenshtein edit similarity >= 0.9
+    WITH aa AS (SELECT doc_id, text FROM documents),
+    bb AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    sha AS (
+      SELECT DISTINCT doc_id,
+             substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i FROM aa)
+    ),
+    shb AS (
+      SELECT DISTINCT doc_id,
+             substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i FROM bb)
+    ),
+    sza AS (SELECT doc_id, count(*) AS n FROM sha GROUP BY 1),
+    szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+      FROM sha a JOIN shb b ON a.g = b.g GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT ia, ib
+      FROM inter
+      JOIN sza ON sza.doc_id = ia JOIN szb ON szb.doc_id = ib
+      WHERE ninter::DOUBLE / (sza.n + szb.n - ninter) >= 0.5
+    ),
+    lv AS (
+      SELECT p.ia AS id_a, p.ib AS id_b,
+             levenshtein(aa.text, bb.text) AS lev,
+             greatest(length(aa.text), length(bb.text), 1) AS mx
+      FROM p JOIN aa ON aa.doc_id = p.ia JOIN bb ON bb.doc_id = p.ib
+    )
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+           round(1 - lev::DOUBLE / mx, 6) AS edit_sim
+    FROM lv
+    WHERE 1 - lev::DOUBLE / mx >= 0.9
+    ORDER BY id_a, id_b
 """

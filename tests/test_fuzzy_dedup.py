@@ -94,3 +94,37 @@ def test_fuzzy_dedup_empty(ray_session):
     # Dataset drops columns — Ray 2.49; _pairs_df rebuilds at the
     # query layer)
     assert out.schema().names == ["id_a", "id_b", "lev", "edit_sim"]
+
+
+def test_fuzzy_join_matches_and_sides(ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.dedup import fuzzy_join
+
+    df = _corpus()
+    # B = A with ids offset and 3 substitutions applied to every 4th row
+    b = df.copy()
+    mut = b.index % 4 == 0
+    b.loc[mut, "text"] = b.loc[mut, "text"].map(
+        lambda t: t[:5] + "z" + t[6:])
+    out = fuzzy_join(rd.from_pandas(df).repartition(3),
+                     rd.from_pandas(b).repartition(3)).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got = set(zip(out["id_a"], out["id_b"]))
+    # every row must at least match itself across tables
+    assert {(i, i) for i in df["doc_id"]} <= got
+    self_rows = out[out["id_a"] == out["id_b"]]
+    assert ((self_rows["lev"] == 0) | (self_rows["lev"] == 1)).all()
+    # no within-side pairs leak: id_a values exist in A, id_b in B
+    assert set(out["id_a"]) <= set(df["doc_id"])
+    assert set(out["id_b"]) <= set(b["doc_id"])
+
+
+def test_fuzzy_join_rejects_wide_ids(ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.dedup import fuzzy_join
+
+    df = pd.DataFrame({"doc_id": [1 << 62], "text": ["abcdef" * 10]})
+    with pytest.raises(Exception, match="62 bits"):
+        fuzzy_join(rd.from_pandas(df), rd.from_pandas(df)).to_pandas()
