@@ -446,3 +446,87 @@ def centroid_cosines(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             "cos": pa.array(cos, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ridge_probe(ds, x_col: str = "embedding", y_col: str = "label",
+                lam: float = 1e-3) -> pa.Table:
+    """Closed-form ridge linear probe on an embedding column — the
+    standard "train a linear classifier on frozen features" evaluation,
+    with NO iterative training: one distributed pass reduces each block
+    to ``(n, XᵀX, XᵀY, class counts)`` partials (two numpy matmuls per
+    block — d² + d·k floats per BLOCK, never per row), the driver folds
+    them in a deterministic order and solves the one-vs-rest normal
+    equations ``(XᵀX + λnI) W = XᵀY``; a second broadcast-scoring pass
+    (W via ``ray.put``, argmax per batch) reduces to the per-(label,
+    predicted) confusion counts. Both passes stream; nothing
+    row-shaped ever reaches the driver. Returns (label, pred, n)
+    ordered — train-set confusion of the probe."""
+    import pyarrow.compute as pc
+    import ray
+
+    classes_df = ds.select_columns([y_col]).map_batches(
+        lambda b: pa.table({"y": pc.unique(b[y_col]).cast(pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    classes = np.sort(classes_df["y"].unique()).astype(np.int64)
+    k = len(classes)
+    cindex = {int(c): i for i, c in enumerate(classes)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = np.asarray(b[x_col].to_pylist(), dtype=np.float64)
+        if X.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "xtx": pa.array([], pa.list_(pa.float64())),
+                             "xty": pa.array([], pa.list_(pa.float64()))})
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        Y = np.zeros((len(y), k))
+        Y[np.arange(len(y)), [cindex[int(v)] for v in y]] = 1.0
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "xtx": pa.array([(X.T @ X).ravel().tolist()],
+                            pa.list_(pa.float64())),
+            "xty": pa.array([(X.T @ Y).ravel().tolist()],
+                            pa.list_(pa.float64()))})
+
+    parts = ds.select_columns([x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        raise ValueError("ridge_probe: empty input")
+    # fold in a deterministic order: block completion order varies
+    # run-to-run and float sums are order-sensitive at the last bit —
+    # an argmax near-tie must not flip between runs
+    parts = parts.sort_values("n", kind="stable").reset_index(drop=True)
+    order = np.lexsort((
+        [bytes(np.asarray(v, np.float64)) for v in parts["xtx"]],
+        parts["n"].to_numpy()))
+    n = int(parts["n"].sum())
+    d = int(np.sqrt(len(parts["xtx"].iloc[0])))
+    XtX = np.zeros((d, d))
+    XtY = np.zeros((d, k))
+    for i in order:
+        XtX += np.asarray(parts["xtx"].iloc[i]).reshape(d, d)
+        XtY += np.asarray(parts["xty"].iloc[i]).reshape(d, k)
+    W = np.linalg.solve(XtX + lam * n * np.eye(d), XtY)
+    w_ref = ray.put((W, classes))
+
+    def score(b: pa.Table) -> pa.Table:
+        W, classes = ray.get(w_ref)  # shared-memory read
+        X = np.asarray(b[x_col].to_pylist(), dtype=np.float64)
+        if X.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "pred": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pred = classes[np.argmax(X @ W, axis=1)]
+        df = pd.DataFrame({"label": y, "pred": pred,
+                           "n": np.ones(len(y), dtype=np.int64)})
+        out = df.groupby(["label", "pred"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    conf = ds.select_columns([x_col, y_col]).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    conf = conf.groupby(["label", "pred"], as_index=False)["n"].sum() \
+        .sort_values(["label", "pred"]).reset_index(drop=True)
+    return pa.table({
+        "label": pa.array(conf["label"].astype("int64")),
+        "pred": pa.array(conf["pred"].astype("int64")),
+        "n": pa.array(conf["n"].astype("int64"))})

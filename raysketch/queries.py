@@ -4614,6 +4614,19 @@ def q_fuzzy_join_docs(sf_dir: str) -> pa.Table:
     })
 
 
+def q_linear_probe(sf_dir: str) -> pa.Table:
+    """Ridge linear probe on the embedding column
+    (ops/similarity.ridge_probe): closed-form one-vs-rest fit from one
+    XᵀX/XᵀY fold + a broadcast scoring pass → train confusion matrix.
+    ROWS-ONLY by design: the matrix solve is not SQL-expressible;
+    probe quality is pinned by tests on separable synthetic clusters
+    and label-majority diagonal dominance here."""
+    from .ops.similarity import ridge_probe
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return ridge_probe(emb)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4693,6 +4706,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bpe_vocab": q_bpe_vocab,
     "bpe_token_counts": q_bpe_token_counts,
     "kmeans_clusters": q_kmeans_clusters,
+    "linear_probe": q_linear_probe,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
     "window_stats": q_window_stats,

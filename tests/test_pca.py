@@ -85,3 +85,50 @@ def test_covariance_survives_empty_blocks(ray_session, data):
                                rtol=1e-10)
     np.testing.assert_allclose(
         cov, np.cov(data.astype(np.float64).T, bias=True), rtol=1e-8)
+
+
+def test_ridge_probe_separable_clusters(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raysketch.ops.similarity import ridge_probe
+
+    rng = np.random.default_rng(19)
+    rows = []
+    centers = np.eye(3) * 5.0
+    for i in range(600):
+        c = i % 3
+        rows.append((centers[c] + rng.normal(0, 0.3, 3), c))
+    df = pd.DataFrame({"embedding": [r[0].tolist() for r in rows],
+                       "label": [r[1] for r in rows]})
+    out = ridge_probe(rd.from_pandas(df).repartition(5)).to_pandas()
+    diag = out[out["label"] == out["pred"]]["n"].sum()
+    assert diag == 600  # perfectly separable -> perfect train confusion
+
+
+def test_ridge_probe_matches_driver_solve(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raysketch.ops.similarity import ridge_probe
+
+    rng = np.random.default_rng(20)
+    X = rng.normal(0, 1, (400, 6))
+    y = rng.integers(0, 4, 400)
+    df = pd.DataFrame({"embedding": [x.tolist() for x in X],
+                       "label": y})
+    out = ridge_probe(rd.from_pandas(df).repartition(4),
+                      lam=1e-3).to_pandas()
+    # driver-side closed form with the same lambda
+    k = 4
+    Y = np.zeros((len(y), k))
+    Y[np.arange(len(y)), y] = 1.0
+    W = np.linalg.solve(X.T @ X + 1e-3 * len(y) * np.eye(6), X.T @ Y)
+    pred = np.argmax(X @ W, axis=1)
+    want = pd.DataFrame({"label": y, "pred": pred}) \
+        .groupby(["label", "pred"]).size()
+    assert out["n"].sum() == 400
+    for _, row in out.iterrows():
+        assert row["n"] == want.loc[(row["label"], row["pred"])]
