@@ -424,6 +424,20 @@ def write_range_shards(ds, out_root: str, key_col: str,
     bounds = np.asarray(
         [kl.quantile(i / n_shards) for i in range(1, n_shards)],
         dtype=np.float64)
+    root = write_range_shards_aligned(ds, out_root, key_col, bounds)
+    return root, bounds
+
+
+def write_range_shards_aligned(ds, out_root: str, key_col: str,
+                               bounds: "np.ndarray") -> str:
+    """Write ``ds`` range-partitioned on CALLER-PROVIDED shard bounds —
+    the co-partitioning half of the range layout: two tables written
+    with the SAME bounds on their join key align shard-for-shard, so a
+    later join touches each shard pair with no runtime shuffle
+    (:func:`raysketch.ops.join.range_copartition_join`)."""
+    from ..engine.sinks import write_dataset
+
+    bounds = np.asarray(bounds, dtype=np.float64)
 
     def assign(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False) \
@@ -431,6 +445,5 @@ def write_range_shards(ds, out_root: str, key_col: str,
         shard = np.searchsorted(bounds, k, side="left").astype(np.int64)
         return batch.append_column("shard", pa.array(shard, pa.int64()))
 
-    root = write_dataset(ds.map_batches(assign, batch_format="pyarrow"),
+    return write_dataset(ds.map_batches(assign, batch_format="pyarrow"),
                          out_root, partition_cols=["shard"])
-    return root, bounds

@@ -448,3 +448,123 @@ def bucketed_copartition_join(
     joined = fact.map_batches(norm_bucket, batch_format="pyarrow") \
         .map_batches(layout_join, batch_format="pyarrow")
     return joined, layout_root
+
+
+# worker-process cache of SORTED range-shard indexes (same lifecycle
+# contract as _DIM_BUCKET_CACHE: tasks on reused worker processes read
+# each dim shard ~once; entries are one shard of the dim side)
+_RANGE_SHARD_CACHE: dict = {}
+_RANGE_SHARD_CACHE_MAX = 64
+
+
+def _range_shard_index(dpath: str, dim_key: str, value_cols: list[str]):
+    key = (dpath, dim_key, tuple(value_cols))
+    hit = _RANGE_SHARD_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(dpath, columns=[dim_key] + list(value_cols))
+        k = t[dim_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(np.unique(k)) != len(k):
+            raise ValueError(
+                "range_copartition_join: dim keys must be unique "
+                "(duplicate keys need a real equi-join, e.g. Dataset.join)")
+        order = np.argsort(k, kind="stable")
+        vals = {c: t[c].combine_chunks().take(pa.array(order))
+                for c in value_cols}
+        hit = (k[order], vals)
+        while len(_RANGE_SHARD_CACHE) >= _RANGE_SHARD_CACHE_MAX:
+            _RANGE_SHARD_CACHE.pop(next(iter(_RANGE_SHARD_CACHE)))
+        _RANGE_SHARD_CACHE[key] = hit
+    return hit
+
+
+def range_copartition_join(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    value_cols: list[str],
+    n_shards: int = 8,
+    layout_root: str | None = None,
+):
+    """RANGE-layout co-partition join — the sorted counterpart of
+    :func:`bucketed_copartition_join`: shard bounds are the dim side's
+    key quantiles (``ops/curate.write_range_shards``), the fact side is
+    written with the SAME bounds
+    (``ops/curate.write_range_shards_aligned``), so shard i of the fact
+    joins ONLY shard i of the dim — no runtime shuffle, and unlike the
+    hash layout the shards are contiguous key ranges (key-range pruning
+    and ordered scans come free with the same bytes).
+
+    Per-shard matching is a true merge join: the worker-cached dim
+    shard is sorted once and every fact batch binary-searches it
+    (``searchsorted``) — int64-exact, no hash table. Dup dim keys
+    refuse from a stateless TASK stage (fail fast — the Ray 2.49
+    actor-restart hang documented on the hash variant). Returns
+    ``(joined_dataset, layout_root, bounds)``; the layout persists for
+    reuse — the bounds are the contract a THIRD table would be written
+    with to join shuffle-free against either side."""
+    import os
+    import uuid
+
+    from ..engine.sinks import read_back
+    from .curate import write_range_shards, write_range_shards_aligned
+
+    if layout_root is None:
+        layout_root = os.path.join(
+            "/tmp/raysketch_layouts",
+            f"range_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+
+    dim_root = os.path.join(layout_root, "dim")
+    _, bounds = write_range_shards(
+        dim_ds.select_columns([dim_key] + list(value_cols)),
+        dim_root, dim_key, n_shards=n_shards)
+    write_range_shards_aligned(
+        fact_ds, os.path.join(layout_root, "fact"), fact_key, bounds)
+
+    def layout_join(batch: pa.Table) -> pa.Table:
+        shards = batch["shard"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        batch = batch.drop_columns(["shard"])
+        pieces = []
+        for s in np.unique(shards):
+            part = batch.filter(pa.array(shards == s))
+            dpath = os.path.join(dim_root, f"shard={int(s)}")
+            if not os.path.isdir(dpath):
+                continue  # no dim rows in range -> inner join drops
+            keys, vals = _range_shard_index(dpath, dim_key, value_cols)
+            fk = part[fact_key].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(keys, fk)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == fk
+            part = part.filter(pa.array(hit))
+            take = pa.array(pos_c[hit].astype(np.int64))
+            for c in value_cols:
+                part = part.append_column(c, vals[c].take(take))
+            pieces.append(part)
+        if not pieces:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            sample = sorted(glob.glob(
+                os.path.join(dim_root, "shard=*", "*.parquet")))
+            sch = pq.read_schema(sample[0])
+            out = batch.slice(0, 0)
+            for c in value_cols:
+                out = out.append_column(c, pa.array([], sch.field(c).type))
+            return out
+        return pa.concat_tables(pieces)
+
+    fact = read_back(os.path.join(layout_root, "fact"))
+
+    def norm_shard(b: pa.Table) -> pa.Table:
+        # hive reader returns the partition column string-typed (Ray 2.49)
+        i = b.schema.get_field_index("shard")
+        return b.set_column(i, "shard", pc.cast(b["shard"], pa.int64()))
+
+    joined = fact.map_batches(norm_shard, batch_format="pyarrow") \
+        .map_batches(layout_join, batch_format="pyarrow")
+    return joined, layout_root, bounds

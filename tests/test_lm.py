@@ -223,3 +223,62 @@ def test_bucketed_join_null_key_refused(tmp_path):
         bucketed_copartition_join(
             rd.from_pandas(fact), rd.from_pandas(dim), "fk", "dk",
             ["attr"], n_buckets=4, layout_root=str(tmp_path / "nulls"))
+
+
+def test_range_join_equals_broadcast_join(tmp_path, ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.join import (broadcast_lookup_join,
+                                    range_copartition_join)
+
+    rng = np.random.default_rng(21)
+    fact = pd.DataFrame({
+        "fk": rng.integers(0, 150, 5000).astype(np.int64),  # 100.. unmatched
+        "v": rng.integers(0, 10**6, 5000).astype(np.int64)})
+    dim = pd.DataFrame({"dk": np.arange(100, dtype=np.int64),
+                        "attr": np.arange(100, dtype=np.int64) * 7})
+    joined, root, bounds = range_copartition_join(
+        rd.from_pandas(fact).repartition(5),
+        rd.from_pandas(dim).repartition(2),
+        "fk", "dk", ["attr"], n_shards=4,
+        layout_root=str(tmp_path / "layout"))
+    got = joined.to_pandas().sort_values(["fk", "v"]).reset_index(drop=True)
+    want = broadcast_lookup_join(
+        rd.from_pandas(fact).repartition(5), rd.from_pandas(dim),
+        "fk", "dk", ["attr"]).to_pandas() \
+        .sort_values(["fk", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # bounds are the dim key quantiles: sorted, usable for a 3rd table
+    assert len(bounds) == 3 and (np.diff(bounds) >= 0).all()
+    # shards are CONTIGUOUS key ranges on disk (the range-layout
+    # contract the hash variant does not give)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    prev_max = -np.inf
+    for s in range(4):
+        files = glob.glob(str(tmp_path / "layout" / "dim"
+                              / f"shard={s}" / "*.parquet"))
+        if not files:
+            continue
+        k = np.concatenate([
+            pq.read_table(f, columns=["dk"])["dk"].to_numpy()
+            for f in files])
+        assert k.min() > prev_max
+        prev_max = k.max()
+
+
+def test_range_join_rejects_duplicate_dim_keys(tmp_path, ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.join import range_copartition_join
+
+    fact = pd.DataFrame({"fk": np.array([1, 2], dtype=np.int64)})
+    dim = pd.DataFrame({"dk": np.array([1, 1, 2], dtype=np.int64),
+                        "attr": np.array([7, 8, 9], dtype=np.int64)})
+    joined, _, _ = range_copartition_join(
+        rd.from_pandas(fact), rd.from_pandas(dim), "fk", "dk",
+        ["attr"], n_shards=2, layout_root=str(tmp_path / "dup"))
+    with pytest.raises(Exception, match="unique"):
+        joined.to_pandas()
