@@ -1662,13 +1662,27 @@ def fuzzy_dedup_pairs(
     ).materialize()
 
     def _verify_rows(ids_a, ids_b, ta: list, tb: list) -> pd.DataFrame:
-        lev = batch_levenshtein(ta, tb)
-        mx = np.maximum(
-            np.fromiter((len(t) for t in ta), np.int64, len(ta)),
-            np.fromiter((len(t) for t in tb), np.int64, len(tb)))
+        la = np.fromiter((len(t) for t in ta), np.int64, len(ta))
+        lb = np.fromiter((len(t) for t in tb), np.int64, len(tb))
+        mx = np.maximum(la, lb)
+        # two DP-free prunes, both DECISION-IDENTICAL to the full DP:
+        # lev >= |la-lb| always, so a pair whose length gap alone sinks
+        # it below min_edit_sim is dropped without DP; equal texts are
+        # lev 0 without DP (the dominant case in record linkage).
+        gap_ok = 1.0 - np.abs(la - lb) / np.maximum(mx, 1) >= min_edit_sim
+        eq = np.fromiter((a == b for a, b in zip(ta, tb)),
+                         np.bool_, len(ta)) & gap_ok
+        need = gap_ok & ~eq
+        lev = np.zeros(len(ta), dtype=np.int64)
+        if need.any():
+            ix = need.nonzero()[0]
+            lev[ix] = batch_levenshtein([ta[i] for i in ix],
+                                        [tb[i] for i in ix])
+        lev[~gap_ok] = mx[~gap_ok]  # pruned pairs: any failing value
         # the UNROUNDED ratio decides the filter — bit-identical to the
         # SQL replay's WHERE (one correctly-rounded double division)
         sim = 1.0 - lev / np.maximum(mx, 1)
+        sim[~gap_ok] = -1.0  # force-drop pruned pairs
         out = pd.DataFrame({
             "id_a": np.asarray(ids_a, np.int64),
             "id_b": np.asarray(ids_b, np.int64),

@@ -158,65 +158,120 @@ def table_diff(ds_old, ds_new, id_col: str, content_cols: list[str],
                     batch_format="pandas"))
 
 
-def fk_orphan_counts(child_ds, parent_ds, fk_col: str, pk_col: str,
-                     num_buckets: int = 256) -> tuple[int, int]:
-    """Referential-integrity audit: how many child ROWS (and distinct
-    child KEYS) reference a parent key that does not exist — the
-    dangling-pointer screen a pipeline runs before joining fact tables
-    at 100 TB (an orphan side silently drops rows in inner joins).
+def fk_orphan_counts_multi(
+    edges: list, num_buckets: int = 256,
+    driver_fold_limit: int = 5_000_000) -> dict[str, tuple[int, int]]:
+    """Audit MANY foreign-key edges in ONE exchange: every edge's child
+    count partials and parent distinct-key partials are tagged with the
+    edge id and ride a single union. ``edges`` is a list of
+    ``(name, child_ds, fk_col, parent_ds, pk_col)``; returns
+    ``{name: (orphan_rows, orphan_keys)}``. Same per-edge semantics as
+    :func:`fk_orphan_counts` (which delegates here) at a quarter of the
+    pipeline launches when auditing a whole schema.
 
-    Plan: the child reduces to per-block DISTINCT ``(fk, n)`` count
-    partials and the parent to per-block distinct keys (both narrow —
-    no payload, no raw-row shuffle); ONE coarse ``hash(key)`` shuffle
-    co-locates both streams and each bucket emits a single
-    ``(orphan_rows, orphan_keys)`` partial — child keys with no parent
-    key in the bucket. The driver sums buckets. Both sides stream;
-    neither is broadcast, so fact-sized PARENTS (the
-    lineitem→orders edge) cost one narrow exchange, never a driver
-    gather. Returns ``(orphan_rows, orphan_keys)``."""
+    SIZE-ROUTED reduce (the _DRIVER_FOLD_LIMIT discipline): partials
+    are narrow (edge, key, n, side) rows bounded by per-block distinct
+    keys; at or below ``driver_fold_limit`` one vectorized driver merge
+    beats the coarse shuffle's fixed cost, above it the
+    ``hash(edge, key)`` bucket fold runs (route identity test-pinned)."""
     import numpy as np
     import pandas as pd
 
     from ..engine.hashing import append_coarse_bucket
 
-    def child_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "k": b[fk_col].to_numpy(zero_copy_only=False),
-            "n": np.ones(b.num_rows, dtype=np.int64)})
-        out = df.groupby("k", sort=False, as_index=False)["n"].sum()
-        return pa.table({"k": pa.array(out["k"].to_numpy(np.int64)),
-                         "n": pa.array(out["n"].to_numpy(np.int64)),
-                         "side": pa.array(
-                             np.zeros(len(out), dtype=np.int64))})
+    if not edges:
+        return {}
 
-    def parent_partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def child_partial(eid: int, fk_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "k": b[fk_col].to_numpy(zero_copy_only=False),
+                "n": np.ones(b.num_rows, dtype=np.int64)})
+            out = df.groupby("k", sort=False, as_index=False)["n"].sum()
+            return pa.table({
+                "e": pa.array(np.full(len(out), eid, dtype=np.int64)),
+                "k": pa.array(out["k"].to_numpy(np.int64)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "side": pa.array(np.zeros(len(out), dtype=np.int64))})
+        return f
 
-        k = pc.unique(b[pk_col])
-        return pa.table({"k": k.cast(pa.int64()),
-                         "n": pa.array(np.zeros(len(k), dtype=np.int64)),
-                         "side": pa.array(np.ones(len(k), dtype=np.int64))})
+    def parent_partial(eid: int, pk_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    tagged = child_ds.select_columns([fk_col]).map_batches(
-        child_partial, batch_format="pyarrow").union(
-        parent_ds.select_columns([pk_col]).map_batches(
-            parent_partial, batch_format="pyarrow"))
+            k = pc.unique(b[pk_col])
+            return pa.table({
+                "e": pa.array(np.full(len(k), eid, dtype=np.int64)),
+                "k": k.cast(pa.int64()),
+                "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "side": pa.array(np.ones(len(k), dtype=np.int64))})
+        return f
+
+    streams = []
+    for eid, (_, child, fk, parent, pk) in enumerate(edges):
+        streams.append(child.select_columns([fk]).map_batches(
+            child_partial(eid, fk), batch_format="pyarrow"))
+        streams.append(parent.select_columns([pk]).map_batches(
+            parent_partial(eid, pk), batch_format="pyarrow"))
+    # ONE union call, not a chained .union() tower
+    tagged = streams[0].union(*streams[1:]).materialize()
+
+    if tagged.count() <= driver_fold_limit:
+        df = tagged.to_pandas()
+        out = {name: (0, 0) for name, *_ in edges}
+        if not df.empty:
+            par = df.loc[df["side"] == 1, ["e", "k"]].drop_duplicates()
+            ch = df[df["side"] == 0].groupby(
+                ["e", "k"], as_index=False)["n"].sum()
+            m = ch.merge(par.assign(__p=1), on=["e", "k"], how="left")
+            orph = m[m["__p"].isna()]
+            agg = orph.groupby("e")["n"].agg(["sum", "size"])
+            for eid, (name, *_) in enumerate(edges):
+                if eid in agg.index:
+                    out[name] = (int(agg.loc[eid, "sum"]),
+                                 int(agg.loc[eid, "size"]))
+        return out
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        parent = df.loc[df["side"] == 1, "k"].unique()
-        ch = df[df["side"] == 0].groupby("k", as_index=False)["n"].sum()
-        orph = ch[~ch["k"].isin(parent)]
-        return pd.DataFrame({
-            "orphan_rows": [int(orph["n"].sum())],
-            "orphan_keys": [int(len(orph))]})
+        rows = []
+        for e, sub in df.groupby("e"):
+            parent = sub.loc[sub["side"] == 1, "k"].unique()
+            ch = sub[sub["side"] == 0].groupby("k", as_index=False)["n"] \
+                .sum()
+            orph = ch[~ch["k"].isin(parent)]
+            rows.append((int(e), int(orph["n"].sum()), int(len(orph))))
+        return pd.DataFrame(rows, columns=["e", "orphan_rows",
+                                           "orphan_keys"])
 
     parts = (tagged.map_batches(
-        lambda b: append_coarse_bucket(b, ["k"], num_buckets, "__b"),
+        lambda b: append_coarse_bucket(b, ["e", "k"], num_buckets, "__b"),
         batch_format="pyarrow")
         .groupby("__b")
         .map_groups(lambda df: fold(df.drop(columns="__b")),
                     batch_format="pandas")
         .to_pandas())
-    if parts.empty:
-        return 0, 0
-    return int(parts["orphan_rows"].sum()), int(parts["orphan_keys"].sum())
+    out = {name: (0, 0) for name, *_ in edges}
+    if not parts.empty:
+        agg = parts.groupby("e")[["orphan_rows", "orphan_keys"]].sum()
+        for eid, (name, *_) in enumerate(edges):
+            if eid in agg.index:
+                out[name] = (int(agg.loc[eid, "orphan_rows"]),
+                             int(agg.loc[eid, "orphan_keys"]))
+    return out
+
+
+def fk_orphan_counts(child_ds, parent_ds, fk_col: str, pk_col: str,
+                     num_buckets: int = 256) -> tuple[int, int]:
+    """Referential-integrity audit of ONE edge: how many child ROWS
+    (and distinct child KEYS) reference a parent key that does not
+    exist — the dangling-pointer screen a pipeline runs before joining
+    fact tables at 100 TB (an orphan side silently drops rows in inner
+    joins). Pre-reduced narrow (key, n) child partials and per-block
+    distinct parent keys share one ``hash(key)`` exchange; neither side
+    is broadcast, so fact-sized parents cost one narrow shuffle, never
+    a driver gather. Delegates to :func:`fk_orphan_counts_multi` —
+    schema-wide audits put every edge on the SAME exchange. Returns
+    ``(orphan_rows, orphan_keys)``."""
+    return fk_orphan_counts_multi(
+        [("edge", child_ds, fk_col, parent_ds, pk_col)],
+        num_buckets=num_buckets)["edge"]

@@ -4489,10 +4489,10 @@ def q_fk_integrity(sf_dir: str) -> pa.Table:
     rows/keys whose foreign key has no parent — three real TPC-H edges
     (all clean, the audit proves it) plus one synthetically broken edge
     (events.user_id + 1400 → customer, the table_diff in-query-mutation
-    precedent) so nonzero counts exercise the orphan path. Each edge is
-    one narrow hash(key) exchange of pre-reduced (key, n) partials —
-    fact-sized parents are never broadcast."""
-    from .ops.setops import fk_orphan_counts
+    precedent) so nonzero counts exercise the orphan path. ALL edges
+    ride ONE narrow hash(edge, key) exchange of pre-reduced (key, n)
+    partials — fact-sized parents are never broadcast."""
+    from .ops.setops import fk_orphan_counts_multi
 
     def shift_users(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False) + 1400
@@ -4513,9 +4513,8 @@ def q_fk_integrity(sf_dir: str) -> pa.Table:
              shift_users, batch_format="pyarrow"), "user_id",
          _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
     ]
-    rows = [(name, *fk_orphan_counts(child, parent, fk, pk))
-            for name, child, fk, parent, pk in edges]
-    rows.sort()
+    res = fk_orphan_counts_multi(edges)  # ONE exchange for all 4 edges
+    rows = sorted((name, *res[name]) for name, *_ in edges)
     return pa.table({
         "edge": pa.array([r[0] for r in rows], pa.string()),
         "orphan_rows": pa.array([r[1] for r in rows], pa.int64()),

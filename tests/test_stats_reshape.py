@@ -304,3 +304,18 @@ def test_chunked_int_sum_exact_beyond_int64():
 
     a = np.full(2000, 9_000_000_000_000_000, dtype=np.int64)
     assert _chunked_int_sum(a, chunk=1000) == 9_000_000_000_000_000 * 2000
+
+
+def test_fk_orphan_counts_routes_identical(ray_session):
+    from raysketch.ops.setops import fk_orphan_counts_multi
+
+    rng = np.random.default_rng(22)
+    child = pd.DataFrame({"fk": rng.integers(0, 120, 3000)})
+    parent = pd.DataFrame({"pk": np.arange(0, 100, dtype=np.int64)})
+    edges = [("e", _mk(child, 6), "fk", _mk(parent, 3), "pk")]
+    a = fk_orphan_counts_multi(edges)
+    edges = [("e", _mk(child, 6), "fk", _mk(parent, 3), "pk")]
+    b = fk_orphan_counts_multi(edges, driver_fold_limit=0)  # shuffle route
+    assert a == b
+    orphan = child[child["fk"] >= 100]
+    assert a["e"] == (len(orphan), orphan["fk"].nunique())
