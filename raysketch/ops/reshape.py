@@ -83,3 +83,29 @@ def pivot_wide(ds, key_col: str, pivot_col: str, value_col: str,
             .groupby("__b")
             .map_groups(lambda df: fold(df.drop(columns="__b")),
                         batch_format="pandas"))
+
+
+def melt(ds, id_col: str, value_cols: list[str],
+         name_col: str = "name", value_out: str = "value"):
+    """Wide→long unpivot, the inverse of :func:`pivot_wide`: each input
+    row emits one (id, column-name, value) row per value column. Pure
+    per-block streaming — no shuffle, no state; output is |value_cols|×
+    the input rows, emitted block-by-block. Values cast to float64 (the
+    numeric-column contract shared with table_profile)."""
+
+    def unpivot(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        vals = np.concatenate([
+            b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in value_cols]) if n else np.zeros(0, np.float64)
+        return pa.table({
+            id_col: pa.array(np.tile(ids, len(value_cols)), pa.int64()),
+            name_col: pa.array(
+                np.repeat(np.asarray(value_cols, dtype=object), n),
+                pa.string()),
+            value_out: pa.array(vals, pa.float64()),
+        })
+
+    return ds.select_columns([id_col] + list(value_cols)) \
+        .map_batches(unpivot, batch_format="pyarrow")

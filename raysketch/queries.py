@@ -4665,6 +4665,43 @@ def q_range_join_revenue(sf_dir: str) -> pa.Table:
     })
 
 
+def q_melt_metrics(sf_dir: str) -> pa.Table:
+    """Wide→long unpivot (ops/reshape.melt, the pivot_wide inverse):
+    three lineitem metric columns melt into one (id, name, value)
+    stream — pure per-block streaming, no shuffle — then one exact
+    integer-cents fold per metric name (n, sum_cents, min, max)."""
+    from .ops.reshape import melt
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_discount", "l_tax"])
+    long = melt(li, "l_orderkey", ["l_quantity", "l_discount", "l_tax"])
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "name": pd.Series(b["name"].to_pylist(), dtype="object"),
+            "n": np.ones(len(v), dtype=np.int64),
+            "sum_cents": cents, "vmin": v, "vmax": v})
+        out = df.groupby("name", sort=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"),
+            vmin=("vmin", "min"), vmax=("vmax", "max")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = long.map_batches(part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("name").agg(
+        n=("n", "sum"), sum_cents=("sum_cents", "sum"),
+        vmin=("vmin", "min"), vmax=("vmax", "max")).sort_index() \
+        .reset_index()
+    return pa.table({
+        "name": pa.array(agg["name"].to_numpy(object), pa.string()),
+        "n": pa.array(agg["n"].astype("int64")),
+        "sum_cents": pa.array(agg["sum_cents"].astype("int64")),
+        "vmin": pa.array(agg["vmin"].astype("float64")),
+        "vmax": pa.array(agg["vmax"].astype("float64")),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4685,6 +4722,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "price_quantity_fit": q_price_quantity_fit,
     "fuzzy_join_docs": q_fuzzy_join_docs,
     "range_join_revenue": q_range_join_revenue,
+    "melt_metrics": q_melt_metrics,
     "repetition_profile": q_repetition_profile,
     "token_entropy": q_token_entropy,
     "span_dedup_profile": q_span_dedup_profile,
@@ -7051,4 +7089,17 @@ ORACLE_SQL["range_join_revenue"] = """
                 AS BIGINT) AS revenue_cents
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["melt_metrics"] = """
+    WITH m AS (
+      SELECT 'l_quantity' AS name, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT name, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           min(value) AS vmin, max(value) AS vmax
+    FROM m GROUP BY name ORDER BY name
 """

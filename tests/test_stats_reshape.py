@@ -319,3 +319,17 @@ def test_fk_orphan_counts_routes_identical(ray_session):
     assert a == b
     orphan = child[child["fk"] >= 100]
     assert a["e"] == (len(orphan), orphan["fk"].nunique())
+
+
+def test_melt_inverts_pivot_shape(ray_session):
+    from raysketch.ops.reshape import melt
+
+    df = pd.DataFrame({"id": [1, 2, 3],
+                       "a": [1.5, 2.0, -3.25],
+                       "b": [0.0, 7.0, 9.5]})
+    out = (melt(_mk(df, 2), "id", ["a", "b"]).to_pandas()
+           .sort_values(["name", "id"]).reset_index(drop=True))
+    assert len(out) == 6
+    assert list(out.columns) == ["id", "name", "value"]
+    for _, row in out.iterrows():
+        assert row["value"] == df.set_index("id").loc[row["id"], row["name"]]
