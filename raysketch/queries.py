@@ -456,7 +456,7 @@ def q_customer_order_profile(sf_dir: str) -> pa.Table:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def q_event_pivot(sf_dir: str) -> pa.Table:
+def q_hourly_event_pivot(sf_dir: str) -> pa.Table:
     """Hour-of-day × event-type PIVOT (wide aggregation): per-block
     (hour, type) count partials fold on the driver, then reshape wide
     with a FIXED category schema (engine.aggregate.pivot_wide — a
@@ -4813,7 +4813,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_pricing": q_lineitem_pricing,
     "rollup_pricing": q_rollup_pricing,
     "customer_order_profile": q_customer_order_profile,
-    "event_pivot": q_event_pivot,
+    "hourly_event_pivot": q_hourly_event_pivot,
     "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
@@ -5514,7 +5514,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
         GROUP BY c_mktsegment, n_orders ORDER BY c_mktsegment, n_orders
     """,
-    "event_pivot": """
+    "hourly_event_pivot": """
         SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hour,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
