@@ -447,3 +447,122 @@ def write_range_shards_aligned(ds, out_root: str, key_col: str,
 
     return write_dataset(ds.map_batches(assign, batch_format="pyarrow"),
                          out_root, partition_cols=["shard"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+# per-worker-process token→bucket cache (the ops/join._DIM_BUCKET_CACHE
+# discipline: worker processes are reused across blocks, so a module
+# dict amortizes the sha256 of recurring vocabulary)
+_DSIR_HASH_CACHE: dict[int, dict[str, int]] = {}
+_DSIR_CACHE_MAX = 1_000_000
+
+
+def _dsir_buckets(tokens: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Bucket ids for an object array of tokens: sha256 hex[:16] as
+    uint64 mod n_buckets (the feature_hashing scheme — DuckDB-replayable
+    via sha256 + HUGEINT arithmetic), hashed once per DISTINCT token
+    per process."""
+    import hashlib
+
+    cache = _DSIR_HASH_CACHE.setdefault(n_buckets, {})
+    if len(cache) > _DSIR_CACHE_MAX:
+        cache.clear()
+    uniq, inv = np.unique(tokens.astype(str), return_inverse=True)
+    bk = np.empty(len(uniq), dtype=np.int64)
+    for i, t in enumerate(uniq):
+        b = cache.get(t)
+        if b is None:
+            b = int(hashlib.sha256(t.encode()).hexdigest()[:16], 16) \
+                % n_buckets
+            cache[t] = b
+        bk[i] = b
+    return bk[inv]
+
+
+def dsir_select(ds_factory, target_col: str, target_value: str,
+                n_buckets: int = 64, top_k: int = 100,
+                id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) over hashed unigram features: score every document by how
+    much more likely its token stream is under the TARGET distribution
+    (rows where ``target_col == target_value``) than under the raw
+    corpus, and keep the ``top_k`` — the published recipe for skewing a
+    100-TB crawl toward a high-quality slice without training a model.
+
+    Two streaming passes over the corpus (``ds_factory()`` builds a
+    fresh Dataset per pass — DSIR fundamentally needs global bucket
+    statistics before it can score):
+
+    1. Each block reduces to ``(bucket, n_raw, n_tgt)`` token counts
+       (≤ ``n_buckets`` rows per block); the driver folds them and
+       forms Laplace-smoothed log-ratios in INTEGER micro-nats:
+       ``r[b] = round(ln(p_tgt[b]/p_raw[b])·1e6)``.
+    2. Each block scores its docs — ``score = Σ_tokens r[bucket]``,
+       an exact int64 — and keeps a local (score desc, id asc) top-k;
+       the driver folds blocks × k rows.
+
+    The ratio table is ``n_buckets`` ints (a closure capture, never a
+    shuffle); token hashing is sha256-per-distinct-token with a
+    per-process cache, so the whole statistic — hash, smoothing, log,
+    rounding, tie-break — replays bit-for-bit in DuckDB. Deterministic
+    top-k stands in for gumbel-top-k sampling (same selection shape,
+    seedable by salting the hash input)."""
+    if top_k < 1 or n_buckets < 1:
+        raise ValueError("top_k and n_buckets must be >= 1")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        is_tgt = np.asarray(
+            [v == target_value for v in b[target_col].to_pylist()])
+        ex = s.str.split().explode().dropna()
+        if ex.empty:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_raw": pa.array([], pa.int64()),
+                             "n_tgt": pa.array([], pa.int64())})
+        bk = _dsir_buckets(ex.to_numpy(dtype=object), n_buckets)
+        tgt = is_tgt[ex.index.to_numpy()]
+        n_raw = np.bincount(bk, minlength=n_buckets)
+        n_tgt = np.bincount(bk[tgt], minlength=n_buckets)
+        keep = np.flatnonzero(n_raw)
+        return pa.table({
+            "bucket": pa.array(keep, pa.int64()),
+            "n_raw": pa.array(n_raw[keep], pa.int64()),
+            "n_tgt": pa.array(n_tgt[keep], pa.int64())})
+
+    cnt = (ds_factory().map_batches(count_partial, batch_format="pyarrow")
+           .to_pandas().groupby("bucket", as_index=False).sum())
+    c_raw = np.zeros(n_buckets, dtype=np.int64)
+    c_tgt = np.zeros(n_buckets, dtype=np.int64)
+    c_raw[cnt["bucket"]] = cnt["n_raw"]
+    c_tgt[cnt["bucket"]] = cnt["n_tgt"]
+    t_raw, t_tgt = int(c_raw.sum()), int(c_tgt.sum())
+    if t_tgt == 0:
+        raise ValueError("dsir_select: no target rows "
+                         f"({target_col} == {target_value!r})")
+    p_t = (c_tgt + 1) / np.float64(t_tgt + n_buckets)
+    p_r = (c_raw + 1) / np.float64(t_raw + n_buckets)
+    lr = np.log(p_t / p_r) * 1e6
+    r_micro = (np.sign(lr) * np.floor(np.abs(lr) + 0.5)).astype(np.int64)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        ex = s.str.split().explode().dropna()
+        scores = np.zeros(len(ids), dtype=np.int64)
+        if not ex.empty:
+            bk = _dsir_buckets(ex.to_numpy(dtype=object), n_buckets)
+            np.add.at(scores, ex.index.to_numpy(), r_micro[bk])
+        order = np.lexsort((ids, -scores))[:top_k]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "dsir_micro_nats": pa.array(scores[order], pa.int64())})
+
+    parts = (ds_factory().map_batches(score_partial, batch_format="pyarrow")
+             .to_pandas())
+    parts = parts.sort_values(
+        ["dsir_micro_nats", id_col], ascending=[False, True]).head(top_k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)

@@ -275,3 +275,74 @@ def fk_orphan_counts(child_ds, parent_ds, fk_col: str, pk_col: str,
     return fk_orphan_counts_multi(
         [("edge", child_ds, fk_col, parent_ds, pk_col)],
         num_buckets=num_buckets)["edge"]
+
+
+def _pareto_front(X: np.ndarray, chunk: int = 512) -> np.ndarray:
+    """Row indices of the Pareto front of ``X`` (float64, LARGER is
+    better on every column). Dominance: x dominates y iff x ≥ y on all
+    dims and x > y on at least one — so sum(x) > sum(y), meaning after
+    a descending-sum sort every dominator precedes what it dominates.
+    One scan keeps a running front; each chunk is screened against the
+    (small) front vectorized, then intra-chunk in one broadcast —
+    never the O(n²) all-pairs matrix. Duplicate points never dominate
+    each other, so all copies survive (SQL NOT-EXISTS semantics)."""
+    n = len(X)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(-X.sum(axis=1), kind="stable")
+    Xs = X[order]
+    front_rows: list[np.ndarray] = []
+    front_idx: list[np.ndarray] = []
+    for lo in range(0, n, chunk):
+        C = Xs[lo:lo + chunk]
+        alive = np.ones(len(C), dtype=bool)
+        if front_rows:
+            F = np.concatenate(front_rows)
+            # F (f,d) vs C (c,d) -> (f,c) dominance screen
+            ge = (F[:, None, :] >= C[None, :, :]).all(axis=2)
+            gt = (F[:, None, :] > C[None, :, :]).any(axis=2)
+            alive = ~(ge & gt).any(axis=0)
+        if alive.any():
+            S = C[alive]
+            ge = (S[:, None, :] >= S[None, :, :]).all(axis=2)
+            gt = (S[:, None, :] > S[None, :, :]).any(axis=2)
+            dominated = (ge & gt).any(axis=0)
+            keep = np.flatnonzero(alive)[~dominated]
+            front_rows.append(C[keep])
+            front_idx.append(order[lo + keep])
+    return np.sort(np.concatenate(front_idx))
+
+
+def skyline(ds, dims: dict[str, bool], keep_cols: list[str]) -> pa.Table:
+    """Distributed skyline (Pareto-optimal set) over numeric columns —
+    the multi-objective filter (Börzsönyi et al., ICDE 2001) a curation
+    pipeline runs to keep documents no other document beats on every
+    axis at once. ``dims`` maps column → True to maximize / False to
+    minimize; ``keep_cols`` ride along on the survivors.
+
+    Plan: the global skyline is contained in the union of per-block
+    skylines (a dominator of x in the full set dominates x in x's own
+    block too), so each block reduces to its local front inside
+    ``map_batches`` — the driver folds only blocks × |local front| rows
+    (fronts are tiny for correlated dims; worst case documented: an
+    anti-correlated 2-D disk makes the front O(√n) and the fold pays
+    it). One pass, no shuffle. Returns a driver-sized pa.Table sorted
+    by ``keep_cols[0]``."""
+    dcols = sorted(dims)
+    sign = np.array([1.0 if dims[c] else -1.0 for c in dcols])
+    out_cols = list(dict.fromkeys(keep_cols + dcols))
+
+    def local_front(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(out_cols)
+        X = np.column_stack([
+            b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in dcols]) * sign
+        keep = _pareto_front(X)
+        return b.select(out_cols).take(pa.array(keep, pa.int64()))
+
+    parts = ds.map_batches(local_front, batch_format="pyarrow").to_pandas()
+    X = parts[dcols].to_numpy(dtype=np.float64) * sign
+    keep = _pareto_front(X)
+    out = parts.iloc[keep].sort_values(keep_cols[0]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[out_cols], preserve_index=False)

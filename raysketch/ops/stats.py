@@ -500,3 +500,57 @@ def grouped_linear_fit(ds, group_col: str, x_col: str, y_col: str,
                               pa.float64()),
         "r2": pa.array(_r6(np.array([r[4] for r in rows])), pa.float64()),
     })
+
+
+def _micro(x: np.ndarray) -> np.ndarray:
+    """Round to integer micro-nats, half AWAY from zero (DuckDB
+    round() semantics — never numpy half-to-even)."""
+    return (np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)).astype(np.int64)
+
+
+def mutual_info(ds, a_col: str, b_col: str) -> dict[str, int]:
+    """Mutual information and marginal entropies between two
+    categorical columns, in INTEGER micro-nats — the feature/label
+    dependence screen (and redundant-column detector) a pipeline runs
+    before training. One distributed pass: each block reduces to its
+    (a, b, n) contingency partial (narrow — |A|·|B| rows, never raw
+    rows); the driver folds blocks × cells and evaluates
+
+        mi = Σ_ab round(c_ab · ln(n·c_ab / (c_a·c_b)) · 1e6)
+        h_x = Σ_x round(c_x · ln(n / c_x) · 1e6)
+
+    Per-CELL rounding (not per-sum) makes every term an int64 and the
+    whole statistic bit-replayable in DuckDB double arithmetic; the
+    true nat values are off by ≤ cells·0.5e-6 / n. MI cell terms are
+    signed (c_ab below independence is negative) — half-away rounding
+    handles both signs. Returns ``{"n", "mi_micro_nats",
+    "h_a_micro_nats", "h_b_micro_nats"}`` (micro-nats scaled by n·1e6;
+    divide by n·1e6 for nats)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": np.asarray(b[a_col].to_pylist(), dtype=object),
+            "b": np.asarray(b[b_col].to_pylist(), dtype=object)})
+        g = df.groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        return pa.table({
+            "a": pa.array(g["a"].astype(str), pa.string()),
+            "b": pa.array(g["b"].astype(str), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    raw = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if raw.empty:  # all-empty Dataset loses its schema (Ray 2.49)
+        raise ValueError("mutual_info: empty input")
+    cells = raw.groupby(["a", "b"], as_index=False)["n"].sum()
+    n = int(cells["n"].sum())
+    ca = cells.groupby("a")["n"].transform("sum").to_numpy(np.float64)
+    cb = cells.groupby("b")["n"].transform("sum").to_numpy(np.float64)
+    c = cells["n"].to_numpy(np.float64)
+    mi = int(_micro(c * np.log(n * c / (ca * cb))).sum())
+    ha = cells.groupby("a", as_index=False)["n"].sum()["n"] \
+        .to_numpy(np.float64)
+    hb = cells.groupby("b", as_index=False)["n"].sum()["n"] \
+        .to_numpy(np.float64)
+    h_a = int(_micro(ha * np.log(n / ha)).sum())
+    h_b = int(_micro(hb * np.log(n / hb)).sum())
+    return {"n": n, "mi_micro_nats": mi,
+            "h_a_micro_nats": h_a, "h_b_micro_nats": h_b}

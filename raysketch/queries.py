@@ -4702,6 +4702,70 @@ def q_melt_metrics(sf_dir: str) -> pa.Table:
     })
 
 
+def q_skyline_parts(sf_dir: str) -> pa.Table:
+    """Pareto-optimal part catalog (ops/setops.skyline): the parts no
+    other part beats on BOTH price (maximize p_retailprice) and size
+    (minimize p_size) at once — the multi-objective keep-filter. One
+    streaming pass: each block reduces to its local Pareto front
+    inside map_batches, the driver folds only blocks × |front| rows.
+    Selection is comparison-only (no float arithmetic), so the SQL
+    NOT-EXISTS oracle replays it bit-for-bit."""
+    from .ops.setops import skyline
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return skyline(ds, {"p_retailprice": True, "p_size": False},
+                   keep_cols=["p_partkey"])
+
+
+def q_lang_source_mi(sf_dir: str) -> pa.Table:
+    """Mutual information lang↔source (ops/stats.mutual_info) in
+    integer micro-nats — the dependence screen between two corpus
+    metadata columns. One pass to narrow contingency partials; the
+    per-CELL micro-nat rounding makes the statistic an exact int64
+    DuckDB replays term-for-term."""
+    from .ops.stats import mutual_info
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    r = mutual_info(ds, "lang", "source")
+    return pa.table({
+        "n": pa.array([r["n"]], pa.int64()),
+        "mi_micro_nats": pa.array([r["mi_micro_nats"]], pa.int64()),
+        "h_a_micro_nats": pa.array([r["h_a_micro_nats"]], pa.int64()),
+        "h_b_micro_nats": pa.array([r["h_b_micro_nats"]], pa.int64()),
+    })
+
+
+def q_sliding_active_users(sf_dir: str) -> pa.Table:
+    """Trailing-24h distinct users every 6 hours
+    (ops/window.sliding_distinct): ONE scan reduces each block to
+    per-hour HLL partials; every sliding window is a merge over its
+    member hours' sketches, so the 4× overlap shares work instead of
+    re-scanning. At sf0.01 all windows stay in HLL sparse mode (≤141
+    distinct vs the 2048 promotion cap) → counts are EXACT and the
+    plain COUNT(DISTINCT) window oracle gates the whole path."""
+    from .ops.window import sliding_distinct
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return sliding_distinct(ds, "ts", "user_id",
+                            window_hours=24, slide_hours=6)
+
+
+def q_dsir_selection(sf_dir: str) -> pa.Table:
+    """DSIR importance resampling toward the English slice
+    (ops/curate.dsir_select): hashed-unigram bucket counts in one
+    pass, Laplace-smoothed log-ratios in integer micro-nats, then a
+    scoring pass keeps the top-100 docs whose token stream looks most
+    target-like. sha256 bucketing + micro-nat rounding make the whole
+    statistic — hash, smoothing, ln, tie-break — replay bit-for-bit
+    in DuckDB."""
+    from .ops.curate import dsir_select
+
+    return dsir_select(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        target_col="lang", target_value="en",
+        n_buckets=64, top_k=100)
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4709,6 +4773,10 @@ def q_melt_metrics(sf_dir: str) -> pa.Table:
 # the round-3/4 backlog); rows-only entries and everything checked in
 # r1-r3 trail, gated by tests/test_oracle_parity.py's full sweep.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "skyline_parts": q_skyline_parts,
+    "lang_source_mi": q_lang_source_mi,
+    "sliding_active_users": q_sliding_active_users,
+    "dsir_selection": q_dsir_selection,
     "event_transitions": q_event_transitions,
     "dist_moments": q_dist_moments,
     "event_pivot": q_event_pivot,
@@ -7102,4 +7170,112 @@ ORACLE_SQL["melt_metrics"] = """
              AS sum_cents,
            min(value) AS vmin, max(value) AS vmax
     FROM m GROUP BY name ORDER BY name
+"""
+
+# skyline: strict Pareto dominance (>= on all dims, > on at least one;
+# maximize price, minimize size) — duplicates never dominate each
+# other so all copies survive, the NOT-EXISTS replays the op's rule
+ORACLE_SQL["skyline_parts"] = """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part y
+      WHERE y.p_retailprice >= x.p_retailprice
+        AND y.p_size <= x.p_size
+        AND (y.p_retailprice > x.p_retailprice OR y.p_size < x.p_size))
+    ORDER BY p_partkey
+"""
+
+# mutual information in integer micro-nats: per-CELL round-half-away
+# of c·ln((n·c)/(ca·cb))·1e6 — the bigram_lm_scores ln idiom; the
+# expression association (n·c first, then /(ca·cb)) mirrors the numpy
+# side so the doubles agree to the ulp and the 1e-6 rounding absorbs it
+ORACLE_SQL["lang_source_mi"] = """
+    WITH cells AS (
+      SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nb, CAST(sum(n) AS DOUBLE) AS nn
+      FROM cells
+    ), ma AS (
+      SELECT a, CAST(sum(n) AS DOUBLE) AS ca FROM cells GROUP BY a
+    ), mb AS (
+      SELECT b, CAST(sum(n) AS DOUBLE) AS cb FROM cells GROUP BY b
+    ), mi AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(c.n AS DOUBLE)
+               * ln(tot.nn * CAST(c.n AS DOUBLE) / (ma.ca * mb.cb))
+               * 1e6, 0) AS BIGINT)) AS BIGINT) AS m
+      FROM cells c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    ), hx AS (
+      SELECT CAST(sum(CAST(round(ca * ln(tot.nn / ca) * 1e6, 0)
+                           AS BIGINT)) AS BIGINT) AS h
+      FROM ma CROSS JOIN tot
+    ), hy AS (
+      SELECT CAST(sum(CAST(round(cb * ln(tot.nn / cb) * 1e6, 0)
+                           AS BIGINT)) AS BIGINT) AS h
+      FROM mb CROSS JOIN tot
+    )
+    SELECT tot.nb AS n, mi.m AS mi_micro_nats,
+           hx.h AS h_a_micro_nats, hy.h AS h_b_micro_nats
+    FROM tot, mi, hx, hy
+"""
+
+# sliding windows: starts at the corpus min hour stepping 6, trailing
+# [ws, ws+24); the inner join drops empty windows (the op's rule);
+# sparse-exact HLL ⇒ plain COUNT(DISTINCT) replays distinct_keys
+ORACLE_SQL["sliding_active_users"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour, user_id FROM events
+    ), b AS (
+      SELECT min(hour) AS h0, max(hour) AS h1 FROM e
+    ), w AS (
+      SELECT unnest(range(b.h0, b.h1 + 1, 6)) AS ws FROM b
+    )
+    SELECT w.ws AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS distinct_keys
+    FROM w JOIN e ON e.hour >= w.ws AND e.hour < w.ws + 24
+    GROUP BY w.ws ORDER BY window_start
+"""
+
+# DSIR: sha256-hex16 unigram buckets (mod 64), Laplace-smoothed
+# log-ratio per bucket in round-half-away micro-nats, doc score = sum
+# over its token stream, top-100 by (score DESC, doc_id) — every stage
+# of the op replayed in SQL
+ORACLE_SQL["dsir_selection"] = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), hx AS (
+      SELECT doc_id, lang, substr(sha256(tok), 1, 16) AS hx FROM toks
+    ), tb AS (
+      SELECT doc_id, lang,
+             CAST(({_hex16_to_ubigint_sql('hx')}) % 64 AS BIGINT)
+               AS bucket
+      FROM hx
+    ), cnt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tgt
+      FROM tb GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+             CAST(sum(n_tgt) AS BIGINT) AS t_tgt
+      FROM cnt
+    ), r AS (
+      SELECT bucket,
+             CAST(round(ln(
+               ((n_tgt + 1) / CAST(t_tgt + 64 AS DOUBLE))
+               / ((n_raw + 1) / CAST(t_raw + 64 AS DOUBLE)))
+               * 1e6, 0) AS BIGINT) AS rm
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT tb.doc_id, CAST(sum(r.rm) AS BIGINT) AS dsir_micro_nats
+    FROM tb JOIN r USING (bucket)
+    GROUP BY tb.doc_id
+    ORDER BY dsir_micro_nats DESC, tb.doc_id
+    LIMIT 100
 """
