@@ -560,3 +560,100 @@ def hits(edges_ds, src: str = "src", dst: str = "dst", iters: int = 10,
     ap = a.to_pandas().rename(columns={"value": "auth"})
     out = hp.merge(ap, on="node").sort_values("node").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+def triangle_count(edges_ds, a_col: str, b_col: str,
+                   num_buckets: int = 256) -> pa.Table:
+    """Exact triangle count + wedge count of the undirected simple
+    graph given by an edge-list Dataset — the cohesion statistic
+    (global clustering coefficient = 3·triangles / wedges) a pipeline
+    computes over co-occurrence graphs.
+
+    Plan: one coarse ``hash(min_node) % num_buckets`` shuffle
+    deduplicates the canonical (u<v) edges — self-loops dropped,
+    duplicate edge rows collapse inside their bucket, so each distinct
+    edge leaves exactly one bucket — then the driver folds the
+    DISTINCT edge set and counts triangles with one boolean-adjacency
+    matmul (``(A²∘A).sum()/6``, exact int64). The dense matmul assumes
+    a DIMENSION-sized node set (suppliers, repos, languages — the
+    graphs this engine builds co-occurrence over); at corpus-scale
+    node counts swap the driver fold for degree-oriented MPS
+    per-bucket intersection (documented, not needed for any current
+    caller). Edge dedup is the distributed, scale-bearing stage: the
+    raw pair stream (e.g. per-order supplier pairs) never gathers.
+
+    Returns one row: n_nodes, n_edges, n_triangles, n_wedges (all
+    int64; wedges = Σ deg·(deg−1)/2, the open+closed path-2 count)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        t = pa.table({"u": pa.array(lo[keep], pa.int64()),
+                      "v": pa.array(hi[keep], pa.int64())})
+        return append_coarse_bucket(t, ["u"], num_buckets, "__tb")
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    uniq = (edges_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby("__tb").map_groups(dedup, batch_format="pandas")
+            .to_pandas())
+    if uniq.empty:
+        return pa.table({"n_nodes": pa.array([0], pa.int64()),
+                         "n_edges": pa.array([0], pa.int64()),
+                         "n_triangles": pa.array([0], pa.int64()),
+                         "n_wedges": pa.array([0], pa.int64())})
+    u = uniq["u"].to_numpy(np.int64)
+    v = uniq["v"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    n = nodes.size
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    A = np.zeros((n, n), dtype=np.int64)
+    A[iu, iv] = 1
+    A[iv, iu] = 1
+    tri = int((A @ A * A).sum()) // 6
+    deg = A.sum(axis=1)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    return pa.table({"n_nodes": pa.array([n], pa.int64()),
+                     "n_edges": pa.array([len(u)], pa.int64()),
+                     "n_triangles": pa.array([tri], pa.int64()),
+                     "n_wedges": pa.array([wedges], pa.int64())})
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_buckets: int = 256):
+    """Dataset of canonical (u < v) item-pair edges: items co-occurring
+    under the same group key (suppliers in an order, entities in a doc).
+    Per-block DISTINCT (group, item) pre-reduce cuts the shuffle to the
+    distinct-membership stream; ONE coarse ``hash(group)`` shuffle
+    co-locates each group, and the per-bucket fold emits its pairs with
+    one vectorized self-merge. Pairs are distinct within a group but
+    may repeat across groups — feed :func:`triangle_count`, which
+    dedups edges in its own bucket fold."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def members(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, item_col]).to_pandas() \
+            .drop_duplicates([group_col, item_col])
+        t = pa.table({
+            "g": pa.array(df[group_col].to_numpy(np.int64), pa.int64()),
+            "i": pa.array(df[item_col].to_numpy(np.int64), pa.int64())})
+        return append_coarse_bucket(t, ["g"], num_buckets, "__cb")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["g", "i"])
+        m = df.merge(df, on="g")
+        m = m[m["i_x"] < m["i_y"]]
+        return pd.DataFrame({"u": m["i_x"].to_numpy(np.int64),
+                             "v": m["i_y"].to_numpy(np.int64)})
+
+    return (ds.map_batches(members, batch_format="pyarrow")
+            .groupby("__cb").map_groups(pairs, batch_format="pandas"))

@@ -325,3 +325,59 @@ def ks_drift(ds, group_col: str, value_col: str, num_buckets: int = 64):
         "n_rows": pa.array(ns.astype(np.int64)[order], pa.int64()),
         "ks": pa.array(ks[order], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability (syllable-heuristic reading-ease score)
+# ---------------------------------------------------------------------------
+
+def readability_scores(ds, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Dataset of per-doc Flesch reading-ease scores (Flesch 1948; the
+    readability band CCNet-style curation uses alongside LM perplexity)
+    from three exact regex counts:
+
+    - ``n_words`` int64 — whitespace tokens (the corpus-wide word rule)
+    - ``n_sentences`` int64 — runs of ``[.!?]+``, clamped to ≥ 1
+    - ``n_syllables`` int64 — vowel-group heuristic: runs of
+      ``[aeiouy]+`` in the lowercased text, plus 1 for every word with
+      no vowel at all (each word counts ≥ 1 syllable)
+    - ``flesch`` float64 — ``round6(206.835 − 1.015·(w/s) −
+      84.6·(sy/w))``; the count inputs are exact ints and the double
+      expression shape matches the SQL oracle term-for-term, so the
+      score replays bit-for-bit
+
+    Pure per-block map (no shuffle at any corpus size); every count is
+    a vectorized pandas ``str.count`` / exploded-word kernel. Docs with
+    zero words are dropped (the score is undefined). The corpus is
+    pure ASCII, which is what makes the RE2/Python regex counts agree
+    (the lang_id/quality discipline)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object")
+        low = s.str.lower()
+        n_words = low.str.count(r"\S+").to_numpy(np.int64)
+        n_sent = np.maximum(
+            low.str.count(r"[.!?]+").to_numpy(np.int64), 1)
+        vgroups = low.str.count(r"[aeiouy]+").to_numpy(np.int64)
+        ex = low.str.split().explode().dropna()
+        novowel = np.zeros(len(s), dtype=np.int64)
+        if len(ex):
+            nv = (~ex.str.contains(r"[aeiouy]", regex=True))
+            np.add.at(novowel, ex.index.to_numpy(),
+                      nv.to_numpy().astype(np.int64))
+        syl = vgroups + novowel
+        keep = n_words > 0
+        w = n_words[keep].astype(np.float64)
+        sn = n_sent[keep].astype(np.float64)
+        sy = syl[keep].astype(np.float64)
+        flesch = 206.835 - 1.015 * (w / sn) - 84.6 * (sy / w)
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_words": pa.array(n_words[keep], pa.int64()),
+            "n_sentences": pa.array(n_sent[keep], pa.int64()),
+            "n_syllables": pa.array(syl[keep], pa.int64()),
+            "flesch": pa.array(_round6(flesch), pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

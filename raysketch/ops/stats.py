@@ -554,3 +554,67 @@ def mutual_info(ds, a_col: str, b_col: str) -> dict[str, int]:
     h_b = int(_micro(hb * np.log(n / hb)).sum())
     return {"n": n, "mi_micro_nats": mi,
             "h_a_micro_nats": h_a, "h_b_micro_nats": h_b}
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit drift profile
+# ---------------------------------------------------------------------------
+
+# Benford probabilities log10(1 + 1/d) in integer MICRO-UNITS — fixed
+# published constants (not computed at runtime), so the expectation is
+# an exact int64 (n · p_micro) and both sides of the oracle share the
+# identical literals instead of racing libm log10 ulps.
+BENFORD_MICRO = np.array([301030, 176091, 124939, 96910, 79181,
+                          66947, 57992, 51153, 45757], dtype=np.int64)
+
+
+def benford_profile(ds, value_col: str, scale: int = 100) -> pa.Table:
+    """First-significant-digit profile of a positive fixed-decimal
+    column vs Benford's law — the classic fabricated/drifted-numeric
+    screen a QC pipeline runs over money-like columns.
+
+    Values are scaled to integers first (``floor(x·scale + 0.5)``, the
+    nation_revenue cents discipline) so the leading digit comes from
+    exact integer arithmetic, never float formatting; rows whose scaled
+    value is ≤ 0 are dropped (Benford is defined on positive
+    magnitudes). Each block reduces to a ≤9-row (digit, n) partial —
+    narrow at any corpus size — and the driver folds blocks × 9 rows.
+
+    Returns 9 rows (digit 1-9 — absent digits count 0):
+    ``digit`` int64, ``n_obs`` int64, ``exp_micro`` int64 (expected
+    count in micro-units: ``n · BENFORD_MICRO[d]``, exact), and
+    ``chi_micro`` int64 — the digit's chi-square term
+    ``round((obs − e)²/e · 1e6)`` half-away, where ``e = n·p_micro/1e6``
+    in doubles whose expression shape the SQL oracle mirrors exactly."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * scale + 0.5).astype(np.int64)
+        v = v[v > 0]
+        while (v >= 10).any():
+            m = v >= 10
+            v[m] //= 10
+        cnt = np.bincount(v, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n_obs": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    obs = np.zeros(9, dtype=np.int64)
+    if not parts.empty:
+        g = parts.groupby("digit")["n_obs"].sum()
+        obs[g.index.to_numpy() - 1] = g.to_numpy(np.int64)
+    n = int(obs.sum())
+    exp_micro = n * BENFORD_MICRO  # exact int64 (n·3e5 ≪ 2^63)
+    e = exp_micro.astype(np.float64) / 1e6
+    if n > 0:
+        term = (obs.astype(np.float64) - e) ** 2 / e
+    else:
+        term = np.zeros(9)
+    chi = (np.sign(term) * np.floor(np.abs(term) * 1e6 + 0.5)) \
+        .astype(np.int64)
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10), pa.int64()),
+        "n_obs": pa.array(obs, pa.int64()),
+        "exp_micro": pa.array(exp_micro, pa.int64()),
+        "chi_micro": pa.array(chi, pa.int64())})

@@ -4766,6 +4766,98 @@ def q_dsir_selection(sf_dir: str) -> pa.Table:
         n_buckets=64, top_k=100)
 
 
+def q_benford_prices(sf_dir: str) -> pa.Table:
+    """Benford first-digit profile of lineitem prices
+    (ops/stats.benford_profile): leading digit from exact integer
+    cents, ≤9-row partials per block, chi-square terms in integer
+    micro-units against the FIXED published log10 constants — both
+    sides share the literals, so no libm-log10 ulp race."""
+    from .ops.stats import benford_profile
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return benford_profile(ds, "l_extendedprice", scale=100)
+
+
+def q_readability(sf_dir: str) -> Any:
+    """Per-doc Flesch reading ease (ops/rules.readability_scores):
+    exact regex counts (words, sentence-punctuation runs, vowel-group
+    syllables with a min-1-per-word clamp) and the classic score at
+    round6 — a pure per-block streaming map, no shuffle at any corpus
+    size. The ASCII corpus is what makes the RE2/Python counts agree."""
+    from .ops.rules import readability_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return readability_scores(ds, "doc_id", "text")
+
+
+def q_triangle_suppliers(sf_dir: str) -> pa.Table:
+    """Triangles + wedges of the supplier co-order graph
+    (ops/graph.cooccurrence_edges → triangle_count): suppliers are
+    linked when they serve the same order. Distinct-membership
+    pre-reduce, one hash(order) shuffle to form pairs, one
+    hash(min-node) shuffle to dedup edges; the driver counts on the
+    DIMENSION-sized distinct edge set with one boolean matmul."""
+    from .ops.graph import cooccurrence_edges, triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return triangle_count(edges, "u", "v")
+
+
+def q_zorder_layout(sf_dir: str) -> pa.Table:
+    """Z-order-clustered export (ops/curate.write_zorder_shards):
+    lineitem is WRITTEN as 8 Morton-contiguous shards over
+    (l_partkey, l_suppkey) — the multi-column locality layout that
+    lets scans prune on EITHER key — then the per-shard profile
+    (rows, both keys' min/max, id checksum) folds from the READ-BACK
+    bytes, so the oracle gates bucketize + interleave + routing + the
+    write → read path in one compare. Pure integer arithmetic
+    end-to-end (equi-width buckets, bit interleave), BIGINT-replayed."""
+    import uuid
+
+    from .engine.sinks import read_back
+    from .ops.curate import write_zorder_shards
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    root = os.path.join(
+        "/tmp/raysketch_zorder_shards",
+        f"z_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    write_zorder_shards(ds, root, "l_partkey", "l_suppkey",
+                        bits=8, n_shards=8)
+
+    def profile(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["shard"] = df["shard"].astype("int64")
+        df["ck"] = (df["l_orderkey"].to_numpy(np.int64) * 7
+                    + df["l_linenumber"].to_numpy(np.int64))
+        df["pk_lo"] = df["l_partkey"].astype("int64")
+        df["pk_hi"] = df["pk_lo"]
+        df["sk_lo"] = df["l_suppkey"].astype("int64")
+        df["sk_hi"] = df["sk_lo"]
+        g = df.groupby("shard", as_index=False).agg(
+            n_rows=("ck", "size"), checksum=("ck", "sum"),
+            pk_lo=("pk_lo", "min"), pk_hi=("pk_hi", "max"),
+            sk_lo=("sk_lo", "min"), sk_hi=("sk_hi", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(
+        read_back(root).map_batches(profile, batch_format="pyarrow"),
+        ["shard"], ["n_rows", "checksum"], ["pk_lo", "sk_lo"],
+        ["pk_hi", "sk_hi"])
+    agg = agg.sort_values("shard").reset_index(drop=True)
+    return pa.table({
+        "shard": pa.array(agg["shard"].astype("int64")),
+        "n_rows": pa.array(agg["n_rows"].astype("int64")),
+        "checksum": pa.array(agg["checksum"].astype("int64")),
+        "pk_lo": pa.array(agg["pk_lo"].astype("int64")),
+        "pk_hi": pa.array(agg["pk_hi"].astype("int64")),
+        "sk_lo": pa.array(agg["sk_lo"].astype("int64")),
+        "sk_hi": pa.array(agg["sk_hi"].astype("int64")),
+    })
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4773,6 +4865,10 @@ def q_dsir_selection(sf_dir: str) -> pa.Table:
 # the round-3/4 backlog); rows-only entries and everything checked in
 # r1-r3 trail, gated by tests/test_oracle_parity.py's full sweep.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "benford_prices": q_benford_prices,
+    "readability": q_readability,
+    "triangle_suppliers": q_triangle_suppliers,
+    "zorder_layout": q_zorder_layout,
     "skyline_parts": q_skyline_parts,
     "lang_source_mi": q_lang_source_mi,
     "sliding_active_users": q_sliding_active_users,
@@ -7278,4 +7374,146 @@ ORACLE_SQL["dsir_selection"] = f"""
     GROUP BY tb.doc_id
     ORDER BY dsir_micro_nats DESC, tb.doc_id
     LIMIT 100
+"""
+
+# Benford: leading digit from exact integer cents (substr of the
+# BIGINT's decimal string — integer-to-string is exact), expectation
+# n·p in exact micro-unit ints from the SHARED literal table, chi term
+# in round-half-away micro-units with the numpy expression shape
+ORACLE_SQL["benford_prices"] = """
+    WITH pos AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+      WHERE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0
+    ), obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM pos GROUP BY 1
+    ), p(digit, pm) AS (VALUES
+      (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM pos
+    ), j AS (
+      SELECT CAST(p.digit AS BIGINT) AS digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(tot.n * p.pm AS BIGINT) AS exp_micro,
+             CAST(tot.n * p.pm AS DOUBLE) / 1e6 AS e
+      FROM p LEFT JOIN obs o ON o.digit = p.digit CROSS JOIN tot
+    )
+    SELECT digit, n_obs, exp_micro,
+           CAST(round((CAST(n_obs AS DOUBLE) - e)
+                      * (CAST(n_obs AS DOUBLE) - e) / e * 1e6, 0)
+                AS BIGINT) AS chi_micro
+    FROM j ORDER BY digit
+"""
+
+# Flesch: whitespace words on the lowercased text, [.!?]+ sentence
+# runs clamped >= 1, vowel-group syllables + 1 per no-vowel word; the
+# double expression shape (a - b*(w/s) - c*(sy/w)) mirrors numpy
+# term-for-term so round6 replays bit-for-bit
+ORACLE_SQL["readability"] = """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), wd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN NOT regexp_matches(w, '[aeiouy]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novowel
+      FROM words GROUP BY doc_id
+    ), t AS (
+      SELECT doc_id,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_vg
+      FROM documents
+    )
+    SELECT wd.doc_id, wd.n_words, t.n_sentences,
+           (t.n_vg + wd.n_novowel) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(wd.n_words AS DOUBLE)
+                            / CAST(t.n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(t.n_vg + wd.n_novowel AS DOUBLE)
+                           / CAST(wd.n_words AS DOUBLE)), 6) AS flesch
+    FROM wd JOIN t USING (doc_id)
+    WHERE wd.n_words > 0
+    ORDER BY wd.doc_id
+"""
+
+# triangles over the supplier co-order graph: distinct membership,
+# canonical u<v edges, the a<b<c three-edge join, wedges from degrees
+ORACLE_SQL["triangle_suppliers"] = """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS g, CAST(l_suppkey AS BIGINT) AS s
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.s AS u, y.s AS v
+      FROM d x JOIN d y ON x.g = y.g AND x.s < y.s
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS dg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM e ab JOIN e bc ON ab.v = bc.u
+                JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT t FROM tri) AS n_triangles,
+           (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges
+"""
+
+# z-order layout: equi-width integer buckets from scalar min/max, the
+# generated bit-interleave (mechanical, mirrors ops/curate.zorder_keys
+# at bits=8), shard = z >> 13; profiles the same rows the Ray side
+# reads back from the written shards
+ORACLE_SQL["zorder_layout"] = """
+    WITH mm AS (
+      SELECT CAST(min(l_partkey) AS BIGINT) AS a_lo,
+             CAST(max(l_partkey) AS BIGINT) AS a_hi,
+             CAST(min(l_suppkey) AS BIGINT) AS b_lo,
+             CAST(max(l_suppkey) AS BIGINT) AS b_hi
+      FROM lineitem
+    ), b AS (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(l_partkey AS BIGINT) AS pk,
+             CAST(l_suppkey AS BIGINT) AS sk,
+             ((l_partkey - mm.a_lo) * 256)
+               // (mm.a_hi - mm.a_lo + 1) AS ba,
+             ((l_suppkey - mm.b_lo) * 256)
+               // (mm.b_hi - mm.b_lo + 1) AS bb
+      FROM lineitem CROSS JOIN mm
+    ), z AS (
+      SELECT l_orderkey, ln, pk, sk,
+             ((((ba >> 0) & 1) << 1)
+               + (((bb >> 0) & 1) << 0)
+               + (((ba >> 1) & 1) << 3)
+               + (((bb >> 1) & 1) << 2)
+               + (((ba >> 2) & 1) << 5)
+               + (((bb >> 2) & 1) << 4)
+               + (((ba >> 3) & 1) << 7)
+               + (((bb >> 3) & 1) << 6)
+               + (((ba >> 4) & 1) << 9)
+               + (((bb >> 4) & 1) << 8)
+               + (((ba >> 5) & 1) << 11)
+               + (((bb >> 5) & 1) << 10)
+               + (((ba >> 6) & 1) << 13)
+               + (((bb >> 6) & 1) << 12)
+               + (((ba >> 7) & 1) << 15)
+               + (((bb >> 7) & 1) << 14)) AS zval
+      FROM b
+    )
+    SELECT CAST(zval >> 13 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_orderkey * 7 + ln) AS BIGINT) AS checksum,
+           CAST(min(pk) AS BIGINT) AS pk_lo,
+           CAST(max(pk) AS BIGINT) AS pk_hi,
+           CAST(min(sk) AS BIGINT) AS sk_lo,
+           CAST(max(sk) AS BIGINT) AS sk_hi
+    FROM z GROUP BY 1 ORDER BY shard
 """

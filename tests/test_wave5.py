@@ -1,0 +1,201 @@
+"""Fifth-session round-4 ops: Benford profile, Flesch readability,
+triangle counting, z-order layout. Kernel-level brute-force parities +
+edge cases; end-to-end SQL parity runs in test_oracle_parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysketch.ops.curate import write_zorder_shards, zorder_keys
+from raysketch.ops.graph import cooccurrence_edges, triangle_count
+from raysketch.ops.rules import readability_scores
+from raysketch.ops.stats import BENFORD_MICRO, benford_profile
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+# ---------------------------------------------------------------------------
+# benford_profile
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_matches_direct_and_drops_nonpositive():
+    rng = np.random.default_rng(5)
+    # log-uniform magnitudes -> roughly Benford; sprinkle zeros/negatives
+    x = np.exp(rng.uniform(0, 10, 2000))
+    x[:25] = 0.0
+    x[25:50] = -3.5
+    out = benford_profile(_mk(pd.DataFrame({"v": x}), 6), "v").to_pandas()
+    cents = np.floor(x * 100 + 0.5).astype(np.int64)
+    cents = cents[cents > 0]
+    first = np.array([int(str(c)[0]) for c in cents])
+    want = np.bincount(first, minlength=10)[1:10]
+    assert out["digit"].tolist() == list(range(1, 10))
+    assert out["n_obs"].tolist() == want.tolist()
+    n = int(want.sum())
+    assert out["exp_micro"].tolist() == (n * BENFORD_MICRO).tolist()
+    e = (n * BENFORD_MICRO).astype(np.float64) / 1e6
+    term = (want.astype(np.float64) - e) ** 2 / e
+    chi = (np.sign(term) * np.floor(np.abs(term) * 1e6 + 0.5)).astype(int)
+    assert out["chi_micro"].tolist() == chi.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_all_rows_dropped_gives_zero_profile():
+    out = benford_profile(
+        _mk(pd.DataFrame({"v": [0.0, -1.0, 0.001]}), 1), "v").to_pandas()
+    # 0.001 scales to 0 cents -> dropped too
+    assert out["n_obs"].sum() == 0
+    assert (out["chi_micro"] == 0).all()
+    assert (out["exp_micro"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# readability_scores
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_readability_hand_computed():
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [
+            "The cat sat. It sat!",   # 5 words, 2 sentences, 5 vgroups
+            "tsk tsk",                # no vowels: syllable clamp, sent>=1
+            "Hello world",            # 2 words, 0 punct -> 1 sentence
+        ]})
+    out = readability_scores(_mk(docs, 2), "doc_id", "text") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [5, 2, 2]
+    assert out["n_sentences"].tolist() == [2, 1, 1]
+    # doc1: zero vowel groups but 2 words -> 2 clamped syllables
+    assert out["n_syllables"].tolist() == [5, 2, 3]
+    w, s, sy = 5.0, 2.0, 5.0
+    want = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+    want = np.floor(abs(want) * 1e6 + 0.5) / 1e6 * np.sign(want)
+    assert out["flesch"][0] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_readability_drops_wordless_docs():
+    docs = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                         "text": ["   ", "one. two."]})
+    out = readability_scores(_mk(docs, 1), "doc_id", "text").to_pandas()
+    assert out["doc_id"].tolist() == [2]
+
+
+# ---------------------------------------------------------------------------
+# triangle_count / cooccurrence_edges
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edges: set[tuple[int, int]]):
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    return len(nodes), len(edges), tri // 3, wedges
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_matches_brute_force():
+    rng = np.random.default_rng(2)
+    u = rng.integers(0, 40, 600).astype(np.int64)
+    v = rng.integers(0, 40, 600).astype(np.int64)
+    out = triangle_count(
+        _mk(pd.DataFrame({"a": u, "b": v}), 5), "a", "b").to_pandas()
+    edges = {(min(a, b), max(a, b)) for a, b in zip(u, v) if a != b}
+    nn, ne, nt, nw = _brute_triangles(edges)
+    assert out.iloc[0].tolist() == [nn, ne, nt, nw]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_self_loops_and_dups_ignored():
+    df = pd.DataFrame({"a": np.array([1, 1, 2, 3, 1], dtype=np.int64),
+                       "b": np.array([2, 2, 3, 1, 1], dtype=np.int64)})
+    out = triangle_count(_mk(df, 2), "a", "b").to_pandas()
+    # edges {1-2, 2-3, 1-3}: one triangle, 3 wedges
+    assert out.iloc[0].tolist() == [3, 3, 1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_edges_pairs_per_group():
+    df = pd.DataFrame({
+        "g": np.array([1, 1, 1, 2, 2, 2, 2], dtype=np.int64),
+        "i": np.array([10, 11, 10, 20, 21, 22, 20], dtype=np.int64)})
+    out = (cooccurrence_edges(_mk(df, 3), "g", "i").to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    # group1 members {10,11} -> (10,11); group2 {20,21,22} -> 3 pairs
+    want = [(10, 11), (20, 21), (20, 22), (21, 22)]
+    assert list(map(tuple, out.itertuples(index=False))) == want
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_keys_interleave_reference():
+    rng = np.random.default_rng(8)
+    a = rng.integers(1, 500, 300).astype(np.int64)
+    b = rng.integers(1, 90, 300).astype(np.int64)
+    z = zorder_keys(a, b, 1, 499, 1, 89, bits=8)
+
+    def ref(av, bv):
+        ba = (av - 1) * 256 // 499
+        bb = (bv - 1) * 256 // 89
+        out = 0
+        for i in range(8):
+            out |= ((ba >> i) & 1) << (2 * i + 1)
+            out |= ((bb >> i) & 1) << (2 * i)
+        return out
+
+    assert z.tolist() == [ref(x, y) for x, y in zip(a, b)]
+    assert z.min() >= 0 and z.max() < 1 << 16
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_zorder_shards_locality_and_validation(tmp_path):
+    from raysketch.engine.sinks import read_back
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 1000, 4000).astype(np.int64),
+        "b": rng.integers(0, 1000, 4000).astype(np.int64),
+    })
+    root, (alo, ahi, blo, bhi) = write_zorder_shards(
+        _mk(df, 4), str(tmp_path / "z"), "a", "b", bits=8, n_shards=8)
+    assert (alo, ahi, blo, bhi) == (df["a"].min(), df["a"].max(),
+                                    df["b"].min(), df["b"].max())
+    back = read_back(root).to_pandas()
+    back["shard"] = back["shard"].astype("int64")
+    assert len(back) == len(df)
+    # routing is exactly z >> 13, and shards are contiguous z-ranges
+    z = zorder_keys(back["a"].to_numpy(np.int64),
+                    back["b"].to_numpy(np.int64),
+                    int(alo), int(ahi), int(blo), int(bhi), bits=8)
+    assert (back["shard"].to_numpy(np.int64) == (z >> 13)).all()
+    # z-order locality: every shard's a-range and b-range must each
+    # span at most half the domain (one leading bit is fixed per axis
+    # after 3 shard bits... top shard bits pin a's top bits 2:1)
+    g = back.groupby("shard")
+    assert g.ngroups == 8
+    for _, sub in g:
+        za = zorder_keys(sub["a"].to_numpy(np.int64),
+                         sub["b"].to_numpy(np.int64),
+                         int(alo), int(ahi), int(blo), int(bhi), 8)
+        lo, hi = int(za.min()) >> 13, int(za.max()) >> 13
+        assert lo == hi
+    with pytest.raises(ValueError, match="power of two"):
+        write_zorder_shards(_mk(df, 2), str(tmp_path / "z2"), "a", "b",
+                            n_shards=6)
+    with pytest.raises(ValueError, match="exceeds"):
+        write_zorder_shards(_mk(df, 2), str(tmp_path / "z3"), "a", "b",
+                            bits=1, n_shards=32)
