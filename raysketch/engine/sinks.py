@@ -116,3 +116,38 @@ def read_partition(path: str, col: str, value) -> "object":
     if not os.path.isdir(sub):
         raise FileNotFoundError(f"{sub}: no such partition")
     return rd.read_parquet(sub, file_extensions=["parquet"])
+
+
+def parquet_files(path: str) -> list[str]:
+    """All .parquet leaf files under a sink output (sorted)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def compact_dataset(path: str, out_path: str,
+                    target_files: int) -> dict[str, int]:
+    """Small-file compaction (the lakehouse OPTIMIZE primitive): read a
+    sink output back and rewrite it as ~``target_files`` parquet files,
+    preserving every row. A long-running ingest leaves one file per
+    block per micro-batch; metadata-bound readers want few large files
+    — at warehouse scale run this per partition directory so each
+    compaction is an independent, resumable unit.
+
+    Streaming repartition + the atomic staged write (``write_dataset``)
+    — a crash mid-compaction leaves the source untouched and no
+    readable half-output. Returns ``{"files_before", "files_after",
+    "n_rows"}``; content equality is the caller's oracle to check
+    (row-level checksums survive because rows are moved, never
+    transformed)."""
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    before = len(parquet_files(path))
+    ds = read_back(path).repartition(target_files)
+    write_dataset(ds, out_path)
+    after = len(parquet_files(out_path))
+    n_rows = read_back(out_path).count()
+    return {"files_before": before, "files_after": after,
+            "n_rows": int(n_rows)}

@@ -16,6 +16,9 @@ a trillion rows); the op validates the per-partial bound it can see.
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -71,6 +74,13 @@ def grouped_moments(ds, group_col: str, value_col: str) -> pa.Table:
             "kurtosis": pa.array([], pa.float64())})
     agg = parts.groupby("g", as_index=False).sum().sort_values("g") \
         .reset_index(drop=True)
+    return _finalize_moments(agg, group_col)
+
+
+def _finalize_moments(agg: pd.DataFrame, group_col: str) -> pa.Table:
+    """Sample-adjusted G1/G2 formulas over a folded power-sum state
+    (columns g, n, s1..s4) — the shared finalize step of
+    :func:`grouped_moments` and :func:`incremental_moments`."""
     n = agg["n"].to_numpy(np.int64).astype(np.float64)
     s1 = agg["s1"].to_numpy(np.int64).astype(np.float64)
     s2 = agg["s2"].to_numpy(np.int64).astype(np.float64)
@@ -618,3 +628,106 @@ def benford_profile(ds, value_col: str, scale: int = 100) -> pa.Table:
         "n_obs": pa.array(obs, pa.int64()),
         "exp_micro": pa.array(exp_micro, pa.int64()),
         "chi_micro": pa.array(chi, pa.int64())})
+
+
+def _moments_state(ds, group_col: str, value_col: str) -> pd.DataFrame:
+    """Folded per-group int64 power-sum state (g, n, s1..s4) of a
+    Dataset — one streaming pass, the grouped_moments partial shape."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi, v.astype(np.float64)):
+            raise ValueError(
+                f"moments: {value_col} must be integer-valued")
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        df = pd.DataFrame({
+            "g": g, "n": np.ones(len(vi), dtype=np.int64),
+            "s1": vi, "s2": vi * vi, "s3": vi * vi * vi,
+            "s4": (vi * vi) * (vi * vi)})
+        out = df.groupby("g", sort=False, as_index=False).sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            **{c: pa.array(out[c].to_numpy(np.int64))
+               for c in ("n", "s1", "s2", "s3", "s4")}})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pd.DataFrame(columns=["g", "n", "s1", "s2", "s3", "s4"])
+    return parts.groupby("g", as_index=False).sum()
+
+
+def incremental_moments(state_path: str, delta_ds, group_col: str,
+                        value_col: str) -> pa.Table:
+    """Incremental aggregate maintenance: fold a DELTA batch into a
+    PERSISTED per-group power-sum state table and return the finalized
+    moments over everything absorbed so far — the warehouse pattern
+    (maintain the narrow mergeable state, never re-scan history; the
+    sketch_warehouse discipline applied to exact moments).
+
+    The state parquet holds |groups| rows of int64 (g, n, s1..s4);
+    power sums are order-free integers, so ANY split of the corpus
+    into increments — including block/run boundaries — finalizes
+    bit-identically to one full recompute. The updated state is
+    published atomically (temp file + rename); a crash leaves the old
+    state readable. A missing ``state_path`` means "first increment"."""
+    import pyarrow.parquet as pq
+
+    new = _moments_state(delta_ds, group_col, value_col)
+    if os.path.exists(state_path):
+        old = pq.read_table(state_path).to_pandas()
+        new = pd.concat([old, new], ignore_index=True) \
+            .groupby("g", as_index=False).sum()
+    agg = new.sort_values("g").reset_index(drop=True)
+    for c in ("n", "s1", "s2", "s3", "s4"):
+        agg[c] = agg[c].astype("int64")
+    tmp = f"{state_path}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(agg, preserve_index=False), tmp)
+    os.replace(tmp, state_path)
+    return _finalize_moments(agg, group_col)
+
+
+
+def weighted_quantiles(ds, value_col: str, weight_col: str,
+                       qs: list[float]) -> pa.Table:
+    """Exact WEIGHTED discrete quantiles of a bounded-integer-domain
+    column — "the median TOKEN lives in a doc with value X" (weight =
+    token count), the corpus-mass view plain quantiles miss. One
+    counting pass: each block reduces to a (value, total-weight)
+    histogram partial; the driver folds value-domain-sized rows and
+    applies the discrete rule ``smallest v with cumw ≥ ceil(q·W)``
+    (integer thresholds — the quantile_disc ceil(q·n) family, so the
+    SQL window-cumsum oracle replays it exactly). Weights must be
+    non-negative integers."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False)
+        wi = w.astype(np.int64)
+        if not np.array_equal(wi, w.astype(np.float64)) or (wi < 0).any():
+            raise ValueError(
+                f"weighted_quantiles: {weight_col} must be "
+                "non-negative integers")
+        df = pd.DataFrame({"v": v, "w": wi})
+        g = df.groupby("v", as_index=False)["w"].sum()
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "w": pa.array(g["w"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or parts["w"].sum() == 0:
+        raise ValueError("weighted_quantiles: zero total weight")
+    hist = parts.groupby("v", as_index=False)["w"].sum() \
+        .sort_values("v").reset_index(drop=True)
+    vals = hist["v"].to_numpy(np.int64)
+    cumw = hist["w"].to_numpy(np.int64).cumsum()
+    W = int(cumw[-1])
+    out_q, out_v = [], []
+    for q in qs:
+        t = max(int(math.ceil(q * W)), 1)  # binary q*W ≥ decimal (0<q≤1)
+        out_q.append(float(q))
+        out_v.append(int(vals[np.searchsorted(cumw, t, side="left")]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -4858,6 +4858,116 @@ def q_zorder_layout(sf_dir: str) -> pa.Table:
     })
 
 
+def q_sliding_top_users(sf_dir: str) -> pa.Table:
+    """Trailing-24h top-5 users every 6 hours (ops/window.sliding_topk):
+    ONE scan reduces each block to per-hour SpaceSaving partials; every
+    sliding window merges its member hours' sketches — the heavy-hitter
+    sibling of sliding_active_users. k=4096 keeps the summary in exact
+    mode (err == 0) at every tested scale, so the count-rank-QUALIFY
+    oracle replays it bit-for-bit."""
+    from .ops.window import sliding_topk
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return sliding_topk(ds, "ts", "user_id",
+                        window_hours=24, slide_hours=6, top_n=5)
+
+
+def q_compacted_export(sf_dir: str) -> pa.Table:
+    """Small-file compaction (engine/sinks.compact_dataset): the corpus
+    is written as 32 block-sized files (a micro-batch ingest's debris),
+    compacted to ≤4, and the row-content checksum folds from the
+    COMPACTED bytes — the oracle gates that OPTIMIZE moved every row
+    untouched. File-count assertions are structural (checked in code;
+    not SQL-expressible)."""
+    import uuid
+
+    from .engine.sinks import compact_dataset, read_back, write_dataset
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    base = os.path.join(
+        "/tmp/raysketch_compact",
+        f"c_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    write_dataset(ds.repartition(32), base + "/small")
+    info = compact_dataset(base + "/small", base + "/big", target_files=4)
+    if not (info["files_after"] <= 4 < info["files_before"]):
+        raise AssertionError(f"compaction layout wrong: {info}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_rows": pa.array([len(ids)], pa.int64()),
+            "checksum": pa.array([int((ids * nc).sum())], pa.int64())})
+
+    parts = read_back(base + "/big") \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        "checksum": pa.array([int(parts["checksum"].sum())], pa.int64())})
+
+
+def q_incremental_moments(sf_dir: str) -> pa.Table:
+    """Incremental aggregate maintenance (ops/stats.incremental_moments):
+    the per-group power-sum state is built from the pre-1996H2 slice of
+    lineitem, PERSISTED, then a second increment folds in the rest —
+    order-free int64 sums make the two-increment finalize bit-identical
+    to one full recompute, which is exactly what the full-table moments
+    oracle checks."""
+    import uuid
+
+    from .ops.stats import incremental_moments
+
+    state = os.path.join(
+        "/tmp/raysketch_incr_state",
+        f"s_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}.parquet")
+    os.makedirs(os.path.dirname(state), exist_ok=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_linestatus", "l_quantity", "l_shipdate"])
+    cutoff = pd.Timestamp("1996-06-30")
+
+    def before(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["l_shipdate"], pa.scalar(cutoff)))
+
+    def after(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["l_shipdate"],
+                                         pa.scalar(cutoff)))
+
+    incremental_moments(state, li.map_batches(before,
+                                              batch_format="pyarrow"),
+                        "l_linestatus", "l_quantity")
+    out = incremental_moments(state, li.map_batches(after,
+                                                    batch_format="pyarrow"),
+                              "l_linestatus", "l_quantity")
+    os.unlink(state)
+    return out.rename_columns(
+        ["l_linestatus", "n", "mean", "stddev", "skewness", "kurtosis"])
+
+
+def q_token_weighted_len(sf_dir: str) -> pa.Table:
+    """Token-WEIGHTED doc-length quantiles
+    (ops/stats.weighted_quantiles): where the corpus' token mass sits —
+    "the median token lives in a doc of n_chars X", the view plain
+    per-doc quantiles miss. One counting pass over (n_chars → token
+    count) histogram partials; the discrete ceil(q·W) rule replays in
+    a SQL window cumsum (q CAST to DOUBLE on both sides so the ceil
+    sees the same binary product)."""
+    from .ops.stats import weighted_quantiles
+
+    ds = _read(sf_dir, "documents", ["n_chars", "text"])
+
+    def add_tokens(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["text"].to_pylist(), dtype="object")
+        nt = s.str.count(r"\S+").to_numpy(np.int64)
+        return pa.table({"n_chars": b["n_chars"],
+                         "n_tokens": pa.array(nt, pa.int64())})
+
+    wt = ds.map_batches(add_tokens, batch_format="pyarrow")
+    return weighted_quantiles(wt, "n_chars", "n_tokens",
+                              qs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 # Registry order is the DRIVER-CHECK rotation (round-4 verdict item
 # #3): the external correctness gate checks the FIRST 50 entries, so
 # the window holds 50 queries that are BOTH oracle-gated and have
@@ -4865,6 +4975,10 @@ def q_zorder_layout(sf_dir: str) -> pa.Table:
 # the round-3/4 backlog); rows-only entries and everything checked in
 # r1-r3 trail, gated by tests/test_oracle_parity.py's full sweep.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "sliding_top_users": q_sliding_top_users,
+    "compacted_export": q_compacted_export,
+    "incremental_moments": q_incremental_moments,
+    "token_weighted_len": q_token_weighted_len,
     "benford_prices": q_benford_prices,
     "readability": q_readability,
     "triangle_suppliers": q_triangle_suppliers,
@@ -7516,4 +7630,73 @@ ORACLE_SQL["zorder_layout"] = """
            CAST(min(sk) AS BIGINT) AS sk_lo,
            CAST(max(sk) AS BIGINT) AS sk_hi
     FROM z GROUP BY 1 ORDER BY shard
+"""
+
+# sliding top-k: per-window counts, rank by (n DESC, user ASC), top 5;
+# exact-mode SpaceSaving (distinct-per-window <= k) makes the sketch
+# side bit-equal to the plain GROUP BY counts
+ORACLE_SQL["sliding_top_users"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour, user_id FROM events
+    ), b AS (
+      SELECT min(hour) AS h0, max(hour) AS h1 FROM e
+    ), w AS (
+      SELECT unnest(range(b.h0, b.h1 + 1, 6)) AS ws FROM b
+    ), c AS (
+      SELECT w.ws, e.user_id, CAST(count(*) AS BIGINT) AS n
+      FROM w JOIN e ON e.hour >= w.ws AND e.hour < w.ws + 24
+      GROUP BY w.ws, e.user_id
+    )
+    SELECT ws AS window_start,
+           CAST(row_number() OVER (PARTITION BY ws
+                ORDER BY n DESC, user_id) AS BIGINT) AS rank,
+           user_id AS key, n AS n_events
+    FROM c
+    QUALIFY rank <= 5
+    ORDER BY window_start, rank
+"""
+
+# compaction preserves content: count + id·len checksum over the
+# source table must equal the fold over the COMPACTED bytes
+ORACLE_SQL["compacted_export"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id * n_chars) AS BIGINT) AS checksum
+    FROM documents
+"""
+
+# two persisted increments == one full recompute (order-free integer
+# power sums), so the oracle is simply the full-table moments
+ORACLE_SQL["incremental_moments"] = """
+    SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_quantity), 6) AS mean,
+           round(stddev_samp(l_quantity), 6) AS stddev,
+           round(skewness(l_quantity), 6) AS skewness,
+           round(kurtosis(l_quantity), 6) AS kurtosis
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+# token-weighted quantiles: histogram cumsum, smallest value whose
+# cumulative token weight >= ceil(q·W) (q DOUBLE both sides so the
+# ceil sees the same binary product; threshold clamped >= 1)
+ORACLE_SQL["token_weighted_len"] = """
+    WITH wt AS (
+      SELECT n_chars AS v,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS w
+      FROM documents
+    ), h AS (
+      SELECT v, CAST(sum(w) AS BIGINT) AS w FROM wt GROUP BY v
+    ), c AS (
+      SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cumw FROM h
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw FROM h
+    ), qs(q) AS (
+      VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+             (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+             (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+    )
+    SELECT qs.q, CAST(min(c.v) AS BIGINT) AS value
+    FROM qs CROSS JOIN tot
+    JOIN c ON c.cumw >= greatest(CAST(ceil(qs.q * tot.tw) AS BIGINT), 1)
+    GROUP BY qs.q ORDER BY qs.q
 """

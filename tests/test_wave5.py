@@ -199,3 +199,147 @@ def test_write_zorder_shards_locality_and_validation(tmp_path):
     with pytest.raises(ValueError, match="exceeds"):
         write_zorder_shards(_mk(df, 2), str(tmp_path / "z3"), "a", "b",
                             bits=1, n_shards=32)
+
+
+# ---------------------------------------------------------------------------
+# sliding_topk
+# ---------------------------------------------------------------------------
+
+def _mk_events(n: int, n_users: int, hours: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = 400_000 * 3_600_000_000
+    us = base + rng.integers(0, hours * 3_600_000_000, n)
+    return pd.DataFrame({
+        "ts": pd.to_datetime(np.sort(us), unit="us"),
+        "uid": rng.integers(0, n_users, n).astype(np.int64),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliding_topk_matches_brute_force():
+    from raysketch.ops.window import sliding_topk
+
+    df = _mk_events(4000, 60, hours=60, seed=13)
+    out = sliding_topk(_mk(df, 5), "ts", "uid", window_hours=24,
+                       slide_hours=6, top_n=4).to_pandas()
+    hour = (df["ts"].astype("int64") // 1000) // 3_600_000_000
+    want = []
+    for ws in range(int(hour.min()), int(hour.max()) + 1, 6):
+        m = (hour >= ws) & (hour < ws + 24)
+        if not m.any():
+            continue
+        vc = (df.loc[m].groupby("uid").size().rename("n").reset_index()
+              .sort_values(["n", "uid"], ascending=[False, True]).head(4))
+        for r, (u, n) in enumerate(zip(vc["uid"], vc["n"]), 1):
+            want.append((ws, r, int(u), int(n)))
+    assert list(map(tuple, out.itertuples(index=False))) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliding_topk_validates():
+    from raysketch.ops.window import sliding_topk
+
+    df = _mk_events(10, 3, hours=2, seed=1)
+    with pytest.raises(ValueError):
+        sliding_topk(_mk(df, 1), "ts", "uid", top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# compact_dataset
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_dataset_preserves_rows(tmp_path):
+    from raysketch.engine.sinks import (compact_dataset, parquet_files,
+                                        read_back, write_dataset)
+
+    df = pd.DataFrame({"x": np.arange(5000, dtype=np.int64)})
+    write_dataset(_mk(df, 16), str(tmp_path / "small"))
+    assert len(parquet_files(str(tmp_path / "small"))) == 16
+    info = compact_dataset(str(tmp_path / "small"),
+                           str(tmp_path / "big"), target_files=2)
+    assert info["files_before"] == 16
+    assert info["files_after"] <= 2
+    assert info["n_rows"] == 5000
+    back = read_back(str(tmp_path / "big")).to_pandas()
+    assert sorted(back["x"]) == list(range(5000))
+    with pytest.raises(ValueError):
+        compact_dataset(str(tmp_path / "small"),
+                        str(tmp_path / "big2"), target_files=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental_moments
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_equals_full_recompute(tmp_path):
+    from raysketch.ops.stats import grouped_moments, incremental_moments
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 3000),
+        "v": rng.integers(-40, 41, 3000).astype(np.int64)})
+    full = grouped_moments(_mk(df, 4), "g", "v").to_pandas()
+    state = str(tmp_path / "state.parquet")
+    # three arbitrary increments, any split boundary
+    out = None
+    for lo, hi in ((0, 1100), (1100, 1101), (1101, 3000)):
+        out = incremental_moments(
+            state, _mk(df.iloc[lo:hi], 3), "g", "v").to_pandas()
+    # bit-identical to one full recompute (order-free integer sums)
+    pd.testing.assert_frame_equal(out, full)
+    # state file holds exactly the folded power sums
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(state).to_pandas()
+    assert st["n"].sum() == 3000
+    assert (st["s1"].sum()) == df["v"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_rejects_noninteger(tmp_path):
+    from raysketch.ops.stats import incremental_moments
+
+    df = pd.DataFrame({"g": ["a"], "v": [1.5]})
+    with pytest.raises(Exception, match="integer"):
+        incremental_moments(str(tmp_path / "s.parquet"),
+                            _mk(df, 1), "g", "v")
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_quantiles_matches_expansion():
+    import math
+
+    from raysketch.ops.stats import weighted_quantiles
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "v": rng.integers(0, 50, 800).astype(np.int64),
+        "w": rng.integers(0, 7, 800).astype(np.int64)})
+    qs = [0.01, 0.5, 0.9, 1.0]
+    out = weighted_quantiles(_mk(df, 4), "v", "w", qs).to_pandas()
+    # expand to the weighted multiset and apply the discrete rule
+    expanded = np.sort(np.repeat(df["v"].to_numpy(), df["w"].to_numpy()))
+    W = len(expanded)
+    want = [int(expanded[max(math.ceil(q * W), 1) - 1]) for q in qs]
+    assert out["value"].tolist() == want
+    assert out["q"].tolist() == qs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_quantiles_validation():
+    from raysketch.ops.stats import weighted_quantiles
+
+    df = pd.DataFrame({"v": [1, 2], "w": [0, 0]})
+    with pytest.raises(Exception, match="zero total weight"):
+        weighted_quantiles(_mk(df, 1), "v", "w", [0.5])
+    df2 = pd.DataFrame({"v": [1], "w": [-2]})
+    with pytest.raises(Exception, match="non-negative"):
+        weighted_quantiles(_mk(df2, 1), "v", "w", [0.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_quantiles(_mk(df, 1), "v", "w", [])
