@@ -151,3 +151,97 @@ def compact_dataset(path: str, out_path: str,
     n_rows = read_back(out_path).count()
     return {"files_before": before, "files_after": after,
             "n_rows": int(n_rows)}
+
+
+def write_zone_map(path: str, cols: list[str]) -> str:
+    """Build a per-FILE zone map — (file, column, vmin, vmax, nulls,
+    rows) — for a sink output and publish it atomically as
+    ``path/_zonemap.parquet``. The stats come from the parquet FOOTERS
+    (row-group statistics the writer already embedded), so building the
+    map is metadata-bound: no data pages are read at any corpus size.
+    Footer reads fan out as a Ray Data pass over the file list. Columns
+    must be numeric/temporal (zone bounds are stored as float64 —
+    exact for ints up to 2^53; timestamps use epoch-us)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"{path}: no parquet files")
+
+    def footers(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.parquet as pq
+
+        out = {"file": [], "column": [], "vmin": [], "vmax": [],
+               "nulls": [], "rows": []}
+        for f in batch["item"].to_pylist():
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(j).name: j
+                   for j in range(md.num_columns)}
+            for c in cols:
+                if c not in idx:
+                    raise KeyError(f"{f}: no column {c!r}")
+                vmin = vmax = None
+                nulls = 0
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"{f}: no statistics for {c!r}")
+                    mn, mx = st.min, st.max
+                    if hasattr(mn, "timestamp"):  # datetime → epoch-us
+                        mn = int(mn.timestamp() * 1e6)
+                        mx = int(mx.timestamp() * 1e6)
+                    vmin = mn if vmin is None else min(vmin, mn)
+                    vmax = mx if vmax is None else max(vmax, mx)
+                    nulls += st.null_count or 0
+                out["file"].append(os.path.relpath(f, path))
+                out["column"].append(c)
+                out["vmin"].append(float(vmin))
+                out["vmax"].append(float(vmax))
+                out["nulls"].append(int(nulls))
+                out["rows"].append(int(md.num_rows))
+        return pa.table({
+            "file": pa.array(out["file"], pa.string()),
+            "column": pa.array(out["column"], pa.string()),
+            "vmin": pa.array(out["vmin"], pa.float64()),
+            "vmax": pa.array(out["vmax"], pa.float64()),
+            "nulls": pa.array(out["nulls"], pa.int64()),
+            "rows": pa.array(out["rows"], pa.int64())})
+
+    zm = (rd.from_items(files, override_num_blocks=min(len(files), 32))
+          .map_batches(footers, batch_format="pyarrow").to_pandas())
+    target = os.path.join(path, "_zonemap.parquet")
+    tmp = f"{target}.tmp-{os.getpid()}"
+    pq.write_table(
+        pa.Table.from_pandas(zm.sort_values(["file", "column"])
+                             .reset_index(drop=True),
+                             preserve_index=False), tmp)
+    os.replace(tmp, target)
+    return target
+
+
+def read_pruned_range(path: str, col: str, lo, hi):
+    """Zone-map file skipping: a Dataset over ONLY the files whose
+    ``[vmin, vmax]`` zone for ``col`` overlaps ``[lo, hi]`` — the
+    metadata-only pruning step a warehouse scan runs before touching
+    data (zones are necessary, not sufficient: the caller still
+    applies the residual row filter). Requires a prior
+    :func:`write_zone_map`. Returns ``(dataset_or_None,
+    files_scanned, files_total)`` — None when every file prunes."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    zpath = os.path.join(path, "_zonemap.parquet")
+    if not os.path.exists(zpath):
+        raise FileNotFoundError(f"{zpath}: run write_zone_map first")
+    zm = pq.read_table(zpath).to_pandas()
+    zm = zm[zm["column"] == col]
+    if zm.empty:
+        raise KeyError(f"zone map has no column {col!r}")
+    keep = zm[(zm["vmax"] >= float(lo)) & (zm["vmin"] <= float(hi))]
+    total = len(zm)
+    if keep.empty:
+        return None, 0, total
+    files = [os.path.join(path, f) for f in keep["file"]]
+    return rd.read_parquet(files), len(files), total

@@ -652,6 +652,9 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
         df = df.drop_duplicates(["g", "i"])
         m = df.merge(df, on="g")
         m = m[m["i_x"] < m["i_y"]]
+        # bucket-local pair dedup: cross-group repeats collapse here,
+        # shrinking the downstream edge-dedup shuffle
+        m = m.drop_duplicates(["i_x", "i_y"])
         return pd.DataFrame({"u": m["i_x"].to_numpy(np.int64),
                              "v": m["i_y"].to_numpy(np.int64)})
 

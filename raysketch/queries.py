@@ -4974,7 +4974,55 @@ def q_token_weighted_len(sf_dir: str) -> pa.Table:
 # never had a driver CORRECTNESS row (late-round-4 wave first, then
 # the round-3/4 backlog); rows-only entries and everything checked in
 # r1-r3 trail, gated by tests/test_oracle_parity.py's full sweep.
+def q_pruned_scan(sf_dir: str) -> pa.Table:
+    """Zone-map file skipping (engine/sinks.write_zone_map +
+    read_pruned_range): the corpus is written range-clustered on
+    n_chars, a per-file min/max zone map is built from the parquet
+    FOOTERS (metadata-only — no data pages read), and the scan for
+    ``n_chars BETWEEN 100 AND 200`` opens ONLY the overlapping files
+    (asserted in code: scanned < total) before the residual row filter.
+    The aggregate over the pruned+filtered rows is what the full-table
+    oracle replays — gating that pruning never drops a qualifying row."""
+    import shutil
+    import uuid
+
+    from .engine.sinks import read_pruned_range, write_zone_map
+    from .ops.curate import write_range_shards
+
+    lo, hi = 100, 200
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    root = os.path.join(
+        "/tmp/raysketch_zonemap",
+        f"p_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    try:
+        write_range_shards(ds, root, "n_chars", n_shards=8)
+        write_zone_map(root, ["n_chars"])
+        pruned, scanned, total = read_pruned_range(root, "n_chars", lo, hi)
+        if not (pruned is not None and scanned < total):
+            raise AssertionError(
+                f"zone map did not prune: {scanned}/{total}")
+
+        def partial(b: pa.Table) -> pa.Table:
+            nc = b["n_chars"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = (nc >= lo) & (nc <= hi)  # residual filter
+            return pa.table({
+                "n_docs": pa.array([int(m.sum())], pa.int64()),
+                "sum_chars": pa.array([int(nc[m].sum())], pa.int64())})
+
+        parts = pruned.map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+        return pa.table({
+            "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+            "sum_chars": pa.array([int(parts["sum_chars"].sum())],
+                                  pa.int64())})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "pruned_scan": q_pruned_scan,
     "sliding_top_users": q_sliding_top_users,
     "compacted_export": q_compacted_export,
     "incremental_moments": q_incremental_moments,
@@ -7699,4 +7747,12 @@ ORACLE_SQL["token_weighted_len"] = """
     FROM qs CROSS JOIN tot
     JOIN c ON c.cumw >= greatest(CAST(ceil(qs.q * tot.tw) AS BIGINT), 1)
     GROUP BY qs.q ORDER BY qs.q
+"""
+
+# zone-map pruned scan: pruning is metadata-only and conservative, so
+# the pruned+residual aggregate must equal the plain full-table filter
+ORACLE_SQL["pruned_scan"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE n_chars BETWEEN 100 AND 200
 """

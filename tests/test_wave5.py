@@ -343,3 +343,57 @@ def test_weighted_quantiles_validation():
         weighted_quantiles(_mk(df2, 1), "v", "w", [0.5])
     with pytest.raises(ValueError, match="non-empty"):
         weighted_quantiles(_mk(df, 1), "v", "w", [])
+
+
+# ---------------------------------------------------------------------------
+# zone map / pruned read
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_zone_map_prunes_conservatively(tmp_path):
+    import pyarrow.parquet as pq
+
+    from raysketch.engine.sinks import (read_pruned_range, write_dataset,
+                                        write_zone_map)
+    from raysketch.ops.curate import write_range_shards
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"k": rng.integers(0, 1000, 6000).astype(np.int64),
+                       "x": np.arange(6000, dtype=np.int64)})
+    root = str(tmp_path / "rs")
+    write_range_shards(_mk(df, 4), root, "k", n_shards=8)
+    zpath = write_zone_map(root, ["k"])
+    zm = pq.read_table(zpath).to_pandas()
+    assert zm["rows"].sum() // 1 >= 6000  # every file mapped
+    # zones really are per-file min/max
+    for _, r in zm.iterrows():
+        sub = pq.read_table(f"{root}/{r['file']}").to_pandas()
+        assert r["vmin"] == sub["k"].min()
+        assert r["vmax"] == sub["k"].max()
+    lo, hi = 300, 420
+    pruned, scanned, total = read_pruned_range(root, "k", lo, hi)
+    assert 0 < scanned < total
+    back = pruned.to_pandas()
+    kk = back["k"].to_numpy(np.int64)
+    got = np.sort(kk[(kk >= lo) & (kk <= hi)])
+    want = np.sort(df.loc[(df["k"] >= lo) & (df["k"] <= hi), "k"]
+                   .to_numpy(np.int64))
+    assert np.array_equal(got, want)  # pruning lost no qualifying row
+    # disjoint window beyond the domain: everything prunes
+    none_ds, s0, t0 = read_pruned_range(root, "k", 5000, 6000)
+    assert none_ds is None and s0 == 0 and t0 == total
+    with pytest.raises(KeyError):
+        read_pruned_range(root, "nope", 0, 1)
+    with pytest.raises(FileNotFoundError):
+        write_dataset(_mk(df, 2), str(tmp_path / "bare"))
+        read_pruned_range(str(tmp_path / "bare"), "k", 0, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zone_map_missing_column_raises(tmp_path):
+    from raysketch.engine.sinks import write_dataset, write_zone_map
+
+    df = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    write_dataset(_mk(df, 2), str(tmp_path / "d"))
+    with pytest.raises(Exception, match="no column"):
+        write_zone_map(str(tmp_path / "d"), ["zz"])
