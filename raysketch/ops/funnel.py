@@ -339,3 +339,72 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
                / agg["cohort_size"].to_numpy(np.int64).astype(np.float64)),
             pa.float64()),
     })
+
+
+def session_paths(ds, user_col: str, ts_col: str, type_col: str,
+                  tiebreak_col: str, gap_us: int, k: int = 3,
+                  top_n: int = 20, num_buckets: int = 256) -> pa.Table:
+    """Top common session-opening paths: sessionize each user's event
+    stream by gap (> ``gap_us`` starts a new session, the
+    ``ops/window.sessionize`` rule), take each session's FIRST ``k``
+    event types in (ts, tiebreak) order, join them into a path string
+    ("view > cart > buy"), and return the ``top_n`` paths by session
+    count — the entry-journey report a product pipeline derives from a
+    clickstream.
+
+    Plan: ONE coarse ``hash(user)`` shuffle co-locates each user's
+    events; the per-bucket fold is vectorized end-to-end (sort, gap
+    flags, cumsum session ids, rank, pivot the first-k ranks into k
+    string COLUMNS and concat column-wise — never a per-session Python
+    join) and emits (path, n) partials; the driver folds path counts
+    (bounded by |event types|^k, a domain, not a row count) and cuts
+    ``top_n`` by (n DESC, path ASC)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    if gap_us <= 0 or k < 1 or top_n < 1:
+        raise ValueError("gap_us, k and top_n must be positive")
+
+    def coarse(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.select([user_col, ts_col, tiebreak_col, type_col])
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        b = b.append_column("__t", pc.cast(ts, pa.int64()))
+        return append_coarse_bucket(b, [user_col], num_buckets, "__pb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values([user_col, "__t", tiebreak_col],
+                            kind="mergesort").reset_index(drop=True)
+        u = df[user_col].to_numpy()
+        t = df["__t"].to_numpy(np.int64)
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_us)
+        sid = np.cumsum(new)
+        df = df.assign(__sid=sid)
+        df["__r"] = df.groupby("__sid").cumcount()
+        head = df[df["__r"] < k]
+        pv = head.pivot(index="__sid", columns="__r", values=type_col)
+        path = pv[0].astype(str)
+        for i in range(1, k):
+            if i in pv.columns:
+                ext = path + " > " + pv[i].astype(str)
+                path = path.where(pv[i].isna(), ext)
+        out = path.groupby(path).size().rename("n").reset_index(name="n")
+        out.columns = ["path", "n"]
+        return out
+
+    parts = (ds.map_batches(coarse, batch_format="pyarrow")
+             .groupby("__pb")
+             .map_groups(lambda df: fold(df.drop(columns="__pb")),
+                         batch_format="pandas")).to_pandas()
+    agg = parts.groupby("path", as_index=False)["n"].sum() \
+        .sort_values(["n", "path"], ascending=[False, True],
+                     kind="mergesort").head(top_n).reset_index(drop=True)
+    return pa.table({
+        "path": pa.array(agg["path"].to_numpy(object), pa.string()),
+        "n_sessions": pa.array(agg["n"].to_numpy(np.int64), pa.int64())})

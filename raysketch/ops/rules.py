@@ -381,3 +381,75 @@ def readability_scores(ds, id_col: str = "doc_id",
             "flesch": pa.array(_round6(flesch), pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (per-group drift vs rest of corpus)
+# ---------------------------------------------------------------------------
+
+def psi_drift(ds, group_col: str, value_col: str,
+              num_buckets: int = 64) -> pa.Table:
+    """Per-group Population Stability Index — THE production drift
+    metric (credit-scoring lineage; the standard alarm thresholds are
+    0.1/0.25): for every group g,
+
+        psi = Σ_v (p_v − q_v) · ln(p_v / q_v)
+
+    between the group's integer ``value_col`` distribution (p) and the
+    REST of the corpus (q), Laplace-smoothed over the corpus' distinct
+    value set so empty cells never hit ln(0). Terms are ≥ 0 by
+    construction ((p−q) and ln(p/q) share sign) and round half-away to
+    INTEGER micro-units per term, so the statistic is an order-free
+    int64 the SQL oracle replays term-for-term.
+
+    Same plan (and same value-domain-bounded contract) as
+    :func:`ks_drift`: per-block (group, value) count partials, one
+    coarse fold, driver pivot of groups × distinct values. Returns
+    (group, n_rows, psi_micro)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_pylist(),
+            "v": b[value_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["g", "v"], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.table({"g": pa.array(g["g"].to_numpy(object),
+                                       pa.string()),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, ["g", "v"], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["g", "v"], as_index=False)["n"].sum()
+
+    counts = (ds.map_batches(part, batch_format="pyarrow")
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(lambda df: fold(df.drop(columns="__b")),
+                          batch_format="pandas")).to_pandas()
+    if counts.empty:
+        raise ValueError("psi_drift: empty input")
+    pv = counts.pivot_table(index="v", columns="g", values="n",
+                            aggfunc="sum", fill_value=0).sort_index()
+    M = pv.to_numpy(np.int64)                    # (values, groups)
+    V = M.shape[0]                               # corpus distinct values
+    ng = M.sum(axis=0).astype(np.int64)          # per-group totals
+    nt = int(ng.sum())
+    cg = M.astype(np.float64)
+    cr = (M.sum(axis=1, keepdims=True) - M).astype(np.float64)
+    p = (cg + 1) / (ng.astype(np.float64) + V)
+    q = (cr + 1) / ((nt - ng).astype(np.float64) + V)
+    term = (p - q) * np.log(p / q)
+    micro = (np.sign(term) * np.floor(np.abs(term) * 1e6 + 0.5)) \
+        .astype(np.int64)
+    psi = micro.sum(axis=0)
+    groups = np.asarray(list(pv.columns), dtype=object)
+    order = np.argsort(groups)
+    return pa.table({
+        group_col: pa.array(groups[order], pa.string()),
+        "n_rows": pa.array(ng[order], pa.int64()),
+        "psi_micro": pa.array(psi[order], pa.int64())})

@@ -731,3 +731,47 @@ def weighted_quantiles(ds, value_col: str, weight_col: str,
         out_v.append(int(vals[np.searchsorted(cumw, t, side="left")]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def grouped_geo_mean(ds, group_col: str, value_col: str) -> pa.Table:
+    """Exact-statistic geometric mean per group of a POSITIVE integer
+    column — the multiplicative average (growth factors, durations,
+    lengths) the arithmetic mean overstates under skew. Per-value log
+    terms round half-away to INTEGER micro-nats and sum as int64
+    (ln v > 0 for v ≥ 1... v = 1 gives 0 — all terms ≥ 0), so the
+    distributed fold is order-free and the SQL oracle replays the sum
+    term-for-term; the finalize ``round6(exp(S / (n·1e6)))`` is one
+    shared double expression. Narrow partials: ≤ |groups| rows per
+    block. Returns (group, n, log_sum_micro, geo_mean)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi, v.astype(np.float64)) or (vi < 1).any():
+            raise ValueError(
+                f"grouped_geo_mean: {value_col} must be integers >= 1")
+        lm = np.floor(np.log(vi.astype(np.float64)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "n": np.ones(len(vi), dtype=np.int64), "s": lm})
+        out = df.groupby("g", sort=False, as_index=False).sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "s": pa.array(out["s"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        raise ValueError("grouped_geo_mean: empty input")
+    agg = parts.groupby("g", as_index=False).sum().sort_values("g") \
+        .reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64)
+    s = agg["s"].to_numpy(np.int64)
+    gm = _r6(np.exp(s.astype(np.float64) / (n.astype(np.float64) * 1e6)))
+    return pa.table({
+        group_col: pa.array(agg["g"].to_numpy(object), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "log_sum_micro": pa.array(s, pa.int64()),
+        "geo_mean": pa.array(gm, pa.float64())})

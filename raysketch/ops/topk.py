@@ -230,3 +230,65 @@ def grouped_topn(
             lambda df: fold(df.drop(columns=["__gb"])), batch_format="pandas"
         )
     )
+
+
+def topn_with_others(ds, group_col: str, key_col: str, value_col: str,
+                     n: int = 5, num_buckets: int = 256):
+    """Per-group top-N keys by an integer metric plus an ``__other__``
+    rollup of everything else — the reporting primitive ("top 5
+    suppliers per region, rest as one bar") plain grouped top-N can't
+    express because the remainder must still be EXACTLY aggregated.
+
+    Plan: per-block (group, key) integer-sum partials (narrow — never
+    raw rows), ONE coarse ``hash(group)`` shuffle so each group's full
+    key set lands in one reduce task, and the per-bucket fold ranks by
+    (value DESC, key ASC), keeps N rows and collapses the tail into
+    ``__other__`` (rank N+1) in the same vectorized pass. Returns a
+    Dataset of (group, key string, rank int64, value int64); groups
+    with ≤ N keys emit no ``__other__`` row."""
+    from ..engine.hashing import append_coarse_bucket
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi, v.astype(np.float64)):
+            raise ValueError(
+                f"topn_with_others: {value_col} must be integer-valued")
+        df = pd.DataFrame({
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "k": pd.Series(b[key_col].to_pylist(), dtype="object")
+            .astype(str),
+            "v": vi})
+        out = df.groupby(["g", "k"], sort=False, as_index=False)["v"].sum()
+        t = pa.table({"g": pa.array(out["g"].to_numpy(object), pa.string()),
+                      "k": pa.array(out["k"].to_numpy(object), pa.string()),
+                      "v": pa.array(out["v"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["g"], num_buckets, "__tb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["g", "k"], as_index=False)["v"].sum()
+        agg = agg.sort_values(["g", "v", "k"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        rank = agg.groupby("g").cumcount() + 1
+        head = agg[rank <= n].copy()
+        head["rank"] = rank[rank <= n]
+        tail = agg[rank > n]
+        rows = [head]
+        if not tail.empty:
+            oth = tail.groupby("g", as_index=False)["v"].sum()
+            oth["k"] = "__other__"
+            oth["rank"] = n + 1
+            rows.append(oth)
+        out = pd.concat(rows, ignore_index=True)[["g", "k", "rank", "v"]]
+        out["rank"] = out["rank"].astype("int64")
+        return out.rename(columns={"g": group_col, "k": key_col,
+                                   "v": value_col})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__tb")
+            .map_groups(lambda df: fold(df.drop(columns="__tb")),
+                        batch_format="pandas"))

@@ -5021,7 +5021,69 @@ def q_pruned_scan(sf_dir: str) -> pa.Table:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_source_psi(sf_dir: str) -> pa.Table:
+    """Per-source Population Stability Index of the doc-length
+    distribution vs the rest of the corpus (ops/rules.psi_drift): the
+    industry-standard drift alarm, Laplace-smoothed over the corpus'
+    distinct value set, each term rounded to integer micro-units so the
+    statistic is an order-free int64 the SQL replays term-for-term."""
+    from .ops.rules import psi_drift
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return psi_drift(ds, "source", "n_chars")
+
+
+def q_top_suppliers_others(sf_dir: str) -> Any:
+    """Top-5 suppliers per return flag by integer-cents revenue plus an
+    exact __other__ rollup (ops/topk.topn_with_others): narrow (group,
+    key) sum partials, ONE hash(group) shuffle, rank + tail collapse in
+    the same vectorized fold — the reporting shape plain top-N can't
+    express because the remainder must stay exact."""
+    from .ops.topk import topn_with_others
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_suppkey", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_suppkey": b["l_suppkey"],
+            "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64))})
+
+    return topn_with_others(li.map_batches(cents, batch_format="pyarrow"),
+                            "l_returnflag", "l_suppkey", "cents", n=5)
+
+
+def q_geo_mean_chars(sf_dir: str) -> pa.Table:
+    """Geometric-mean doc length per language
+    (ops/stats.grouped_geo_mean): per-value ln terms in integer
+    micro-nats summed order-free, one shared exp finalize at round6 —
+    the multiplicative average the arithmetic mean overstates."""
+    from .ops.stats import grouped_geo_mean
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_geo_mean(ds, "lang", "n_chars")
+
+
+def q_session_paths(sf_dir: str) -> pa.Table:
+    """Top-20 session-opening paths (ops/funnel.session_paths): 30-min
+    gap sessionization per user, first 3 event types joined into a
+    path, counted per path — fully vectorized per-bucket fold (rank
+    pivot + column-wise concat, never a per-session Python join)."""
+    from .ops.funnel import session_paths
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return session_paths(ds, "user_id", "ts", "event_type", "event_id",
+                         gap_us=30 * 60 * 1_000_000, k=3, top_n=20)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "source_psi": q_source_psi,
+    "top_suppliers_others": q_top_suppliers_others,
+    "geo_mean_chars": q_geo_mean_chars,
+    "session_paths": q_session_paths,
     "pruned_scan": q_pruned_scan,
     "sliding_top_users": q_sliding_top_users,
     "compacted_export": q_compacted_export,
@@ -7755,4 +7817,106 @@ ORACLE_SQL["pruned_scan"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents WHERE n_chars BETWEEN 100 AND 200
+"""
+
+# PSI: full group×value grid with Laplace smoothing over the corpus'
+# distinct value count; term = (p - q) * ln(p / q), round-half-away
+# micro-units per term — expression shapes mirror the numpy side
+ORACLE_SQL["source_psi"] = """
+    WITH c AS (
+      SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), vv AS (
+      SELECT CAST(count(DISTINCT v) AS BIGINT) AS nv FROM c
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt FROM c
+    ), gn AS (
+      SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM c GROUP BY g
+    ), vn AS (
+      SELECT v, CAST(sum(n) AS BIGINT) AS cv FROM c GROUP BY v
+    ), grid AS (
+      SELECT gn.g, vn.v, gn.ng, vn.cv, COALESCE(c.n, 0) AS cg
+      FROM gn CROSS JOIN vn
+      LEFT JOIN c ON c.g = gn.g AND c.v = vn.v
+    ), t AS (
+      SELECT g, ng,
+             (CAST(cg + 1 AS DOUBLE) / CAST(ng + vv.nv AS DOUBLE))
+               AS p,
+             (CAST(cv - cg + 1 AS DOUBLE)
+              / CAST(tot.nt - ng + vv.nv AS DOUBLE)) AS q
+      FROM grid CROSS JOIN vv CROSS JOIN tot
+    )
+    SELECT g AS source, ng AS n_rows,
+           CAST(sum(CAST(round((p - q) * ln(p / q) * 1e6, 0)
+                         AS BIGINT)) AS BIGINT) AS psi_micro
+    FROM t GROUP BY g, ng ORDER BY g
+"""
+
+# top-N + __other__: rank by (cents DESC, key ASC) per group, tail
+# collapses to one exact row at rank N+1
+ORACLE_SQL["top_suppliers_others"] = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(l_suppkey AS VARCHAR) AS l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY cents DESC, l_suppkey) AS BIGINT) AS rank
+      FROM s
+    )
+    SELECT l_returnflag, l_suppkey, rank, cents FROM r WHERE rank <= 5
+    UNION ALL
+    SELECT l_returnflag, '__other__' AS l_suppkey,
+           CAST(6 AS BIGINT) AS rank,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM r WHERE rank > 5 GROUP BY l_returnflag
+"""
+
+# geometric mean: per-value round-half-away micro-nat ln terms summed
+# as BIGINT; finalize round6(exp(S / (n*1e6))) — one shared expression
+ORACLE_SQL["geo_mean_chars"] = """
+    WITH t AS (
+      SELECT lang, CAST(round(ln(n_chars) * 1e6, 0) AS BIGINT) AS lm
+      FROM documents
+    ), a AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lm) AS BIGINT) AS log_sum_micro
+      FROM t GROUP BY lang
+    )
+    SELECT lang, n, log_sum_micro,
+           round(exp(CAST(log_sum_micro AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1e6)), 6) AS geo_mean
+    FROM a ORDER BY lang
+"""
+
+# session paths: 30-min gap sessionization, first-3 event types per
+# session joined ' > ', top-20 by (sessions DESC, path ASC)
+ORACLE_SQL["session_paths"] = """
+    WITH e AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid,
+             event_type AS et
+      FROM events
+    ), s AS (
+      SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY u ORDER BY t, eid)
+    ), sid AS (
+      SELECT *, sum(ns) OVER (PARTITION BY u ORDER BY t, eid
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY u, sess
+                                   ORDER BY t, eid) AS r
+      FROM sid
+    ), p AS (
+      SELECT u, sess, string_agg(et, ' > ' ORDER BY t, eid) AS path
+      FROM rk WHERE r <= 3 GROUP BY u, sess
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
 """

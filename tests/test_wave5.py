@@ -397,3 +397,154 @@ def test_zone_map_missing_column_raises(tmp_path):
     write_dataset(_mk(df, 2), str(tmp_path / "d"))
     with pytest.raises(Exception, match="no column"):
         write_zone_map(str(tmp_path / "d"), ["zz"])
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_psi_drift_matches_direct_and_detects_shift():
+    from raysketch.ops.rules import psi_drift
+
+    rng = np.random.default_rng(41)
+    # group 'shift' draws from a different distribution than the rest
+    g = np.array(["a"] * 900 + ["b"] * 900 + ["shift"] * 300, dtype=object)
+    v = np.concatenate([rng.integers(0, 20, 1800),
+                        rng.integers(15, 35, 300)]).astype(np.int64)
+    out = psi_drift(_mk(pd.DataFrame({"g": g, "v": v}), 5),
+                    "g", "v").to_pandas().set_index("g")
+    # direct replay
+    df = pd.DataFrame({"g": g, "v": v})
+    pv = df.pivot_table(index="v", columns="g", aggfunc="size",
+                        fill_value=0).sort_index()
+    M = pv.to_numpy(np.int64)
+    V = M.shape[0]
+    ng = M.sum(axis=0)
+    nt = M.sum()
+    p = (M + 1) / (ng + V)
+    q = (M.sum(axis=1, keepdims=True) - M + 1) / (nt - ng + V)
+    term = (p - q) * np.log(p / q)
+    micro = (np.sign(term) * np.floor(np.abs(term) * 1e6 + 0.5)).astype(np.int64)
+    want = dict(zip(pv.columns, micro.sum(axis=0)))
+    assert out["psi_micro"].to_dict() == want
+    assert out.loc["shift", "psi_micro"] > 5 * out.loc["a", "psi_micro"]
+
+
+# ---------------------------------------------------------------------------
+# topn_with_others
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_topn_with_others_exact_rollup():
+    from raysketch.ops.topk import topn_with_others
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], 2000),
+        "k": rng.integers(0, 30, 2000).astype(np.int64),
+        "v": rng.integers(1, 100, 2000).astype(np.int64)})
+    out = topn_with_others(_mk(df, 5), "g", "k", "v", n=3) \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    for gname, sub in df.assign(k=df["k"].astype(str)) \
+            .groupby("g"):
+        agg = sub.groupby("k")["v"].sum().reset_index() \
+            .sort_values(["v", "k"], ascending=[False, True])
+        got = out[out["g"] == gname]
+        assert got["k"].tolist()[:3] == agg["k"].tolist()[:3]
+        assert got["v"].tolist()[:3] == agg["v"].tolist()[:3]
+        assert got["k"].iloc[3] == "__other__"
+        assert got["rank"].iloc[3] == 4
+        assert got["v"].iloc[3] == agg["v"].iloc[3:].sum()
+    # total mass preserved exactly
+    assert out["v"].sum() == df["v"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topn_with_others_small_group_no_other_row():
+    from raysketch.ops.topk import topn_with_others
+
+    df = pd.DataFrame({"g": ["a", "a"], "k": [1, 2],
+                       "v": np.array([5, 3], dtype=np.int64)})
+    out = topn_with_others(_mk(df, 1), "g", "k", "v", n=5).to_pandas()
+    assert "__other__" not in set(out["k"])
+    assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# grouped_geo_mean
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_geo_mean_matches_direct():
+    from raysketch.ops.stats import grouped_geo_mean
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"g": rng.choice(["p", "q"], 1000),
+                       "v": rng.integers(1, 500, 1000).astype(np.int64)})
+    out = grouped_geo_mean(_mk(df, 4), "g", "v").to_pandas()
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]["v"].to_numpy(np.float64)
+        s = int(np.floor(np.log(sub) * 1e6 + 0.5).sum())
+        assert row["log_sum_micro"] == s
+        gm = np.exp(s / (len(sub) * 1e6))
+        assert abs(row["geo_mean"] - gm) < 1e-6
+        # geo mean <= arithmetic mean (AM-GM), sanity
+        assert row["geo_mean"] <= sub.mean() + 1e-9
+    with pytest.raises(Exception, match=">= 1"):
+        grouped_geo_mean(
+            _mk(pd.DataFrame({"g": ["a"], "v": [0]}), 1), "g", "v")
+
+
+# ---------------------------------------------------------------------------
+# session_paths
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_paths_matches_brute_force():
+    from raysketch.ops.funnel import session_paths
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    gap = 1_000_000 * 600  # 10 min
+    df = pd.DataFrame({
+        "u": rng.integers(0, 40, n).astype(np.int64),
+        "t": np.sort(rng.integers(0, 10**12, n)).astype(np.int64),
+        "eid": np.arange(n, dtype=np.int64),
+        "et": rng.choice(["view", "cart", "buy", "search"], n)})
+    ds_df = pd.DataFrame({
+        "u": df["u"], "ts": pd.to_datetime(df["t"], unit="us"),
+        "eid": df["eid"], "et": df["et"]})
+    out = session_paths(_mk(ds_df, 6), "u", "ts", "et", "eid",
+                        gap_us=gap, k=3, top_n=10).to_pandas()
+    # brute force
+    paths = {}
+    for u, sub in df.sort_values(["u", "t", "eid"]).groupby("u"):
+        ts = sub["t"].to_numpy()
+        new = np.ones(len(sub), dtype=bool)
+        new[1:] = ts[1:] - ts[:-1] > gap
+        sid = np.cumsum(new)
+        for s in np.unique(sid):
+            ets = sub["et"].to_numpy()[sid == s][:3]
+            p = " > ".join(ets)
+            paths[p] = paths.get(p, 0) + 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(map(tuple, out.itertuples(index=False))) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_paths_short_sessions_and_validation():
+    from raysketch.ops.funnel import session_paths
+
+    # one user, one 2-event session: path has only 2 stages
+    df = pd.DataFrame({
+        "u": np.array([1, 1], dtype=np.int64),
+        "ts": pd.to_datetime([0, 1000], unit="us"),
+        "eid": np.array([0, 1], dtype=np.int64),
+        "et": ["a", "b"]})
+    out = session_paths(_mk(df, 1), "u", "ts", "et", "eid",
+                        gap_us=10**9, k=3, top_n=5).to_pandas()
+    assert out["path"].tolist() == ["a > b"]
+    assert out["n_sessions"].tolist() == [1]
+    with pytest.raises(ValueError):
+        session_paths(_mk(df, 1), "u", "ts", "et", "eid", gap_us=0)
