@@ -4813,6 +4813,7 @@ def q_zorder_layout(sf_dir: str) -> pa.Table:
     bytes, so the oracle gates bucketize + interleave + routing + the
     write → read path in one compare. Pure integer arithmetic
     end-to-end (equi-width buckets, bit interleave), BIGINT-replayed."""
+    import shutil
     import uuid
 
     from .engine.sinks import read_back
@@ -4824,8 +4825,6 @@ def q_zorder_layout(sf_dir: str) -> pa.Table:
         "/tmp/raysketch_zorder_shards",
         f"z_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
-    write_zorder_shards(ds, root, "l_partkey", "l_suppkey",
-                        bits=8, n_shards=8)
 
     def profile(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -4842,10 +4841,15 @@ def q_zorder_layout(sf_dir: str) -> pa.Table:
             sk_lo=("sk_lo", "min"), sk_hi=("sk_hi", "max"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = _fold_partials(
-        read_back(root).map_batches(profile, batch_format="pyarrow"),
-        ["shard"], ["n_rows", "checksum"], ["pk_lo", "sk_lo"],
-        ["pk_hi", "sk_hi"])
+    try:
+        write_zorder_shards(ds, root, "l_partkey", "l_suppkey",
+                            bits=8, n_shards=8)
+        agg = _fold_partials(
+            read_back(root).map_batches(profile, batch_format="pyarrow"),
+            ["shard"], ["n_rows", "checksum"], ["pk_lo", "sk_lo"],
+            ["pk_hi", "sk_hi"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     agg = agg.sort_values("shard").reset_index(drop=True)
     return pa.table({
         "shard": pa.array(agg["shard"].astype("int64")),
@@ -4879,6 +4883,7 @@ def q_compacted_export(sf_dir: str) -> pa.Table:
     COMPACTED bytes — the oracle gates that OPTIMIZE moved every row
     untouched. File-count assertions are structural (checked in code;
     not SQL-expressible)."""
+    import shutil
     import uuid
 
     from .engine.sinks import compact_dataset, read_back, write_dataset
@@ -4888,10 +4893,6 @@ def q_compacted_export(sf_dir: str) -> pa.Table:
         "/tmp/raysketch_compact",
         f"c_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
-    write_dataset(ds.repartition(32), base + "/small")
-    info = compact_dataset(base + "/small", base + "/big", target_files=4)
-    if not (info["files_after"] <= 4 < info["files_before"]):
-        raise AssertionError(f"compaction layout wrong: {info}")
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -4900,8 +4901,16 @@ def q_compacted_export(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([len(ids)], pa.int64()),
             "checksum": pa.array([int((ids * nc).sum())], pa.int64())})
 
-    parts = read_back(base + "/big") \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    try:
+        write_dataset(ds.repartition(32), base + "/small")
+        info = compact_dataset(base + "/small", base + "/big",
+                               target_files=4)
+        if not (info["files_after"] <= 4 < info["files_before"]):
+            raise AssertionError(f"compaction layout wrong: {info}")
+        parts = read_back(base + "/big") \
+            .map_batches(partial, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return pa.table({
         "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
         "checksum": pa.array([int(parts["checksum"].sum())], pa.int64())})
