@@ -433,3 +433,64 @@ def bm25_topk(ds, terms: list[str], id_col: str = "doc_id",
                              "score": pd.Series([], dtype="float64")})
     return (cand.sort_values(["score", id_col], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def vocab_growth(ds, n_docs: int, k: int = 10, id_col: str = "doc_id",
+                 text_col: str = "text", num_buckets: int = 256) -> pa.Table:
+    """Vocabulary growth curve: cumulative DISTINCT token count after
+    the first 1/k, 2/k, … of the corpus (doc-id order) — the diversity
+    diagnostic behind "is more data still adding new vocabulary, or
+    are we re-crawling duplicates?" (a flattening curve is the
+    dedup-ROI signal).
+
+    Plan: per-block (token, min doc_id) partials; ONE coarse
+    ``hash(token)`` shuffle so each token's global first occurrence
+    resolves in exactly one bucket; the per-bucket fold bincounts
+    first-occurrences into the k checkpoint bins — each bucket emits
+    ≤ k rows, so the driver folds buckets × k, never the vocabulary.
+    Checkpoints are ``docs < ceil(i·n/k)`` (integer thresholds).
+    Returns (checkpoint 1..k, n_docs, vocab) — all int64."""
+    if k < 1 or n_docs < 1:
+        raise ValueError("k and n_docs must be >= 1")
+    thresholds = np.array([(i * n_docs) // k for i in range(1, k + 1)],
+                          dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        ids = pd.Series(
+            b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        ex = s.str.split().explode().dropna()
+        if ex.empty:
+            t = pa.table({"tok": pa.array([], pa.string()),
+                          "first_doc": pa.array([], pa.int64())})
+            return append_coarse_bucket(t, ["tok"], num_buckets, "__vb")
+        df = pd.DataFrame({
+            "tok": ex.to_numpy(dtype=object),
+            "first_doc": ids.reindex(ex.index).to_numpy(np.int64)})
+        g = df.groupby("tok", sort=False, as_index=False)["first_doc"] \
+            .min()
+        t = pa.table({
+            "tok": pa.array(g["tok"].to_numpy(object), pa.string()),
+            "first_doc": pa.array(g["first_doc"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["tok"], num_buckets, "__vb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("tok")["first_doc"].min().to_numpy(np.int64)
+        # vocab counted at checkpoint i = tokens with first_doc < t_i
+        counts = (first[None, :] < thresholds[:, None]).sum(axis=1)
+        return pd.DataFrame({
+            "checkpoint": np.arange(1, k + 1, dtype=np.int64),
+            "vocab": counts.astype(np.int64)})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("__vb")
+             .map_groups(lambda df: fold(df.drop(columns="__vb")),
+                         batch_format="pandas")).to_pandas()
+    agg = parts.groupby("checkpoint", as_index=False)["vocab"].sum() \
+        .sort_values("checkpoint").reset_index(drop=True)
+    return pa.table({
+        "checkpoint": pa.array(agg["checkpoint"].to_numpy(np.int64)),
+        "n_docs": pa.array(thresholds, pa.int64()),
+        "vocab": pa.array(agg["vocab"].to_numpy(np.int64))})

@@ -5088,7 +5088,21 @@ def q_session_paths(sf_dir: str) -> pa.Table:
                          gap_us=30 * 60 * 1_000_000, k=3, top_n=20)
 
 
+def q_vocab_growth(sf_dir: str) -> pa.Table:
+    """Vocabulary growth curve (ops/text.vocab_growth): cumulative
+    distinct token count after each tenth of the corpus in doc-id
+    order — the "is more data still new?" dedup-ROI diagnostic. Each
+    token's global first occurrence resolves in exactly one
+    hash(token) bucket; every bucket emits only k histogram rows, so
+    the driver never sees the vocabulary."""
+    from .ops.text import vocab_growth
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_growth(ds, n_docs=ds.count(), k=10)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "vocab_growth": q_vocab_growth,
     "source_psi": q_source_psi,
     "top_suppliers_others": q_top_suppliers_others,
     "geo_mean_chars": q_geo_mean_chars,
@@ -7928,4 +7942,28 @@ ORACLE_SQL["session_paths"] = """
     FROM p GROUP BY path
     ORDER BY n_sessions DESC, path
     LIMIT 20
+"""
+
+# vocab growth: per-token global min(doc_id), counted below each
+# integer checkpoint threshold (i*n)//10
+ORACLE_SQL["vocab_growth"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM toks GROUP BY tok
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), ck(i) AS (
+      VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)
+    )
+    SELECT CAST(ck.i AS BIGINT) AS checkpoint,
+           CAST((ck.i * nd.n) // 10 AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.first_doc < (ck.i * nd.n) // 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+    FROM f CROSS JOIN ck CROSS JOIN nd
+    GROUP BY 1, 2 ORDER BY checkpoint
 """

@@ -548,3 +548,33 @@ def test_session_paths_short_sessions_and_validation():
     assert out["n_sessions"].tolist() == [1]
     with pytest.raises(ValueError):
         session_paths(_mk(df, 1), "u", "ts", "et", "eid", gap_us=0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_growth_matches_brute_and_monotone():
+    from raysketch.ops.text import vocab_growth
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{i}" for i in range(300)]
+    n = 400
+    docs = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+            for _ in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": docs})
+    out = vocab_growth(_mk(df, 5), n_docs=n, k=10).to_pandas()
+    assert out["checkpoint"].tolist() == list(range(1, 11))
+    assert out["n_docs"].tolist() == [(i * n) // 10 for i in range(1, 11)]
+    first = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        for w in text.split():
+            first.setdefault(w, did)
+    fd = np.array(sorted(first.values()))
+    want = [(fd < (i * n) // 10).sum() for i in range(1, 11)]
+    assert out["vocab"].tolist() == want
+    assert (np.diff(out["vocab"]) >= 0).all()  # cumulative
+    with pytest.raises(ValueError):
+        vocab_growth(_mk(df, 1), n_docs=0)
