@@ -245,3 +245,80 @@ def read_pruned_range(path: str, col: str, lo, hi):
         return None, 0, total
     files = [os.path.join(path, f) for f in keep["file"]]
     return rd.read_parquet(files), len(files), total
+
+
+def write_bloom_manifest(path: str, col: str, fpr: float = 0.01) -> str:
+    """Build a per-FILE Bloom-filter manifest over ``col`` for a sink
+    output and publish it atomically as ``path/_bloommap.parquet`` —
+    the point-lookup complement of :func:`write_zone_map` (zones prune
+    RANGES; Blooms prune KEY PROBES even when every file's min/max
+    straddles the key). One Ray Data pass fans out over the file list;
+    each task reads ONLY the key column of its files and serializes a
+    capacity-sized filter (bits, not keys). Probing is one-sided: a
+    Bloom hit may be false (the caller keeps its residual filter), a
+    miss is certain — pruning never drops a qualifying row."""
+    import ray.data as rd
+
+    from ..engine.hashing import hash64_batch
+    from ..sketches.bloom import BloomFilter
+
+    files = parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"{path}: no parquet files")
+
+    def build(batch: "pa.Table") -> "pa.Table":
+        names, payloads, rows = [], [], []
+        for f in batch["item"].to_pylist():
+            t = pq.read_table(f, columns=[col])
+            bf = BloomFilter(capacity=max(t.num_rows, 1), fpr=fpr)
+            bf.update_hashes(hash64_batch(t[col]))
+            names.append(os.path.relpath(f, path))
+            payloads.append(bf.to_bytes())
+            rows.append(t.num_rows)
+        return pa.table({
+            "file": pa.array(names, pa.string()),
+            "rows": pa.array(rows, pa.int64()),
+            "bloom": pa.array(payloads, pa.binary())})
+
+    man = (rd.from_items(files, override_num_blocks=min(len(files), 32))
+           .map_batches(build, batch_format="pyarrow").to_pandas())
+    target = os.path.join(path, "_bloommap.parquet")
+    tmp = f"{target}.tmp-{os.getpid()}"
+    pq.write_table(
+        pa.Table.from_pandas(man.sort_values("file").reset_index(drop=True),
+                             preserve_index=False), tmp)
+    os.replace(tmp, target)
+    return target
+
+
+def read_bloom_pruned(path: str, col: str, keys):
+    """Bloom-manifest file skipping: a Dataset over ONLY the files
+    whose per-file Bloom filter hits at least one probe key — the
+    point-lookup scan that opens a handful of files out of a
+    100 TB sink. Requires a prior :func:`write_bloom_manifest` on the
+    same column; probe keys hash through the SAME vectorized hash64
+    family the build used (normalized via one Arrow array, so list
+    and column inputs hash identically). Returns
+    ``(dataset_or_None, files_scanned, files_total)``. The caller
+    applies the residual ``col IN keys`` row filter — Bloom false
+    positives only add files, never rows."""
+    import ray.data as rd
+
+    from ..engine.hashing import hash64_batch
+    from ..sketches.bloom import BloomFilter
+
+    mpath = os.path.join(path, "_bloommap.parquet")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"{mpath}: run write_bloom_manifest first")
+    man = pq.read_table(mpath)
+    key_hashes = hash64_batch(pa.array(list(keys)))
+    keep = []
+    for name, payload in zip(man["file"].to_pylist(),
+                             man["bloom"].to_pylist()):
+        bf = BloomFilter.from_bytes(payload)
+        if bool(bf.contains_hashes(key_hashes).any()):
+            keep.append(os.path.join(path, name))
+    total = man.num_rows
+    if not keep:
+        return None, 0, total
+    return rd.read_parquet(keep), len(keep), total

@@ -660,3 +660,81 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
 
     return (ds.map_batches(members, batch_format="pyarrow")
             .groupby("__cb").map_groups(pairs, batch_format="pandas"))
+
+
+def bfs_hops(edges_ds, seeds_ds, src: str = "src", dst: str = "dst",
+             seed_col: str = "node", max_hops: int = 3,
+             num_buckets: int = 64,
+             frontier_broadcast_limit: int = 2_000_000):
+    """Bounded-depth BFS over an UNDIRECTED edge list: the minimum hop
+    distance (0 = seed) from a seed node set, out to ``max_hops`` —
+    the reachability/blast-radius primitive (which suppliers are
+    within two trades of this region, which docs within one link of a
+    flagged set). Returns a Dataset of (node, dist) covering every
+    node reached, int64 throughout.
+
+    Plan: per round, the current frontier (all nodes FIRST discovered
+    at distance d — a node never re-enters a later frontier, so each
+    edge endpoint is expanded at most once) SEMI-JOINS the edge list —
+    broadcast ``pc.is_in`` mask under ``frontier_broadcast_limit``
+    nodes, the coarse-bucket partitioned semi-join above — and the
+    matched edges emit (neighbor, d+1) messages both directions. ONE
+    coarse ``hash(node)`` groupby folds messages into the state with a
+    vectorized per-node min (the neardup_clusters message-passing
+    shape — never Dataset.join, whose near-empty key partitions lose
+    schema on iterative workloads). State materializes once per round
+    at node cardinality; rounds are bounded by ``max_hops``."""
+    from ..engine.hashing import append_coarse_bucket
+    from .join import broadcast_semi_join, partitioned_semi_join
+
+    def tag_dist(ds_in, d):
+        def tag(b: pa.Table) -> pa.Table:
+            n = b[seed_col if d == 0 else "node"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": pa.array(n),
+                "dist": pa.array(np.full(len(n), d, np.int64))})
+        return ds_in.map_batches(tag, batch_format="pyarrow")
+
+    def fold_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["dist"].min()
+        return pd.DataFrame({"node": out["node"].to_numpy(np.int64),
+                             "dist": out["dist"].to_numpy(np.int64)})
+
+    state = tag_dist(seeds_ds, 0).materialize()
+    frontier = state
+    for d in range(max_hops):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        semi = (broadcast_semi_join
+                if n_frontier <= frontier_broadcast_limit
+                else partitioned_semi_join)
+        msgs = []
+        for a, b_ in ((src, dst), (dst, src)):
+            hit = semi(edges_ds, frontier, a, "node")
+
+            def emit(t: pa.Table, col=b_, dd=d + 1) -> pa.Table:
+                n = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table({
+                    "node": pa.array(n),
+                    "dist": pa.array(np.full(len(n), dd, np.int64))})
+
+            msgs.append(hit.map_batches(emit, batch_format="pyarrow"))
+        state = (state.union(*msgs)
+                 .map_batches(lambda b: append_coarse_bucket(
+                     b, ["node"], num_buckets, "__bb"),
+                     batch_format="pyarrow")
+                 .groupby("__bb")
+                 .map_groups(lambda df: fold_min(df.drop(columns="__bb")),
+                             batch_format="pandas")
+                 .materialize())
+        target = d + 1
+
+        def is_new(b: pa.Table, t=target) -> pa.Table:
+            m = b["dist"].to_numpy(zero_copy_only=False) == t
+            return b.filter(pa.array(m))
+
+        frontier = state.map_batches(is_new,
+                                     batch_format="pyarrow").materialize()
+    return state

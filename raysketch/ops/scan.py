@@ -229,6 +229,73 @@ def rank_scan(
     return out.union(anchor) if anchor is not None else out
 
 
+def ewma_scan(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lags: int = 16,
+    num_buckets: int = 256,
+):
+    """Per-key truncated exponentially-weighted moving average at the
+    key's LATEST row — the trend-now statistic (α = 1/2, truncated at
+    ``lags`` terms): ``ewma = Σ_{i=0}^{lags-1} x_{last-i} · 2^{-(i+1)}``.
+
+    Every weight is an exact power of two, each term ``x · 2^{-(i+1)}``
+    is exact in float64 for integer ``|x| < 2^(53-lags)``, and all terms
+    share denominator ``2^-lags`` — so the sum is EXACT and order-free,
+    and a SQL replay (``cents * pow(0.5, n-rn+1)`` over the last ``lags``
+    rows per key) matches bit-for-bit with no rounding slack. The
+    untruncated EWMA recursion is inherently sequential and rounds
+    differently under every evaluation order; truncation is what buys
+    exactness AND a bounded per-row cost.
+
+    Plan: ONE coarse shuffle on ``hash(key) % num_buckets`` co-locates
+    each key (the sessionize per-key-volume contract); the per-bucket
+    fold is one mergesort + two vectorized grouped passes and emits ONE
+    row per key — (key, n_rows, ewma) — so output volume is key
+    cardinality, never row count. ``value_col`` must be integral."""
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, [key_col], num_buckets, "__eb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__eb")
+        if df.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "ewma": pd.Series([], dtype="float64")})
+        df = df.sort_values([key_col, *order_cols],
+                            kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy(np.int64)
+        if np.abs(v).max(initial=0) >= 2 ** (53 - lags):
+            raise ValueError("ewma_scan: |value| too large for an exact "
+                             f"float64 sum at lags={lags}")
+        g = df.groupby(key_col, sort=False)
+        n = g[value_col].transform("size").to_numpy(np.int64)
+        rn = (g.cumcount() + 1).to_numpy(np.int64)
+        from_end = n - rn  # 0 on each key's latest row
+        w = np.where(from_end < lags, np.ldexp(1.0, -(from_end + 1)), 0.0)
+        term = pd.Series(v * w, index=df[key_col].to_numpy())
+        ew = term.groupby(level=0, sort=False).sum()
+        last = df.loc[rn == n, [key_col]].reset_index(drop=True)
+        return pd.DataFrame({
+            key_col: last[key_col].to_numpy(np.int64),
+            "n_rows": n[rn == n],
+            "ewma": ew.loc[last[key_col].to_numpy()].to_numpy(np.float64)})
+
+    cols = [key_col, *order_cols, value_col]
+    return (ds.select_columns(list(dict.fromkeys(cols)))
+            .map_batches(coarse, batch_format="pyarrow")
+            .groupby("__eb")
+            .map_groups(fold, batch_format="pandas"))
+
+
 def _round6_arr(a: np.ndarray) -> np.ndarray:
     return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 

@@ -346,3 +346,44 @@ def skyline(ds, dims: dict[str, bool], keep_cols: list[str]) -> pa.Table:
     keep = _pareto_front(X)
     out = parts.iloc[keep].sort_values(keep_cols[0]).reset_index(drop=True)
     return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+
+def upsert_merge(base_ds, delta_ds, key_col: str, ver_col: str,
+                 op_col: str = "op", num_buckets: int = 256):
+    """CDC changeset apply (the warehouse MERGE / SCD-type-1 upsert):
+    fold a base snapshot and a delta stream into the post-merge table —
+    per key the row with the HIGHEST ``ver_col`` wins, and a winning
+    row whose ``op_col`` is ``'D'`` (tombstone) deletes the key. Both
+    inputs must already carry ``ver_col``/``op_col`` (the caller tags
+    the base with version 0) and versions must be distinct per key —
+    equal versions would make the winner plan-dependent, so the fold
+    refuses them.
+
+    Plan: schema-aligned union → ONE coarse shuffle on ``hash(key)``
+    co-locates every version of a key → the per-bucket fold is one
+    vectorized sort + drop_duplicates + tombstone filter. The merged
+    table streams out of the reduce tasks; nothing gathers on the
+    driver — the snapshot-scale path table_diff's narrow-partial
+    design cannot provide when the OUTPUT is the full merged table."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def coarse(b: pa.Table) -> pa.Table:
+        return append_coarse_bucket(b, [key_col], num_buckets, "__ub")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__ub")
+        if df.empty:
+            return df
+        if df.duplicated([key_col, ver_col]).any():
+            raise ValueError(
+                "upsert_merge: duplicate (key, version) — winner would "
+                "be plan-dependent")
+        df = df.sort_values([key_col, ver_col], ascending=[True, False],
+                            kind="mergesort").drop_duplicates(key_col)
+        return df[df[op_col] != "D"].reset_index(drop=True)
+
+    merged = (base_ds.union(delta_ds)
+              .map_batches(coarse, batch_format="pyarrow")
+              .groupby("__ub")
+              .map_groups(fold, batch_format="pandas"))
+    return merged

@@ -775,3 +775,141 @@ def grouped_geo_mean(ds, group_col: str, value_col: str) -> pa.Table:
         "n": pa.array(n, pa.int64()),
         "log_sum_micro": pa.array(s, pa.int64()),
         "geo_mean": pa.array(gm, pa.float64())})
+
+
+def seasonal_anomalies(ds, group_col: str, ts_col: str, value_col: str,
+                       scale: int = 100, z_cut: float = 3.0,
+                       num_buckets: int = 64) -> "object":
+    """Seasonal robust-baseline anomaly screen: for every (group,
+    hour-of-day) cell, the exact interpolating median and MAD of the
+    scaled integer value plus the count of robust outliers
+    (|x − median| > z_cut · MAD) — the monitoring rule that catches
+    "3am traffic looks like 3pm" drifts a global baseline hides.
+
+    Plan: each block reduces to (group, hour, value)-count partials
+    (bounded by the integer value domain — the robust_profile
+    contract); ONE coarse shuffle on ``hash(group, hour)`` co-locates
+    each cell's histogram, and the per-bucket fold computes median,
+    MAD and the outlier count from the SAME histogram — no second
+    data pass, nothing on the driver. Medians land on halves, MADs on
+    quarters (exact binary fractions), and the outlier comparison uses
+    those unrounded values, so a DuckDB median()/mad() replay matches
+    bit-for-bit. Output: one row per (group, hour)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * scale + 0.5).astype(np.int64)
+        hour = pc.hour(b[ts_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "h": hour, "v": cents, "n": np.ones(len(cents), np.int64)})
+        out = df.groupby(["g", "h", "v"], sort=False, as_index=False)[
+            "n"].sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "h": pa.array(out["h"].to_numpy(np.int64)),
+            "v": pa.array(out["v"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__sb")
+        rows = []
+        hist = df.groupby(["g", "h", "v"], as_index=False)["n"].sum()
+        for (g, h), sub in hist.groupby(["g", "h"], sort=True):
+            v = sub["v"].to_numpy(np.int64).astype(np.float64)
+            c = sub["n"].to_numpy(np.int64)
+            med = _weighted_median(v, c)
+            dev = np.abs(v - med)  # halves — exact
+            mad = _weighted_median(dev, c)
+            out = int(c[dev > z_cut * mad].sum())
+            rows.append((g, int(h), int(c.sum()), med, mad, out))
+        return pd.DataFrame({
+            group_col: pd.Series([r[0] for r in rows], dtype="object"),
+            "hour": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n": pd.Series([r[2] for r in rows], dtype="int64"),
+            "median": pd.Series([r[3] for r in rows], dtype="float64"),
+            "mad": pd.Series([r[4] for r in rows], dtype="float64"),
+            "n_outliers": pd.Series([r[5] for r in rows], dtype="int64")})
+
+    return (ds.select_columns([group_col, ts_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(
+                lambda b: append_coarse_bucket(b, ["g", "h"], num_buckets,
+                                               "__sb"),
+                batch_format="pyarrow")
+            .groupby("__sb")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def changepoint(ds, key_col: str, order_col: str, value_col: str,
+                num_buckets: int = 256) -> "object":
+    """Exact per-key CUSUM change-point: over the key's series summed
+    per ``order_col`` step, the step ``k`` maximizing
+    ``|n·S_k − k·S_n|`` (the scaled cumulative-deviation statistic of
+    Pettitt-family tests; S = prefix sums of the integer value) with a
+    smallest-order tie-break — "when did this supplier's revenue level
+    shift". All arithmetic is int64 (exact, order-free; the caller
+    bounds n·|S_n| < 2^63 — step-count × total magnitude), so the SQL
+    window replay matches bit-for-bit.
+
+    Plan: per-block (key, order)-sum partials (raw rows never shuffle)
+    → ONE coarse shuffle on ``hash(key)`` → the per-bucket fold merges
+    duplicate (key, order) partials, sorts, and takes the vectorized
+    grouped cumsum + argmax. Emits ONE row per key: (key, cp_order,
+    stat, n_steps)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "o": b[order_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+            "c": b[value_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)})
+        out = df.groupby(["k", "o"], sort=False, as_index=False)["c"].sum()
+        return pa.table({
+            "k": pa.array(out["k"].to_numpy(np.int64)),
+            "o": pa.array(out["o"].to_numpy(np.int64)),
+            "c": pa.array(out["c"].to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__cb")
+        if df.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "cp_order": pd.Series([], dtype="int64"),
+                "stat": pd.Series([], dtype="int64"),
+                "n_steps": pd.Series([], dtype="int64")})
+        agg = df.groupby(["k", "o"], as_index=False)["c"].sum() \
+            .sort_values(["k", "o"], kind="mergesort") \
+            .reset_index(drop=True)
+        g = agg.groupby("k", sort=False)
+        sk = g["c"].cumsum().to_numpy(np.int64)
+        rn = (g.cumcount() + 1).to_numpy(np.int64)
+        n = g["c"].transform("size").to_numpy(np.int64)
+        sn = g["c"].transform("sum").to_numpy(np.int64)
+        stat = np.abs(n * sk - rn * sn)
+        agg["stat"] = stat
+        agg["n"] = n
+        # argmax with smallest-order tie-break: orders are already
+        # ascending per key, so a stable max-first sort suffices
+        best = agg.sort_values(["k", "stat", "o"],
+                               ascending=[True, False, True],
+                               kind="mergesort").drop_duplicates("k")
+        return pd.DataFrame({
+            key_col: best["k"].to_numpy(np.int64),
+            "cp_order": best["o"].to_numpy(np.int64),
+            "stat": best["stat"].to_numpy(np.int64),
+            "n_steps": best["n"].to_numpy(np.int64)})
+
+    return (ds.select_columns([key_col, order_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(
+                lambda b: append_coarse_bucket(b, ["k"], num_buckets, "__cb"),
+                batch_format="pyarrow")
+            .groupby("__cb")
+            .map_groups(fold, batch_format="pandas"))

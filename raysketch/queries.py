@@ -5101,7 +5101,259 @@ def q_vocab_growth(sf_dir: str) -> pa.Table:
     return vocab_growth(ds, n_docs=ds.count(), k=10)
 
 
+def q_ewma_user_value(sf_dir: str) -> Any:
+    """Per-user trend-now EWMA of event value cents
+    (ops/scan.ewma_scan): α = 1/2 truncated at 16 lags, so every
+    weight is an exact power of two and the per-key sum is bit-exact
+    and order-free — the one EWMA formulation whose SQL replay
+    (cents · pow(0.5, n−rn+1) over each user's last 16 rows) matches
+    with no rounding slack. ONE hash(user) co-location shuffle; one
+    output row per user."""
+    from .ops.scan import ewma_scan
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64))})
+
+    return ewma_scan(ev.map_batches(cents, batch_format="pyarrow"),
+                     "user_id", ["ts_us", "event_id"], "cents", lags=16)
+
+
+def q_seasonal_outliers(sf_dir: str) -> Any:
+    """Seasonal robust anomaly screen (ops/stats.seasonal_anomalies):
+    per (event_type, hour-of-day) cell, exact median/MAD of value
+    cents plus the robust-outlier count — medians land on halves and
+    MADs on quarters (exact binary fractions), so DuckDB's
+    median()/mad() replays the baseline AND the outlier comparison
+    bit-for-bit. One counting pass; one coarse hash(type, hour)
+    shuffle; output is |types|×24 rows."""
+    from .ops.stats import seasonal_anomalies
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return seasonal_anomalies(ev, "event_type", "ts", "value")
+
+
+def q_supplier_changepoint(sf_dir: str) -> Any:
+    """Per-supplier revenue change-point (ops/stats.changepoint): the
+    ship-day maximizing the integer CUSUM statistic |n·S_k − k·S_n|
+    over the supplier's daily revenue-cents series (smallest-day
+    tie-break) — "when did this supplier's level shift". All int64,
+    so the SQL window replay is bit-exact. Raw rows never shuffle:
+    per-block (supplier, day) sum partials, ONE hash(supplier) fold."""
+    from .ops.stats import changepoint
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        days = (b["l_shipdate"].cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                // 86_400_000_000).astype(np.int64)
+        return pa.table({
+            "l_suppkey": b["l_suppkey"], "dd": pa.array(days),
+            "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64))})
+
+    return changepoint(li.map_batches(prep, batch_format="pyarrow"),
+                       "l_suppkey", "dd", "cents")
+
+
+_REDACT_PATTERN = r"\b(?:sp|qu)[a-z]+\b"
+
+
+def q_pattern_redaction(sf_dir: str) -> pa.Table:
+    """Regex redaction audit per source (ops/rules.redact_patterns):
+    docs matched, total matches, characters a redaction pass removes.
+    pyarrow's count/replace_substring_regex and DuckDB's regexp
+    functions are BOTH RE2, so the oracle replays every count exactly
+    — no Python-re dialect gap. Per-block |sources|-sized partials."""
+    from .ops.rules import redact_patterns
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return redact_patterns(ds, _REDACT_PATTERN, "source", "text")
+
+
+def q_cdc_upsert(sf_dir: str) -> pa.Table:
+    """CDC MERGE (ops/setops.upsert_merge): a deterministic changeset
+    over the orders snapshot — keys ≡3 (mod 7) re-priced +10% at
+    version 1, keys ≡5 (mod 11) tombstoned — folds into the
+    post-merge table under highest-version-wins; the per-status
+    (count, revenue-cents) rollup of the MERGED table is what the SQL
+    replays (union + ROW_NUMBER pick + tombstone filter). One
+    hash(key) co-location shuffle; the merged table streams out of
+    the reduce tasks and only the |statuses|-sized rollup gathers."""
+    from .ops.setops import upsert_merge
+
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderstatus": b["o_orderstatus"],
+            "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+            "ver": pa.array(np.zeros(n, np.int64)),
+            "op": pa.array(["U"] * n, pa.string())})
+
+    def make_delta(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        st = np.asarray(b["o_orderstatus"].to_pylist(), dtype=object)
+        upd = k % 7 == 3
+        dele = (k % 11 == 5) & ~upd
+        keys = np.concatenate([k[upd], k[dele]]).astype(np.int64)
+        cents = np.concatenate(
+            [c[upd] + c[upd] // 10, np.zeros(int(dele.sum()), np.int64)])
+        stat = np.concatenate(
+            [np.full(int(upd.sum()), "X", object), st[dele]])
+        op = np.array(["U"] * int(upd.sum()) + ["D"] * int(dele.sum()),
+                      dtype=object)
+        return pa.table({
+            "o_orderkey": pa.array(keys),
+            "o_orderstatus": pa.array(stat, pa.string()),
+            "cents": pa.array(cents),
+            "ver": pa.array(np.ones(len(keys), np.int64)),
+            "op": pa.array(op, pa.string())})
+
+    base = o.map_batches(tag_base, batch_format="pyarrow")
+    delta = o.map_batches(make_delta, batch_format="pyarrow")
+    merged = upsert_merge(base, delta, "o_orderkey", "ver")
+
+    def rollup(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": pd.Series(b["o_orderstatus"].to_pylist(),
+                                       dtype="object"),
+            "n": np.ones(b.num_rows, np.int64),
+            "sum_cents": b["cents"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        out = df.groupby("o_orderstatus", sort=False, as_index=False).sum()
+        return pa.table({
+            "o_orderstatus": pa.array(out["o_orderstatus"]
+                                      .to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "sum_cents": pa.array(out["sum_cents"].to_numpy(np.int64))})
+
+    parts = merged.map_batches(rollup, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("o_orderstatus", as_index=False).sum() \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+    return pa.table({
+        "o_orderstatus": pa.array(agg["o_orderstatus"].to_numpy(object),
+                                  pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy(np.int64))})
+
+
+def q_bloom_skip_scan(sf_dir: str) -> pa.Table:
+    """Bloom-manifest file skipping (engine/sinks.write_bloom_manifest
+    + read_bloom_pruned): lineitem is written range-clustered on
+    l_partkey, a per-file Bloom filter over the key column is built in
+    one fan-out pass, and a 3-key point probe opens ONLY the files
+    whose filter hits (asserted: scanned < total) before the residual
+    IN-filter — the point-lookup complement of the zone-map query
+    (zones prune ranges; Blooms prune probes). The aggregate over the
+    pruned+filtered rows is what the full-scan oracle replays — gating
+    that pruning never drops a qualifying row."""
+    import shutil
+    import uuid
+
+    from .engine.sinks import read_bloom_pruned, write_bloom_manifest
+    from .ops.curate import write_range_shards
+
+    probe = [3, 57, 91]
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    root = os.path.join(
+        "/tmp/raysketch_bloommap",
+        f"p_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    try:
+        write_range_shards(li, root, "l_partkey", n_shards=8)
+        write_bloom_manifest(root, "l_partkey")
+        pruned, scanned, total = read_bloom_pruned(root, "l_partkey", probe)
+        if not (pruned is not None and scanned < total):
+            raise AssertionError(
+                f"bloom manifest did not prune: {scanned}/{total}")
+        keys = pa.array(probe, pa.int64())
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b["l_partkey"], value_set=keys)  # residual
+            q = b.filter(m)["l_quantity"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_rows": pa.array([len(q)], pa.int64()),
+                "sum_qty": pa.array([int(q.sum())], pa.int64())})
+
+        parts = pruned.map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+        return pa.table({
+            "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+            "sum_qty": pa.array([int(parts["sum_qty"].sum())],
+                                pa.int64())})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_bfs_trade_hops(sf_dir: str) -> pa.Table:
+    """Bounded BFS over the customer↔supplier trade graph
+    (ops/graph.bfs_hops): hop distance from nation-0 customers out to
+    3 hops on the side-encoded bipartite edge list (cust·2 /
+    supp·2+1), rolled up to (side, hop) node counts. Each round is a
+    size-routed frontier semi-join + one coarse hash(node) min-fold —
+    the neardup_clusters message-passing shape; the recursive-CTE
+    oracle replays min-hop exactly."""
+    from .ops.graph import bfs_hops
+    from .ops.join import attach_by_key
+
+    oo = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    pairs = attach_by_key(li, oo, "l_orderkey", "o_orderkey",
+                          ["o_custkey"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"src": c * 2, "dst": s * 2 + 1}) \
+            .drop_duplicates()
+        return pa.table({
+            "src": pa.array(df["src"].to_numpy(np.int64)),
+            "dst": pa.array(df["dst"].to_numpy(np.int64))})
+
+    edges = pairs.map_batches(enc, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def seed(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"node": pa.array(k[nk == 0] * 2)})
+
+    seeds = cust.map_batches(seed, batch_format="pyarrow")
+    state = bfs_hops(edges, seeds, max_hops=3).to_pandas()
+    hist = state.assign(side=state["node"] % 2, hop=state["dist"]) \
+        .groupby(["side", "hop"], as_index=False) \
+        .agg(n_nodes=("node", "count")) \
+        .sort_values(["side", "hop"]).reset_index(drop=True)
+    return pa.table({
+        "side": pa.array(hist["side"].to_numpy(np.int64)),
+        "hop": pa.array(hist["hop"].to_numpy(np.int64)),
+        "n_nodes": pa.array(hist["n_nodes"].to_numpy(np.int64))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "ewma_user_value": q_ewma_user_value,
+    "seasonal_outliers": q_seasonal_outliers,
+    "supplier_changepoint": q_supplier_changepoint,
+    "pattern_redaction": q_pattern_redaction,
+    "cdc_upsert": q_cdc_upsert,
+    "bloom_skip_scan": q_bloom_skip_scan,
+    "bfs_trade_hops": q_bfs_trade_hops,
     "vocab_growth": q_vocab_growth,
     "source_psi": q_source_psi,
     "top_suppliers_others": q_top_suppliers_others,
@@ -7966,4 +8218,137 @@ ORACLE_SQL["vocab_growth"] = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS vocab
     FROM f CROSS JOIN ck CROSS JOIN nd
     GROUP BY 1, 2 ORDER BY checkpoint
+"""
+
+# truncated EWMA: pow(0.5, k) is an exact power of two and all 16
+# terms share denominator 2^-16, so the SUM is order-free exact
+ORACLE_SQL["ewma_user_value"] = """
+    WITH t AS (
+      SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_rows,
+           SUM(cents * pow(0.5, CAST(n - rn + 1 AS DOUBLE))) AS ewma
+    FROM t WHERE rn > n - 16
+    GROUP BY user_id ORDER BY user_id
+"""
+
+# seasonal robust baseline: DuckDB median()/mad() on the integer-cents
+# histogram land on exact halves/quarters — no rounding slack anywhere
+ORACLE_SQL["seasonal_outliers"] = """
+    WITH c AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), b AS (
+      SELECT event_type, h, median(v) AS med, mad(v) AS md
+      FROM c GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.h AS hour, CAST(count(*) AS BIGINT) AS n,
+           max(b.med) AS median, max(b.md) AS mad,
+           CAST(count(*) FILTER (WHERE abs(c.v - b.med) > 3.0*b.md)
+                AS BIGINT) AS n_outliers
+    FROM c JOIN b USING (event_type, h)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# integer CUSUM change-point: |n*S_k - k*S_n| all-int64, min-day tie
+ORACLE_SQL["supplier_changepoint"] = """
+    WITH d AS (
+      SELECT l_suppkey,
+             CAST(epoch(CAST(l_shipdate AS TIMESTAMP))/86400 AS BIGINT)
+               AS dd,
+             SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), s AS (
+      SELECT l_suppkey, dd,
+             SUM(c) OVER (PARTITION BY l_suppkey ORDER BY dd) AS sk,
+             SUM(c) OVER (PARTITION BY l_suppkey) AS sn,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY dd) AS rn,
+             COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+      FROM d
+    )
+    SELECT l_suppkey, dd AS cp_order,
+           abs(n*sk - rn*sn) AS stat, n AS n_steps
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                               ORDER BY abs(n*sk - rn*sn) DESC,
+                                        dd ASC) = 1
+    ORDER BY l_suppkey
+"""
+
+# redaction audit: pyarrow and DuckDB regexp kernels are both RE2 —
+# counts and redacted-char totals replay exactly
+ORACLE_SQL["pattern_redaction"] = r"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (
+             WHERE regexp_matches(text, '\b(?:sp|qu)[a-z]+\b'))
+             AS BIGINT) AS docs_matched,
+           CAST(sum(len(regexp_extract_all(
+             text, '\b(?:sp|qu)[a-z]+\b'))) AS BIGINT) AS n_matches,
+           CAST(sum(length(text) - length(regexp_replace(
+             text, '\b(?:sp|qu)[a-z]+\b', '', 'g')))
+             AS BIGINT) AS chars_redacted
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+# CDC MERGE: union + highest-version ROW_NUMBER pick + tombstone drop,
+# rolled up per status over the merged table
+ORACLE_SQL["cdc_upsert"] = """
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+             0 AS ver, 'U' AS op
+      FROM orders
+    ), d AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 3 THEN cents + cents // 10
+                  ELSE 0 END AS cents,
+             1 AS ver,
+             CASE WHEN o_orderkey % 7 = 3 THEN 'U' ELSE 'D' END AS op
+      FROM b WHERE o_orderkey % 7 = 3 OR o_orderkey % 11 = 5
+    ), u AS (
+      SELECT * FROM b UNION ALL SELECT * FROM d
+    ), m AS (
+      SELECT * FROM u
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY ver DESC) = 1
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM m WHERE op <> 'D'
+    GROUP BY 1 ORDER BY 1
+"""
+
+# bloom skip scan: the full-table point filter the pruned scan must equal
+ORACLE_SQL["bloom_skip_scan"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem WHERE l_partkey IN (3, 57, 91)
+"""
+
+# bounded BFS: recursive CTE (UNION-dedup) + min(dist) per node
+ORACLE_SQL["bfs_trade_hops"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), bfs(node, dist) AS (
+      SELECT c_custkey*2, 0 FROM customer WHERE c_nationkey = 0
+      UNION
+      SELECT und.b, bfs.dist + 1
+      FROM bfs JOIN und ON und.a = bfs.node WHERE bfs.dist < 3
+    ), m AS (
+      SELECT node, min(dist) AS dist FROM bfs GROUP BY node
+    )
+    SELECT CAST(node % 2 AS BIGINT) AS side, CAST(dist AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
