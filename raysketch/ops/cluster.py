@@ -275,3 +275,81 @@ def feature_hashing(ds, features, n_dims: int = 32,
             "weight": pa.array(out["w"].to_numpy(np.int64))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kcenter_select(ds, k: int, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> pa.Table:
+    """Greedy k-center (Gonzalez) coreset selection over the embedding
+    column — the diversity-first subset rule coreset curation uses
+    ("pick the point farthest from everything picked so far"). Cosine
+    geometry: the next center is the point with the SMALLEST maximum
+    round6 cosine similarity to the selected set (ties → smallest id);
+    the seed is the smallest id. Rounding before the argmin makes every
+    selection decision identical to a SQL replay that rounds
+    ``list_cosine_similarity`` the same way (the kmeans_assign recipe),
+    so the whole greedy trajectory is bit-replayable.
+
+    Each of the k−1 rounds is ONE streaming pass: the selected unit
+    vectors broadcast via ``ray.put`` (k×d floats), every block emits
+    its single best candidate row (max-sim, id, vector), and the
+    driver folds blocks-many rows — raw vectors never gather. Returns
+    (step, id, max_sim): max_sim is the candidate's similarity ceiling
+    at selection time (1.0 for the seed by convention), the decreasing
+    coverage-radius curve."""
+    import ray
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def seed_block(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = int(np.argmin(ids))
+        v = np.asarray(b[vec_col][j : j + 1].to_pylist(),
+                       dtype=np.float64)
+        return pa.table({
+            id_col: pa.array(ids[j : j + 1]),
+            "__vec": pa.array(list(v), pa.list_(pa.float64()))})
+
+    cand = ds.select_columns([id_col, vec_col]) \
+        .map_batches(seed_block, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(id_col).head(1)
+    sel_ids = [int(cand[id_col].iloc[0])]
+    sel_vecs = [np.asarray(cand["__vec"].iloc[0], dtype=np.float64)]
+    out_steps, out_ids, out_sims = [0], [sel_ids[0]], [1.0]
+
+    for step in range(1, k):
+        C = _unit(np.stack(sel_vecs))
+        ref = ray.put(C)
+
+        def best_block(b: pa.Table, ref=ref) -> pa.Table:
+            import ray as _ray
+
+            Cm = _ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            V = _unit(np.asarray(b[vec_col].to_pylist(),
+                                 dtype=np.float64))
+            ms = _round6(V @ Cm.T).max(axis=1)
+            j = int(np.lexsort((ids, ms))[0])  # min sim, then min id
+            raw = np.asarray(b[vec_col][j].as_py(), dtype=np.float64)
+            return pa.table({
+                "__ms": pa.array(ms[j : j + 1], pa.float64()),
+                id_col: pa.array(ids[j : j + 1]),
+                "__vec": pa.array([raw], pa.list_(pa.float64()))})
+
+        parts = ds.select_columns([id_col, vec_col]) \
+            .map_batches(best_block, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["__ms", id_col],
+                                  kind="mergesort").head(1)
+        nid = int(parts[id_col].iloc[0])
+        sel_ids.append(nid)
+        sel_vecs.append(np.asarray(parts["__vec"].iloc[0],
+                                   dtype=np.float64))
+        out_steps.append(step)
+        out_ids.append(nid)
+        out_sims.append(float(parts["__ms"].iloc[0]))
+
+    return pa.table({
+        "step": pa.array(out_steps, pa.int64()),
+        id_col: pa.array(out_ids, pa.int64()),
+        "max_sim": pa.array(out_sims, pa.float64())})

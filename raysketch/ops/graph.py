@@ -738,3 +738,110 @@ def bfs_hops(edges_ds, seeds_ds, src: str = "src", dst: str = "dst",
         frontier = state.map_batches(is_new,
                                      batch_format="pyarrow").materialize()
     return state
+
+
+def degree_assortativity(edges_ds, src: str = "src", dst: str = "dst",
+                         num_buckets: int = 64,
+                         broadcast_limit_rows: int = 2_000_000) -> pa.Table:
+    """Degree assortativity of an UNDIRECTED graph: the Pearson
+    correlation of endpoint degrees over the direction-doubled edge
+    list — positive means hubs link hubs (social nets), negative means
+    hubs link leaves (bipartite trade fans out). On the doubled list
+    Σx = Σy and Σx² = Σy², so the usual sqrt denominator collapses and
+    ``r = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)`` is a RATIO OF INTEGERS —
+    computed in Python big-ints from int64-safe chunked partials (the
+    grouped_linear_fit overflow rule) and rounded once at round6, so a
+    DuckDB HUGEINT replay matches bit-for-bit.
+
+    Plan: edges dedup through one coarse ``hash(u,v)`` fold (canonical
+    u<v), degrees through one ``hash(node)`` count fold, degrees attach
+    back to both endpoints SIZE-ROUTED (broadcast under
+    ``broadcast_limit_rows`` nodes, partitioned join above), and the
+    power sums fold from one-row-per-block partials. Returns one row:
+    (n_directed_edges, sum_deg, sum_deg2, sum_xy, assortativity)."""
+    from ..engine.hashing import append_coarse_bucket
+    from .join import attach_by_key
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.minimum(a, c)
+        v = np.maximum(a, c)
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        t = pa.table({"u": pa.array(df["u"].to_numpy(np.int64)),
+                      "v": pa.array(df["v"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["u", "v"], num_buckets, "__eb")
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__eb").drop_duplicates(["u", "v"])
+
+    und = (edges_ds.map_batches(canon, batch_format="pyarrow")
+           .groupby("__eb").map_groups(dedup, batch_format="pandas")
+           .materialize())
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate([
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        df = pd.DataFrame({"node": n, "deg": np.ones(len(n), np.int64)})
+        out = df.groupby("node", sort=False, as_index=False)["deg"].sum()
+        return pa.table({
+            "node": pa.array(out["node"].to_numpy(np.int64)),
+            "deg": pa.array(out["deg"].to_numpy(np.int64))})
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns="__db").groupby(
+            "node", as_index=False)["deg"].sum()
+        return out
+
+    degrees = (und.map_batches(node_partial, batch_format="pyarrow")
+               .map_batches(lambda b: append_coarse_bucket(
+                   b, ["node"], num_buckets, "__db"),
+                   batch_format="pyarrow")
+               .groupby("__db")
+               .map_groups(deg_fold, batch_format="pandas")
+               .materialize())
+
+    ex = attach_by_key(und, degrees, "u", "node", ["deg"],
+                       broadcast_limit_rows=broadcast_limit_rows)
+    ex = ex.map_batches(
+        lambda b: b.rename_columns(
+            [{"deg": "deg_u"}.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow")
+    ex = attach_by_key(ex, degrees, "v", "node", ["deg"],
+                       broadcast_limit_rows=broadcast_limit_rows)
+
+    def power_partial(b: pa.Table) -> pa.Table:
+        from ..ops.stats import _chunked_int_sum
+
+        x = b["deg_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # doubled list: both orientations of every canonical edge
+        xs = np.concatenate([x, y])
+        ys = np.concatenate([y, x])
+        return pa.table({
+            "n": pa.array([2 * len(x)], pa.int64()),
+            "sx": pa.array([str(_chunked_int_sum(xs))], pa.string()),
+            "sxx": pa.array([str(_chunked_int_sum(xs * xs))],
+                            pa.string()),
+            "sxy": pa.array([str(_chunked_int_sum(xs * ys))],
+                            pa.string())})
+
+    parts = ex.map_batches(power_partial,
+                           batch_format="pyarrow").to_pandas()
+    if parts.empty or parts["n"].sum() == 0:
+        raise ValueError("degree_assortativity: no edges")
+    n = int(parts["n"].sum())
+    sx = sum(int(s) for s in parts["sx"])
+    sxx = sum(int(s) for s in parts["sxx"])
+    sxy = sum(int(s) for s in parts["sxy"])
+    num = n * sxy - sx * sx  # Σy = Σx on the doubled list
+    den = n * sxx - sx * sx
+    r = 0.0 if den == 0 else float(num) / float(den)
+    r6 = float(np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+    return pa.table({
+        "n_directed_edges": pa.array([n], pa.int64()),
+        "sum_deg": pa.array([sx], pa.int64()),
+        "sum_deg2": pa.array([sxx], pa.int64()),
+        "sum_xy": pa.array([sxy], pa.int64()),
+        "assortativity": pa.array([r6], pa.float64())})

@@ -413,3 +413,66 @@ def _running_sorted(ds, key_col, order_cols, sum_col):
         for (df_ref, _), off in zip(scan_refs, offsets_per_block)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def time_weighted_scan(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    num_buckets: int = 256,
+):
+    """Per-key time-weighted value integral (the TWAP family): each row
+    holds its value until the key's NEXT row, contributing
+    ``value · (next_ts − ts)``; the key's last row has no successor and
+    contributes nothing. Emits ONE row per key — (key, n_rows,
+    twap_num = Σ value·gap, dur = Σ gap) — int64 throughout (the caller
+    bounds Σ|value|·gap < 2^63; value in cents × gaps in µs holds to
+    ~10^5 rows·seconds per key), so the SQL LEAD() replay is bit-exact
+    and the finalize ``round6(num/dur)`` is one shared double division.
+
+    Same physical plan as :func:`ewma_scan`: ONE coarse ``hash(key)``
+    shuffle, a vectorized sorted fold (grouped shift), key-cardinality
+    output."""
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, [key_col], num_buckets, "__tb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__tb")
+        if df.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "twap_num": pd.Series([], dtype="int64"),
+                "dur": pd.Series([], dtype="int64")})
+        df = df.sort_values([key_col, *order_cols],
+                            kind="mergesort").reset_index(drop=True)
+        t = df[ts_col].to_numpy(np.int64)
+        v = df[value_col].to_numpy(np.int64)
+        k = df[key_col].to_numpy(np.int64)
+        nxt = np.empty(len(t), dtype=np.int64)
+        nxt[:-1] = t[1:]
+        nxt[-1] = t[-1]
+        last = np.empty(len(t), dtype=bool)
+        last[:-1] = k[:-1] != k[1:]
+        last[-1] = True
+        gap = np.where(last, 0, nxt - t)
+        agg = pd.DataFrame({
+            "k": k, "n": np.ones(len(t), np.int64),
+            "num": v * gap, "dur": gap}) \
+            .groupby("k", sort=False, as_index=False).sum()
+        return pd.DataFrame({
+            key_col: agg["k"].to_numpy(np.int64),
+            "n_rows": agg["n"].to_numpy(np.int64),
+            "twap_num": agg["num"].to_numpy(np.int64),
+            "dur": agg["dur"].to_numpy(np.int64)})
+
+    cols = list(dict.fromkeys([key_col, *order_cols, ts_col, value_col]))
+    return (ds.select_columns(cols)
+            .map_batches(coarse, batch_format="pyarrow")
+            .groupby("__tb")
+            .map_groups(fold, batch_format="pandas"))

@@ -913,3 +913,78 @@ def changepoint(ds, key_col: str, order_col: str, value_col: str,
                 batch_format="pyarrow")
             .groupby("__cb")
             .map_groups(fold, batch_format="pandas"))
+
+
+def dict_compression_profile(ds, columns: list[str],
+                             code_bytes: int = 4,
+                             num_buckets: int = 64) -> pa.Table:
+    """Storage-layout advisor for string columns: for each column the
+    exact row count, total value bytes as stored plain, distinct count,
+    and the bytes a dictionary encoding would use (each distinct value
+    once + a ``code_bytes`` code per row) — the "should this column be
+    dict-encoded" decision a 100-TB parquet sink makes per column.
+    Lengths are utf8 character counts (== bytes on the ASCII corpus;
+    both sides of the oracle measure identically either way).
+
+    Plan: plain totals stream as |columns|-sized per-block partials;
+    distinct values from all columns union into ONE (column, value)
+    stream that folds under a single coarse ``hash(column, value)``
+    shuffle — each value's global dedup resolves in exactly one bucket
+    and buckets emit only per-column sums, so the vocabulary never
+    gathers. Returns one row per column with ``savings_ratio`` =
+    round6(1 − dict/plain)."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def plain_partial(b: pa.Table) -> pa.Table:
+        names, ns, bs = [], [], []
+        for c in columns:
+            ln = pc.utf8_length(b[c]).to_numpy(zero_copy_only=False)
+            names.append(c)
+            ns.append(b.num_rows)
+            bs.append(int(ln.sum()))
+        return pa.table({
+            "c": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "plain": pa.array(bs, pa.int64())})
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in columns:
+            u = pc.unique(b[c].combine_chunks())
+            cols.extend([c] * len(u))
+            vals.extend(u.to_pylist())
+        t = pa.table({"c": pa.array(cols, pa.string()),
+                      "v": pa.array(vals, pa.string())})
+        return append_coarse_bucket(t, ["c", "v"], num_buckets, "__xb")
+
+    def distinct_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__xb").drop_duplicates(["c", "v"])
+        ln = df["v"].str.len().to_numpy(np.int64)
+        out = pd.DataFrame({"c": df["c"].to_numpy(object),
+                            "nd": np.ones(len(df), np.int64),
+                            "db": ln}) \
+            .groupby("c", as_index=False).sum()
+        return out
+
+    plain = ds.select_columns(columns) \
+        .map_batches(plain_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("c", as_index=False).sum()
+    dist = (ds.select_columns(columns)
+            .map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby("__xb")
+            .map_groups(distinct_fold, batch_format="pandas")
+            .to_pandas().groupby("c", as_index=False).sum())
+    m = plain.merge(dist, on="c").sort_values("c").reset_index(drop=True)
+    n = m["n"].to_numpy(np.int64)
+    pl = m["plain"].to_numpy(np.int64)
+    dict_b = m["db"].to_numpy(np.int64) + code_bytes * n
+    ratio = np.where(pl > 0, 1.0 - dict_b / np.maximum(pl, 1), 0.0)
+    return pa.table({
+        "column_name": pa.array(m["c"].to_numpy(object), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "plain_bytes": pa.array(pl, pa.int64()),
+        "n_distinct": pa.array(m["nd"].to_numpy(np.int64)),
+        "dict_bytes": pa.array(dict_b, pa.int64()),
+        "savings_ratio": pa.array(_r6(ratio), pa.float64())})

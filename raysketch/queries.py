@@ -5346,7 +5346,95 @@ def q_bfs_trade_hops(sf_dir: str) -> pa.Table:
         "n_nodes": pa.array(hist["n_nodes"].to_numpy(np.int64))})
 
 
+def q_twap_user_value(sf_dir: str) -> Any:
+    """Per-user time-weighted average value (ops/scan.time_weighted_scan):
+    each event's cents hold until the user's next event; the integral
+    Σ cents·gap_µs and total duration are exact int64s (the SQL LEAD
+    replay CASTs its HUGEINT sum back to BIGINT — a bare HUGEINT
+    round-trips through pandas as float64 and rounds above 2^53), and
+    the TWAP itself is one shared round6 double division."""
+    from .ops.scan import time_weighted_scan
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64))})
+
+    out = time_weighted_scan(ev.map_batches(prep, batch_format="pyarrow"),
+                             "user_id", ["ts_us", "event_id"],
+                             "ts_us", "cents")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        num = b["twap_num"].to_numpy(zero_copy_only=False)
+        dur = b["dur"].to_numpy(zero_copy_only=False)
+        tw = np.where(dur > 0, num / np.maximum(dur, 1), 0.0)
+        return b.append_column(
+            "twap", pa.array(round6(tw), pa.float64()))
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the customer↔supplier trade graph
+    (ops/graph.degree_assortativity): on the direction-doubled edge
+    list Σx = Σy, so Pearson r collapses to a RATIO OF INTEGERS —
+    folded in Python big-ints from chunk-safe partials and rounded
+    once, replayed in DuckDB HUGEINT arithmetic. Strongly negative by
+    construction (bipartite hubs fan out to leaves)."""
+    from .ops.graph import degree_assortativity
+    from .ops.join import attach_by_key
+
+    oo = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    pairs = attach_by_key(li, oo, "l_orderkey", "o_orderkey",
+                          ["o_custkey"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2),
+                         "dst": pa.array(s * 2 + 1)})
+
+    return degree_assortativity(pairs.map_batches(enc,
+                                                  batch_format="pyarrow"))
+
+
+def q_dict_compression_profile(sf_dir: str) -> pa.Table:
+    """Storage-layout advisor (ops/stats.dict_compression_profile):
+    exact plain-vs-dictionary byte accounting for the documents string
+    columns — lang/source dict-encode at >90% savings, text loses
+    (near-unique values + per-row code). Distinct values resolve in
+    ONE hash(column, value) shuffle; the vocabulary never gathers."""
+    from .ops.stats import dict_compression_profile
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "text"])
+    return dict_compression_profile(ds, ["lang", "source", "text"])
+
+
+def q_kcenter_coreset(sf_dir: str) -> pa.Table:
+    """Greedy k-center coreset over the embeddings table
+    (ops/cluster.kcenter_select): 8 diversity-first picks, each round
+    one streaming pass with the selected unit vectors broadcast and
+    one candidate row per block — the coverage-radius curve coreset
+    curation monitors. Decisions argmin on ROUND6 cosine (ties →
+    smallest id), so the 7-step unrolled SQL replay picks the same
+    trajectory bit-for-bit."""
+    from .ops.cluster import kcenter_select
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_select(emb, k=8)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "twap_user_value": q_twap_user_value,
+    "degree_assortativity": q_degree_assortativity,
+    "dict_compression_profile": q_dict_compression_profile,
+    "kcenter_coreset": q_kcenter_coreset,
     "ewma_user_value": q_ewma_user_value,
     "seasonal_outliers": q_seasonal_outliers,
     "supplier_changepoint": q_supplier_changepoint,
@@ -8352,3 +8440,116 @@ ORACLE_SQL["bfs_trade_hops"] = """
            CAST(count(*) AS BIGINT) AS n_nodes
     FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# TWAP: LEAD window replay; the HUGEINT sum CASTs back to BIGINT so the
+# pandas round-trip stays integer-exact above 2^53
+ORACLE_SQL["twap_user_value"] = """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(sum(cents*(nxt - s)), 0) AS BIGINT)
+               AS twap_num,
+             CAST(COALESCE(sum(nxt - s), 0) AS BIGINT) AS dur
+      FROM t GROUP BY user_id
+    )
+    SELECT user_id, n_rows, twap_num, dur,
+           CASE WHEN dur = 0 THEN 0.0
+                ELSE round(CAST(twap_num AS DOUBLE)
+                           / CAST(dur AS DOUBLE), 6) END AS twap
+    FROM a ORDER BY user_id
+"""
+
+# assortativity: doubled edge list makes the sqrt cancel — pure HUGEINT
+ORACLE_SQL["degree_assortativity"] = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ), d AS (
+      SELECT a AS node, CAST(count(*) AS HUGEINT) AS deg
+      FROM und GROUP BY a
+    ), j AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM und JOIN d da ON und.a = da.node JOIN d db ON und.b = db.node
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(sx AS BIGINT) AS sum_deg,
+           CAST(sxx AS BIGINT) AS sum_deg2,
+           CAST(sxy AS BIGINT) AS sum_xy,
+           round(CAST(n*sxy - sx*sx AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS assortativity
+    FROM s
+"""
+
+# dict-encoding advisor: per-column plain vs dict byte accounting
+ORACLE_SQL["dict_compression_profile"] = """
+    WITH p AS (
+      SELECT 'lang' AS c, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(length(lang)) AS BIGINT) AS plain_bytes,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+             CAST((SELECT sum(length(x))
+                   FROM (SELECT DISTINCT lang AS x FROM documents))
+                  AS BIGINT) AS db
+      FROM documents
+      UNION ALL
+      SELECT 'source', count(*), sum(length(source)),
+             count(DISTINCT source),
+             (SELECT sum(length(x))
+              FROM (SELECT DISTINCT source AS x FROM documents))
+      FROM documents
+      UNION ALL
+      SELECT 'text', count(*), sum(length(text)),
+             count(DISTINCT text),
+             (SELECT sum(length(x))
+              FROM (SELECT DISTINCT text AS x FROM documents))
+      FROM documents
+    )
+    SELECT c AS column_name, n, plain_bytes, n_distinct,
+           CAST(db + 4*n AS BIGINT) AS dict_bytes,
+           round(1.0 - CAST(db + 4*n AS DOUBLE) / plain_bytes, 6)
+             AS savings_ratio
+    FROM p ORDER BY column_name
+"""
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unroll the greedy k-center trajectory as k−1 CTE stages: each
+    stage recomputes every point's max round6 cosine to the selected
+    set and picks (min ms, min vec_id) — the exact decision rule
+    ops/cluster.kcenter_select rounds to."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        "sel0 AS (SELECT CAST(0 AS BIGINT) AS step, vec_id,"
+        " 1.0 AS max_sim, v FROM e ORDER BY vec_id LIMIT 1)"]
+    prev = "sel0"
+    for i in range(1, k):
+        parts[-1] += ","
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id,"
+            f" max(round(list_cosine_similarity(e.v, s.v), 6)) AS ms"
+            f" FROM e CROSS JOIN {prev} s GROUP BY e.vec_id),")
+        parts.append(
+            f"c{i} AS (SELECT CAST({i} AS BIGINT) AS step, d.vec_id,"
+            f" d.ms AS max_sim, e.v FROM d{i} d JOIN e USING (vec_id)"
+            f" ORDER BY d.ms ASC, d.vec_id ASC LIMIT 1),")
+        parts.append(
+            f"sel{i} AS (SELECT * FROM {prev} UNION ALL"
+            f" SELECT * FROM c{i})")
+        prev = f"sel{i}"
+    parts.append(
+        f"SELECT step, vec_id, max_sim FROM {prev} ORDER BY step")
+    return "\n".join(parts)
+
+
+ORACLE_SQL["kcenter_coreset"] = _kcenter_oracle_sql(8)

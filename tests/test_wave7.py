@@ -1,0 +1,143 @@
+"""Seventh-session round-4 ops: time-weighted scan (TWAP), degree
+assortativity, dictionary-compression advisor, greedy k-center coreset.
+Kernel-level brute-force parities + edge cases; end-to-end SQL parity
+runs in test_oracle_parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysketch.ops.cluster import _round6, _unit, kcenter_select
+from raysketch.ops.graph import degree_assortativity
+from raysketch.ops.scan import time_weighted_scan
+from raysketch.ops.stats import dict_compression_profile
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_scan
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_twap_matches_brute_force():
+    rng = np.random.default_rng(19)
+    n = 2500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n),
+        "t": rng.integers(0, 10_000_000, n),
+        "v": rng.integers(-200, 200, n)})
+    df = df.drop_duplicates(["k", "t"])  # total order per key
+    got = time_weighted_scan(_mk(df, 5), "k", ["t"], "t", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]].sort_values("t")
+        t = sub["t"].to_numpy(np.int64)
+        v = sub["v"].to_numpy(np.int64)
+        assert row["n_rows"] == len(sub)
+        assert row["dur"] == int(t[-1] - t[0])
+        assert row["twap_num"] == int((v[:-1] * (t[1:] - t[:-1])).sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_twap_single_row_key_contributes_nothing():
+    df = pd.DataFrame({"k": [1, 2, 2], "t": [5, 1, 4], "v": [9, 10, 99]})
+    got = time_weighted_scan(_mk(df, 1), "k", ["t"], "t", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.loc[0].tolist() == [1, 1, 0, 0]
+    assert got.loc[1].tolist() == [2, 2, 10 * 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_assortativity_matches_brute_force():
+    rng = np.random.default_rng(23)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 300),
+        "dst": rng.integers(40, 80, 300)}).drop_duplicates()
+    got = degree_assortativity(_mk(edges, 4)).to_pandas().iloc[0]
+    # brute: canonical dedup, degree count, doubled pairs, Pearson
+    und = pd.concat([edges, edges.rename(
+        columns={"src": "dst", "dst": "src"})])
+    deg = und.groupby("src").size()
+    x = und["src"].map(deg).to_numpy(np.int64)
+    y = und["dst"].map(deg).to_numpy(np.int64)
+    n = len(x)
+    sx, sxx, sxy = int(x.sum()), int((x * x).sum()), int((x * y).sum())
+    assert got["n_directed_edges"] == n
+    assert got["sum_deg"] == sx
+    assert got["sum_deg2"] == sxx
+    assert got["sum_xy"] == sxy
+    r = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert got["assortativity"] == float(
+        np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assortativity_dedups_and_canonicalizes_edges():
+    # the same edge in both orientations and repeated must count once
+    edges = pd.DataFrame({"src": [1, 2, 1, 1], "dst": [2, 1, 2, 3]})
+    got = degree_assortativity(_mk(edges, 2)).to_pandas().iloc[0]
+    assert got["n_directed_edges"] == 4  # {1-2, 1-3} doubled
+
+
+# ---------------------------------------------------------------------------
+# dict_compression_profile
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_dict_profile_known_values():
+    df = pd.DataFrame({
+        "a": ["xx", "xx", "yy", "xx"],        # 2 distinct, 8 plain chars
+        "b": ["p", "q", "r", "s"]})           # all distinct
+    got = dict_compression_profile(_mk(df, 2), ["a", "b"]).to_pandas()
+    a = got[got["column_name"] == "a"].iloc[0]
+    b = got[got["column_name"] == "b"].iloc[0]
+    assert (a["n"], a["plain_bytes"], a["n_distinct"]) == (4, 8, 2)
+    assert a["dict_bytes"] == 4 + 4 * 4  # 2 distinct * 2 chars + 4n
+    assert (b["n_distinct"], b["dict_bytes"]) == (4, 4 + 16)
+    r = 1.0 - 20 / 8
+    assert a["savings_ratio"] == float(
+        np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+
+
+# ---------------------------------------------------------------------------
+# kcenter_select
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_matches_brute_force_greedy():
+    rng = np.random.default_rng(29)
+    n, d, k = 300, 16, 6
+    ids = rng.permutation(n).astype(np.int64) + 100
+    V = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(V)})
+    got = kcenter_select(_mk(df, 5), k).to_pandas()
+    order = np.argsort(ids)
+    ids_s, V_s = ids[order], _unit(V[order])
+    sel = [0]  # min id first
+    want = [(0, int(ids_s[0]), 1.0)]
+    for s in range(1, k):
+        ms = _round6(V_s @ V_s[sel].T).max(axis=1)
+        j = int(np.lexsort((ids_s, ms))[0])
+        sel.append(j)
+        want.append((s, int(ids_s[j]), float(ms[j])))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_k1_and_validation():
+    df = pd.DataFrame({"vec_id": [7, 3, 9],
+                       "embedding": [[1.0, 0.0]] * 3})
+    got = kcenter_select(_mk(df, 1), 1).to_pandas()
+    assert got.iloc[0].tolist() == [0, 3, 1.0]
+    with pytest.raises(ValueError, match="k"):
+        kcenter_select(_mk(df, 1), 0)
