@@ -988,3 +988,52 @@ def dict_compression_profile(ds, columns: list[str],
         "n_distinct": pa.array(m["nd"].to_numpy(np.int64)),
         "dict_bytes": pa.array(dict_b, pa.int64()),
         "savings_ratio": pa.array(_r6(ratio), pa.float64())})
+
+
+def k_anonymity_audit(ds, quasi_cols: list[str], k: int = 5,
+                      num_buckets: int = 64) -> pa.Table:
+    """Privacy-release audit: group the table by its quasi-identifier
+    columns and report how much of it fails k-anonymity — rows whose
+    quasi-identifier combination is shared by fewer than ``k`` rows are
+    re-identifiable and must be generalized or suppressed before
+    release (Sweeney 2002). One narrow counting pass: per-block
+    (quasi-combo, count) partials, ONE coarse ``hash(combo)`` fold, and
+    a |combos|-bounded summary — (n_rows, n_groups, n_small_groups,
+    n_risk_rows, min_group_size) — gathers on the driver."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(quasi_cols).to_pandas()
+        df["n"] = np.ones(len(df), np.int64)
+        out = df.groupby(quasi_cols, sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns="__kb").groupby(
+            quasi_cols, as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "n_rows": [int(out["n"].sum())],
+            "n_groups": [len(out)],
+            "n_small_groups": [int((out["n"] < k).sum())],
+            "n_risk_rows": [int(out.loc[out["n"] < k, "n"].sum())],
+            "min_group_size": [int(out["n"].min())]})
+
+    parts = (ds.select_columns(quasi_cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(lambda b: append_coarse_bucket(
+                 b, quasi_cols, num_buckets, "__kb"),
+                 batch_format="pyarrow")
+             .groupby("__kb")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    return pa.table({
+        "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        "n_groups": pa.array([int(parts["n_groups"].sum())], pa.int64()),
+        "n_small_groups": pa.array([int(parts["n_small_groups"].sum())],
+                                   pa.int64()),
+        "n_risk_rows": pa.array([int(parts["n_risk_rows"].sum())],
+                                pa.int64()),
+        "min_group_size": pa.array([int(parts["min_group_size"].min())],
+                                   pa.int64())})

@@ -559,3 +559,49 @@ def sliding_topk(ds, ts_col: str, key_col: str,
                      "rank": pa.array(rk_l, pa.int64()),
                      "key": pa.array(key_l, pa.int64()),
                      "n_events": pa.array(n_l, pa.int64())})
+
+
+def debounce(ds, key_cols: list[str], ts_col: str,
+             order_cols: list[str], window_us: int,
+             num_buckets: int = 256):
+    """Burst-collapse event dedup (at-least-once delivery cleaning):
+    within each key chain a row is KEPT iff it is the chain's first or
+    its gap from the PREVIOUS row exceeds ``window_us`` — the LAG rule
+    (vectorizable and SQL-replayable), deliberately not the
+    sequential last-kept debounce whose result depends on a running
+    state no window function expresses. Returns the kept rows as a
+    Dataset (input columns, original values).
+
+    ONE coarse ``hash(key_cols)`` shuffle co-locates each chain; the
+    per-bucket fold is one mergesort + a vectorized grouped diff.
+    ``order_cols`` must totally order each chain (ts first, unique id
+    tiebreak)."""
+    if window_us < 0:
+        raise ValueError("window_us must be >= 0")
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, key_cols, num_buckets, "__db")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__db")
+        if df.empty:
+            return df
+        df = df.sort_values([*key_cols, *order_cols],
+                            kind="mergesort").reset_index(drop=True)
+        t = df[ts_col].to_numpy(np.int64)
+        prev = np.empty(len(t), dtype=np.int64)
+        prev[1:] = t[:-1]
+        prev[0] = np.iinfo(np.int64).min
+        first = np.zeros(len(t), dtype=bool)
+        first[0] = True
+        for c in key_cols:
+            k = df[c].to_numpy()
+            first[1:] |= k[:-1] != k[1:]
+        keep = first | ((t - prev) > window_us)
+        return df[keep].reset_index(drop=True)
+
+    return (ds.map_batches(coarse, batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(fold, batch_format="pandas"))

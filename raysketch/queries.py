@@ -5430,7 +5430,69 @@ def q_kcenter_coreset(sf_dir: str) -> pa.Table:
     return kcenter_select(emb, k=8)
 
 
+def q_event_debounce(sf_dir: str) -> pa.Table:
+    """Burst-collapse event dedup (ops/window.debounce): per (user,
+    event_type) chain, rows within 10 minutes of the previous row drop
+    (the LAG rule — vectorizable AND exactly SQL-replayable, unlike
+    the stateful last-kept debounce); the per-type kept/dropped
+    rollup is the delivery-duplication scorecard."""
+    from .ops.window import debounce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"]})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    kept = debounce(prepped, ["user_id", "event_type"], "ts_us",
+                    ["ts_us", "event_id"], window_us=600_000_000)
+
+    def count_by_type(ds_in, name):
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "event_type": pd.Series(b["event_type"].to_pylist(),
+                                        dtype="object"),
+                name: np.ones(b.num_rows, np.int64)})
+            out = df.groupby("event_type", sort=False,
+                             as_index=False).sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return ds_in.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas().groupby("event_type", as_index=False).sum()
+
+    tot = count_by_type(prepped, "n_total")
+    kp = count_by_type(kept, "n_kept")
+    m = tot.merge(kp, on="event_type", how="left").fillna(0) \
+        .sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(m["event_type"].to_numpy(object),
+                               pa.string()),
+        "n_total": pa.array(m["n_total"].to_numpy(np.int64)),
+        "n_kept": pa.array(m["n_kept"].astype(np.int64).to_numpy()),
+        "n_dropped": pa.array((m["n_total"] - m["n_kept"])
+                              .astype(np.int64).to_numpy())})
+
+
+def q_k_anonymity(sf_dir: str) -> pa.Table:
+    """k-anonymity release audit over the customer quasi-identifiers
+    (ops/stats.k_anonymity_audit): how many (mktsegment, nationkey)
+    cells — and rows — fall below k=5 and would need generalization
+    before a privacy-safe release. Narrow counting partials, one
+    hash(combo) fold, a one-row summary."""
+    from .ops.stats import k_anonymity_audit
+
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    return k_anonymity_audit(cust, ["c_mktsegment", "c_nationkey"], k=5)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "event_debounce": q_event_debounce,
+    "k_anonymity": q_k_anonymity,
     "twap_user_value": q_twap_user_value,
     "degree_assortativity": q_degree_assortativity,
     "dict_compression_profile": q_dict_compression_profile,
@@ -8553,3 +8615,37 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 
 ORACLE_SQL["kcenter_coreset"] = _kcenter_oracle_sql(8)
+
+# debounce: the LAG rule replays directly as a window filter
+ORACLE_SQL["event_debounce"] = """
+    WITH t AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE prev IS NULL
+                                 OR s - prev > 600000000)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                                 AND s - prev <= 600000000)
+                AS BIGINT) AS n_dropped
+    FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+# k-anonymity audit: one grouped count + threshold rollup
+ORACLE_SQL["k_anonymity"] = """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE n < 5) AS BIGINT)
+             AS n_small_groups,
+           CAST(COALESCE(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+             AS n_risk_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size
+    FROM g
+"""

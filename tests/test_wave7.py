@@ -141,3 +141,46 @@ def test_kcenter_k1_and_validation():
     assert got.iloc[0].tolist() == [0, 3, 1.0]
     with pytest.raises(ValueError, match="k"):
         kcenter_select(_mk(df, 1), 0)
+
+
+# ---------------------------------------------------------------------------
+# debounce
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_debounce_lag_rule_brute_force():
+    from raysketch.ops.window import debounce
+
+    rng = np.random.default_rng(31)
+    n = 1500
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, n),
+        "t": rng.integers(0, 5000, n),
+        "i": np.arange(n, dtype=np.int64)})
+    got = debounce(_mk(df, 4), ["u"], "t", ["t", "i"], window_us=50) \
+        .to_pandas().sort_values(["u", "t", "i"]).reset_index(drop=True)
+    sub = df.sort_values(["u", "t", "i"]).reset_index(drop=True)
+    prev = sub.groupby("u")["t"].shift(1)
+    want = sub[prev.isna() | (sub["t"] - prev > 50)] \
+        .reset_index(drop=True)
+    assert got["i"].tolist() == want["i"].tolist()
+    with pytest.raises(ValueError, match="window_us"):
+        debounce(_mk(df, 1), ["u"], "t", ["t", "i"], window_us=-1)
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_k_anonymity_known_values():
+    from raysketch.ops.stats import k_anonymity_audit
+
+    df = pd.DataFrame({
+        "seg": ["a"] * 6 + ["a"] * 2 + ["b"] * 1,
+        "nat": [1] * 6 + [2] * 2 + [1] * 1})
+    got = k_anonymity_audit(_mk(df, 3), ["seg", "nat"], k=5) \
+        .to_pandas().iloc[0]
+    assert got.tolist() == [9, 3, 2, 3, 1]
+    with pytest.raises(ValueError, match="k"):
+        k_anonymity_audit(_mk(df, 1), ["seg", "nat"], k=0)
