@@ -26,17 +26,85 @@ def stage_and_read(ds, fmt: str, root: str = "/tmp/raysketch_sources"):
     ``(read_back_dataset, path)``. The path is unique per invocation
     (uuid — concurrent sessions over the same corpus must not collide);
     the CALLER consumes the returned Dataset fully, then removes the
-    directory (``cleanup``)."""
+    directory (``cleanup``).
+
+    Formats: ``csv`` / ``jsonl`` (Ray native writers/readers), ``ipc``
+    (Arrow IPC/Feather files — full Arrow schema fidelity incl.
+    timestamps, one file per block written inside ``map_batches``),
+    ``gzip_jsonl`` (the Ray JSON writer's files gzip-compressed in a
+    fan-out pass, read back via the reader's gzip stream option — the
+    form most JSONL corpora actually arrive in; value fidelity is
+    identical to plain ``jsonl`` since the bytes under the codec are)."""
     import ray.data as rd
 
-    if fmt not in ("csv", "jsonl"):
+    if fmt not in ("csv", "jsonl", "ipc", "gzip_jsonl"):
         raise ValueError(f"unknown source format {fmt!r}")
     path = os.path.join(root, f"{fmt}_{os.getpid()}_{uuid.uuid4().hex[:8]}")
     if fmt == "csv":
         ds.write_csv(path)
         return rd.read_csv(path), path
+    if fmt == "jsonl":
+        ds.write_json(path)
+        return rd.read_json(path), path
+    if fmt == "ipc":
+        os.makedirs(path, exist_ok=True)
+
+        def write_block(b):
+            import pyarrow as pa
+
+            f = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+            with pa.OSFile(f, "wb") as sink:
+                with pa.ipc.new_file(sink, b.schema) as w:
+                    w.write_table(b)
+            return pa.table({"path": pa.array([f], pa.string())})
+
+        # consume the writer pass fully (the paths table is tiny)
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".arrow"))
+
+        def read_files(batch):
+            import pyarrow as pa
+
+            tbls = [pa.ipc.open_file(pa.memory_map(f)).read_all()
+                    for f in batch["item"].to_pylist()]
+            return pa.concat_tables(tbls)
+
+        back = rd.from_items(
+            files, override_num_blocks=min(len(files), 32)
+        ).map_batches(read_files, batch_format="pyarrow")
+        return back, path
+    # gzip_jsonl: stage plain JSONL, compress each part in a fan-out map
     ds.write_json(path)
-    return rd.read_json(path), path
+    plain = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if not f.endswith(".gz"))
+
+    def compress(batch):
+        import gzip
+
+        import pyarrow as pa
+
+        out = []
+        for f in batch["item"].to_pylist():
+            gz = f + ".gz"
+            with open(f, "rb") as src, gzip.open(gz, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            os.remove(f)
+            out.append(gz)
+        return pa.table({"path": pa.array(out, pa.string())})
+
+    import ray.data as _rd
+
+    _rd.from_items(plain, override_num_blocks=min(len(plain), 32)) \
+        .map_batches(compress, batch_format="pyarrow").materialize()
+    gz_files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".gz"))
+    back = rd.read_json(
+        gz_files, arrow_open_stream_args={"compression": "gzip"})
+    return back, path
 
 
 def cleanup(path: str) -> None:

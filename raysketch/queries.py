@@ -2653,7 +2653,7 @@ def _source_roundtrip_agg(sf_dir: str, fmt: str) -> pa.Table:
     from .engine.sources import cleanup, stage_and_read
 
     cols = ["event_id", "user_id", "event_type", "value"] + (
-        ["ts"] if fmt == "csv" else []  # JSON mangles timestamps
+        ["ts"] if fmt in ("csv", "ipc") else []  # JSON mangles timestamps
     )
     ds = _read(sf_dir, "events", cols)
     back, path = stage_and_read(ds, fmt)
@@ -2668,7 +2668,7 @@ def _source_roundtrip_agg(sf_dir: str, fmt: str) -> pa.Table:
                 "event_id": b["event_id"].to_numpy(zero_copy_only=False),
                 "user_id": b["user_id"].to_numpy(zero_copy_only=False),
             })
-            if fmt == "csv":
+            if fmt in ("csv", "ipc"):
                 ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
                 df["t_us"] = ts.to_numpy(zero_copy_only=False)
             aggs = {
@@ -2677,7 +2677,7 @@ def _source_roundtrip_agg(sf_dir: str, fmt: str) -> pa.Table:
                 "sum_user_id": ("user_id", "sum"),
                 "max_event_id": ("event_id", "max"),
             }
-            if fmt == "csv":
+            if fmt in ("csv", "ipc"):
                 aggs |= {"min_ts_us": ("t_us", "min"), "max_ts_us": ("t_us", "max")}
             g = df.groupby("event_type", sort=False).agg(**aggs).reset_index()
             return pa.Table.from_pandas(g, preserve_index=False)
@@ -2686,8 +2686,8 @@ def _source_roundtrip_agg(sf_dir: str, fmt: str) -> pa.Table:
         agg = _fold_partials(
             partials, ["event_type"],
             ["n_events", "sum_value_cents", "sum_user_id"],
-            ["min_ts_us"] if fmt == "csv" else [],
-            ["max_event_id"] + (["max_ts_us"] if fmt == "csv" else []),
+            ["min_ts_us"] if fmt in ("csv", "ipc") else [],
+            ["max_event_id"] + (["max_ts_us"] if fmt in ("csv", "ipc") else []),
         )
     finally:
         cleanup(path)
@@ -2700,7 +2700,7 @@ def _source_roundtrip_agg(sf_dir: str, fmt: str) -> pa.Table:
         "sum_user_id": pa.array(agg["sum_user_id"].astype("int64"), pa.int64()),
         "max_event_id": pa.array(agg["max_event_id"].astype("int64"), pa.int64()),
     }
-    if fmt == "csv":
+    if fmt in ("csv", "ipc"):
         out["min_ts_us"] = pa.array(agg["min_ts_us"].astype("int64"), pa.int64())
         out["max_ts_us"] = pa.array(agg["max_ts_us"].astype("int64"), pa.int64())
     return pa.table(out)
@@ -2717,6 +2717,22 @@ def q_jsonl_source_agg(sf_dir: str) -> pa.Table:
     and string columns only (JSON timestamps are lossy — documented in
     engine/sources.py)."""
     return _source_roundtrip_agg(sf_dir, "jsonl")
+
+
+def q_ipc_source_agg(sf_dir: str) -> pa.Table:
+    """Arrow IPC (Feather) source round trip (per-block ipc.new_file →
+    memory-mapped read-back): the full-fidelity staging format — the
+    Arrow schema incl. timestamp[us] survives bit-exactly, closing the
+    fidelity gap JSONL leaves; oracle reads the parquet view."""
+    return _source_roundtrip_agg(sf_dir, "ipc")
+
+
+def q_gzip_jsonl_source_agg(sf_dir: str) -> pa.Table:
+    """Gzip-compressed JSONL source (write_json → fan-out gzip →
+    read_json with a gzip stream): the form most JSONL corpora arrive
+    in; value fidelity equals plain JSONL (identical bytes under the
+    codec), proven against the parquet oracle."""
+    return _source_roundtrip_agg(sf_dir, "gzip_jsonl")
 
 
 def q_kmeans_assign(sf_dir: str) -> pa.Table:
@@ -5491,6 +5507,8 @@ def q_k_anonymity(sf_dir: str) -> pa.Table:
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "ipc_source_agg": q_ipc_source_agg,
+    "gzip_jsonl_source_agg": q_gzip_jsonl_source_agg,
     "event_debounce": q_event_debounce,
     "k_anonymity": q_k_anonymity,
     "twap_user_value": q_twap_user_value,
@@ -8648,4 +8666,29 @@ ORACLE_SQL["k_anonymity"] = """
              AS n_risk_rows,
            CAST(min(n) AS BIGINT) AS min_group_size
     FROM g
+"""
+
+# IPC staging is full-fidelity (timestamps survive) — same oracle shape
+# as the CSV round trip
+ORACLE_SQL["ipc_source_agg"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# gzip changes bytes on disk, not values — the plain-JSONL oracle shape
+ORACLE_SQL["gzip_jsonl_source_agg"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -250,11 +250,15 @@ def test_bfs_matches_brute_and_routes_agree():
     seeds = [0, 1, 2]
     want = _bfs_brute(edges, seeds, 3)
     seeds_df = pd.DataFrame({"node": seeds})
-    for limit in (2_000_000, 0):  # broadcast route, partitioned route
+    # three physical routes, one answer: driver fold, shuffle fold with
+    # broadcast frontier semi-join, shuffle fold with partitioned semi
+    for dlimit, blimit in ((2_000_000, 2_000_000), (0, 2_000_000),
+                           (0, 0)):
         got = bfs_hops(_mk(edges, 4), _mk(seeds_df, 1), max_hops=3,
-                       frontier_broadcast_limit=limit).to_pandas()
+                       frontier_broadcast_limit=blimit,
+                       driver_fold_limit=dlimit).to_pandas()
         gmap = dict(zip(got["node"], got["dist"]))
-        assert gmap == want, f"route limit={limit}"
+        assert gmap == want, f"route d={dlimit} b={blimit}"
 
 
 @pytest.mark.usefixtures("ray_session")
