@@ -903,3 +903,119 @@ def degree_assortativity(edges_ds, src: str = "src", dst: str = "dst",
         "sum_deg2": pa.array([sxx], pa.int64()),
         "sum_xy": pa.array([sxy], pa.int64()),
         "assortativity": pa.array([r6], pa.float64())})
+
+
+def label_propagation(edges_ds, src: str = "src", dst: str = "dst",
+                      iters: int = 2, num_buckets: int = 64,
+                      broadcast_limit_rows: int = 2_000_000):
+    """Synchronous label propagation over an UNDIRECTED edge list —
+    the lightweight community detector (Raghavan et al. 2007): every
+    node starts as its own label; each iteration every node adopts the
+    MODE of its neighbors' labels with a deterministic smallest-label
+    tie-break (isolated update order — all nodes step together), which
+    makes the whole trajectory bit-replayable by ``iters`` unrolled
+    SQL count/argmax stages. Returns a Dataset of (node, label) after
+    ``iters`` rounds.
+
+    Plan per iteration: the current label table attaches to both edge
+    endpoints SIZE-ROUTED (broadcast under ``broadcast_limit_rows``
+    labels, partitioned hash join above — label volume is
+    node-cardinality); each block pre-reduces to (node,
+    neighbor_label, count) partials; ONE coarse ``hash(node)`` fold
+    merges counts and takes the (max count, min label) argmax — the
+    grouped_mode shape. Nodes with no edges keep their own label (the
+    node table is unioned in at count 0)."""
+    from ..engine.hashing import append_coarse_bucket
+    from .join import attach_by_key
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            b[src].to_numpy(zero_copy_only=False),
+            b[dst].to_numpy(zero_copy_only=False)])).astype(np.int64)
+        return pa.table({"node": pa.array(n),
+                         "label": pa.array(n)})
+
+    # neighborhood-mode semantics are defined on the SIMPLE graph:
+    # dedupe globally (canonical u<v under one hash(u,v) fold) so a
+    # repeated edge can't multiply its label's vote
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({src: np.minimum(a, c),
+                           dst: np.maximum(a, c)}).drop_duplicates()
+        df = df[df[src] != df[dst]]  # self-loops carry no information
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, [src, dst], num_buckets, "__eb")
+
+    edges_ds = (edges_ds.map_batches(canon, batch_format="pyarrow")
+                .groupby("__eb")
+                .map_groups(lambda df: df.drop(columns="__eb")
+                            .drop_duplicates([src, dst]),
+                            batch_format="pandas")
+                .materialize())
+    labels = (edges_ds.map_batches(nodes_of, batch_format="pyarrow")
+              .map_batches(lambda b: append_coarse_bucket(
+                  b, ["node"], num_buckets, "__lb"),
+                  batch_format="pyarrow")
+              .groupby("__lb")
+              .map_groups(lambda df: df.drop(columns="__lb")
+                          .drop_duplicates("node"),
+                          batch_format="pandas")
+              .materialize())
+
+    for _ in range(iters):
+        # attach the CURRENT label of each endpoint's neighbor: for
+        # messages INTO dst we need src's label, and vice versa
+        msgs = []
+        for a, b_ in ((src, dst), (dst, src)):
+            at = attach_by_key(
+                edges_ds, labels, a, "node", ["label"],
+                broadcast_limit_rows=broadcast_limit_rows)
+
+            def partial(t: pa.Table, col=b_) -> pa.Table:
+                df = pd.DataFrame({
+                    "node": t[col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "lab": t["label"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "n": np.ones(t.num_rows, np.int64)})
+                out = df.groupby(["node", "lab"], sort=False,
+                                 as_index=False)["n"].sum()
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            msgs.append(at.map_batches(partial, batch_format="pyarrow"))
+        # isolated nodes: keep the own label alive at count 0 so the
+        # fold emits them (never the winner when any neighbor exists —
+        # real counts are >= 1)
+        own = labels.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "lab": b["label"],
+                "n": pa.array(np.zeros(b.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        folded = (msgs[0].union(msgs[1], own)
+                  .map_batches(lambda b: append_coarse_bucket(
+                      b, ["node"], num_buckets, "__lb"),
+                      batch_format="pyarrow")
+                  .groupby("__lb")
+                  .map_groups(_lp_mode_fold, batch_format="pandas")
+                  .materialize())
+        labels = folded
+    return labels
+
+
+def _lp_mode_fold(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.drop(columns="__lb")
+    if df.empty:
+        return pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype="int64")})
+    agg = df.groupby(["node", "lab"], as_index=False)["n"].sum()
+    # a node with ONLY the count-0 own row is isolated: keep it; any
+    # real neighbor count (>=1) outranks it
+    agg = agg.sort_values(["node", "n", "lab"],
+                          ascending=[True, False, True],
+                          kind="mergesort").drop_duplicates("node")
+    return pd.DataFrame({
+        "node": agg["node"].to_numpy(np.int64),
+        "label": agg["lab"].to_numpy(np.int64)})

@@ -605,3 +605,72 @@ def debounce(ds, key_cols: list[str], ts_col: str,
     return (ds.map_batches(coarse, batch_format="pyarrow")
             .groupby("__db")
             .map_groups(fold, batch_format="pandas"))
+
+
+def coverage_islands(ds, key_col: str, start_col: str, end_col: str,
+                     order_cols: list[str], num_buckets: int = 256):
+    """Gaps-and-islands interval merge per key: overlapping or touching
+    [start, end) intervals coalesce into islands; emits ONE row per key
+    — (key, n_rows, n_islands, covered = Σ island extents) — the
+    uptime/coverage accounting SQL does with a prefix-max window. A new
+    island starts where ``start > running max of previous ends`` (a
+    TOUCHING interval, start == prev end, EXTENDS the island). All
+    int64: the prefix max, break flags and extents are order-free exact
+    under the caller's total order (``order_cols`` — start first,
+    unique id tiebreak), so the SQL replay is bit-exact.
+
+    ONE coarse ``hash(key)`` shuffle co-locates each key; the
+    per-bucket fold is one mergesort + a vectorized per-key
+    maximum.accumulate + one grouped (key, island) reduce."""
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, [key_col], num_buckets, "__ib")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__ib")
+        if df.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_islands": pd.Series([], dtype="int64"),
+                "covered": pd.Series([], dtype="int64")})
+        df = df.sort_values([key_col, *order_cols],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy(np.int64)
+        s = df[start_col].to_numpy(np.int64)
+        e = df[end_col].to_numpy(np.int64)
+        first = np.zeros(len(k), dtype=bool)
+        first[0] = True
+        first[1:] = k[:-1] != k[1:]
+        # per-key running max of END over PREVIOUS rows: grouped cummax
+        # then a grouped one-row shift (both vectorized pandas kernels)
+        g = df.groupby(key_col, sort=False)
+        pmax_s = g[end_col].cummax().shift(1)
+        pmax = pmax_s.fillna(np.iinfo(np.int64).min) \
+            .to_numpy(np.int64)
+        brk = first | (s > pmax)
+        island = np.cumsum(brk)
+        agg = pd.DataFrame({"k": k, "i": island, "s": s, "e": e}) \
+            .groupby(["k", "i"], sort=False) \
+            .agg(smin=("s", "min"), emax=("e", "max")).reset_index()
+        out = pd.DataFrame({
+            "k": agg["k"], "n_islands": np.ones(len(agg), np.int64),
+            "covered": (agg["emax"] - agg["smin"]).to_numpy(np.int64)}) \
+            .groupby("k", sort=False, as_index=False).sum()
+        rows = pd.DataFrame({"k": k, "n": np.ones(len(k), np.int64)}) \
+            .groupby("k", sort=False, as_index=False).sum()
+        m = rows.merge(out, on="k")
+        return pd.DataFrame({
+            key_col: m["k"].to_numpy(np.int64),
+            "n_rows": m["n"].to_numpy(np.int64),
+            "n_islands": m["n_islands"].to_numpy(np.int64),
+            "covered": m["covered"].to_numpy(np.int64)})
+
+    cols = list(dict.fromkeys(
+        [key_col, start_col, end_col, *order_cols]))
+    return (ds.select_columns(cols)
+            .map_batches(coarse, batch_format="pyarrow")
+            .groupby("__ib")
+            .map_groups(fold, batch_format="pandas"))

@@ -5506,7 +5506,66 @@ def q_k_anonymity(sf_dir: str) -> pa.Table:
     return k_anonymity_audit(cust, ["c_mktsegment", "c_nationkey"], k=5)
 
 
+def q_user_coverage(sf_dir: str) -> Any:
+    """Gaps-and-islands session coverage (ops/window.coverage_islands):
+    each event holds a 5-minute [ts, ts+300s) attention interval;
+    overlapping/touching intervals coalesce per user into islands —
+    (n_islands, covered µs) is the activity-coverage accounting the
+    prefix-max window replays bit-exactly in int64."""
+    from .ops.window import coverage_islands
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "s_us": pa.array(t),
+            "e_us": pa.array(t + 300_000_000),
+            "event_id": b["event_id"]})
+
+    return coverage_islands(ev.map_batches(prep, batch_format="pyarrow"),
+                            "user_id", "s_us", "e_us",
+                            ["s_us", "event_id"])
+
+
+def q_trade_communities(sf_dir: str) -> pa.Table:
+    """Label-propagation communities over the side-encoded trade graph
+    (ops/graph.label_propagation, 2 synchronous rounds): every node
+    adopts the mode of its neighbors' labels with a smallest-label
+    tie-break, so the 2-round trajectory replays as two unrolled SQL
+    count/argmax stages; result rolled up to (label, n_nodes)."""
+    from .ops.graph import label_propagation
+    from .ops.join import attach_by_key
+
+    oo = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    pairs = attach_by_key(li, oo, "l_orderkey", "o_orderkey",
+                          ["o_custkey"])
+
+    def enc(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"src": c * 2, "dst": s * 2 + 1}) \
+            .drop_duplicates()
+        return pa.table({
+            "src": pa.array(df["src"].to_numpy(np.int64)),
+            "dst": pa.array(df["dst"].to_numpy(np.int64))})
+
+    labels = label_propagation(pairs.map_batches(enc,
+                                                 batch_format="pyarrow"),
+                               iters=2).to_pandas()
+    out = labels.groupby("label", as_index=False) \
+        .agg(n_nodes=("node", "count")) \
+        .sort_values("label").reset_index(drop=True)
+    return pa.table({
+        "label": pa.array(out["label"].to_numpy(np.int64)),
+        "n_nodes": pa.array(out["n_nodes"].to_numpy(np.int64))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "user_coverage": q_user_coverage,
+    "trade_communities": q_trade_communities,
     "ipc_source_agg": q_ipc_source_agg,
     "gzip_jsonl_source_agg": q_gzip_jsonl_source_agg,
     "event_debounce": q_event_debounce,
@@ -8691,4 +8750,67 @@ ORACLE_SQL["gzip_jsonl_source_agg"] = """
            CAST(sum(user_id) AS BIGINT) AS sum_user_id,
            CAST(max(event_id) AS BIGINT) AS max_event_id
     FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# gaps-and-islands: prefix-max window over previous ends, sum of
+# island extents — all int64
+ORACLE_SQL["user_coverage"] = """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e, event_id
+      FROM events
+    ), w AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM t
+    ), i AS (
+      SELECT user_id, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+               AS brk
+      FROM w
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM i
+    ), g AS (
+      SELECT user_id, island,
+             max(e) - min(s) AS extent, count(*) AS nr
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(nr) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(extent) AS BIGINT) AS covered
+    FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+# label propagation: 2 unrolled neighborhood-mode stages over the
+# direction-doubled edge list (min-label tie-break via ROW_NUMBER)
+ORACLE_SQL["trade_communities"] = """
+    WITH e AS (
+      SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+      SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM und
+    ), m1 AS (
+      SELECT und.b AS node, l0.label AS lab, count(*) AS n
+      FROM und JOIN l0 ON und.a = l0.node GROUP BY 1, 2
+    ), l1 AS (
+      SELECT node, lab AS label FROM m1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY n DESC, lab ASC) = 1
+    ), m2 AS (
+      SELECT und.b AS node, l1.label AS lab, count(*) AS n
+      FROM und JOIN l1 ON und.a = l1.node GROUP BY 1, 2
+    ), l2 AS (
+      SELECT node, lab AS label FROM m2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                 ORDER BY n DESC, lab ASC) = 1
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l2 GROUP BY label ORDER BY label
 """

@@ -184,3 +184,94 @@ def test_k_anonymity_known_values():
     assert got.tolist() == [9, 3, 2, 3, 1]
     with pytest.raises(ValueError, match="k"):
         k_anonymity_audit(_mk(df, 1), ["seg", "nat"], k=0)
+
+
+# ---------------------------------------------------------------------------
+# coverage_islands
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_coverage_islands_brute_force():
+    from raysketch.ops.window import coverage_islands
+
+    rng = np.random.default_rng(37)
+    n = 1200
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),
+        "s": rng.integers(0, 10_000, n),
+        "i": np.arange(n, dtype=np.int64)})
+    df["e"] = df["s"] + rng.integers(1, 120, n)
+    got = coverage_islands(_mk(df, 4), "k", "s", "e", ["s", "i"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]].sort_values(["s", "i"])
+        covered = islands = 0
+        cur_s = cur_e = None
+        for s, e in zip(sub["s"], sub["e"]):
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        assert row["n_rows"] == len(sub)
+        assert row["n_islands"] == islands
+        assert row["covered"] == covered
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_coverage_islands_touching_intervals_merge():
+    from raysketch.ops.window import coverage_islands
+
+    df = pd.DataFrame({"k": [1, 1, 1], "s": [0, 10, 25],
+                       "e": [10, 20, 30], "i": [0, 1, 2]})
+    got = coverage_islands(_mk(df, 1), "k", "s", "e", ["s", "i"]) \
+        .to_pandas().iloc[0]
+    # [0,10) touches [10,20) -> one island; [25,30) separate
+    assert (got["n_islands"], got["covered"]) == (2, 25)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def _lp_brute(edges: pd.DataFrame, iters: int) -> dict[int, int]:
+    und = set()
+    for a, b in edges.itertuples(index=False):
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj: dict[int, list] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_matches_brute_force():
+    from raysketch.ops.graph import label_propagation
+
+    rng = np.random.default_rng(41)
+    # two loosely-connected clusters
+    a = pd.DataFrame({"src": rng.integers(0, 20, 120),
+                      "dst": rng.integers(0, 20, 120)})
+    b = pd.DataFrame({"src": rng.integers(100, 120, 120),
+                      "dst": rng.integers(100, 120, 120)})
+    bridge = pd.DataFrame({"src": [5], "dst": [105]})
+    edges = pd.concat([a, b, bridge])
+    edges = edges[edges["src"] != edges["dst"]]
+    got = label_propagation(_mk(edges, 4), iters=2).to_pandas()
+    want = _lp_brute(edges, 2)
+    assert dict(zip(got["node"], got["label"])) == want
