@@ -121,6 +121,11 @@ def test_kcenter_matches_brute_force_greedy():
     V = rng.normal(size=(n, d))
     df = pd.DataFrame({"vec_id": ids, "embedding": list(V)})
     got = kcenter_select(_mk(df, 5), k).to_pandas()
+    # route identity: the streaming route (forced by a zero driver
+    # budget) must pick the identical trajectory
+    stream = kcenter_select(_mk(df, 5), k,
+                            driver_value_limit=0).to_pandas()
+    assert stream.values.tolist() == got.values.tolist()
     order = np.argsort(ids)
     ids_s, V_s = ids[order], _unit(V[order])
     sel = [0]  # min id first
