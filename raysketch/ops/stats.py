@@ -1037,3 +1037,67 @@ def k_anonymity_audit(ds, quasi_cols: list[str], k: int = 5,
                                 pa.int64()),
         "min_group_size": pa.array([int(parts["min_group_size"].min())],
                                    pa.int64())})
+
+
+def chi2_independence(ds, a_col: str, b_col: str,
+                      num_buckets: int = 64) -> pa.Table:
+    """Pearson chi-squared test of independence between two bounded
+    categorical columns — the "is language associated with source"
+    screen behind stratification decisions. The statistic is EXACT:
+    each grid cell's term ``(n·o − r·c)² / (n·r·c)`` is a ratio of
+    integers, rounded half-away to INTEGER micro-units in pure integer
+    arithmetic (``(num·2e6 + den) // (2·den)``) and summed as int64 —
+    order-free, and a DuckDB HUGEINT replay matches term-for-term
+    (the PSI/entropy micro-unit family). Zero cells are included (their
+    expected count is positive). Returns one row: (n_rows, n_a, n_b,
+    dof, chi2_micro).
+
+    Plan: per-block (a, b) count partials (bounded by the category
+    grid), ONE coarse ``hash(a, b)`` fold, and a grid-sized driver
+    finalize."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": pd.Series(b[a_col].to_pylist(), dtype="object"),
+            "b": pd.Series(b[b_col].to_pylist(), dtype="object"),
+            "n": np.ones(b.num_rows, np.int64)})
+        out = df.groupby(["a", "b"], sort=False, as_index=False)["n"].sum()
+        return pa.table({
+            "a": pa.array(out["a"].to_numpy(object), pa.string()),
+            "b": pa.array(out["b"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__qb").groupby(
+            ["a", "b"], as_index=False)["n"].sum()
+
+    cells = (ds.select_columns([a_col, b_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(lambda b: append_coarse_bucket(
+                 b, ["a", "b"], num_buckets, "__qb"),
+                 batch_format="pyarrow")
+             .groupby("__qb")
+             .map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    if cells.empty:
+        raise ValueError("chi2_independence: empty input")
+    cells = cells.groupby(["a", "b"], as_index=False)["n"].sum()
+    rm = cells.groupby("a")["n"].sum().to_dict()
+    cm = cells.groupby("b")["n"].sum().to_dict()
+    obs = {(r["a"], r["b"]): int(r["n"]) for _, r in cells.iterrows()}
+    n = int(cells["n"].sum())
+    chi_micro = 0
+    for a, r in rm.items():
+        for b, c in cm.items():
+            o = obs.get((a, b), 0)
+            num = (n * o - int(r) * int(c)) ** 2
+            den = n * int(r) * int(c)
+            chi_micro += (num * 2_000_000 + den) // (2 * den)
+    dof = (len(rm) - 1) * (len(cm) - 1)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_a": pa.array([len(rm)], pa.int64()),
+        "n_b": pa.array([len(cm)], pa.int64()),
+        "dof": pa.array([dof], pa.int64()),
+        "chi2_micro": pa.array([int(chi_micro)], pa.int64())})

@@ -5563,7 +5563,20 @@ def q_trade_communities(sf_dir: str) -> pa.Table:
         "n_nodes": pa.array(out["n_nodes"].to_numpy(np.int64))})
 
 
+def q_lang_source_chi2(sf_dir: str) -> pa.Table:
+    """Chi-squared independence of (lang, source)
+    (ops/stats.chi2_independence): each grid term rounds half-away to
+    integer micro-units in pure integer arithmetic — num·2e6+den over
+    2·den — so the int64 sum is order-free and the DuckDB HUGEINT
+    replay is term-for-term exact; zero cells included."""
+    from .ops.stats import chi2_independence
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return chi2_independence(ds, "lang", "source")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "lang_source_chi2": q_lang_source_chi2,
     "user_coverage": q_user_coverage,
     "trade_communities": q_trade_communities,
     "ipc_source_agg": q_ipc_source_agg,
@@ -8813,4 +8826,34 @@ ORACLE_SQL["trade_communities"] = """
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
     FROM l2 GROUP BY label ORDER BY label
+"""
+
+# chi-squared grid replay: HUGEINT integer rounding per cell, zero
+# cells materialized by the marginal cross join
+ORACLE_SQL["lang_source_chi2"] = """
+    WITH c AS (
+      SELECT lang AS a, source AS b, CAST(count(*) AS HUGEINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), r AS (
+      SELECT a, sum(o) AS rm FROM c GROUP BY a
+    ), s AS (
+      SELECT b, sum(o) AS cm FROM c GROUP BY b
+    ), nn AS (
+      SELECT sum(o) AS n FROM c
+    ), grid AS (
+      SELECT r.a, s.b, COALESCE(c.o, 0) AS o, r.rm, s.cm, nn.n
+      FROM r CROSS JOIN s CROSS JOIN nn
+      LEFT JOIN c ON c.a = r.a AND c.b = s.b
+    ), t AS (
+      SELECT ((n*o - rm*cm)*(n*o - rm*cm)*2000000 + n*rm*cm)
+               // (2*n*rm*cm) AS micro
+      FROM grid
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM r) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS n_b,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM s) - 1) AS BIGINT) AS dof,
+           CAST(sum(micro) AS BIGINT) AS chi2_micro
+    FROM t
 """

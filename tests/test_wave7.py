@@ -280,3 +280,32 @@ def test_label_propagation_matches_brute_force():
     got = label_propagation(_mk(edges, 4), iters=2).to_pandas()
     want = _lp_brute(edges, 2)
     assert dict(zip(got["node"], got["label"])) == want
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_chi2_matches_integer_brute_force():
+    from raysketch.ops.stats import chi2_independence
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    df = pd.DataFrame({
+        "a": rng.choice(list("xyz"), n),
+        "b": rng.choice(list("pqrs"), n)})
+    got = chi2_independence(_mk(df, 4), "a", "b").to_pandas().iloc[0]
+    cells = df.groupby(["a", "b"]).size()
+    rm = df.groupby("a").size().to_dict()
+    cm = df.groupby("b").size().to_dict()
+    micro = 0
+    for a, r in rm.items():
+        for b, c in cm.items():
+            o = int(cells.get((a, b), 0))
+            num = (n * o - r * c) ** 2
+            den = n * r * c
+            micro += (num * 2_000_000 + den) // (2 * den)
+    assert got.tolist() == [n, 3, 4, 6, micro]
+    # sanity: near-independent draws give chi2/dof in a plausible band
+    assert got["chi2_micro"] / 1e6 < 30.0
