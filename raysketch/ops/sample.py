@@ -266,3 +266,38 @@ def weighted_hash_sample(ds, k: int, weight_col: str, id_col: str,
     keep = np.argsort(pri, kind="stable")
     keep = keep[np.isfinite(pri[keep])][:k]  # +inf rows are non-selectable
     return merged.take(pa.array(keep)).drop_columns(["__sample_key"])
+
+
+def negative_samples(ds, n_ids: int, k: int = 4,
+                     id_col: str = "doc_id"):
+    """Deterministic negative sampling for contrastive training: for
+    every row, ``k`` pseudo-random partner ids drawn from the DENSE id
+    space [0, n_ids) via the engine's seed_key32 integer mix on
+    ``id·16 + rank`` — self-pairs step to the next id. Pure
+    */%//xor arithmetic on non-negative ints, so a DuckDB
+    BIGINT/HUGEINT replay picks the identical partners (the kmeans
+    seed-rule recipe); no RNG state, so any shard of the corpus can
+    be (re)sampled independently — the property epoch-resumable
+    training needs. Returns a Dataset of (id, neg_rank, neg_id);
+    output is k rows per input row, streaming."""
+    from ..ops.cluster import seed_key32
+
+    if not (1 <= k <= 16):
+        raise ValueError("k must be in [1, 16]")
+    if n_ids < 2:
+        raise ValueError("n_ids must be >= 2")
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(ids, k)
+        rank = np.tile(np.arange(k, dtype=np.int64), len(ids))
+        key = seed_key32(rep * 16 + rank)
+        neg = key % n_ids
+        neg = (neg + (neg == rep)) % n_ids
+        return pa.table({
+            id_col: pa.array(rep),
+            "neg_rank": pa.array(rank),
+            "neg_id": pa.array(neg.astype(np.int64))})
+
+    return ds.select_columns([id_col]).map_batches(
+        expand, batch_format="pyarrow")

@@ -674,3 +674,80 @@ def coverage_islands(ds, key_col: str, start_col: str, end_col: str,
             .map_batches(coarse, batch_format="pyarrow")
             .groupby("__ib")
             .map_groups(fold, batch_format="pandas"))
+
+
+def ohlc_bars(ds, key_col: str, bucket_col: str, ts_col: str,
+              tie_col: str, value_col: str, num_buckets: int = 256):
+    """Time-series resampling to OHLC bars: per (key, bucket) the OPEN
+    (value at the earliest (ts, tie)), CLOSE (latest), HIGH, LOW, row
+    count and sum — the downsampling step monitoring/financial
+    pipelines run before plotting or modeling. Open/close make the
+    aggregate non-commutative, so each per-block partial CARRIES its
+    argmin/argmax witnesses ((ts, tie, value) triples) — that makes
+    partials mergeable and the fold exact under any arrival order; all
+    int64, so the SQL first_value/last_value window replay is
+    bit-exact.
+
+    Plan: one vectorized per-block pre-reduce to ≤ |key×bucket| partial
+    rows (raw rows never shuffle), ONE coarse ``hash(key, bucket)``
+    fold."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": pd.Series(b[key_col].to_pylist(), dtype="object"),
+            "bkt": b[bucket_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "t": b[ts_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "tie": b[tie_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": b[value_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        df = df.sort_values(["k", "bkt", "t", "tie"],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby(["k", "bkt"], sort=False)
+        out = g.agg(
+            open_t=("t", "first"), open_tie=("tie", "first"),
+            open_v=("v", "first"),
+            close_t=("t", "last"), close_tie=("tie", "last"),
+            close_v=("v", "last"),
+            hi=("v", "max"), lo=("v", "min"),
+            sum_v=("v", "sum"), n=("v", "size")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__ob")
+        opens = df.sort_values(["k", "bkt", "open_t", "open_tie"],
+                               kind="mergesort") \
+            .drop_duplicates(["k", "bkt"])[
+            ["k", "bkt", "open_v"]]
+        closes = df.sort_values(["k", "bkt", "close_t", "close_tie"],
+                                ascending=[True, True, False, False],
+                                kind="mergesort") \
+            .drop_duplicates(["k", "bkt"])[
+            ["k", "bkt", "close_v"]]
+        sums = df.groupby(["k", "bkt"], as_index=False).agg(
+            hi=("hi", "max"), lo=("lo", "min"),
+            sum_v=("sum_v", "sum"), n=("n", "sum"))
+        m = sums.merge(opens, on=["k", "bkt"]) \
+            .merge(closes, on=["k", "bkt"])
+        return pd.DataFrame({
+            key_col: m["k"].to_numpy(object),
+            "bucket": m["bkt"].to_numpy(np.int64),
+            "open": m["open_v"].to_numpy(np.int64),
+            "high": m["hi"].to_numpy(np.int64),
+            "low": m["lo"].to_numpy(np.int64),
+            "close": m["close_v"].to_numpy(np.int64),
+            "n": m["n"].to_numpy(np.int64),
+            "sum_value": m["sum_v"].to_numpy(np.int64)})
+
+    cols = list(dict.fromkeys(
+        [key_col, bucket_col, ts_col, tie_col, value_col]))
+    return (ds.select_columns(cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(lambda b: append_coarse_bucket(
+                b, ["k", "bkt"], num_buckets, "__ob"),
+                batch_format="pyarrow")
+            .groupby("__ob")
+            .map_groups(fold, batch_format="pandas"))

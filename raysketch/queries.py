@@ -5575,7 +5575,47 @@ def q_lang_source_chi2(sf_dir: str) -> pa.Table:
     return chi2_independence(ds, "lang", "source")
 
 
+def q_hourly_ohlc(sf_dir: str) -> Any:
+    """Hourly OHLC resampling of event value cents per type
+    (ops/window.ohlc_bars): open/close carried as argmin/argmax
+    witnesses inside mergeable per-block partials (the
+    non-commutative part), high/low/sum/n plain — the downsampling
+    bars a monitoring pipeline stores instead of raw points; the SQL
+    first_value/last_value window replays bit-exactly in int64."""
+    from .ops.window import ohlc_bars
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id",
+                                  "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "bkt": pa.array(t // 3_600_000_000),
+            "ts_us": pa.array(t),
+            "event_id": b["event_id"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64))})
+
+    return ohlc_bars(ev.map_batches(prep, batch_format="pyarrow"),
+                     "event_type", "bkt", "ts_us", "event_id", "cents")
+
+
+def q_negative_samples(sf_dir: str) -> Any:
+    """Deterministic contrastive negative sampling over the dense
+    doc-id space (ops/sample.negative_samples): 4 partners per doc via
+    the seed_key32 integer mix on doc_id·16+rank (self-pairs step to
+    the next id) — stateless, shard-independent, and replayed in pure
+    DuckDB BIGINT/HUGEINT arithmetic."""
+    from .ops.sample import negative_samples
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return negative_samples(ds, n_ids=ds.count(), k=4)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "hourly_ohlc": q_hourly_ohlc,
+    "negative_samples": q_negative_samples,
     "lang_source_chi2": q_lang_source_chi2,
     "user_coverage": q_user_coverage,
     "trade_communities": q_trade_communities,
@@ -8856,4 +8896,59 @@ ORACLE_SQL["lang_source_chi2"] = """
                 * ((SELECT count(*) FROM s) - 1) AS BIGINT) AS dof,
            CAST(sum(micro) AS BIGINT) AS chi2_micro
     FROM t
+"""
+
+# OHLC: first_value/last_value window over the (ts, event_id) total
+# order, grouped distinct — all int64
+ORACLE_SQL["hourly_ohlc"] = """
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bucket,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+             first_value(CAST(floor(value*100 + 0.5) AS BIGINT))
+               OVER w AS o,
+             last_value(CAST(floor(value*100 + 0.5) AS BIGINT))
+               OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(o) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(c) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_value
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# negative sampling: the seed_key32 HUGEINT recipe on doc_id*16+rank,
+# modulo the dense id space, self-pairs stepping to the next id
+ORACLE_SQL["negative_samples"] = """
+    WITH nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), r(neg_rank) AS (
+      VALUES (0), (1), (2), (3)
+    ), keyed AS (
+      SELECT d.doc_id, r.neg_rank,
+             (CAST(d.doc_id*16 + r.neg_rank AS HUGEINT) * 2654435761)
+               % 4294967296 AS h1
+      FROM documents d CROSS JOIN r
+    ), mixed AS (
+      SELECT doc_id, neg_rank,
+             (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+      FROM keyed
+    ), sk AS (
+      SELECT doc_id, neg_rank,
+             CAST(xor(h2, h2 // 65536) AS BIGINT) % (SELECT n FROM nn)
+               AS neg0
+      FROM mixed
+    )
+    SELECT doc_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+           CAST((neg0 + CASE WHEN neg0 = doc_id THEN 1 ELSE 0 END)
+                % (SELECT n FROM nn) AS BIGINT) AS neg_id
+    FROM sk ORDER BY doc_id, neg_rank
 """

@@ -309,3 +309,58 @@ def test_chi2_matches_integer_brute_force():
     assert got.tolist() == [n, 3, 4, 6, micro]
     # sanity: near-independent draws give chi2/dof in a plausible band
     assert got["chi2_micro"] / 1e6 < 30.0
+
+
+# ---------------------------------------------------------------------------
+# ohlc_bars
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_ohlc_matches_brute_force():
+    from raysketch.ops.window import ohlc_bars
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "bkt": rng.integers(0, 6, n),
+        "t": rng.integers(0, 500, n),
+        "i": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-100, 100, n)})
+    got = ohlc_bars(_mk(df, 5), "k", "bkt", "t", "i", "v") \
+        .to_pandas().sort_values(["k", "bucket"]).reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[(df["k"] == row["k"]) & (df["bkt"] == row["bucket"])] \
+            .sort_values(["t", "i"])
+        assert row["open"] == sub["v"].iloc[0]
+        assert row["close"] == sub["v"].iloc[-1]
+        assert row["high"] == sub["v"].max()
+        assert row["low"] == sub["v"].min()
+        assert row["n"] == len(sub)
+        assert row["sum_value"] == sub["v"].sum()
+
+
+# ---------------------------------------------------------------------------
+# negative_samples
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_negative_samples_deterministic_and_self_free():
+    from raysketch.ops.cluster import seed_key32
+    from raysketch.ops.sample import negative_samples
+
+    n = 50
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    got = negative_samples(_mk(df, 3), n_ids=n, k=4).to_pandas() \
+        .sort_values(["doc_id", "neg_rank"]).reset_index(drop=True)
+    assert len(got) == n * 4
+    assert (got["neg_id"] != got["doc_id"]).all()
+    assert got["neg_id"].between(0, n - 1).all()
+    # exact replay of the mix
+    rep = got["doc_id"].to_numpy(np.int64)
+    rank = got["neg_rank"].to_numpy(np.int64)
+    neg = seed_key32(rep * 16 + rank) % n
+    neg = (neg + (neg == rep)) % n
+    assert (got["neg_id"].to_numpy(np.int64) == neg).all()
+    with pytest.raises(ValueError, match="k"):
+        negative_samples(_mk(df, 1), n_ids=n, k=0)
