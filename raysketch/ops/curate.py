@@ -646,3 +646,65 @@ def write_zorder_shards(ds, out_root: str, a_col: str, b_col: str,
     root = write_dataset(ds.map_batches(assign, batch_format="pyarrow"),
                          out_root, partition_cols=["shard"])
     return root, (a_lo, a_hi, b_lo, b_hi)
+
+
+def doc_novelty(ds, n: int = 5, id_col: str = "doc_id",
+                text_col: str = "text", num_buckets: int = 256):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    n-token shingles whose GLOBAL first occurrence (smallest doc id) is
+    this doc — the "how much of this document is new text"
+    memorization/boilerplate proxy novelty-based curation filters on
+    (low novelty ⇒ the doc restates earlier corpus content). Returns a
+    Dataset of (id, n_shingles, n_novel, novelty round6).
+
+    Plan: distinct (doc, shingle) pairs stream out of one vectorized
+    pass; ONE coarse ``hash(shingle)`` fold resolves each shingle's
+    global min-doc (the vocab_growth shape — every shingle decides in
+    exactly one bucket) and emits (doc, total, novel) count partials;
+    a second coarse ``hash(doc)`` fold sums them. Shuffle volume is
+    the distinct pair stream; the shingle vocabulary never gathers."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d, s = _doc_shingles(b, n, id_col, text_col)
+        t = pa.table({"d": pa.array(d, pa.int64()),
+                      "s": pa.array(s, pa.string())})
+        return append_coarse_bucket(t, ["s"], num_buckets, "__nb")
+
+    def shingle_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__nb").drop_duplicates(["d", "s"])
+        if df.empty:
+            return pd.DataFrame({
+                "d": pd.Series([], dtype="int64"),
+                "tot": pd.Series([], dtype="int64"),
+                "nov": pd.Series([], dtype="int64")})
+        first = df.groupby("s")["d"].transform("min")
+        out = pd.DataFrame({
+            "d": df["d"],
+            "tot": np.ones(len(df), np.int64),
+            "nov": (df["d"].to_numpy(np.int64)
+                    == first.to_numpy(np.int64)).astype(np.int64)}) \
+            .groupby("d", as_index=False).sum()
+        return out
+
+    def doc_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns="__db").groupby("d", as_index=False).sum()
+        tot = out["tot"].to_numpy(np.int64)
+        nov = out["nov"].to_numpy(np.int64)
+        ratio = nov / np.maximum(tot, 1)
+        r6 = np.sign(ratio) * np.floor(np.abs(ratio) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            id_col: out["d"].to_numpy(np.int64),
+            "n_shingles": tot,
+            "n_novel": nov,
+            "novelty": r6})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("__nb")
+            .map_groups(shingle_fold, batch_format="pandas")
+            .map_batches(lambda b: append_coarse_bucket(
+                b, ["d"], num_buckets, "__db"),
+                batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(doc_fold, batch_format="pandas"))

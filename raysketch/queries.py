@@ -5613,7 +5613,19 @@ def q_negative_samples(sf_dir: str) -> Any:
     return negative_samples(ds, n_ids=ds.count(), k=4)
 
 
+def q_doc_novelty(sf_dir: str) -> Any:
+    """Per-doc 5-gram novelty (ops/curate.doc_novelty): the fraction of
+    a doc's distinct shingles first seen in THIS doc (global min-doc
+    rule) — the memorization/boilerplate proxy; shingles decide in one
+    hash(shingle) bucket each, the vocabulary never gathers."""
+    from .ops.curate import doc_novelty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_novelty(ds, n=5)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "doc_novelty": q_doc_novelty,
     "hourly_ohlc": q_hourly_ohlc,
     "negative_samples": q_negative_samples,
     "lang_source_chi2": q_lang_source_chi2,
@@ -8951,4 +8963,31 @@ ORACLE_SQL["negative_samples"] = """
            CAST((neg0 + CASE WHEN neg0 = doc_id THEN 1 ELSE 0 END)
                 % (SELECT n FROM nn) AS BIGINT) AS neg_id
     FROM sk ORDER BY doc_id, neg_rank
+"""
+
+# per-doc 5-gram novelty: shingle first occurrence = global min doc_id
+ORACLE_SQL["doc_novelty"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + 4),
+                             ' ') AS s
+      FROM toks, UNNEST(range(1, len(ts) - 3)) AS t(i)
+    ), f AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN sh.doc_id = f.first_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN sh.doc_id = f.first_doc
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN f USING (s)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
 """

@@ -364,3 +364,34 @@ def test_negative_samples_deterministic_and_self_free():
     assert (got["neg_id"].to_numpy(np.int64) == neg).all()
     with pytest.raises(ValueError, match="k"):
         negative_samples(_mk(df, 1), n_ids=n, k=0)
+
+
+# ---------------------------------------------------------------------------
+# doc_novelty
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_novelty_brute_force():
+    from raysketch.ops.curate import doc_novelty
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d e f",          # all novel (first doc)
+                 "a b c d e zz yy xx ww vv",  # repeats 0's opening
+                 "q w e r t y u"]})      # all novel
+    got = doc_novelty(_mk(docs, 2), n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sh = {}
+    for _, r in docs.iterrows():
+        w = r["text"].split()
+        ss = {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+        sh[r["doc_id"]] = ss
+    first = {}
+    for d in sorted(sh):
+        for s in sh[d]:
+            first.setdefault(s, d)
+    for _, row in got.iterrows():
+        ss = sh[row["doc_id"]]
+        nov = sum(1 for s in ss if first[s] == row["doc_id"])
+        assert row["n_shingles"] == len(ss)
+        assert row["n_novel"] == nov
