@@ -530,3 +530,86 @@ def ridge_probe(ds, x_col: str = "embedding", y_col: str = "label",
         "label": pa.array(conf["label"].astype("int64")),
         "pred": pa.array(conf["pred"].astype("int64")),
         "n": pa.array(conf["n"].astype("int64"))})
+
+
+def embedding_quantization(ds, vec_col: str = "embedding",
+                           label_col: str = "label",
+                           levels: int = 256) -> pa.Table:
+    """Int8-style scalar quantization audit over the embedding column:
+    per-dimension min/max (one exact fold) define the codebook; every
+    value quantizes to ``floor((v−min)·(levels−1)/range + 0.5)`` and the
+    per-label reconstruction error reports what the compression costs —
+    the decision pass before shipping quantized vectors to an ANN
+    index at 100 TB (4× smaller, how much recall risk). EXACT on both
+    sides: inputs are float32 (exact in float64), min/max folds are
+    order-free, the quantize expression is evaluated with the same
+    shape in DuckDB (identical IEEE doubles → identical codes), and
+    per-element |v − recon| rounds half-away to integer micro-units
+    before the order-free int64 sum. Returns one row per label:
+    (label, n_vecs, n_vals, err_micro).
+
+    Plan: pass 1 per-block (dim, min, max) partials → a dim-sized
+    driver fold broadcast back; pass 2 per-block quantize + per-label
+    error partials. Raw vectors never gather."""
+    import ray
+
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+
+    def minmax(b: pa.Table) -> pa.Table:
+        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        if V.size == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "j": pa.array(np.arange(V.shape[1], dtype=np.int64)),
+            "mn": pa.array(V.min(axis=0)),
+            "mx": pa.array(V.max(axis=0))})
+
+    parts = ds.select_columns([vec_col]) \
+        .map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError("embedding_quantization: empty input")
+    stats = parts.groupby("j").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = stats["mn"].to_numpy(np.float64)
+    mx = stats["mx"].to_numpy(np.float64)
+    rng = mx - mn
+    if (rng == 0).any():
+        raise ValueError("embedding_quantization: constant dimension")
+    ref = ray.put((mn, rng))
+    q = float(levels - 1)
+
+    def err_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mn_, rng_ = _ray.get(ref)
+        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        lab = b[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if V.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "n_vals": pa.array([], pa.int64()),
+                             "err_micro": pa.array([], pa.int64())})
+        code = np.floor((V - mn_) * q / rng_ + 0.5)
+        recon = mn_ + code * rng_ / q
+        err = np.abs(V - recon)
+        micro = np.floor(err * 1e6 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "label": lab,
+            "n_vecs": np.ones(len(lab), np.int64),
+            "n_vals": np.full(len(lab), V.shape[1], np.int64),
+            "err_micro": micro.sum(axis=1)})
+        out = df.groupby("label", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (ds.select_columns([vec_col, label_col])
+           .map_batches(err_partial, batch_format="pyarrow")
+           .to_pandas().groupby("label", as_index=False).sum()
+           .sort_values("label").reset_index(drop=True))
+    return pa.table({
+        "label": pa.array(agg["label"].to_numpy(np.int64)),
+        "n_vecs": pa.array(agg["n_vecs"].to_numpy(np.int64)),
+        "n_vals": pa.array(agg["n_vals"].to_numpy(np.int64)),
+        "err_micro": pa.array(agg["err_micro"].to_numpy(np.int64))})

@@ -1101,3 +1101,61 @@ def chi2_independence(ds, a_col: str, b_col: str,
         "n_b": pa.array([len(cm)], pa.int64()),
         "dof": pa.array([dof], pa.int64()),
         "chi2_micro": pa.array([int(chi_micro)], pa.int64())})
+
+
+def subsample_ci(ds, id_col: str, value_col: str, n_resamples: int = 32,
+                 q_lo: float = 0.1, q_hi: float = 0.9) -> pa.Table:
+    """Deterministic subsampling confidence interval for the mean — the
+    uncertainty band a quality dashboard needs WITHOUT an RNG state:
+    resample ``b`` keeps row ``i`` iff ``seed_key32(id·B + b)`` is even
+    (half-samples; the hash argument makes membership stateless and
+    shard-independent, the negative-sampling property), each
+    half-sample's mean is an exact integer ratio, and the band is the
+    discrete-quantile rule (rank = ceil(q·B)) over the B means — every
+    step replays in DuckDB integer arithmetic + round6, so the oracle
+    is bit-exact. One streaming pass: each block emits B (resample,
+    n, sum) partials; the driver folds B rows.
+
+    Returns one row: (n_rows, mean, ci_lo, ci_hi) — mean over all rows,
+    band over resample means, all round6 doubles."""
+    import math
+
+    from ..ops.cluster import seed_key32
+
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if not (0.0 < q_lo < q_hi < 1.0):
+        raise ValueError("need 0 < q_lo < q_hi < 1")
+    B = n_resamples
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bs = np.arange(B, dtype=np.int64)
+        keep = seed_key32((ids[:, None] * B + bs[None, :]).ravel()) \
+            .reshape(len(ids), B) % 2 == 0
+        return pa.table({
+            "b": pa.array(bs),
+            "n": pa.array(keep.sum(axis=0).astype(np.int64)),
+            "s": pa.array((v[:, None] * keep).sum(axis=0)
+                          .astype(np.int64)),
+            "tn": pa.array(np.full(B, len(ids), np.int64)),
+            "ts": pa.array(np.full(B, int(v.sum()), np.int64))})
+
+    parts = (ds.select_columns([id_col, value_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        raise ValueError("subsample_ci: empty input")
+    agg = parts.groupby("b", as_index=False).sum().sort_values("b")
+    means = np.sort(_r6(agg["s"].to_numpy(np.int64)
+                        / np.maximum(agg["n"].to_numpy(np.int64), 1)))
+    total_n = int(agg["tn"].iloc[0])  # per-block totals sum across blocks
+    total_s = int(agg["ts"].iloc[0])
+    lo = means[max(math.ceil(q_lo * B), 1) - 1]
+    hi = means[max(math.ceil(q_hi * B), 1) - 1]
+    mean = float(_r6(np.array([total_s / max(total_n, 1)]))[0])
+    return pa.table({
+        "n_rows": pa.array([total_n], pa.int64()),
+        "mean": pa.array([mean], pa.float64()),
+        "ci_lo": pa.array([float(lo)], pa.float64()),
+        "ci_hi": pa.array([float(hi)], pa.float64())})

@@ -5624,7 +5624,43 @@ def q_doc_novelty(sf_dir: str) -> Any:
     return doc_novelty(ds, n=5)
 
 
+def q_embedding_quantization(sf_dir: str) -> pa.Table:
+    """Int8 scalar-quantization audit per label
+    (ops/similarity.embedding_quantization): per-dim min/max codebook
+    from one exact fold, codes and reconstructions evaluated with the
+    SAME expression shape as the DuckDB replay (identical IEEE doubles
+    → identical codes), per-element |v−recon| in integer micro-units
+    summed order-free — the compression-cost screen before shipping
+    quantized vectors to an ANN index."""
+    from .ops.similarity import embedding_quantization
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return embedding_quantization(ds)
+
+
+def q_value_mean_ci(sf_dir: str) -> pa.Table:
+    """Deterministic subsample CI for the mean event value in cents
+    (ops/stats.subsample_ci): 32 hash-membership half-samples, exact
+    integer-ratio means, discrete-quantile band — the RNG-free
+    uncertainty rule any shard can recompute independently; bit-exact
+    DuckDB replay."""
+    from .ops.stats import subsample_ci
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64))})
+
+    return subsample_ci(ev.map_batches(cents, batch_format="pyarrow"),
+                        "event_id", "cents")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "value_mean_ci": q_value_mean_ci,
+    "embedding_quantization": q_embedding_quantization,
     "doc_novelty": q_doc_novelty,
     "hourly_ohlc": q_hourly_ohlc,
     "negative_samples": q_negative_samples,
@@ -8990,4 +9026,69 @@ ORACLE_SQL["doc_novelty"] = """
                  / CAST(count(*) AS DOUBLE), 6) AS novelty
     FROM sh JOIN f USING (s)
     GROUP BY sh.doc_id ORDER BY sh.doc_id
+"""
+
+# quantization audit: per-dim min/max codebook, identical-shape double
+# expressions both sides, per-element micro-unit rounding before the
+# order-free sum
+ORACLE_SQL["embedding_quantization"] = """
+    WITH ev AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(range(1, len(embedding) + 1)) AS j
+      FROM embeddings
+    ), d AS (
+      SELECT j, min(v) AS mn, max(v) AS mx FROM ev GROUP BY j
+    ), c AS (
+      SELECT ev.vec_id, ev.label,
+             floor((ev.v - d.mn) * 255 / (d.mx - d.mn) + 0.5) AS code,
+             ev.v, d.mn, d.mx
+      FROM ev JOIN d USING (j)
+    ), e AS (
+      SELECT vec_id, label,
+             CAST(floor(abs(v - (mn + code * (mx - mn) / 255))
+                        * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM c
+    )
+    SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(sum(micro) AS BIGINT) AS err_micro
+    FROM e GROUP BY label ORDER BY label
+"""
+
+# subsample CI: seed_key32 parity membership, exact-ratio means,
+# ceil(q*B) discrete quantile picks — ranks 4 and 29 of 32
+ORACLE_SQL["value_mean_ci"] = """
+    WITH ev AS (
+      SELECT event_id,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), r(b) AS (
+      SELECT unnest(range(0, 32))
+    ), keyed AS (
+      SELECT ev.cents, r.b,
+             (CAST(ev.event_id*32 + r.b AS HUGEINT) * 2654435761)
+               % 4294967296 AS h1
+      FROM ev CROSS JOIN r
+    ), mixed AS (
+      SELECT cents, b,
+             (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+      FROM keyed
+    ), kept AS (
+      SELECT cents, b
+      FROM mixed
+      WHERE CAST(xor(h2, h2 // 65536) AS BIGINT) % 2 = 0
+    ), m AS (
+      SELECT b, round(CAST(sum(cents) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS mean_b
+      FROM kept GROUP BY b
+    ), ranked AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b) AS rn FROM m
+    )
+    SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_rows,
+           round(CAST((SELECT sum(cents) FROM ev) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM ev) AS DOUBLE), 6)
+             AS mean,
+           (SELECT mean_b FROM ranked WHERE rn = 4) AS ci_lo,
+           (SELECT mean_b FROM ranked WHERE rn = 29) AS ci_hi
 """

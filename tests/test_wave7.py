@@ -395,3 +395,65 @@ def test_doc_novelty_brute_force():
         nov = sum(1 for s in ss if first[s] == row["doc_id"])
         assert row["n_shingles"] == len(ss)
         assert row["n_novel"] == nov
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantization
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_quantization_brute_force():
+    from raysketch.ops.similarity import embedding_quantization
+
+    rng = np.random.default_rng(53)
+    n, d = 200, 8
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 3, n)
+    df = pd.DataFrame({"embedding": list(V), "label": lab})
+    got = embedding_quantization(_mk(df, 4)).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    Vd = V.astype(np.float64)
+    mn, mx = Vd.min(axis=0), Vd.max(axis=0)
+    code = np.floor((Vd - mn) * 255 / (mx - mn) + 0.5)
+    recon = mn + code * (mx - mn) / 255
+    micro = np.floor(np.abs(Vd - recon) * 1e6 + 0.5).astype(np.int64)
+    for _, row in got.iterrows():
+        m = lab == row["label"]
+        assert row["n_vecs"] == int(m.sum())
+        assert row["n_vals"] == int(m.sum()) * d
+        assert row["err_micro"] == int(micro[m].sum())
+    with pytest.raises(ValueError, match="levels"):
+        embedding_quantization(_mk(df, 1), levels=1)
+
+
+# ---------------------------------------------------------------------------
+# subsample_ci
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_subsample_ci_brute_force():
+    import math
+
+    from raysketch.ops.cluster import seed_key32
+    from raysketch.ops.stats import subsample_ci
+
+    rng = np.random.default_rng(59)
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": rng.integers(0, 1000, n)})
+    got = subsample_ci(_mk(df, 4), "id", "v").to_pandas().iloc[0]
+    ids = df["id"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    B = 32
+    means = []
+    for b in range(B):
+        keep = seed_key32(ids * B + b) % 2 == 0
+        r = v[keep].sum() / keep.sum()
+        means.append(np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)
+    means = np.sort(means)
+    assert got["n_rows"] == n
+    m = v.sum() / n
+    assert got["mean"] == np.sign(m) * np.floor(abs(m) * 1e6 + 0.5) / 1e6
+    assert got["ci_lo"] == means[math.ceil(0.1 * B) - 1]
+    assert got["ci_hi"] == means[math.ceil(0.9 * B) - 1]
+    assert got["ci_lo"] <= got["mean"] <= got["ci_hi"]
