@@ -494,3 +494,79 @@ def vocab_growth(ds, n_docs: int, k: int = 10, id_col: str = "doc_id",
         "checkpoint": pa.array(agg["checkpoint"].to_numpy(np.int64)),
         "n_docs": pa.array(thresholds, pa.int64()),
         "vocab": pa.array(agg["vocab"].to_numpy(np.int64))})
+
+
+def zipf_fit(ds, id_col: str = "doc_id", text_col: str = "text",
+             num_buckets: int = 256) -> pa.Table:
+    """Zipf-law fit over the token frequency spectrum: regress
+    ln(count) on ln(rank) (rank by count desc, token asc) — the
+    corpus-health diagnostic whose slope drifts when scraped text
+    degenerates (boilerplate flattens it, spam steepens it). EXACT
+    statistic: both logs round half-away to INTEGER micro-nats, the
+    regression reduces to integer power sums folded in Python big-ints
+    (the grouped_linear_fit overflow rule), and slope/intercept are
+    integer ratios rounded once at round6 — the DuckDB HUGEINT replay
+    matches bit-for-bit.
+
+    Plan: per-block token-count partials → ONE coarse ``hash(token)``
+    fold to global counts; ranks need the global order, so the
+    vocabulary-sized (count, token) list folds on the driver (the
+    `_DRIVER_FOLD_LIMIT` discipline — vocabularies are corpus-bounded;
+    swap the sort to ``Dataset.sort`` above it). Returns one row:
+    (n_tokens, slope, intercept_micro) as round6 doubles over the
+    micro-nat grid."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        ex = s.str.split().explode().dropna()
+        if ex.empty:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = ex.value_counts()
+        return pa.table({
+            "t": pa.array(vc.index.to_numpy(object), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__zb").groupby(
+            "t", as_index=False)["n"].sum()
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .map_batches(lambda b: append_coarse_bucket(
+                  b, ["t"], num_buckets, "__zb"),
+                  batch_format="pyarrow")
+              .groupby("__zb")
+              .map_groups(fold, batch_format="pandas")
+              .to_pandas())
+    if counts.empty:
+        raise ValueError("zipf_fit: empty corpus")
+    counts = counts.groupby("t", as_index=False)["n"].sum() \
+        .sort_values(["n", "t"], ascending=[False, True],
+                     kind="mergesort").reset_index(drop=True)
+    n_tok = len(counts)
+    rank = np.arange(1, n_tok + 1, dtype=np.int64)
+    x = np.floor(np.log(rank.astype(np.float64)) * 1e6 + 0.5) \
+        .astype(np.int64)
+    y = np.floor(np.log(counts["n"].to_numpy(np.int64)
+                        .astype(np.float64)) * 1e6 + 0.5) \
+        .astype(np.int64)
+    sx = int(x.sum())
+    sy = int(y.sum())
+    sxx = sum(int(v) * int(v) for v in x)  # big-int: micro² overflows
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    num = n_tok * sxy - sx * sy
+    den = n_tok * sxx - sx * sx
+    if den == 0:
+        raise ValueError("zipf_fit: degenerate rank spectrum")
+    # raw-double slope, then an identical-SHAPE double expression for
+    # the intercept (a pure-integer intercept numerator would need
+    # sy·den — past HUGEINT at million-token vocabularies)
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n_tok)
+    r6 = lambda v: float(np.sign(v) * np.floor(abs(v) * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return pa.table({
+        "n_tokens": pa.array([n_tok], pa.int64()),
+        "slope": pa.array([r6(slope)], pa.float64()),
+        "intercept_micro": pa.array([r6(intercept)], pa.float64())})

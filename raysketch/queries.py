@@ -5658,7 +5658,19 @@ def q_value_mean_ci(sf_dir: str) -> pa.Table:
                         "event_id", "cents")
 
 
+def q_zipf_fit(sf_dir: str) -> pa.Table:
+    """Zipf-law slope of the token frequency spectrum
+    (ops/text.zipf_fit): ln(count) on ln(rank) in integer micro-nats,
+    power sums in big-ints, slope/intercept as shared double
+    expressions round6 — the corpus-degeneracy diagnostic."""
+    from .ops.text import zipf_fit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return zipf_fit(ds)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "zipf_fit": q_zipf_fit,
     "value_mean_ci": q_value_mean_ci,
     "embedding_quantization": q_embedding_quantization,
     "doc_novelty": q_doc_novelty,
@@ -9091,4 +9103,37 @@ ORACLE_SQL["value_mean_ci"] = """
              AS mean,
            (SELECT mean_b FROM ranked WHERE rn = 4) AS ci_lo,
            (SELECT mean_b FROM ranked WHERE rn = 29) AS ci_hi
+"""
+
+# Zipf fit: micro-nat logs, HUGEINT power sums, shared double finalize
+ORACLE_SQL["zipf_fit"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), c AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY t
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS r FROM c
+    ), m AS (
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE))*1e6 + 0.5) AS HUGEINT)
+               AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE))*1e6 + 0.5) AS HUGEINT)
+               AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS nt, sum(x) AS sx,
+             sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM m
+    ), fit AS (
+      SELECT nt, sx, sy,
+             CAST(nt*sxy - sx*sy AS DOUBLE)
+               / CAST(nt*sxx - sx*sx AS DOUBLE) AS slope_raw
+      FROM s
+    )
+    SELECT CAST(nt AS BIGINT) AS n_tokens,
+           round(slope_raw, 6) AS slope,
+           round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+                 / CAST(nt AS DOUBLE), 6) AS intercept_micro
+    FROM fit
 """

@@ -457,3 +457,33 @@ def test_subsample_ci_brute_force():
     assert got["ci_lo"] == means[math.ceil(0.1 * B) - 1]
     assert got["ci_hi"] == means[math.ceil(0.9 * B) - 1]
     assert got["ci_lo"] <= got["mean"] <= got["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_fit_brute_force_and_slope_sign():
+    from raysketch.ops.text import zipf_fit
+
+    # counts 16,8,4,2,1 over ranks 1..5: perfect power law, slope<0
+    docs = pd.DataFrame({
+        "doc_id": [0],
+        "text": [" ".join(["a"] * 16 + ["b"] * 8 + ["c"] * 4
+                          + ["d"] * 2 + ["e"])]})
+    got = zipf_fit(_mk(docs, 1)).to_pandas().iloc[0]
+    rank = np.arange(1, 6)
+    cnt = np.array([16, 8, 4, 2, 1])
+    x = np.floor(np.log(rank) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cnt) * 1e6 + 0.5).astype(np.int64)
+    n = 5
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    slope = num / den
+    inter = (float(y.sum()) - slope * float(x.sum())) / n
+    r6 = lambda v: float(np.sign(v) * np.floor(abs(v) * 1e6 + 0.5) / 1e6)  # noqa: E731
+    assert got["n_tokens"] == 5
+    assert got["slope"] == r6(slope)
+    assert got["intercept_micro"] == r6(inter)
+    assert got["slope"] < 0
