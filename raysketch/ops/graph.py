@@ -907,7 +907,8 @@ def degree_assortativity(edges_ds, src: str = "src", dst: str = "dst",
 
 def label_propagation(edges_ds, src: str = "src", dst: str = "dst",
                       iters: int = 2, num_buckets: int = 64,
-                      broadcast_limit_rows: int = 2_000_000):
+                      broadcast_limit_rows: int = 2_000_000,
+                      driver_fold_limit: int = _DRIVER_PAGERANK_LIMIT):
     """Synchronous label propagation over an UNDIRECTED edge list —
     the lightweight community detector (Raghavan et al. 2007): every
     node starts as its own label; each iteration every node adopts the
@@ -953,6 +954,45 @@ def label_propagation(edges_ds, src: str = "src", dst: str = "dst",
                             .drop_duplicates([src, dst]),
                             batch_format="pandas")
                 .materialize())
+
+    if edges_ds.count() <= driver_fold_limit:
+        # SIZE-ROUTED driver fold (the pagerank/bfs discipline): per
+        # iteration Ray shuffles on a bounded graph are pure fixed
+        # cost (measured 25.6 s → ~2 s warm at sf0.1). The deduped
+        # edge list is narrow int rows; LPA state is node-cardinality.
+        import ray.data as rd
+
+        us, vs = [], []
+        for b in edges_ds.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"):
+            us.append(b[src].to_numpy(zero_copy_only=False))
+            vs.append(b[dst].to_numpy(zero_copy_only=False))
+        u = np.concatenate(us).astype(np.int64) if us \
+            else np.zeros(0, np.int64)
+        v = np.concatenate(vs).astype(np.int64) if vs \
+            else np.zeros(0, np.int64)
+        a = np.concatenate([u, v])
+        b_arr = np.concatenate([v, u])
+        nodes = np.unique(a)
+        labv = nodes.copy()  # every node starts as its own label
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b_arr)
+        for _ in range(iters):
+            df = pd.DataFrame({"node": bi, "lab": labv[ai]})
+            cnt = df.groupby(["node", "lab"]).size().reset_index(
+                name="n")
+            cnt = cnt.sort_values(["node", "n", "lab"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort") \
+                .drop_duplicates("node")
+            new = labv.copy()
+            new[cnt["node"].to_numpy(np.int64)] = \
+                cnt["lab"].to_numpy(np.int64)
+            labv = new
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(labv, pa.int64())}))
+
     labels = (edges_ds.map_batches(nodes_of, batch_format="pyarrow")
               .map_batches(lambda b: append_coarse_bucket(
                   b, ["node"], num_buckets, "__lb"),

@@ -277,9 +277,12 @@ def test_label_propagation_matches_brute_force():
     bridge = pd.DataFrame({"src": [5], "dst": [105]})
     edges = pd.concat([a, b, bridge])
     edges = edges[edges["src"] != edges["dst"]]
-    got = label_propagation(_mk(edges, 4), iters=2).to_pandas()
     want = _lp_brute(edges, 2)
-    assert dict(zip(got["node"], got["label"])) == want
+    # both physical routes, one answer: driver fold and shuffle fold
+    for dlimit in (5_000_000, 0):
+        got = label_propagation(_mk(edges, 4), iters=2,
+                                driver_fold_limit=dlimit).to_pandas()
+        assert dict(zip(got["node"], got["label"])) == want, dlimit
 
 
 # ---------------------------------------------------------------------------
