@@ -570,3 +570,86 @@ def zipf_fit(ds, id_col: str = "doc_id", text_col: str = "text",
         "n_tokens": pa.array([n_tok], pa.int64()),
         "slope": pa.array([r6(slope)], pa.float64()),
         "intercept_micro": pa.array([r6(intercept)], pa.float64())})
+
+
+def source_vocab_overlap(ds, group_col: str = "source",
+                         text_col: str = "text",
+                         num_buckets: int = 256) -> pa.Table:
+    """Pairwise vocabulary overlap between groups: |A∩B|, |A∪B| and
+    Jaccard for every group pair — "do these two scrape sources speak
+    the same language" dedup/mixing diagnostics. BIT-PARALLEL design:
+    groups map to bits (≤ 63 groups), each token reduces to ONE
+    membership-bitmask row inside a single ``hash(token)`` fold, each
+    bucket emits only (mask, count) rows (≤ distinct masks — never the
+    vocabulary), and all pairwise intersections/unions come from one
+    vectorized popcount pass over the mask histogram. Exact integers;
+    Jaccard rounds once at round6 — the SQL self-join replay matches
+    bit-for-bit."""
+    from ..engine.hashing import append_coarse_bucket
+
+    import pyarrow.compute as pc
+
+    groups = sorted({
+        g for b in ds.select_columns([group_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow")
+        for g in pc.unique(b[group_col].combine_chunks()).to_pylist()})
+    if len(groups) > 63:
+        raise ValueError("source_vocab_overlap: > 63 groups")
+    bit = {g: 1 << i for i, g in enumerate(groups)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        ex = s.str.split().explode().dropna()
+        if ex.empty:
+            return pa.table({"t": pa.array([], pa.string()),
+                             "m": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "t": ex.to_numpy(object),
+            "m": g.reindex(ex.index).map(bit).to_numpy(np.int64)})
+        out = df.groupby("t", sort=False, as_index=False)["m"] \
+            .agg(lambda x: int(np.bitwise_or.reduce(
+                x.to_numpy(np.int64))))
+        return pa.table({
+            "t": pa.array(out["t"].to_numpy(object), pa.string()),
+            "m": pa.array(out["m"].to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        masks = df.drop(columns="__vb").groupby("t")["m"] \
+            .agg(lambda x: int(np.bitwise_or.reduce(
+                x.to_numpy(np.int64))))
+        out = pd.Series(masks.to_numpy(np.int64)).value_counts()
+        return pd.DataFrame({
+            "m": out.index.to_numpy(np.int64),
+            "n": out.to_numpy(np.int64)})
+
+    hist = (ds.select_columns([group_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(lambda b: append_coarse_bucket(
+                b, ["t"], num_buckets, "__vb"),
+                batch_format="pyarrow")
+            .groupby("__vb")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas().groupby("m", as_index=False)["n"].sum())
+    masks = hist["m"].to_numpy(np.int64)
+    cnt = hist["n"].to_numpy(np.int64)
+    rows = []
+    for i, ga in enumerate(groups):
+        for j in range(i + 1, len(groups)):
+            gb = groups[j]
+            ba, bb = 1 << i, 1 << j
+            na = int(cnt[(masks & ba) != 0].sum())
+            nb = int(cnt[(masks & bb) != 0].sum())
+            inter = int(cnt[((masks & ba) != 0)
+                            & ((masks & bb) != 0)].sum())
+            union = na + nb - inter
+            jac = inter / union if union else 0.0
+            rows.append((ga, gb, inter, union,
+                         float(np.sign(jac)
+                               * np.floor(abs(jac) * 1e6 + 0.5) / 1e6)))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "inter": pa.array([r[2] for r in rows], pa.int64()),
+        "union_size": pa.array([r[3] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[4] for r in rows], pa.float64())})

@@ -5669,7 +5669,22 @@ def q_zipf_fit(sf_dir: str) -> pa.Table:
     return zipf_fit(ds)
 
 
+def q_source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise vocabulary Jaccard between sources
+    (ops/text.source_vocab_overlap): sources map to bits, each token
+    reduces to ONE membership bitmask inside a single hash(token)
+    fold, buckets emit only (mask, count) rows, and all 190 pairwise
+    intersections come from one vectorized popcount pass — the "do
+    these scrapes overlap" mixing diagnostic; vocabulary never
+    gathers."""
+    from .ops.text import source_vocab_overlap
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_vocab_overlap(ds)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "source_vocab_overlap": q_source_vocab_overlap,
     "zipf_fit": q_zipf_fit,
     "value_mean_ci": q_value_mean_ci,
     "embedding_quantization": q_embedding_quantization,
@@ -9136,4 +9151,35 @@ ORACLE_SQL["zipf_fit"] = """
            round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
                  / CAST(nt AS DOUBLE), 6) AS intercept_micro
     FROM fit
+"""
+
+# vocabulary overlap: distinct (source, token) self-join; zero-overlap
+# pairs materialized by the size cross join
+ORACLE_SQL["source_vocab_overlap"] = """
+    WITH toks AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source
+    ), iv AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS i
+      FROM toks a JOIN toks b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM sz a JOIN sz b ON a.source < b.source
+    )
+    SELECT p.sa AS src_a, p.sb AS src_b,
+           CAST(COALESCE(iv.i, 0) AS BIGINT) AS inter,
+           CAST(p.na + p.nb - COALESCE(iv.i, 0) AS BIGINT)
+             AS union_size,
+           round(CAST(COALESCE(iv.i, 0) AS DOUBLE)
+                 / CAST(p.na + p.nb - COALESCE(iv.i, 0) AS DOUBLE), 6)
+             AS jaccard
+    FROM pairs p LEFT JOIN iv ON p.sa = iv.sa AND p.sb = iv.sb
+    ORDER BY 1, 2
 """

@@ -490,3 +490,26 @@ def test_zipf_fit_brute_force_and_slope_sign():
     assert got["slope"] == r6(slope)
     assert got["intercept_micro"] == r6(inter)
     assert got["slope"] < 0
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_vocab_overlap_brute_force():
+    from raysketch.ops.text import source_vocab_overlap
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a b c", "c d", "c d e", "x y"]})
+    got = source_vocab_overlap(df.pipe(_mk, 2)).to_pandas()
+    vocab = {s: set(" ".join(df[df["source"] == s]["text"]).split())
+             for s in ["s1", "s2", "s3"]}
+    for _, r in got.iterrows():
+        A, B = vocab[r["src_a"]], vocab[r["src_b"]]
+        assert r["inter"] == len(A & B)
+        assert r["union_size"] == len(A | B)
+    # zero-overlap pair present with jaccard 0
+    z = got[(got["src_a"] == "s2") & (got["src_b"] == "s3")].iloc[0]
+    assert (z["inter"], z["jaccard"]) == (0, 0.0)
