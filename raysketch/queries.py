@@ -5683,7 +5683,19 @@ def q_source_vocab_overlap(sf_dir: str) -> pa.Table:
     return source_vocab_overlap(ds)
 
 
+def q_length_gini(sf_dir: str) -> Any:
+    """Gini coefficient of doc length per source
+    (ops/stats.gini_by_group): rank sums from cumulative counts over
+    the sorted (source, n_chars) histogram, big-int exact, one round6
+    — the length-concentration diagnostic next to the mean."""
+    from .ops.stats import gini_by_group
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return gini_by_group(ds, "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "length_gini": q_length_gini,
     "source_vocab_overlap": q_source_vocab_overlap,
     "zipf_fit": q_zipf_fit,
     "value_mean_ci": q_value_mean_ci,
@@ -9182,4 +9194,28 @@ ORACLE_SQL["source_vocab_overlap"] = """
              AS jaccard
     FROM pairs p LEFT JOIN iv ON p.sa = iv.sa AND p.sb = iv.sb
     ORDER BY 1, 2
+"""
+
+# Gini: window cumsum rank-block sums over the per-(source, value)
+# histogram — HUGEINT integer ratio, one round6
+ORACLE_SQL["length_gini"] = """
+    WITH h AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), w AS (
+      SELECT source, v, c,
+             COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                      CAST(0 AS HUGEINT)) AS p
+      FROM h
+    ), s AS (
+      SELECT source, sum(c) AS n, sum(v*c) AS sv,
+             sum(v*(c*p + c*(c+1)//2)) AS s1
+      FROM w GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           round(CAST(2*s1 - (n+1)*sv AS DOUBLE)
+                 / CAST(n*sv AS DOUBLE), 6) AS gini
+    FROM s ORDER BY source
 """

@@ -513,3 +513,36 @@ def test_source_vocab_overlap_brute_force():
     # zero-overlap pair present with jaccard 0
     z = got[(got["src_a"] == "s2") & (got["src_b"] == "s3")].iloc[0]
     assert (z["inter"], z["jaccard"]) == (0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# gini_by_group
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_brute_force_and_bounds():
+    from raysketch.ops.stats import gini_by_group
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 800),
+        "v": rng.integers(0, 500, 800)})
+    got = gini_by_group(_mk(df, 4), "g", "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    for _, row in got.iterrows():
+        x = np.sort(df[df["g"] == row["g"]]["v"].to_numpy(np.int64))
+        n = len(x)
+        s1 = int((np.arange(1, n + 1) * x).sum())
+        sv = int(x.sum())
+        gini = (2 * s1 - (n + 1) * sv) / (n * sv)
+        assert row["n"] == n
+        assert row["gini"] == float(
+            np.sign(gini) * np.floor(abs(gini) * 1e6 + 0.5) / 1e6)
+        assert 0.0 <= row["gini"] < 1.0
+    # equal values -> perfect equality
+    eq = pd.DataFrame({"g": ["e"] * 10, "v": [7] * 10})
+    g0 = gini_by_group(_mk(eq, 1), "g", "v").to_pandas().iloc[0]
+    assert g0["gini"] == 0.0
+    with pytest.raises(Exception, match="non-negative"):
+        gini_by_group(_mk(pd.DataFrame({"g": ["x"], "v": [-1]}), 1),
+                      "g", "v").materialize()
