@@ -387,3 +387,81 @@ def upsert_merge(base_ds, delta_ds, key_col: str, ver_col: str,
               .groupby("__ub")
               .map_groups(fold, batch_format="pandas"))
     return merged
+
+
+def join_key_discovery(column_specs: list, num_buckets: int = 64,
+                       pairs: list | None = None) -> pa.Table:
+    """Join-key discovery across tables (the data-catalog containment
+    scan): for each candidate column pair, the exact distinct
+    cardinalities, intersection, and containment |A∩B| / |A| — a
+    containment near 1.0 marks a foreign-key edge worth joining on.
+    BIT-PARALLEL (the vocab-overlap design): columns map to bits
+    (≤ 63), every distinct VALUE reduces to one membership-bitmask
+    row inside a single ``hash(value)`` fold, buckets emit only
+    (mask, count) histogram rows, and all pair statistics come from
+    one popcount pass — value sets never gather.
+
+    ``column_specs`` is ``[(name, dataset, column), ...]``; ``pairs``
+    selects (name_a, name_b) pairs to report (default: all ordered
+    pairs). int64 key columns only (one shared hash family)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    names = [n for n, _, _ in column_specs]
+    if len(names) > 63:
+        raise ValueError("join_key_discovery: > 63 columns")
+    if len(set(names)) != len(names):
+        raise ValueError("join_key_discovery: duplicate names")
+    bit = {n: 1 << i for i, n in enumerate(names)}
+
+    tagged = []
+    for name, ds, col in column_specs:
+        def tag(b: pa.Table, col=col, m=bit[name]) -> pa.Table:
+            v = np.unique(b[col].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            return pa.table({
+                "v": pa.array(v),
+                "m": pa.array(np.full(len(v), m, np.int64))})
+
+        tagged.append(ds.select_columns([col])
+                      .map_batches(tag, batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        masks = df.drop(columns="__jb").groupby("v")["m"] \
+            .agg(lambda x: int(np.bitwise_or.reduce(
+                x.to_numpy(np.int64))))
+        out = pd.Series(masks.to_numpy(np.int64)).value_counts()
+        return pd.DataFrame({
+            "m": out.index.to_numpy(np.int64),
+            "n": out.to_numpy(np.int64)})
+
+    first, *rest = tagged
+    stream = first.union(*rest) if rest else first
+    hist = (stream.map_batches(lambda b: append_coarse_bucket(
+                b, ["v"], num_buckets, "__jb"), batch_format="pyarrow")
+            .groupby("__jb")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas().groupby("m", as_index=False)["n"].sum())
+    masks = hist["m"].to_numpy(np.int64)
+    cnt = hist["n"].to_numpy(np.int64)
+    if pairs is None:
+        pairs = [(a, b) for i, a in enumerate(names)
+                 for b in names[i + 1:]]
+    rows = []
+    for na, nb in pairs:
+        ba, bb = bit[na], bit[nb]
+        da = int(cnt[(masks & ba) != 0].sum())
+        db = int(cnt[(masks & bb) != 0].sum())
+        inter = int(cnt[((masks & ba) != 0) & ((masks & bb) != 0)]
+                    .sum())
+        containment = inter / da if da else 0.0
+        rows.append((na, nb, da, db, inter, float(
+            np.sign(containment)
+            * np.floor(abs(containment) * 1e6 + 0.5) / 1e6)))
+    return pa.table({
+        "col_a": pa.array([r[0] for r in rows], pa.string()),
+        "col_b": pa.array([r[1] for r in rows], pa.string()),
+        "distinct_a": pa.array([r[2] for r in rows], pa.int64()),
+        "distinct_b": pa.array([r[3] for r in rows], pa.int64()),
+        "inter": pa.array([r[4] for r in rows], pa.int64()),
+        "containment_a_in_b": pa.array([r[5] for r in rows],
+                                       pa.float64())})

@@ -292,3 +292,65 @@ def topn_with_others(ds, group_col: str, key_col: str, value_col: str,
             .groupby("__tb")
             .map_groups(lambda df: fold(df.drop(columns="__tb")),
                         batch_format="pandas"))
+
+
+def abc_analysis(ds, key_col: str, value_col: str,
+                 a_pct: int = 80, b_pct: int = 95,
+                 num_buckets: int = 256) -> pa.Table:
+    """Pareto / ABC contribution analysis: keys sorted by contribution
+    (value desc, key asc), classed A while the running share is within
+    ``a_pct``% of the total, B within ``b_pct``%, else C — "the top
+    1% of suppliers carry 60% of revenue" inventory rule. Class
+    boundaries compare integers only (``cum·100 ≤ pct·total``), so the
+    SQL window replay is bit-exact. Returns one row per class:
+    (class, n_keys, sum_value).
+
+    Plan: per-block (key, value) sum partials → ONE coarse
+    ``hash(key)`` fold to per-key totals → the key-cardinality list
+    folds on the driver for the global sort (the `_DRIVER_FOLD_LIMIT`
+    discipline; swap to ``Dataset.sort`` above it)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": b[value_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        out = df.groupby("k", sort=False, as_index=False)["v"].sum()
+        return pa.table({
+            "k": pa.array(out["k"].to_numpy(np.int64)),
+            "v": pa.array(out["v"].to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__ab").groupby(
+            "k", as_index=False)["v"].sum()
+
+    per_key = (ds.select_columns([key_col, value_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .map_batches(lambda b: append_coarse_bucket(
+                   b, ["k"], num_buckets, "__ab"),
+                   batch_format="pyarrow")
+               .groupby("__ab")
+               .map_groups(fold, batch_format="pandas")
+               .to_pandas())
+    if per_key.empty:
+        raise ValueError("abc_analysis: empty input")
+    per_key = per_key.groupby("k", as_index=False)["v"].sum() \
+        .sort_values(["v", "k"], ascending=[False, True],
+                     kind="mergesort").reset_index(drop=True)
+    v = per_key["v"].to_numpy(np.int64)
+    if (v < 0).any():
+        raise ValueError("abc_analysis: negative contributions")
+    total = int(v.sum())
+    cum = np.cumsum(v)
+    cls = np.where(cum * 100 <= a_pct * total, "A",
+                   np.where(cum * 100 <= b_pct * total, "B", "C"))
+    out = pd.DataFrame({"abc_class": cls, "n_keys": 1, "sum_value": v}) \
+        .groupby("abc_class", as_index=False).sum() \
+        .sort_values("abc_class").reset_index(drop=True)
+    return pa.table({
+        "abc_class": pa.array(out["abc_class"].to_numpy(object),
+                              pa.string()),
+        "n_keys": pa.array(out["n_keys"].to_numpy(np.int64)),
+        "sum_value": pa.array(out["sum_value"].to_numpy(np.int64))})

@@ -5694,7 +5694,54 @@ def q_length_gini(sf_dir: str) -> Any:
     return gini_by_group(ds, "source", "n_chars")
 
 
+def q_supplier_abc(sf_dir: str) -> pa.Table:
+    """Pareto / ABC revenue classes over suppliers
+    (ops/topk.abc_analysis): per-key cents totals from one hash(key)
+    fold, class boundaries as pure integer comparisons
+    (cum·100 ≤ pct·total) — the inventory-policy rollup; SQL window
+    replay bit-exact."""
+    from .ops.topk import abc_analysis
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64))})
+
+    return abc_analysis(li.map_batches(cents, batch_format="pyarrow"),
+                        "l_suppkey", "cents")
+
+
+def q_join_key_discovery(sf_dir: str) -> pa.Table:
+    """Cross-table join-key discovery (ops/setops.join_key_discovery):
+    exact value-set containment between candidate id columns via the
+    bit-parallel mask histogram — FK edges read ~1.0, and the
+    numerically-overlapping custkey/partkey pair shows why containment
+    alone needs a name check (the false-join-key trap the catalog scan
+    exists to surface). Value sets never gather."""
+    from .ops.setops import join_key_discovery
+
+    specs = [
+        ("o_custkey", _read(sf_dir, "orders", ["o_custkey"]),
+         "o_custkey"),
+        ("c_custkey", _read(sf_dir, "customer", ["c_custkey"]),
+         "c_custkey"),
+        ("l_partkey", _read(sf_dir, "lineitem", ["l_partkey"]),
+         "l_partkey"),
+        ("p_partkey", _read(sf_dir, "part", ["p_partkey"]),
+         "p_partkey"),
+    ]
+    return join_key_discovery(specs, pairs=[
+        ("o_custkey", "c_custkey"),
+        ("l_partkey", "p_partkey"),
+        ("o_custkey", "p_partkey")])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "supplier_abc": q_supplier_abc,
+    "join_key_discovery": q_join_key_discovery,
     "length_gini": q_length_gini,
     "source_vocab_overlap": q_source_vocab_overlap,
     "zipf_fit": q_zipf_fit,
@@ -9218,4 +9265,57 @@ ORACLE_SQL["length_gini"] = """
            round(CAST(2*s1 - (n+1)*sv AS DOUBLE)
                  / CAST(n*sv AS DOUBLE), 6) AS gini
     FROM s ORDER BY source
+"""
+
+# ABC: window cumshare with integer class boundaries
+ORACLE_SQL["supplier_abc"] = """
+    WITH p AS (
+      SELECT l_suppkey AS k,
+             CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS v
+      FROM lineitem GROUP BY 1
+    ), w AS (
+      SELECT k, v,
+             sum(v) OVER (ORDER BY v DESC, k ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(v) OVER () AS total
+      FROM p
+    )
+    SELECT CASE WHEN cum*100 <= 80*total THEN 'A'
+                WHEN cum*100 <= 95*total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(v) AS BIGINT) AS sum_value
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+# join-key discovery: distinct value-set containments
+ORACLE_SQL["join_key_discovery"] = """
+    WITH a AS (SELECT DISTINCT o_custkey AS v FROM orders),
+         b AS (SELECT DISTINCT c_custkey AS v FROM customer),
+         c AS (SELECT DISTINCT l_partkey AS v FROM lineitem),
+         d AS (SELECT DISTINCT p_partkey AS v FROM part)
+    SELECT 'o_custkey' AS col_a, 'c_custkey' AS col_b,
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS distinct_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS distinct_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (v)) AS BIGINT)
+             AS inter,
+           round(CAST((SELECT count(*) FROM a JOIN b USING (v))
+                      AS DOUBLE)
+                 / CAST((SELECT count(*) FROM a) AS DOUBLE), 6)
+             AS containment_a_in_b
+    UNION ALL
+    SELECT 'l_partkey', 'p_partkey',
+           (SELECT count(*) FROM c), (SELECT count(*) FROM d),
+           (SELECT count(*) FROM c JOIN d USING (v)),
+           round(CAST((SELECT count(*) FROM c JOIN d USING (v))
+                      AS DOUBLE)
+                 / CAST((SELECT count(*) FROM c) AS DOUBLE), 6)
+    UNION ALL
+    SELECT 'o_custkey', 'p_partkey',
+           (SELECT count(*) FROM a), (SELECT count(*) FROM d),
+           (SELECT count(*) FROM a JOIN d USING (v)),
+           round(CAST((SELECT count(*) FROM a JOIN d USING (v))
+                      AS DOUBLE)
+                 / CAST((SELECT count(*) FROM a) AS DOUBLE), 6)
 """

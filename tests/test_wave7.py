@@ -546,3 +546,54 @@ def test_gini_brute_force_and_bounds():
     with pytest.raises(Exception, match="non-negative"):
         gini_by_group(_mk(pd.DataFrame({"g": ["x"], "v": [-1]}), 1),
                       "g", "v").materialize()
+
+
+# ---------------------------------------------------------------------------
+# abc_analysis
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_abc_analysis_brute_force():
+    from raysketch.ops.topk import abc_analysis
+
+    rng = np.random.default_rng(67)
+    n = 1000
+    df = pd.DataFrame({"k": rng.integers(0, 60, n),
+                       "v": rng.integers(0, 10_000, n)})
+    got = abc_analysis(_mk(df, 4), "k", "v").to_pandas()
+    per = df.groupby("k", as_index=False)["v"].sum() \
+        .sort_values(["v", "k"], ascending=[False, True])
+    cum = per["v"].cumsum().to_numpy(np.int64)
+    total = int(per["v"].sum())
+    cls = np.where(cum * 100 <= 80 * total, "A",
+                   np.where(cum * 100 <= 95 * total, "B", "C"))
+    want = pd.DataFrame({"c": cls, "n": 1, "s": per["v"].to_numpy()}) \
+        .groupby("c", as_index=False).sum().sort_values("c")
+    assert got["abc_class"].tolist() == want["c"].tolist()
+    assert got["n_keys"].tolist() == want["n"].tolist()
+    assert got["sum_value"].tolist() == want["s"].tolist()
+    # mass conservation
+    assert got["sum_value"].sum() == total
+
+
+# ---------------------------------------------------------------------------
+# join_key_discovery
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_key_discovery_containments():
+    from raysketch.ops.setops import join_key_discovery
+
+    fact = pd.DataFrame({"fk": [1, 1, 2, 3, 3, 9]})   # 9 is an orphan
+    dim = pd.DataFrame({"pk": [1, 2, 3, 4, 5]})
+    got = join_key_discovery(
+        [("fk", _mk(fact, 2), "fk"), ("pk", _mk(dim, 1), "pk")],
+        pairs=[("fk", "pk"), ("pk", "fk")]).to_pandas()
+    r = got.iloc[0]
+    assert (r["distinct_a"], r["distinct_b"], r["inter"]) == (4, 5, 3)
+    assert r["containment_a_in_b"] == 0.75
+    r2 = got.iloc[1]
+    assert r2["containment_a_in_b"] == 0.6  # 3 of 5 pks referenced
+    with pytest.raises(ValueError, match="duplicate"):
+        join_key_discovery([("x", _mk(dim, 1), "pk"),
+                            ("x", _mk(dim, 1), "pk")])
