@@ -1780,3 +1780,67 @@ def fuzzy_join(
         })
 
     return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+def quality_keep_filter(ds, clusters_ds, quality_ds,
+                        id_col: str = "doc_id",
+                        score_col: str = "q_score",
+                        num_buckets: int = 64,
+                        broadcast_limit: int = 50_000_000,
+                        attach_limit_rows: int = 2_000_000):
+    """QUALITY-AWARE keep-one-per-cluster: within each near-dup cluster
+    keep the member with the highest ROUND6 quality score (ties →
+    smallest id) instead of the blunt min-id rule — the resolution
+    policy an actual curation pipeline wants (drop the duplicate, keep
+    the better-written copy). Rounding before the argmax makes the
+    keeper decision identical to a SQL replay that rounds the score
+    the same way (the kmeans_assign recipe).
+
+    Plan: scores attach to the (sparse) clustered-doc rows SIZE-ROUTED
+    (broadcast under ``attach_limit_rows`` quality rows, partitioned
+    hash join above — the quality side is corpus-sized); ONE coarse
+    ``hash(cluster)`` fold ranks each cluster and emits its LOSERS
+    (all but the keeper — losers are at most the clustered-doc count,
+    sparse at real thresholds); the corpus filter is the
+    neardup_filter anti semi-join, broadcast under
+    ``broadcast_limit``."""
+    import numpy as np
+
+    from .join import attach_by_key, broadcast_semi_join
+
+    scored = attach_by_key(clusters_ds, quality_ds, id_col, id_col,
+                           [score_col],
+                           broadcast_limit_rows=attach_limit_rows)
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, ["cluster_id"], num_buckets,
+                                    "__qb")
+
+    def losers_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__qb")
+        if df.empty:
+            return pd.DataFrame({
+                "__loser": pd.Series([], dtype="int64")})
+        q = df[score_col].to_numpy(np.float64)
+        df = df.assign(__q6=np.sign(q)
+                       * np.floor(np.abs(q) * 1e6 + 0.5) / 1e6)
+        df = df.sort_values(["cluster_id", "__q6", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        lose = df[df.duplicated("cluster_id")]
+        return pd.DataFrame({
+            "__loser": lose[id_col].to_numpy(np.int64)})
+
+    loser_ds = (scored.map_batches(coarse, batch_format="pyarrow")
+                .groupby("__qb")
+                .map_groups(losers_fold, batch_format="pandas")
+                .materialize())
+    n_losers = loser_ds.count()
+    if n_losers <= broadcast_limit:
+        return broadcast_semi_join(ds, loser_ds, big_key=id_col,
+                                   small_key="__loser", anti=True)
+    npart = int(max(8, min(64, n_losers // 10_000_000 + 8)))
+    return ds.join(loser_ds, "left_anti", npart,
+                   on=(id_col,), right_on=("__loser",))

@@ -5739,7 +5739,42 @@ def q_join_key_discovery(sf_dir: str) -> pa.Table:
         ("o_custkey", "p_partkey")])
 
 
+def q_quality_keep_dedup(sf_dir: str) -> pa.Table:
+    """Quality-aware near-dup resolution end to end
+    (ops/dedup.quality_keep_filter): minhash pairs → connected
+    components → keep the HIGHEST-round6-quality member per cluster
+    (ties → min id) → per-lang counts — the curation keeper policy
+    (drop the duplicate, keep the better copy); the oracle composes
+    the recursive component CTE with the quality-score SQL and a
+    QUALIFY argmax."""
+    import ray.data as rd
+
+    from .ops.dedup import neardup_clusters, quality_keep_filter
+    from .ops.text import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    pairs = rd.from_arrow(pa.Table.from_pandas(
+        _minhash_pairs_df(sf_dir), preserve_index=False))
+    clusters = neardup_clusters(pairs)
+    quality = (_read(sf_dir, "documents", ["doc_id", "text"])
+               .map_batches(QualityScorer(), batch_format="pyarrow")
+               .select_columns(["doc_id", "q_score"]))
+    kept = quality_keep_filter(ds, clusters, quality)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang"]).to_pandas().groupby(
+            "lang", sort=False).size().reset_index(name="n_docs")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _fold_partials(
+        kept.map_batches(count_partial, batch_format="pyarrow"),
+        ["lang"], ["n_docs"], [], [])
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "quality_keep_dedup": q_quality_keep_dedup,
     "supplier_abc": q_supplier_abc,
     "join_key_discovery": q_join_key_discovery,
     "length_gini": q_length_gini,
@@ -9318,4 +9353,54 @@ ORACLE_SQL["join_key_discovery"] = """
            round(CAST((SELECT count(*) FROM a JOIN d USING (v))
                       AS DOUBLE)
                  / CAST((SELECT count(*) FROM a) AS DOUBLE), 6)
+"""
+
+# quality-aware keeper: component CTE (min-reachable label) + quality
+# subquery + ROW_NUMBER argmax on (round6 score DESC, doc ASC)
+ORACLE_SQL["quality_keep_dedup"] = f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id,
+             substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5)
+               AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u
+    ),
+    comp AS (SELECT u AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY u),
+    q AS (SELECT q.doc_id, q.q_score
+          FROM ({ORACLE_SQL["quality_scores"]}) q),
+    ranked AS (
+      SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.q_score DESC,
+                                         c.doc_id ASC) AS rn
+      FROM comp c JOIN q USING (doc_id)
+    ),
+    losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY d.lang ORDER BY d.lang
 """

@@ -597,3 +597,26 @@ def test_join_key_discovery_containments():
     with pytest.raises(ValueError, match="duplicate"):
         join_key_discovery([("x", _mk(dim, 1), "pk"),
                             ("x", _mk(dim, 1), "pk")])
+
+
+# ---------------------------------------------------------------------------
+# quality_keep_filter
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_keep_filter_picks_best_member():
+    import ray.data as rd
+
+    from raysketch.ops.dedup import quality_keep_filter
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                         "lang": ["en"] * 5})
+    # clusters: {1,2,3} labeled 1; {4,5} labeled 4
+    clusters = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                             "cluster_id": [1, 1, 1, 4, 4]})
+    # best quality: doc 2 in first cluster; TIE in second -> min id 4
+    quality = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                            "q_score": [0.2, 0.9, 0.5, 0.7, 0.7]})
+    kept = quality_keep_filter(
+        _mk(docs, 2), _mk(clusters, 2), _mk(quality, 2)).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 4]
