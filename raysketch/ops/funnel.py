@@ -408,3 +408,54 @@ def session_paths(ds, user_col: str, ts_col: str, type_col: str,
     return pa.table({
         "path": pa.array(agg["path"].to_numpy(object), pa.string()),
         "n_sessions": pa.array(agg["n"].to_numpy(np.int64), pa.int64())})
+
+
+def new_vs_returning(ds, key_col: str, ts_col: str,
+                     bucket_us: int = 86_400_000_000,
+                     num_buckets: int = 256):
+    """Daily new-vs-returning actives: per time bucket the distinct
+    active keys and how many of them are globally NEW (their first-ever
+    bucket is this one) — the growth-accounting split every usage
+    dashboard opens with. Exact and one-shuffle: distinct (key, bucket)
+    pairs stream out of per-block pre-reduces, each key's full history
+    lands in ONE ``hash(key)`` fold which tags its min bucket, and the
+    per-bucket rollup is a second narrow fold over (bucket, new-flag)
+    counts. SQL replay: min() over a window, bit-exact int64."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "bkt": (b[ts_col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64) // bucket_us)})
+        df = df.drop_duplicates()
+        t = pa.table({"k": pa.array(df["k"].to_numpy(np.int64)),
+                      "bkt": pa.array(df["bkt"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["k"], num_buckets, "__nb")
+
+    def key_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__nb").drop_duplicates(["k", "bkt"])
+        first = df.groupby("k")["bkt"].transform("min")
+        out = pd.DataFrame({
+            "bkt": df["bkt"],
+            "n_active": np.ones(len(df), np.int64),
+            "n_new": (df["bkt"].to_numpy(np.int64)
+                      == first.to_numpy(np.int64)).astype(np.int64)}) \
+            .groupby("bkt", as_index=False).sum()
+        return out
+
+    parts = (ds.select_columns([key_col, ts_col])
+             .map_batches(pairs, batch_format="pyarrow")
+             .groupby("__nb")
+             .map_groups(key_fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("bkt", as_index=False).sum() \
+        .sort_values("bkt").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(agg["bkt"].to_numpy(np.int64)),
+        "n_active": pa.array(agg["n_active"].to_numpy(np.int64)),
+        "n_new": pa.array(agg["n_new"].to_numpy(np.int64)),
+        "n_returning": pa.array(
+            (agg["n_active"] - agg["n_new"]).to_numpy(np.int64))})

@@ -354,3 +354,64 @@ def abc_analysis(ds, key_col: str, value_col: str,
                               pa.string()),
         "n_keys": pa.array(out["n_keys"].to_numpy(np.int64)),
         "sum_value": pa.array(out["sum_value"].to_numpy(np.int64))})
+
+
+def topk_drift(ds, key_col: str, ts_col: str, split_us: int,
+               k: int = 10, num_buckets: int = 256) -> pa.Table:
+    """Heavy-hitter set drift across a time split: exact top-k keys by
+    count before vs after ``split_us`` (ties → smaller key), reported
+    as one row per key in EITHER top set with both ranks (0 = absent)
+    — the "who left/entered the leaderboard" monitoring view. Exact:
+    per-block (key, side, count) partials, ONE ``hash(key)`` fold to
+    global per-side counts, and only the key-cardinality count table
+    reaches the driver for the two rank sorts (size-route discipline).
+    SQL replay: two QUALIFY rank windows, bit-exact."""
+    from ..engine.hashing import append_coarse_bucket
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "side": (t >= split_us).astype(np.int64),
+            "n": np.ones(len(t), np.int64)})
+        out = df.groupby(["k", "side"], sort=False, as_index=False)[
+            "n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__tb").groupby(
+            ["k", "side"], as_index=False)["n"].sum()
+
+    counts = (ds.select_columns([key_col, ts_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .map_batches(lambda b: append_coarse_bucket(
+                  b, ["k"], num_buckets, "__tb"),
+                  batch_format="pyarrow")
+              .groupby("__tb")
+              .map_groups(fold, batch_format="pandas")
+              .to_pandas())
+    counts = counts.groupby(["k", "side"], as_index=False)["n"].sum()
+    tops = {}
+    for side in (0, 1):
+        sub = counts[counts["side"] == side] \
+            .sort_values(["n", "k"], ascending=[False, True],
+                         kind="mergesort").head(k).reset_index(drop=True)
+        tops[side] = {int(r["k"]): i + 1
+                      for i, (_, r) in enumerate(sub.iterrows())}
+    full = {(int(r["k"]), int(r["side"])): int(r["n"])
+            for _, r in counts.iterrows()}
+    keys = sorted(set(tops[0]) | set(tops[1]))
+    return pa.table({
+        key_col: pa.array(keys, pa.int64()),
+        "rank_before": pa.array(
+            [tops[0].get(x, 0) for x in keys], pa.int64()),
+        "n_before": pa.array(
+            [full.get((x, 0), 0) for x in keys], pa.int64()),
+        "rank_after": pa.array(
+            [tops[1].get(x, 0) for x in keys], pa.int64()),
+        "n_after": pa.array(
+            [full.get((x, 1), 0) for x in keys], pa.int64())})

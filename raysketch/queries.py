@@ -5773,7 +5773,47 @@ def q_quality_keep_dedup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+def q_user_growth_daily(sf_dir: str) -> pa.Table:
+    """Daily new-vs-returning actives (ops/funnel.new_vs_returning):
+    distinct (user, day) pairs pre-reduce per block, each user's first
+    day resolves in ONE hash(user) fold, a narrow second fold rolls up
+    per day — the growth split every usage dashboard opens with."""
+    from .ops.funnel import new_vs_returning
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+
+    return new_vs_returning(ev.map_batches(prep, batch_format="pyarrow"),
+                            "user_id", "ts_us")
+
+
+_DRIFT_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+
+
+def q_user_topk_drift(sf_dir: str) -> pa.Table:
+    """Heavy-hitter drift across the mid-month split
+    (ops/topk.topk_drift): exact top-10 users by event count before vs
+    after Jan 16, one row per key in either set with both ranks (0 =
+    absent) and TRUE counts on both sides — the leaderboard-churn
+    monitor; SQL QUALIFY rank windows replay it bit-exactly."""
+    from .ops.topk import topk_drift
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+
+    return topk_drift(ev.map_batches(prep, batch_format="pyarrow"),
+                      "user_id", "ts_us", _DRIFT_SPLIT_US, k=10)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "user_growth_daily": q_user_growth_daily,
+    "user_topk_drift": q_user_topk_drift,
     "quality_keep_dedup": q_quality_keep_dedup,
     "supplier_abc": q_supplier_abc,
     "join_key_discovery": q_join_key_discovery,
@@ -9403,4 +9443,58 @@ ORACLE_SQL["quality_keep_dedup"] = f"""
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
     GROUP BY d.lang ORDER BY d.lang
+"""
+
+# growth split: per-user min day window, per-day rollup
+ORACLE_SQL["user_growth_daily"] = """
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS bkt
+      FROM events
+    ), f AS (
+      SELECT user_id, bkt,
+             min(bkt) OVER (PARTITION BY user_id) AS first_bkt
+      FROM p
+    )
+    SELECT CAST(bkt AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE bkt = first_bkt) AS BIGINT)
+             AS n_new,
+           CAST(count(*) FILTER (WHERE bkt <> first_bkt) AS BIGINT)
+             AS n_returning
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+# leaderboard churn: two QUALIFY rank windows + true per-side counts
+ORACLE_SQL["user_topk_drift"] = """
+    WITH c AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) >= 1705363200000000
+                  THEN 1 ELSE 0 END AS side,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t0 AS (
+      SELECT user_id, ROW_NUMBER() OVER (ORDER BY n DESC,
+                                         user_id ASC) AS r
+      FROM c WHERE side = 0
+      QUALIFY r <= 10
+    ), t1 AS (
+      SELECT user_id, ROW_NUMBER() OVER (ORDER BY n DESC,
+                                         user_id ASC) AS r
+      FROM c WHERE side = 1
+      QUALIFY r <= 10
+    ), keys AS (
+      SELECT user_id FROM t0 UNION SELECT user_id FROM t1
+    )
+    SELECT k.user_id,
+           CAST(COALESCE(t0.r, 0) AS BIGINT) AS rank_before,
+           CAST(COALESCE((SELECT n FROM c WHERE c.user_id = k.user_id
+                          AND side = 0), 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(t1.r, 0) AS BIGINT) AS rank_after,
+           CAST(COALESCE((SELECT n FROM c WHERE c.user_id = k.user_id
+                          AND side = 1), 0) AS BIGINT) AS n_after
+    FROM keys k
+    LEFT JOIN t0 ON t0.user_id = k.user_id
+    LEFT JOIN t1 ON t1.user_id = k.user_id
+    ORDER BY k.user_id
 """

@@ -620,3 +620,55 @@ def test_quality_keep_filter_picks_best_member():
     kept = quality_keep_filter(
         _mk(docs, 2), _mk(clusters, 2), _mk(quality, 2)).to_pandas()
     assert sorted(kept["doc_id"]) == [2, 4]
+
+
+# ---------------------------------------------------------------------------
+# new_vs_returning
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_new_vs_returning_brute_force():
+    from raysketch.ops.funnel import new_vs_returning
+
+    rng = np.random.default_rng(71)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "t": rng.integers(0, 10, n) * 100 + rng.integers(0, 100, n)})
+    got = new_vs_returning(_mk(df, 4), "k", "t", bucket_us=100) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    p = df.assign(b=df["t"] // 100).drop_duplicates(["k", "b"])
+    first = p.groupby("k")["b"].transform("min")
+    want = p.assign(new=(p["b"] == first).astype(int)) \
+        .groupby("b").agg(n_active=("k", "count"), n_new=("new", "sum"))
+    assert got["n_active"].tolist() == want["n_active"].tolist()
+    assert got["n_new"].tolist() == want["n_new"].tolist()
+    assert (got["n_active"]
+            == got["n_new"] + got["n_returning"]).all()
+    # first bucket is all-new
+    assert got.iloc[0]["n_returning"] == 0
+
+
+# ---------------------------------------------------------------------------
+# topk_drift
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_drift_ranks_and_true_counts():
+    from raysketch.ops.topk import topk_drift
+
+    # before: key 1 dominant; after: key 2 dominant, key 3 enters
+    rows = ([(1, 0)] * 9 + [(2, 0)] * 5 + [(4, 0)] * 1
+            + [(2, 100)] * 8 + [(3, 100)] * 6 + [(1, 100)] * 2)
+    df = pd.DataFrame(rows, columns=["k", "t"])
+    got = topk_drift(_mk(df, 3), "k", "t", split_us=50, k=2) \
+        .to_pandas().set_index("k")
+    assert got.loc[1, ["rank_before", "n_before"]].tolist() == [1, 9]
+    assert got.loc[2, ["rank_before", "rank_after"]].tolist() == [2, 1]
+    assert got.loc[3, ["rank_before", "rank_after"]].tolist() == [0, 2]
+    # key 3 absent from the before TOP but its true before count is 0;
+    # key 1 dropped out after but its TRUE after count is reported
+    assert got.loc[1, "rank_after"] == 0
+    assert got.loc[1, "n_after"] == 2
+    with pytest.raises(ValueError, match="k"):
+        topk_drift(_mk(df, 1), "k", "t", split_us=50, k=0)
