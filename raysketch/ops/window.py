@@ -751,3 +751,116 @@ def ohlc_bars(ds, key_col: str, bucket_col: str, ts_col: str,
                 batch_format="pyarrow")
             .groupby("__ob")
             .map_groups(fold, batch_format="pandas"))
+
+
+def max_streak(ds, key_col: str, day_col: str,
+               num_buckets: int = 256):
+    """Longest consecutive-day streak per key (the engagement metric):
+    over each key's DISTINCT day set, the longest run of days with no
+    gap. One ``hash(key)`` co-location fold — per-block distinct
+    (key, day) pre-reduce, then the classic ``day − row_number``
+    grouping entirely vectorized; one row per key, int64 — the SQL
+    replay uses the identical trick."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "d": b[day_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}).drop_duplicates()
+        t = pa.table({"k": pa.array(df["k"].to_numpy(np.int64)),
+                      "d": pa.array(df["d"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["k"], num_buckets, "__mb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__mb").drop_duplicates(["k", "d"])
+        if df.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "n_days": pd.Series([], dtype="int64"),
+                "max_streak": pd.Series([], dtype="int64")})
+        df = df.sort_values(["k", "d"], kind="mergesort") \
+            .reset_index(drop=True)
+        g = df.groupby("k", sort=False)
+        rn = g.cumcount().to_numpy(np.int64)
+        grp = df["d"].to_numpy(np.int64) - rn  # constant within a run
+        runs = pd.DataFrame({
+            "k": df["k"], "grp": grp,
+            "n": np.ones(len(df), np.int64)}) \
+            .groupby(["k", "grp"], as_index=False)["n"].sum()
+        out = runs.groupby("k", as_index=False).agg(
+            max_streak=("n", "max"))
+        days = g.size().reset_index(name="n_days")
+        m = days.merge(out, left_on="k", right_on="k")
+        return pd.DataFrame({
+            key_col: m["k"].to_numpy(np.int64),
+            "n_days": m["n_days"].to_numpy(np.int64),
+            "max_streak": m["max_streak"].to_numpy(np.int64)})
+
+    return (ds.select_columns([key_col, day_col])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("__mb")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def inter_arrival_profile(ds, key_col: str, ts_col: str,
+                          order_cols: list[str],
+                          num_buckets: int = 256):
+    """Per-key inter-arrival gap profile: number of gaps, exact
+    interpolating MEDIAN gap (halves — exact binary fractions, so
+    DuckDB median() replays with no slack) and max gap — the
+    engagement-cadence signal next to raw counts. One ``hash(key)``
+    co-location fold (the sessionize per-key-volume contract); keys
+    with a single row emit (0, 0.0, 0)."""
+
+    def coarse(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import append_coarse_bucket
+
+        return append_coarse_bucket(b, [key_col], num_buckets, "__gb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__gb")
+        if df.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "median_gap": pd.Series([], dtype="float64"),
+                "max_gap": pd.Series([], dtype="int64")})
+        df = df.sort_values([key_col, *order_cols],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy(np.int64)
+        t = df[ts_col].to_numpy(np.int64)
+        gap = np.empty(len(t), dtype=np.int64)
+        gap[1:] = t[1:] - t[:-1]
+        gap[0] = -1
+        first = np.zeros(len(k), dtype=bool)
+        first[0] = True
+        first[1:] = k[:-1] != k[1:]
+        gap[first] = -1  # no gap on a key's first row
+        rows = []
+        gdf = pd.DataFrame({"k": k, "g": gap})
+        for key, sub in gdf.groupby("k", sort=False):
+            gs = sub["g"].to_numpy(np.int64)
+            gs = gs[gs >= 0]
+            if len(gs) == 0:
+                rows.append((int(key), 0, 0.0, 0))
+                continue
+            gs.sort()
+            n = len(gs)
+            med = float(gs[n // 2]) if n % 2 else \
+                (float(gs[n // 2 - 1]) + float(gs[n // 2])) / 2.0
+            rows.append((int(key), n, med, int(gs[-1])))
+        return pd.DataFrame({
+            key_col: pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_gaps": pd.Series([r[1] for r in rows], dtype="int64"),
+            "median_gap": pd.Series([r[2] for r in rows],
+                                    dtype="float64"),
+            "max_gap": pd.Series([r[3] for r in rows], dtype="int64")})
+
+    cols = list(dict.fromkeys([key_col, ts_col, *order_cols]))
+    return (ds.select_columns(cols)
+            .map_batches(coarse, batch_format="pyarrow")
+            .groupby("__gb")
+            .map_groups(fold, batch_format="pandas"))

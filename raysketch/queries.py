@@ -5811,7 +5811,46 @@ def q_user_topk_drift(sf_dir: str) -> pa.Table:
                       "user_id", "ts_us", _DRIFT_SPLIT_US, k=10)
 
 
+def q_user_max_streak(sf_dir: str) -> Any:
+    """Longest consecutive-active-day streak per user
+    (ops/window.max_streak): distinct (user, day) pre-reduce, one
+    hash(user) fold, the day − row_number run-grouping trick fully
+    vectorized — the engagement metric; same-trick SQL replay."""
+    from .ops.window import max_streak
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "dd": pa.array(t // 86_400_000_000)})
+
+    return max_streak(ev.map_batches(prep, batch_format="pyarrow"),
+                      "user_id", "dd")
+
+
+def q_user_gap_profile(sf_dir: str) -> Any:
+    """Per-user inter-arrival gap profile
+    (ops/window.inter_arrival_profile): exact interpolating median gap
+    (halves — DuckDB median() replays with no slack) and max gap over
+    the (ts, event_id)-ordered event stream; one hash(user) fold."""
+    from .ops.window import inter_arrival_profile
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts"].cast(pa.int64()),
+                         "event_id": b["event_id"]})
+
+    return inter_arrival_profile(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts_us", ["ts_us", "event_id"])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "user_max_streak": q_user_max_streak,
+    "user_gap_profile": q_user_gap_profile,
     "user_growth_daily": q_user_growth_daily,
     "user_topk_drift": q_user_topk_drift,
     "quality_keep_dedup": q_quality_keep_dedup,
@@ -9497,4 +9536,46 @@ ORACLE_SQL["user_topk_drift"] = """
     LEFT JOIN t0 ON t0.user_id = k.user_id
     LEFT JOIN t1 ON t1.user_id = k.user_id
     ORDER BY k.user_id
+"""
+
+# streaks: the day - row_number() run-grouping trick
+ORACLE_SQL["user_max_streak"] = """
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS dd
+      FROM events
+    ), r AS (
+      SELECT user_id, dd,
+             dd - ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY dd) AS grp
+      FROM p
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS n
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_days,
+           CAST(max(n) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+# gap profile: LAG diffs, DuckDB median() on integral gaps (halves)
+ORACLE_SQL["user_gap_profile"] = """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ), g AS (
+      SELECT user_id, s - prev AS gap FROM t WHERE prev IS NOT NULL
+    )
+    SELECT e.user_id,
+           CAST(COALESCE(x.n, 0) AS BIGINT) AS n_gaps,
+           COALESCE(x.med, 0.0) AS median_gap,
+           CAST(COALESCE(x.mx, 0) AS BIGINT) AS max_gap
+    FROM (SELECT DISTINCT user_id FROM events) e
+    LEFT JOIN (SELECT user_id, count(*) AS n, median(gap) AS med,
+                      max(gap) AS mx
+               FROM g GROUP BY user_id) x USING (user_id)
+    ORDER BY e.user_id
 """

@@ -672,3 +672,51 @@ def test_topk_drift_ranks_and_true_counts():
     assert got.loc[1, "n_after"] == 2
     with pytest.raises(ValueError, match="k"):
         topk_drift(_mk(df, 1), "k", "t", split_us=50, k=0)
+
+
+# ---------------------------------------------------------------------------
+# max_streak / inter_arrival_profile
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_streak_brute_force():
+    from raysketch.ops.window import max_streak
+
+    rng = np.random.default_rng(73)
+    df = pd.DataFrame({"k": rng.integers(0, 25, 1200),
+                       "d": rng.integers(0, 40, 1200)})
+    got = max_streak(_mk(df, 4), "k", "d").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        days = sorted(set(df[df["k"] == row["k"]]["d"]))
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        assert row["n_days"] == len(days)
+        assert row["max_streak"] == best
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inter_arrival_profile_brute_force():
+    from raysketch.ops.window import inter_arrival_profile
+
+    rng = np.random.default_rng(79)
+    n = 900
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "t": rng.integers(0, 100_000, n),
+        "i": np.arange(n, dtype=np.int64)})
+    df = df.drop_duplicates(["k", "t"])
+    got = inter_arrival_profile(_mk(df, 4), "k", "t", ["t", "i"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        t = np.sort(df[df["k"] == row["k"]]["t"].to_numpy(np.int64))
+        gaps = np.sort(t[1:] - t[:-1])
+        if len(gaps) == 0:
+            assert (row["n_gaps"], row["median_gap"],
+                    row["max_gap"]) == (0, 0.0, 0)
+            continue
+        assert row["n_gaps"] == len(gaps)
+        assert row["median_gap"] == float(np.median(gaps))
+        assert row["max_gap"] == int(gaps[-1])
