@@ -459,3 +459,87 @@ def new_vs_returning(ds, key_col: str, ts_col: str,
         "n_new": pa.array(agg["n_new"].to_numpy(np.int64)),
         "n_returning": pa.array(
             (agg["n_active"] - agg["n_new"]).to_numpy(np.int64))})
+
+
+def transition_latency(ds, user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       order_col: str = "event_id",
+                       num_buckets: int = 256) -> pa.Table:
+    """Exact median inter-event latency per transition edge: for every
+    consecutive per-user event pair (prev → next, ordered by
+    ``(ts, order_col)``), the gap in WHOLE SECONDS
+    (``(ts_us − prev_us) // 1e6`` — floor division, second resolution
+    bounds the histogram domain by the corpus time range), then per
+    (prev_type, next_type) the exact transition count and interpolating
+    median gap — the "how long do users dwell between steps" companion
+    to ``transition_matrix``.
+
+    Plan: ONE coarse shuffle on ``hash(user) % num_buckets`` co-locates
+    each user's events; the per-bucket fold is one vectorized
+    sort + shift and emits (prev, next, gap_s) COUNT partials (≤
+    |V|²×|gap domain| tiny rows); the driver folds the histogram. The
+    median lands on halves — exact binary fractions — so DuckDB's
+    median() replays bit-for-bit. Returns a driver-sized pa.Table
+    (prev_type, next_type, n, median_gap_s) ordered by (prev, next)."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+    from .stats import _weighted_median
+
+    def coarse(b: pa.Table) -> pa.Table:
+        b = b.select([user_col, ts_col, order_col, type_col])
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):  # normalize ns/ms inputs
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        else:
+            ts = pc.cast(ts, pa.int64())
+        b = b.set_column(b.schema.get_field_index(ts_col), ts_col, ts)
+        return append_coarse_bucket(b, [user_col], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"prev_type": pd.Series([], dtype="object"),
+                              "next_type": pd.Series([], dtype="object"),
+                              "gap_s": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.sort_values([user_col, ts_col, order_col], kind="stable")
+        same = df[user_col].to_numpy() == df[user_col].shift(1).to_numpy()
+        ts = df[ts_col].to_numpy(np.int64)
+        gap = np.floor_divide(ts - np.roll(ts, 1), 1_000_000)
+        out = (pd.DataFrame({
+            "prev_type": df[type_col].shift(1).to_numpy(object),
+            "next_type": df[type_col].to_numpy(object),
+            "gap_s": gap})[same]
+            .groupby(["prev_type", "next_type", "gap_s"])
+            .size().rename("n").reset_index())
+        if out.empty:
+            return empty
+        out["gap_s"] = out["gap_s"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (ds.map_batches(coarse, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    agg = parts.to_pandas()
+    if agg.empty:
+        return pa.table({"prev_type": pa.array([], pa.string()),
+                         "next_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "median_gap_s": pa.array([], pa.float64())})
+    agg = agg.groupby(["prev_type", "next_type", "gap_s"],
+                      as_index=False)["n"].sum()
+    rows = []
+    for (pv, nx), sub in agg.groupby(["prev_type", "next_type"],
+                                     sort=True):
+        v = sub["gap_s"].to_numpy(np.int64).astype(np.float64)
+        c = sub["n"].to_numpy(np.int64)
+        rows.append((pv, nx, int(c.sum()), _weighted_median(v, c)))
+    return pa.table({
+        "prev_type": pa.array([r[0] for r in rows], pa.string()),
+        "next_type": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "median_gap_s": pa.array([r[3] for r in rows], pa.float64()),
+    })

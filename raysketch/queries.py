@@ -5848,7 +5848,62 @@ def q_user_gap_profile(sf_dir: str) -> Any:
         "user_id", "ts_us", ["ts_us", "event_id"])
 
 
+def q_purchase_auc(sf_dir: str) -> pa.Table:
+    """Exact ROC AUC of event value separating purchases from all other
+    events (ops/stats.score_auc): Mann–Whitney U with mid-rank tie
+    correction from ONE integer-cents counting pass — no global sort,
+    no per-row ranks; rank sums fold as Python big-ints (R₂ ~ n²) and
+    the final ratio rounds half-away in pure integer arithmetic so the
+    DuckDB HUGEINT replay is bit-exact."""
+    from .ops.stats import score_auc
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+    return score_auc(ev, "value", "event_type", "purchase")
+
+
+def q_transition_latency(sf_dir: str) -> pa.Table:
+    """Median dwell time per event transition edge
+    (ops/funnel.transition_latency): one hash(user) coarse shuffle
+    co-locates histories, the bucket fold emits (prev, next, gap_s)
+    count partials, and the driver reads each edge's exact
+    interpolating median off the folded histogram (halves — DuckDB
+    median() replays with no slack)."""
+    from .ops.funnel import transition_latency
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return transition_latency(ev)
+
+
+def q_winsorized_quantity(sf_dir: str) -> pa.Table:
+    """Per-returnflag winsorized mean quantity (ops/stats.
+    winsorized_mean): clip into the exact discrete [q05, q95] bounds
+    (ceil(q·n) order statistic — the repo-wide quantile_disc rule) and
+    average the clipped integer sum, all from ONE counting pass; the
+    SQL replay is quantile_disc + greatest/least."""
+    from .ops.stats import winsorized_mean
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return winsorized_mean(li, "l_returnflag", "l_quantity")
+
+
+def q_length_drift_w1(sf_dir: str) -> pa.Table:
+    """Exact Wasserstein-1 distance between each source's document
+    length distribution and the rest of the corpus
+    (ops/stats.wasserstein_drift): Σ gap·|cumA·n_B − cumB·n_A| over the
+    union support from ONE counting pass, folded in Python big-ints and
+    rounded half-away in integer arithmetic — the mass-weighted drift
+    companion to ks_drift, HUGEINT-replayed bit-for-bit."""
+    from .ops.stats import wasserstein_drift
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return wasserstein_drift(docs, "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "purchase_auc": q_purchase_auc,
+    "transition_latency": q_transition_latency,
+    "winsorized_quantity": q_winsorized_quantity,
+    "length_drift_w1": q_length_drift_w1,
     "user_max_streak": q_user_max_streak,
     "user_gap_profile": q_user_gap_profile,
     "user_growth_daily": q_user_growth_daily,
@@ -9578,4 +9633,102 @@ ORACLE_SQL["user_gap_profile"] = """
                       max(gap) AS mx
                FROM g GROUP BY user_id) x USING (user_id)
     ORDER BY e.user_id
+"""
+
+# Mann–Whitney AUC: mid-rank sum over the grouped score histogram;
+# the micro-rounding replays raysketch's integer half-away rule in
+# HUGEINT so the ratio matches bit-for-bit.
+ORACLE_SQL["purchase_auc"] = """
+    WITH v AS (
+      SELECT value AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), agg AS (
+      SELECT s, CAST(count(*) AS HUGEINT) AS c,
+             CAST(sum(y) AS HUGEINT) AS p
+      FROM v GROUP BY s
+    ), w AS (
+      SELECT s, c, p,
+             COALESCE(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM agg
+    ), tot AS (
+      SELECT sum(p) AS n1, sum(c) - sum(p) AS n0,
+             sum(p * (2 * cb + c + 1)) AS r2
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(CAST(((r2 - n1 * (n1 + 1)) * 2000000 + 2 * n1 * n0)
+                     // (4 * n1 * n0) AS BIGINT) AS DOUBLE)
+             / 1000000 AS auc
+    FROM tot
+"""
+
+ORACLE_SQL["transition_latency"] = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER w AS prev,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT prev AS prev_type, event_type AS next_type,
+             (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_s
+      FROM seq WHERE prev IS NOT NULL
+    )
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(median(gap_s) AS DOUBLE) AS median_gap_s
+    FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["winsorized_quantity"] = """
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             quantile_disc(l_quantity, CAST(0.05 AS DOUBLE)) AS lo,
+             quantile_disc(l_quantity, CAST(0.95 AS DOUBLE)) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi,
+           round(avg(greatest(b.lo, least(l.l_quantity, b.hi))), 6)
+             AS win_mean
+    FROM lineitem l JOIN b ON b.g = l.l_returnflag
+    GROUP BY l.l_returnflag, b.lo, b.hi ORDER BY l.l_returnflag
+"""
+
+# W1 over the union support: gap * |cumA*nB - cumB*nA| summed in
+# HUGEINT, micro-rounded with raysketch's integer half-away rule.
+ORACLE_SQL["length_drift_w1"] = """
+    WITH src AS (
+      SELECT source, CAST(count(*) AS HUGEINT) AS na
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM documents),
+    h AS (
+      SELECT s.source AS src, d.n_chars AS v,
+             CAST(count(*) FILTER (WHERE d.source = s.source)
+                  AS HUGEINT) AS ca,
+             CAST(count(*) FILTER (WHERE d.source <> s.source)
+                  AS HUGEINT) AS cb
+      FROM documents d CROSS JOIN src s GROUP BY 1, 2
+    ), c AS (
+      SELECT src, v,
+             sum(ca) OVER (PARTITION BY src ORDER BY v) AS cuma,
+             sum(cb) OVER (PARTITION BY src ORDER BY v) AS cumb,
+             lead(v) OVER (PARTITION BY src ORDER BY v) AS nxt
+      FROM h
+    ), t AS (
+      SELECT c.src,
+             sum(CAST(c.nxt - c.v AS HUGEINT)
+                 * abs(c.cuma * (tot.nn - src.na)
+                       - c.cumb * src.na)) AS num
+      FROM c JOIN src ON src.source = c.src CROSS JOIN tot
+      WHERE c.nxt IS NOT NULL
+      GROUP BY c.src
+    )
+    SELECT t.src AS source, CAST(src.na AS BIGINT) AS n,
+           CAST(CAST((t.num * 2000000 + src.na * (tot.nn - src.na))
+                     // (2 * src.na * (tot.nn - src.na)) AS BIGINT)
+                AS DOUBLE) / 1000000 AS w1
+    FROM t JOIN src ON src.source = t.src CROSS JOIN tot
+    ORDER BY source
 """

@@ -1,0 +1,146 @@
+"""Round-4 sixth-session wave: score_auc, winsorized_mean,
+wasserstein_drift, transition_latency — brute-force parity on random
+frames, block invariance, contract validation. (Oracle parity at
+sf0.01 is covered by test_oracle_parity over the new ORACLE_SQL
+entries.)"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raysketch.ops.funnel import transition_latency
+from raysketch.ops.stats import (score_auc, wasserstein_drift,
+                                 winsorized_mean)
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+def _midranks(x: np.ndarray) -> np.ndarray:
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based mid-rank
+        i = j
+    return ranks
+
+
+def test_score_auc_matches_brute(ray_session):
+    rng = np.random.default_rng(11)
+    n = 4000
+    y = rng.random(n) < 0.3
+    cents = np.where(y, rng.integers(50, 300, n), rng.integers(0, 200, n))
+    df = pd.DataFrame({"value": cents / 100.0,
+                       "label": np.where(y, "pos", "neg")})
+    out = score_auc(_mk(df, 6), "value", "label", "pos").to_pandas()
+    r = _midranks(cents.astype(np.float64))
+    n1, n0 = int(y.sum()), int((~y).sum())
+    auc = (r[y].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+    assert out["n_pos"][0] == n1 and out["n_neg"][0] == n0
+    assert abs(out["auc"][0] - auc) < 2e-6
+
+
+def test_score_auc_perfect_and_degenerate(ray_session):
+    df = pd.DataFrame({"value": [1.0, 2.0, 3.0, 4.0],
+                       "label": ["n", "n", "p", "p"]})
+    out = score_auc(_mk(df, 2), "value", "label", "p").to_pandas()
+    assert out["auc"][0] == 1.0
+    # all-tied scores -> exactly 0.5
+    df2 = pd.DataFrame({"value": [5.0] * 6,
+                        "label": ["p", "n"] * 3})
+    out2 = score_auc(_mk(df2, 2), "value", "label", "p").to_pandas()
+    assert out2["auc"][0] == 0.5
+    with pytest.raises(Exception):  # single class refused
+        score_auc(_mk(pd.DataFrame({"value": [1.0], "label": ["p"]}), 1),
+                  "value", "label", "p")
+
+
+def test_winsorized_mean_matches_brute(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 2500),
+        "v": rng.integers(1, 80, 2500).astype(np.float64)})
+    out = winsorized_mean(_mk(df, 5), "g", "v", alpha=0.05).to_pandas()
+    for _, row in out.iterrows():
+        x = np.sort(df.loc[df["g"] == row["g"], "v"].to_numpy())
+        n = len(x)
+        lo = x[int(np.ceil(0.05 * n)) - 1]
+        hi = x[int(np.ceil(0.95 * n)) - 1]
+        w = np.clip(x, lo, hi)
+        assert row["lo"] == lo and row["hi"] == hi and row["n"] == n
+        assert abs(row["win_mean"] - round(w.mean(), 6)) < 2e-6
+
+
+def test_wasserstein_drift_matches_brute(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 3000),
+        "v": rng.integers(0, 400, 3000).astype(np.float64)})
+    out = wasserstein_drift(_mk(df, 6), "g", "v").to_pandas()
+    support = np.unique(df["v"].to_numpy())
+    for _, row in out.iterrows():
+        a = df.loc[df["g"] == row["g"], "v"].to_numpy()
+        b = df.loc[df["g"] != row["g"], "v"].to_numpy()
+        fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+        w1 = float((np.diff(support) * np.abs(fa - fb)[:-1]).sum())
+        assert row["n"] == len(a)
+        assert abs(row["w1"] - w1) < 2e-6
+
+
+def test_wasserstein_identical_groups_zero(ray_session):
+    # two groups with the SAME multiset -> W1 == 0 exactly
+    v = np.tile(np.arange(10, dtype=np.float64), 4)
+    df = pd.DataFrame({"g": ["a"] * 20 + ["b"] * 20, "v": np.sort(v)})
+    df["v"] = np.concatenate([np.repeat(np.arange(10.0), 2)] * 2)
+    out = wasserstein_drift(_mk(df, 3), "g", "v").to_pandas()
+    assert (out["w1"] == 0.0).all()
+
+
+def test_transition_latency_brute(ray_session):
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**7, n) * 1_000_000, unit="us"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n)})
+    out = transition_latency(_mk(df, 5)).to_pandas()
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    same = s["user_id"].to_numpy() == s["user_id"].shift(1).to_numpy()
+    # pandas int64 view of datetime64[ns] is NANOSECONDS; the op works
+    # in microseconds and floors to whole seconds
+    gap = (s["ts"].astype("int64").to_numpy()
+           - np.roll(s["ts"].astype("int64").to_numpy(), 1)) // 1_000_000_000
+    brute = (pd.DataFrame({
+        "prev_type": s["event_type"].shift(1).to_numpy(object),
+        "next_type": s["event_type"].to_numpy(object),
+        "gap_s": gap})[same]
+        .groupby(["prev_type", "next_type"])["gap_s"]
+        .agg(n="size", median_gap_s="median").reset_index())
+    m = out.merge(brute, on=["prev_type", "next_type"],
+                  suffixes=("", "_b"))
+    assert len(m) == len(out) == len(brute)
+    assert (m["n"] == m["n_b"]).all()
+    assert (abs(m["median_gap_s"] - m["median_gap_s_b"]) < 1e-12).all()
+
+
+def test_block_invariance_new_stats(ray_session):
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 800),
+        "v": rng.integers(0, 50, 800).astype(np.float64)})
+    for fn in (lambda d: winsorized_mean(d, "g", "v").to_pandas(),
+               lambda d: wasserstein_drift(d, "g", "v").to_pandas()):
+        r1 = fn(_mk(df, 1))
+        r8 = fn(_mk(df, 8))
+        pd.testing.assert_frame_equal(r1, r8)
