@@ -543,3 +543,52 @@ def transition_latency(ds, user_col: str = "user_id", ts_col: str = "ts",
         "n": pa.array([r[2] for r in rows], pa.int64()),
         "median_gap_s": pa.array([r[3] for r in rows], pa.float64()),
     })
+
+
+def markov_stationary(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id",
+                      iters: int = 10) -> pa.Table:
+    """Stationary distribution of the per-user event-type Markov chain
+    by power iteration — "where does a user's session settle" — run
+    ENTIRELY in integer micro-probability arithmetic so every
+    iteration is order-free and the DuckDB replay (unrolled CTE per
+    iteration, pure BIGINT) matches bit-for-bit:
+
+    - transition micros: P(prev→s) = (n·2e6 + n_from) // (2·n_from)
+      (half-away-from-zero 6-dp rounding of the row-stochastic MLE);
+      states with NO outgoing transitions get the uniform row
+      (2e6 + |S|) // (2·|S|) — the pagerank dangling rule;
+    - π₀ = uniform micros; each step π'(s) = Σ_prev
+      (π(prev)·P_micro + 5e5) // 1e6 — integer terms, integer sums.
+
+    The heavy lift is the ONE distributed transition-count pass
+    (``transition_matrix``'s hash(user) fold); the iteration itself is
+    |S|² driver work on a taxonomy-bounded matrix. Returns
+    (state, pi) after ``iters`` steps, ordered by state."""
+    counts = transition_matrix(ds, user_col, ts_col, type_col,
+                               order_col).to_pandas()
+    states = sorted(set(
+        ds.select_columns([type_col]).unique(type_col)))
+    ns = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    n = np.zeros((ns, ns), dtype=np.int64)
+    for _, row in counts.iterrows():
+        n[idx[row["prev_type"]], idx[row["next_type"]]] = int(row["n"])
+    nf = n.sum(axis=1)
+    pm = np.zeros((ns, ns), dtype=np.int64)
+    uni = (2_000_000 + ns) // (2 * ns)
+    for i in range(ns):
+        if nf[i] == 0:
+            pm[i, :] = uni
+        else:
+            for j in range(ns):
+                pm[i, j] = (int(n[i, j]) * 2_000_000 + int(nf[i])) \
+                    // (2 * int(nf[i]))
+    pi = np.full(ns, uni, dtype=np.int64)
+    for _ in range(iters):
+        # integer terms keep every step order-free and SQL-replayable
+        pi = ((pi[:, None] * pm + 500_000) // 1_000_000).sum(axis=0)
+    return pa.table({
+        "state": pa.array(states, pa.string()),
+        "pi": pa.array(pi.astype(np.float64) / 1e6, pa.float64())})

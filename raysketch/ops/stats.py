@@ -1395,3 +1395,133 @@ def wasserstein_drift(ds, group_col: str, value_col: str) -> pa.Table:
         "n": pa.array([r[1] for r in rows], pa.int64()),
         "w1": pa.array([r[2] for r in rows], pa.float64()),
     })
+
+
+def lag_correlation(ds, ts_col: str, type_col: str, type_x: str,
+                    type_y: str, hour_us: int = 3_600_000_000,
+                    max_lag: int = 12) -> pa.Table:
+    """Cross-correlation by lag between the hourly count series of two
+    event types (does X lead Y?): for each lag L ∈ [0, max_lag], the
+    Pearson r between x[h] and y[h+L] over the zero-filled contiguous
+    hour range — the lead/lag diagnostic behind alerting rules and
+    feature pipelines.
+
+    One counting pass reduces the corpus to ≤ |hours|×2 exact integer
+    counts (per-block partials, driver fold — the hour range is
+    time-bounded, never event-bounded); every per-lag sum (Σx, Σy,
+    Σx², Σy², Σxy, n) is an exact int64, and r is ONE double
+    expression over those integers rounded half-away to 6 dp — DuckDB
+    evaluates the identical expression shape on the identical integers,
+    so the replay is bit-exact (the embedding_quantization precedent).
+    Zero variance on either side yields r = 0.0 by definition.
+    Returns (lag, n, r) for all lags, ordered by lag."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        h = ts.to_numpy(zero_copy_only=False) // hour_us
+        ty = np.asarray(b[type_col].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        df = pd.DataFrame({
+            "h": h,
+            "x": (ty == type_x).astype(np.int64),
+            "y": (ty == type_y).astype(np.int64)})
+        out = df.groupby("h", sort=False, as_index=False).sum()
+        return pa.table({"h": pa.array(out["h"].to_numpy(np.int64)),
+                         "x": pa.array(out["x"].to_numpy(np.int64)),
+                         "y": pa.array(out["y"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([ts_col, type_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    hist = parts.groupby("h", as_index=False)[["x", "y"]].sum()
+    h0, h1 = int(hist["h"].min()), int(hist["h"].max())
+    nh = h1 - h0 + 1
+    x = np.zeros(nh, dtype=np.int64)
+    y = np.zeros(nh, dtype=np.int64)
+    idx = hist["h"].to_numpy(np.int64) - h0
+    x[idx] = hist["x"].to_numpy(np.int64)
+    y[idx] = hist["y"].to_numpy(np.int64)
+    rows = []
+    for lag in range(0, max_lag + 1):
+        xa, yb = x[:nh - lag], y[lag:]
+        n = int(len(xa))
+        sx, sy = int(xa.sum()), int(yb.sum())
+        sxx = _chunked_int_sum(xa * xa)
+        syy = _chunked_int_sum(yb * yb)
+        sxy = _chunked_int_sum(xa * yb)
+        vx = np.float64(n) * np.float64(sxx) - np.float64(sx) ** 2
+        vy = np.float64(n) * np.float64(syy) - np.float64(sy) ** 2
+        if vx <= 0 or vy <= 0:
+            r = 0.0
+        else:
+            r = float((np.float64(n) * np.float64(sxy)
+                       - np.float64(sx) * np.float64(sy))
+                      / np.sqrt(vx * vy))
+        rows.append((lag, n, float(
+            np.sign(r) * np.floor(abs(r) * 1e6 + 0.5) / 1e6)))
+    return pa.table({
+        "lag": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "r": pa.array([r[2] for r in rows], pa.float64())})
+
+
+def group_jsd(ds, group_col: str, cat_col: str) -> pa.Table:
+    """Jensen–Shannon divergence (nats) between each group's categorical
+    distribution and the REST of the corpus — the bounded, symmetric
+    drift score (0 = identical mix, ln 2 = disjoint support) used to
+    rank sources by how unusual their composition is.
+
+    One counting pass: per-block (group, category) exact counts; the
+    driver folds the ≤ |groups|×|categories| histogram. Each (group,
+    category) contributes ½·(aᵢ/n_A)·ln(pᵢ/mᵢ) + ½·(bᵢ/n_B)·ln(qᵢ/mᵢ);
+    every contribution is ONE double expression over four exact
+    integers (aᵢ, bᵢ, n_A, n_B), rounded half-away to integer
+    MICRO-NATS per term and summed as int64 — order-free, and DuckDB
+    replays the identical expression shape bit-for-bit. Returns
+    (group, n, jsd) ordered by group."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "c": pd.Series(b[cat_col].to_pylist(), dtype="object"),
+            "n": np.ones(b.num_rows, dtype=np.int64)})
+        out = df.groupby(["g", "c"], sort=False, as_index=False)["n"].sum()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "c": pa.array(out["c"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([group_col, cat_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    hist = parts.groupby(["g", "c"], as_index=False)["n"].sum()
+    tot = hist.groupby("c")["n"].sum()
+    n_all = int(tot.sum())
+    rows = []
+    for g, sub in hist.groupby("g", sort=True):
+        cnt = dict(zip(sub["c"], (int(x) for x in sub["n"])))
+        na = sum(cnt.values())
+        nb = n_all - na
+        if nb == 0:
+            raise ValueError("group_jsd: single-group input")
+        micro = np.int64(0)
+        for c, t in tot.items():
+            a = cnt.get(c, 0)
+            b_ = int(t) - a
+            p = a / np.float64(na)
+            q = b_ / np.float64(nb)
+            m = (p + q) / np.float64(2.0)
+            term = np.float64(0.0)
+            if a > 0:
+                term += np.float64(0.5) * p * np.log(p / m)
+            if b_ > 0:
+                term += np.float64(0.5) * q * np.log(q / m)
+            micro += np.int64(np.sign(term)
+                              * np.floor(abs(term) * 1e6 + 0.5))
+        rows.append((g, na, int(micro) / 1e6))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "jsd": pa.array([r[2] for r in rows], pa.float64())})

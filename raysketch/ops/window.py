@@ -864,3 +864,79 @@ def inter_arrival_profile(ds, key_col: str, ts_col: str,
             .map_batches(coarse, batch_format="pyarrow")
             .groupby("__gb")
             .map_groups(fold, batch_format="pandas"))
+
+
+def peak_concurrency(ds, key_col: str, ts_col: str,
+                     day_us: int = 86_400_000_000,
+                     num_buckets: int = 256) -> pa.Table:
+    """Max concurrent active keys per day — the interval-stacking
+    boundary sweep (capacity planning / connection-pool sizing over an
+    event log): each key's daily activity is the INCLUSIVE interval
+    [first event, last event] that day; the peak is the max of the
+    running +1/−1 sum with all starts ordered before ends at equal
+    timestamps.
+
+    Plan: per-block (key, day, min_us, max_us) partials (one vectorized
+    groupby — raw events never shuffle), ONE coarse shuffle on
+    ``hash(key, day)`` folds exact per-(key, day) intervals, a second
+    tiny shuffle on ``hash(day)`` runs the per-day sweep over ≤ |keys|
+    boundary rows (a day's interval set is key-bounded, never
+    event-bounded). Returns (day_idx, n_keys, peak) ordered by day."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        t = ts.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": b[key_col].to_numpy(zero_copy_only=False),
+                           "dd": t // day_us, "t": t})
+        out = df.groupby(["k", "dd"], sort=False, as_index=False).agg(
+            s=("t", "min"), e=("t", "max"))
+        return pa.table({
+            "k": pa.array(out["k"].to_numpy(np.int64)),
+            "dd": pa.array(out["dd"].to_numpy(np.int64)),
+            "s": pa.array(out["s"].to_numpy(np.int64)),
+            "e": pa.array(out["e"].to_numpy(np.int64))})
+
+    def fold_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["k", "dd"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max"))
+        return out
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dd, sub in df.groupby("dd", sort=False):
+            t = np.concatenate([sub["s"].to_numpy(np.int64),
+                                sub["e"].to_numpy(np.int64)])
+            d = np.concatenate([np.ones(len(sub), dtype=np.int64),
+                                -np.ones(len(sub), dtype=np.int64)])
+            order = np.lexsort((-d, t))  # starts before ends at ties
+            peak = int(np.cumsum(d[order]).max())
+            rows.append((int(dd), len(sub), peak))
+        return pd.DataFrame({
+            "day_idx": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_keys": pd.Series([r[1] for r in rows], dtype="int64"),
+            "peak": pd.Series([r[2] for r in rows], dtype="int64")})
+
+    parts = (ds.select_columns([key_col, ts_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(lambda b: append_coarse_bucket(
+                 b, ["k", "dd"], num_buckets, "__b"),
+                 batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold_intervals(df.drop(columns="__b")),
+                         batch_format="pandas")
+             .map_batches(lambda b: append_coarse_bucket(
+                 b, ["dd"], num_buckets, "__d"),
+                 batch_format="pyarrow")
+             .groupby("__d")
+             .map_groups(lambda df: sweep(df.drop(columns="__d")),
+                         batch_format="pandas"))
+    out = parts.to_pandas().sort_values("day_idx").reset_index(drop=True)
+    return pa.table({
+        "day_idx": pa.array(out["day_idx"].to_numpy(np.int64)),
+        "n_keys": pa.array(out["n_keys"].to_numpy(np.int64)),
+        "peak": pa.array(out["peak"].to_numpy(np.int64))})

@@ -5899,7 +5899,61 @@ def q_length_drift_w1(sf_dir: str) -> pa.Table:
     return wasserstein_drift(docs, "source", "n_chars")
 
 
+def q_peak_concurrency(sf_dir: str) -> pa.Table:
+    """Max concurrent active users per day (ops/window.
+    peak_concurrency): inclusive [first, last]-event daily intervals
+    per user, then the classic +1/−1 boundary sweep with starts ordered
+    before ends at ties — capacity planning over the event log. Two
+    tiny shuffles (hash(user, day) interval fold, hash(day) sweep);
+    raw events reduce per block before anything moves."""
+    from .ops.window import peak_concurrency
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return peak_concurrency(ev, "user_id", "ts")
+
+
+def q_lag_correlation(sf_dir: str) -> pa.Table:
+    """Lead/lag cross-correlation between the hourly view and purchase
+    count series (ops/stats.lag_correlation): ONE counting pass reduces
+    the corpus to the zero-filled hour histogram; every per-lag Pearson
+    r is one double expression over exact int64 sums, rounded
+    half-away — DuckDB evaluates the identical shape bit-for-bit."""
+    from .ops.stats import lag_correlation
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return lag_correlation(ev, "ts", "event_type", "view", "purchase")
+
+
+def q_markov_stationary(sf_dir: str) -> pa.Table:
+    """Stationary distribution of the event-type Markov chain
+    (ops/funnel.markov_stationary): power iteration in pure integer
+    micro-probability arithmetic (half-away transition micros, dangling
+    states get the uniform row, per-term integer rounding each step) so
+    the unrolled-CTE BIGINT replay matches bit-for-bit; the distributed
+    work is the one hash(user) transition-count pass."""
+    from .ops.funnel import markov_stationary
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return markov_stationary(ev)
+
+
+def q_source_lang_jsd(sf_dir: str) -> pa.Table:
+    """Jensen–Shannon divergence between each source's language mix and
+    the rest of the corpus (ops/stats.group_jsd): per-(source, lang)
+    contributions are single double expressions over four exact
+    integers, rounded to integer micro-nats per term and summed
+    order-free — the bounded symmetric drift score, replayed exactly."""
+    from .ops.stats import group_jsd
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    return group_jsd(docs, "source", "lang")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "peak_concurrency": q_peak_concurrency,
+    "lag_correlation": q_lag_correlation,
+    "markov_stationary": q_markov_stationary,
+    "source_lang_jsd": q_source_lang_jsd,
     "purchase_auc": q_purchase_auc,
     "transition_latency": q_transition_latency,
     "winsorized_quantity": q_winsorized_quantity,
@@ -9731,4 +9785,149 @@ ORACLE_SQL["length_drift_w1"] = """
                 AS DOUBLE) / 1000000 AS w1
     FROM t JOIN src ON src.source = t.src CROSS JOIN tot
     ORDER BY source
+"""
+
+ORACLE_SQL["peak_concurrency"] = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS dd,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT dd, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT dd, e, -1 FROM iv
+    ), c AS (
+      -- starts before ends at equal timestamps (inclusive intervals);
+      -- RANGE peers make the +1 group land before any -1 at the tie
+      SELECT dd, sum(d) OVER (PARTITION BY dd ORDER BY t, d DESC) AS cur
+      FROM b
+    ), k AS (SELECT dd, count(*) AS n_keys FROM iv GROUP BY dd)
+    SELECT c.dd AS day_idx, CAST(k.n_keys AS BIGINT) AS n_keys,
+           CAST(max(c.cur) AS BIGINT) AS peak
+    FROM c JOIN k ON k.dd = c.dd
+    GROUP BY c.dd, k.n_keys ORDER BY day_idx
+"""
+
+ORACLE_SQL["lag_correlation"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events
+    ), bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bnd),
+                                    (SELECT h1 FROM bnd))) AS h
+    ), cx AS (
+      SELECT h, count(*) FILTER (WHERE event_type = 'view') AS x,
+             count(*) FILTER (WHERE event_type = 'purchase') AS y
+      FROM e GROUP BY h
+    ), s AS (
+      SELECT hours.h, COALESCE(cx.x, 0) AS x, COALESCE(cx.y, 0) AS y
+      FROM hours LEFT JOIN cx USING (h)
+    ), lags AS (SELECT unnest(generate_series(0, 12)) AS lag),
+    j AS (
+      SELECT l.lag, a.x AS x, b.y AS y
+      FROM lags l JOIN s a ON TRUE JOIN s b ON b.h = a.h + l.lag
+    ), t AS (
+      SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0
+                  OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                THEN 0.0
+                ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6)
+           END AS r
+    FROM t ORDER BY lag
+"""
+
+
+def _markov_stationary_sql(iters: int = 10) -> str:
+    """Unrolled power-iteration replay of ops/funnel.markov_stationary:
+    pure BIGINT arithmetic per step (transition micros half-away, the
+    uniform dangling row, per-term (pi*p + 5e5) // 1e6 rounding), so
+    the result is bit-identical to the Ray side at any iteration
+    count."""
+    its = ["it0 AS (SELECT s, (2000000 + ns) // (2 * ns) AS pi "
+           "FROM states CROSS JOIN nstate)"]
+    for k in range(1, iters + 1):
+        its.append(
+            f"it{k} AS (SELECT pm.nxt AS s, "
+            f"sum((it{k-1}.pi * pm.pmic + 500000) // 1000000) AS pi "
+            f"FROM it{k-1} JOIN pm ON pm.prev = it{k-1}.s GROUP BY 1)")
+    it_chain = ",\n    ".join(its)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), tc AS (
+      SELECT prev, event_type AS nxt, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), states AS (SELECT DISTINCT event_type AS s FROM events),
+    nstate AS (SELECT count(*) AS ns FROM states),
+    outs AS (SELECT prev, sum(n) AS nf FROM tc GROUP BY prev),
+    pm AS (
+      SELECT a.s AS prev, b.s AS nxt,
+             CASE WHEN o.nf IS NULL
+                  THEN (2000000 + (SELECT ns FROM nstate))
+                       // (2 * (SELECT ns FROM nstate))
+                  ELSE (COALESCE(c.n, 0) * 2000000 + o.nf) // (2 * o.nf)
+             END AS pmic
+      FROM states a CROSS JOIN states b
+      LEFT JOIN outs o ON o.prev = a.s
+      LEFT JOIN tc c ON c.prev = a.s AND c.nxt = b.s
+    ),
+    {it_chain}
+    SELECT s AS state,
+           CAST(CAST(pi AS BIGINT) AS DOUBLE) / 1000000 AS pi
+    FROM it{iters} ORDER BY state
+    """
+
+
+ORACLE_SQL["markov_stationary"] = _markov_stationary_sql(10)
+
+ORACLE_SQL["source_lang_jsd"] = """
+    WITH h AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), src AS (SELECT source, sum(n) AS na FROM h GROUP BY 1),
+    tot AS (SELECT lang, sum(n) AS t FROM h GROUP BY 1),
+    nall AS (SELECT sum(n) AS nn FROM h),
+    pairs AS (
+      SELECT s.source, t.lang,
+             CAST(COALESCE(x.n, 0) AS BIGINT) AS a,
+             CAST(t.t - COALESCE(x.n, 0) AS BIGINT) AS b,
+             CAST(s.na AS BIGINT) AS na,
+             CAST((SELECT nn FROM nall) - s.na AS BIGINT) AS nb
+      FROM src s CROSS JOIN tot t
+      LEFT JOIN h x ON x.source = s.source AND x.lang = t.lang
+    ), terms AS (
+      SELECT source, na,
+             (CASE WHEN a > 0 THEN
+                0.5 * (CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                * ln((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                     / (((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                         + (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))) / 2))
+              ELSE 0.0 END
+              + CASE WHEN b > 0 THEN
+                0.5 * (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+                * ln((CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+                     / (((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                         + (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))) / 2))
+              ELSE 0.0 END) AS term
+      FROM pairs
+    )
+    SELECT source, CAST(max(na) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN term >= 0
+                         THEN CAST(floor(term * 1000000 + 0.5) AS BIGINT)
+                         ELSE -CAST(floor(-term * 1000000 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 1000000 AS jsd
+    FROM terms GROUP BY source ORDER BY source
 """

@@ -144,3 +144,96 @@ def test_block_invariance_new_stats(ray_session):
         r1 = fn(_mk(df, 1))
         r8 = fn(_mk(df, 8))
         pd.testing.assert_frame_equal(r1, r8)
+
+
+def test_peak_concurrency_brute(ray_session):
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3 * 86400 * 10**6, n), unit="us")})
+    from raysketch.ops.window import peak_concurrency
+    out = peak_concurrency(_mk(df, 6), "user_id", "ts").to_pandas()
+    us = df["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+    dd = us // 86_400_000_000
+    iv = (pd.DataFrame({"u": df["user_id"], "dd": dd, "t": us})
+          .groupby(["u", "dd"]).agg(s=("t", "min"), e=("t", "max"))
+          .reset_index())
+    for day, sub in iv.groupby("dd"):
+        t = np.concatenate([sub["s"].to_numpy(), sub["e"].to_numpy()])
+        d = np.concatenate([np.ones(len(sub), int), -np.ones(len(sub), int)])
+        o = np.lexsort((-d, t))
+        peak = int(np.cumsum(d[o]).max())
+        row = out[out["day_idx"] == day].iloc[0]
+        assert row["n_keys"] == len(sub) and row["peak"] == peak
+
+
+def test_lag_correlation_brute(ray_session):
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            rng.integers(0, 200 * 3600 * 10**6, n), unit="us"),
+        "event_type": rng.choice(["view", "purchase", "other"], n,
+                                 p=[0.5, 0.2, 0.3])})
+    from raysketch.ops.stats import lag_correlation
+    out = lag_correlation(_mk(df, 5), "ts", "event_type",
+                          "view", "purchase", max_lag=6).to_pandas()
+    h = (df["ts"].astype("int64").to_numpy() // 1000) // 3_600_000_000
+    h0, h1 = h.min(), h.max()
+    nh = h1 - h0 + 1
+    x = np.bincount((h - h0)[df["event_type"].to_numpy() == "view"],
+                    minlength=nh)
+    y = np.bincount((h - h0)[df["event_type"].to_numpy() == "purchase"],
+                    minlength=nh)
+    for _, row in out.iterrows():
+        lag = int(row["lag"])
+        xa, yb = x[:nh - lag].astype(float), y[lag:].astype(float)
+        r = np.corrcoef(xa, yb)[0, 1]
+        assert row["n"] == nh - lag
+        assert abs(row["r"] - r) < 2e-6
+
+
+def test_markov_stationary_props(ray_session):
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**7, n) * 10**6, unit="us"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c", "d"], n,
+                                 p=[0.5, 0.3, 0.1, 0.1])})
+    from raysketch.ops.funnel import markov_stationary
+    out1 = markov_stationary(_mk(df, 3)).to_pandas()
+    out2 = markov_stationary(_mk(df, 9)).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)  # block-invariant
+    assert abs(out1["pi"].sum() - 1.0) < 1e-3  # near-stochastic
+    assert (out1["pi"] >= 0).all()
+    # heavy state should dominate the stationary mass
+    assert out1.loc[out1["state"] == "a", "pi"].iloc[0] == out1["pi"].max()
+
+
+def test_group_jsd_brute(ray_session):
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "g": rng.choice(["s1", "s2", "s3"], 2000),
+        "c": rng.choice(["en", "de", "fr"], 2000, p=[0.6, 0.3, 0.1])})
+    from raysketch.ops.stats import group_jsd
+    out = group_jsd(_mk(df, 4), "g", "c").to_pandas()
+    for _, row in out.iterrows():
+        a = df[df["g"] == row["g"]]["c"].value_counts()
+        b = df[df["g"] != row["g"]]["c"].value_counts()
+        na, nb = a.sum(), b.sum()
+        jsd = 0.0
+        for cat in set(df["c"]):
+            p = a.get(cat, 0) / na
+            q = b.get(cat, 0) / nb
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * np.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * np.log(q / m)
+        assert row["n"] == na
+        assert abs(row["jsd"] - jsd) < 5e-6
+        assert -1e-12 <= row["jsd"] <= np.log(2) + 1e-12
