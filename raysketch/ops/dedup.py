@@ -1844,3 +1844,208 @@ def quality_keep_filter(ds, clusters_ds, quality_ds,
     npart = int(max(8, min(64, n_losers // 10_000_000 + 8)))
     return ds.join(loser_ds, "left_anti", npart,
                    on=(id_col,), right_on=("__loser",))
+
+
+def substring_containment(ds, text_col: str = "text",
+                          id_col: str = "doc_id", w: int = 16,
+                          num_buckets: int = 256,
+                          short_broadcast_limit: int = 1_000_000):
+    """Exact substring-containment dedup: every (inner, outer) doc pair
+    where ``inner.text`` appears VERBATIM inside ``outer.text`` (inner
+    ≠ outer) — the "this doc is a quote/chunk/mirror of that doc"
+    screen that Jaccard near-dup misses when the container is much
+    longer than the contained.
+
+    FULL-RECALL blocking with one anchor: if inner ⊆ outer then
+    inner's first ``w`` BYTES occur at some pure window of outer, so
+    candidates = join of each doc's prefix-window hash against every
+    doc's distinct w-byte window-hash postings
+    (:func:`_batch_shingle_hashes` — the minhash shingle stream at
+    k=w; pad-contaminated tail windows can only produce false
+    candidates, never lose true ones). One coarse ``hash(window)``
+    shuffle forms candidates; the text gather onto the deduped pair
+    stream is SIZE-ROUTED exactly like every verify in this module
+    (broadcast payload index under ``_TEXT_BROADCAST_BYTES``,
+    partitioned hash join above); the verify itself is one vectorized
+    elementwise ``np.char.find`` on CHARACTER strings, so byte-level
+    blocking artifacts (mid-codepoint matches, hash collisions) are
+    filtered and the result equals DuckDB ``position(a IN b) > 0``
+    ground truth. Docs shorter than ``w`` cannot anchor a pure prefix
+    window; they take a broadcast-contains fallback (gated by
+    ``short_broadcast_limit`` — the short side is tiny by
+    construction). Returns a Dataset of (inner_id, outer_id)."""
+    import ray
+
+    from ..engine.hashing import append_coarse_bucket
+
+    empty = pd.DataFrame({"inner_id": pd.Series([], dtype="int64"),
+                          "outer_id": pd.Series([], dtype="int64")})
+
+    def posting_rows(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, offs = _batch_shingle_hashes(texts, w)
+        doc_of = np.repeat(ids, np.diff(offs))
+        df = pd.DataFrame({"h": sh, "oid": doc_of}).drop_duplicates()
+        t = pa.table({"h": pa.array(df["h"].to_numpy(np.uint64)),
+                      "oid": pa.array(df["oid"].to_numpy(np.int64)),
+                      "iid": pa.array(
+                          np.full(len(df), -1, dtype=np.int64))})
+        # inner anchors: prefix-window hash of every len >= w doc
+        lens = np.fromiter(
+            (len((t_ or "").encode("utf-8")) for t_ in texts),
+            np.int64, len(texts))
+        ok = lens >= w
+        anchors = pa.table({
+            "h": pa.array(sh[offs[:-1]][ok]),
+            "oid": pa.array(np.full(int(ok.sum()), -1, dtype=np.int64)),
+            "iid": pa.array(ids[ok])})
+        both = pa.concat_tables([t, anchors])
+        return append_coarse_bucket(both, ["h"], num_buckets, "__hb")
+
+    def cand_fold(df: pd.DataFrame) -> pd.DataFrame:
+        inner = df[df["iid"] >= 0][["h", "iid"]]
+        outer = df[df["oid"] >= 0][["h", "oid"]]
+        if inner.empty or outer.empty:
+            return empty
+        m = inner.merge(outer, on="h")
+        m = m[m["iid"] != m["oid"]].drop_duplicates(["iid", "oid"])
+        return pd.DataFrame({"inner_id": m["iid"].to_numpy(np.int64),
+                             "outer_id": m["oid"].to_numpy(np.int64)})
+
+    cand = (ds.select_columns([id_col, text_col])
+            .map_batches(posting_rows, batch_format="pyarrow")
+            .groupby("__hb")
+            .map_groups(lambda df: cand_fold(df.drop(columns="__hb")),
+                        batch_format="pandas")).materialize()
+    results = []
+    n_cand = cand.count()
+    if n_cand > 0:
+        # cross-bucket duplicates (same pair anchored by several
+        # prefix-hash collisions are impossible — one anchor per inner
+        # — but dedup defensively across buckets anyway)
+        from .join import bloom_semi_join
+
+        def ids_of(b: pa.Table) -> pa.Table:
+            return pa.table({"did": pa.concat_arrays(
+                [b["inner_id"].combine_chunks(),
+                 b["outer_id"].combine_chunks()])})
+
+        docs_needed = bloom_semi_join(
+            ds.select_columns([id_col, text_col]),
+            cand.map_batches(ids_of, batch_format="pyarrow"),
+            big_key=id_col, small_key="did",
+            capacity=max(1024, 2 * n_cand), fpr=0.01).materialize()
+
+        def _verify(ia, ib, ta, tb) -> pd.DataFrame:
+            if len(ia) == 0:
+                return empty
+            found = np.char.find(np.asarray(tb, dtype=object).astype(str),
+                                 np.asarray(ta, dtype=object).astype(str))
+            keep = found >= 0
+            return pd.DataFrame({
+                "inner_id": np.asarray(ia, np.int64)[keep],
+                "outer_id": np.asarray(ib, np.int64)[keep]})
+
+        if docs_needed.size_bytes() <= _TEXT_BROADCAST_BYTES:
+            dfd = docs_needed.to_pandas()
+            order = np.argsort(dfd[id_col].to_numpy(np.int64))
+            ref = ray.put((dfd[id_col].to_numpy(np.int64)[order],
+                           dfd[text_col].to_numpy(object)[order]))
+
+            def verify_bcast(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return pa.Table.from_pandas(empty,
+                                                preserve_index=False)
+                ids_sorted, texts = ray.get(ref)
+                a = batch["inner_id"].to_numpy(zero_copy_only=False)
+                b = batch["outer_id"].to_numpy(zero_copy_only=False)
+                ia, ok_a = _lookup_sorted(ids_sorted, a)
+                ib, ok_b = _lookup_sorted(ids_sorted, b)
+                keep = ok_a & ok_b
+                a, b, ia, ib = a[keep], b[keep], ia[keep], ib[keep]
+                out = _verify(a, b, list(texts[ia]), list(texts[ib]))
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            results.append(cand.map_batches(verify_bcast,
+                                            batch_format="pyarrow"))
+        else:
+            side = docs_needed.map_batches(
+                lambda b: pa.table({"join_id": b[id_col],
+                                    "payload": b[text_col]}),
+                batch_format="pyarrow")
+
+            def verify_join(df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty:
+                    return empty
+                return _verify(df["id_a"].to_numpy(),
+                               df["id_b"].to_numpy(),
+                               list(df["payload_a"]),
+                               list(df["payload_b"]))
+
+            renamed = cand.map_batches(
+                lambda b: pa.table({"id_a": b["inner_id"],
+                                    "id_b": b["outer_id"]}),
+                batch_format="pyarrow")
+            npart = int(max(8, min(64, n_cand // 250_000 + 8)))
+            results.append(
+                attach_pair_payloads(renamed, side, num_partitions=npart)
+                .map_batches(
+                    lambda df: verify_join(df).rename(
+                        columns={"id_a": "inner_id",
+                                 "id_b": "outer_id"}),
+                    batch_format="pandas"))
+
+    # short-doc fallback: docs under w bytes can't anchor a window
+    def short_rows(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        lens = np.fromiter(
+            (len((t_ or "").encode("utf-8")) for t_ in texts),
+            np.int64, len(texts))
+        ok = lens < w
+        return pa.table({
+            "sid": pa.array(b[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)[ok]),
+            "stext": pa.array(
+                np.asarray(texts, dtype=object)[ok], pa.string())})
+
+    shorts = ds.select_columns([id_col, text_col]) \
+        .map_batches(short_rows, batch_format="pyarrow").materialize()
+    if shorts.count() > 0:
+        if shorts.count() > short_broadcast_limit:
+            raise ValueError(
+                "substring_containment: short-doc side exceeds the "
+                "broadcast gate; lower w or raise the limit")
+        sdf = shorts.to_pandas()
+        sref = ray.put((sdf["sid"].to_numpy(np.int64),
+                        sdf["stext"].to_numpy(object)))
+
+        def probe_shorts(b: pa.Table) -> pa.Table:
+            sid, stext = ray.get(sref)
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            texts = np.asarray(b[text_col].to_pylist(), dtype=object)
+            outs, inns = [], []
+            for j in range(len(sid)):  # short side is tiny by gate
+                hit = np.char.find(texts.astype(str),
+                                   str(stext[j])) >= 0
+                hit &= ids != sid[j]
+                outs.append(ids[hit])
+                inns.append(np.full(int(hit.sum()), sid[j], np.int64))
+            return pa.table({
+                "inner_id": pa.array(
+                    np.concatenate(inns) if inns
+                    else np.zeros(0, np.int64)),
+                "outer_id": pa.array(
+                    np.concatenate(outs) if outs
+                    else np.zeros(0, np.int64))})
+
+        results.append(ds.select_columns([id_col, text_col])
+                       .map_batches(probe_shorts, batch_format="pyarrow"))
+
+    if not results:
+        return _as_pairs_ds(empty)
+    out = results[0]
+    if len(results) > 1:
+        out = out.union(*results[1:])
+    return out

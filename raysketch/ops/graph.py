@@ -1059,3 +1059,139 @@ def _lp_mode_fold(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({
         "node": agg["node"].to_numpy(np.int64),
         "label": agg["lab"].to_numpy(np.int64)})
+
+
+def kcore(edges_ds, k: int, u_col: str = "u", v_col: str = "v",
+          num_buckets: int = 64,
+          driver_fold_limit: int = 5_000_000) -> pa.Table:
+    """k-core of an undirected graph: iteratively peel every node whose
+    degree in the surviving subgraph is < k until fixpoint, then report
+    each surviving node with its in-core degree — the classic dense-
+    subgraph screen (spam rings, power-user cliques, load-bearing
+    parts). The edge list is GLOBALLY deduplicated first (duplicate
+    pair rows would multiply degrees — the trade_communities lesson).
+
+    SIZE-ROUTED on the deduped edge count (the pagerank
+    `_DRIVER_FOLD_LIMIT` discipline — per-round Ray shuffles on a
+    bounded graph are pure fixed cost): at or under
+    ``driver_fold_limit`` the peel runs as a driver numpy loop over
+    the pinned edge arrays (each round is one bincount + isin). Above
+    it, each round computes degrees with a per-block partial +
+    coarse-bucket fold and broadcasts the (dimension-sized) removal
+    set into an edge filter — every round touches each edge once, and
+    rounds are bounded by the peel depth, not |V|. Returns a
+    driver-ordered pa.Table (node, core_deg); empty if the k-core is
+    empty."""
+    import ray
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.select([u_col, v_col]).to_pandas() \
+            .drop_duplicates([u_col, v_col])
+        a = df[u_col].to_numpy(np.int64)
+        bb = df[v_col].to_numpy(np.int64)
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        t = pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+        return append_coarse_bucket(t, ["u"], num_buckets, "__eb")
+
+    def dedup_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])
+
+    edges = (edges_ds.map_batches(pre, batch_format="pyarrow")
+             .groupby("__eb")
+             .map_groups(lambda df: dedup_fold(df.drop(columns="__eb")),
+                         batch_format="pandas")
+             .materialize())
+    n_edges = edges.count()
+
+    def empty() -> pa.Table:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "core_deg": pa.array([], pa.int64())})
+
+    if n_edges == 0:
+        return empty()
+
+    if n_edges <= driver_fold_limit:
+        df = edges.to_pandas()
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        mask = np.ones(len(u), bool)
+        while True:
+            nodes, deg = np.unique(np.concatenate([u[mask], v[mask]]),
+                                   return_counts=True)
+            weak = nodes[deg < k]
+            if len(weak) == 0 or len(nodes) == 0:
+                break
+            bad = np.isin(u, weak) | np.isin(v, weak)
+            if not (bad & mask).any():
+                break
+            mask &= ~bad
+        if not mask.any():
+            return empty()
+        nodes, deg = np.unique(np.concatenate([u[mask], v[mask]]),
+                               return_counts=True)
+        return pa.table({"node": pa.array(nodes),
+                         "core_deg": pa.array(deg.astype(np.int64))})
+
+    # distributed route: per-round degree fold + broadcast removal set
+    while True:
+        def deg_partial(b: pa.Table) -> pa.Table:
+            nodes, cnt = np.unique(
+                np.concatenate([b["u"].to_numpy(zero_copy_only=False),
+                                b["v"].to_numpy(zero_copy_only=False)]),
+                return_counts=True)
+            t = pa.table({"node": pa.array(nodes.astype(np.int64)),
+                          "c": pa.array(cnt.astype(np.int64))})
+            return append_coarse_bucket(t, ["node"], num_buckets, "__db")
+
+        def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("node", as_index=False)["c"].sum()
+            return out[out["c"] < k][["node"]]
+
+        weak = (edges.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("__db")
+                .map_groups(lambda df: deg_fold(df.drop(columns="__db")),
+                            batch_format="pandas").to_pandas())
+        if weak.empty:
+            break
+        ref = ray.put(pa.array(weak["node"].to_numpy(np.int64),
+                               pa.int64()))
+
+        def drop(b: pa.Table, ref=ref) -> pa.Table:
+            import pyarrow.compute as pc
+            import ray as _ray
+
+            w = _ray.get(ref)
+            keep = pc.and_(
+                pc.invert(pc.is_in(b["u"], value_set=w)),
+                pc.invert(pc.is_in(b["v"], value_set=w)))
+            return b.filter(keep)
+
+        edges = edges.map_batches(drop, batch_format="pyarrow") \
+            .materialize()
+        if edges.count() == 0:
+            return empty()
+
+    # final degrees distributed too — only the node-cardinality
+    # (node, deg) result ever reaches the driver
+    def fin_partial(b: pa.Table) -> pa.Table:
+        nodes, cnt = np.unique(
+            np.concatenate([b["u"].to_numpy(zero_copy_only=False),
+                            b["v"].to_numpy(zero_copy_only=False)]),
+            return_counts=True)
+        t = pa.table({"node": pa.array(nodes.astype(np.int64)),
+                      "c": pa.array(cnt.astype(np.int64))})
+        return append_coarse_bucket(t, ["node"], num_buckets, "__db")
+
+    def fin_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["c"].sum()
+
+    deg = (edges.map_batches(fin_partial, batch_format="pyarrow")
+           .groupby("__db")
+           .map_groups(lambda df: fin_fold(df.drop(columns="__db")),
+                       batch_format="pandas")
+           .to_pandas().sort_values("node"))
+    return pa.table({
+        "node": pa.array(deg["node"].to_numpy(np.int64)),
+        "core_deg": pa.array(deg["c"].to_numpy(np.int64))})

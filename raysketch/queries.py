@@ -5949,7 +5949,42 @@ def q_source_lang_jsd(sf_dir: str) -> pa.Table:
     return group_jsd(docs, "source", "lang")
 
 
+def q_part_kcore(sf_dir: str) -> pa.Table:
+    """60-core of the part co-order graph (ops/graph.kcore): globally
+    deduped co-occurrence edges, then iterative peel to fixpoint —
+    size-routed onto a driver numpy loop for bounded graphs (the
+    pagerank _DRIVER_FOLD_LIMIT discipline), per-round degree fold +
+    broadcast removal set above. The oracle unrolls the peel rounds in
+    SQL; extra rounds past the fixpoint are idempotent."""
+    from .ops.graph import cooccurrence_edges, kcore
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return kcore(edges, k=60)
+
+
+def q_substring_containment(sf_dir: str) -> Any:
+    """Exact substring-containment pairs over the corpus
+    (ops/dedup.substring_containment): FULL-RECALL single-anchor
+    blocking (inner's first-16-byte window hash joined against every
+    doc's distinct window-hash postings — one coarse hash(window)
+    shuffle), size-routed text gather, vectorized np.char.find verify
+    on character strings. Verified output therefore EQUALS the DuckDB
+    position() ground truth — the oracle proves recall, not just
+    precision."""
+    from .ops.dedup import substring_containment
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = substring_containment(docs).to_pandas() \
+        .sort_values(["inner_id", "outer_id"]).reset_index(drop=True)
+    return pa.table({
+        "inner_id": pa.array(df["inner_id"].astype("int64")),
+        "outer_id": pa.array(df["outer_id"].astype("int64"))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "part_kcore": q_part_kcore,
+    "substring_containment": q_substring_containment,
     "peak_concurrency": q_peak_concurrency,
     "lag_correlation": q_lag_correlation,
     "markov_stationary": q_markov_stationary,
@@ -9930,4 +9965,52 @@ ORACLE_SQL["source_lang_jsd"] = """
                          ELSE -CAST(floor(-term * 1000000 + 0.5) AS BIGINT)
                     END) AS DOUBLE) / 1000000 AS jsd
     FROM terms GROUP BY source ORDER BY source
+"""
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel replay of ops/graph.kcore over the part co-order
+    graph: round i keeps nodes whose degree in e_{i-1} is >= k and
+    filters edges to the kept set; rounds past the fixpoint are
+    idempotent, so any unroll count >= the actual peel depth matches
+    the Ray side bit-for-bit."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references its predecessor three times -> exponential
+    # re-scans of the base table without it
+    parts = [
+        "d AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+        "CAST(l_partkey AS BIGINT) AS s FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT x.s AS u, y.s AS v "
+        "FROM d x JOIN d y ON x.g = y.g AND x.s < y.s)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM ("
+            f"SELECT node, count(*) AS dg FROM ("
+            f"SELECT u AS node FROM e{i-1} "
+            f"UNION ALL SELECT v FROM e{i-1}) GROUP BY node) "
+            f"WHERE dg >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{i-1} "
+            f"WHERE u IN (SELECT node FROM k{i}) "
+            f"AND v IN (SELECT node FROM k{i}))")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT u AS node FROM e{rounds}
+          UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node ORDER BY node
+    """
+
+
+ORACLE_SQL["part_kcore"] = _kcore_sql(60, 8)
+
+# ground truth, not a replay: the Ray side's blocking is full-recall
+# and its verify is exact, so it must EQUAL the quadratic position()
+# scan
+ORACLE_SQL["substring_containment"] = """
+    SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+    FROM documents a JOIN documents b
+      ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0
+    ORDER BY inner_id, outer_id
 """

@@ -237,3 +237,99 @@ def test_group_jsd_brute(ray_session):
         assert row["n"] == na
         assert abs(row["jsd"] - jsd) < 5e-6
         assert -1e-12 <= row["jsd"] <= np.log(2) + 1e-12
+
+
+def test_kcore_crafted_and_routes(ray_session):
+    import ray.data as rd
+    from raysketch.ops.graph import kcore
+    # triangle {1,2,3} + pendant chain 3-4-5: 2-core = the triangle,
+    # and the chain forces TWO peel rounds (5 first, then 4)
+    e = pd.DataFrame({"u": [1, 2, 1, 3, 4],
+                      "v": [2, 3, 3, 4, 5]})
+    out = kcore(rd.from_pandas(e).repartition(2), k=2).to_pandas()
+    assert list(out["node"]) == [1, 2, 3]
+    assert list(out["core_deg"]) == [2, 2, 2]
+    # duplicate + reversed edge rows must not inflate degrees
+    e_dup = pd.concat([e, e.rename(columns={"u": "v", "v": "u"}), e])
+    out_d = kcore(rd.from_pandas(e_dup).repartition(3), k=2).to_pandas()
+    pd.testing.assert_frame_equal(out, out_d)
+    # empty core
+    out_e = kcore(rd.from_pandas(e), k=3).to_pandas()
+    assert len(out_e) == 0
+    # distributed route (forced) must equal the driver route
+    out_dist = kcore(rd.from_pandas(e_dup).repartition(3), k=2,
+                     driver_fold_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(out, out_dist)
+
+
+def test_kcore_random_vs_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.graph import kcore
+    rng = np.random.default_rng(13)
+    m = 400
+    e = pd.DataFrame({"u": rng.integers(0, 60, m),
+                      "v": rng.integers(0, 60, m)})
+    e = e[e["u"] != e["v"]]
+    k = 5
+    out = kcore(rd.from_pandas(e).repartition(4), k=k).to_pandas()
+    # brute peel
+    lo = np.minimum(e["u"], e["v"]).to_numpy()
+    hi = np.maximum(e["u"], e["v"]).to_numpy()
+    ee = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+    u, v = ee["u"].to_numpy(), ee["v"].to_numpy()
+    mask = np.ones(len(u), bool)
+    while True:
+        nodes, deg = np.unique(np.concatenate([u[mask], v[mask]]),
+                               return_counts=True)
+        weak = nodes[deg < k]
+        if len(weak) == 0:
+            break
+        mask &= ~(np.isin(u, weak) | np.isin(v, weak))
+        if not mask.any():
+            break
+    nodes, deg = (np.unique(np.concatenate([u[mask], v[mask]]),
+                            return_counts=True)
+                  if mask.any() else (np.zeros(0, np.int64),) * 2)
+    assert list(out["node"]) == list(nodes)
+    assert list(out["core_deg"]) == list(deg)
+
+
+def test_substring_containment_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.dedup import substring_containment
+    rng = np.random.default_rng(29)
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs today " * 3,
+            "how vexingly quick daft zebras jump over fences " * 3]
+    docs = []
+    for i in range(60):
+        b = base[i % 3]
+        if i % 5 == 0:
+            # an exact slice of another doc (guaranteed containment)
+            s = int(rng.integers(0, 20))
+            docs.append(b[s:s + 40])
+        else:
+            docs.append(b + f" tail {i}")
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": docs})
+    out = substring_containment(
+        rd.from_pandas(df).repartition(4)).to_pandas()
+    got = set(zip(out["inner_id"], out["outer_id"]))
+    want = {(a, b) for a in range(60) for b in range(60)
+            if a != b and docs[a] in docs[b]}
+    assert got == want and len(want) > 0
+
+
+def test_substring_containment_short_docs(ray_session):
+    import ray.data as rd
+    from raysketch.ops.dedup import substring_containment
+    # doc 0 is SHORTER than the 16-byte anchor window -> fallback path
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["needle",
+                 "a haystack with a needle inside, long enough text",
+                 "no match here at all, also long enough to anchor"]})
+    out = substring_containment(
+        rd.from_pandas(df).repartition(2)).to_pandas()
+    got = set(zip(out["inner_id"], out["outer_id"]))
+    assert got == {(0, 1)}
