@@ -1525,3 +1525,149 @@ def group_jsd(ds, group_col: str, cat_col: str) -> pa.Table:
         group_col: pa.array([r[0] for r in rows], pa.string()),
         "n": pa.array([r[1] for r in rows], pa.int64()),
         "jsd": pa.array([r[2] for r in rows], pa.float64())})
+
+
+def survival_curve(ds, key_col: str, ts_col: str,
+                   censor_days: int = 7,
+                   day_us: int = 86_400_000_000) -> pa.Table:
+    """Kaplan–Meier survival estimate over key lifetimes with
+    right-censoring — the churn/retention curve: a key's lifetime is
+    (last − first event) in whole days; keys whose last event falls
+    within ``censor_days`` of the corpus end are CENSORED (still
+    alive), everyone else' lifetime ends in an observed churn event.
+
+    At each distinct churn time t: n_risk = keys with lifetime ≥ t,
+    d = churn events at t, and the survival product steps by
+    (n_risk − d)/n_risk. The product runs in INTEGER micro-units with
+    half-away rounding each step — km_i = (km_{i−1}·(n−d) + n//2) // n
+    — so it is deterministic and a recursive-CTE BIGINT replay matches
+    bit-for-bit (a float cumprod would be order-fragile and
+    SQL-inexpressible without exp/ln slack).
+
+    Plan: per-block (key, min, max) partials → ONE coarse hash(key)
+    fold to exact per-key intervals → lifetime-day COUNT partials
+    (domain = corpus span in days, bounded) → driver folds the
+    histogram and walks the ≤ |days| event points. Returns
+    (t_days, n_risk, n_churn, survival) ordered by t_days."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        t = ts.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False), "t": t})
+        out = df.groupby("k", sort=False, as_index=False).agg(
+            s=("t", "min"), e=("t", "max"))
+        tb = pa.table({"k": pa.array(out["k"].to_numpy(np.int64)),
+                       "s": pa.array(out["s"].to_numpy(np.int64)),
+                       "e": pa.array(out["e"].to_numpy(np.int64))})
+        return append_coarse_bucket(tb, ["k"], 256, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("k", as_index=False).agg(
+            s=("s", "min"), e=("e", "max"))
+        return out
+
+    intervals = (ds.select_columns([key_col, ts_col])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(lambda df: fold(df.drop(columns="__b")),
+                             batch_format="pandas")
+                 .materialize())
+    end_us = int(intervals.max("e"))
+    cutoff = end_us - censor_days * day_us
+
+    def dur_partial(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        e = b["e"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "t": (e - s) // day_us,
+            "churn": (e < cutoff).astype(np.int64),
+            "n": np.ones(len(s), dtype=np.int64)})
+        out = df.groupby(["t", "churn"], sort=False, as_index=False)["n"] \
+            .sum()
+        return pa.table({
+            "t": pa.array(out["t"].to_numpy(np.int64)),
+            "churn": pa.array(out["churn"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    hist = intervals.map_batches(
+        dur_partial, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby(["t", "churn"], as_index=False)["n"].sum()
+    all_t = hist.groupby("t")["n"].sum().rename("all")
+    d_t = hist.loc[hist["churn"] == 1].groupby("t")["n"].sum().rename("d")
+    per_t = pd.concat([all_t, d_t], axis=1).fillna(0).astype(np.int64) \
+        .reset_index().sort_values("t")
+    total = int(per_t["all"].sum())
+    cum_before = per_t["all"].cumsum().shift(1, fill_value=0)
+    per_t["n_risk"] = total - cum_before
+    pts = per_t[per_t["d"] > 0]
+    km = 1_000_000
+    rows = []
+    for _, r in pts.iterrows():
+        nr, d = int(r["n_risk"]), int(r["d"])
+        km = (km * (nr - d) + nr // 2) // nr
+        rows.append((int(r["t"]), nr, d, km / 1e6))
+    return pa.table({
+        "t_days": pa.array([r[0] for r in rows], pa.int64()),
+        "n_risk": pa.array([r[1] for r in rows], pa.int64()),
+        "n_churn": pa.array([r[2] for r in rows], pa.int64()),
+        "survival": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def score_calibration(ds, score_col: str, label_col: str, positive: str,
+                      num_bins: int = 10, scale: int = 100) -> pa.Table:
+    """Calibration / reliability profile of a numeric score against a
+    binary outcome: equal-WIDTH bins over the observed score range
+    (the z-order bucketize rule ``(v − lo)·B // (hi − lo + 1)`` —
+    integer, replayable), per bin the exact count, positive count,
+    positive rate, and mean score — the companion diagnostic to
+    :func:`score_auc` (AUC says "ranks well", calibration says "the
+    score VALUE means what it claims").
+
+    ONE counting pass (the score_auc partial shape): the driver folds
+    the ≤ |domain| (score·scale, n_pos, n) histogram and derives the
+    range and every bin aggregate from it. Rates/means round half-away
+    (round6). Returns (bin, lo, hi, n, n_pos, pos_rate, mean_score)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b[score_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        si = np.floor(s * scale + 0.5).astype(np.int64)
+        if not np.allclose(si / scale, s, rtol=0, atol=1e-9):
+            raise ValueError(
+                f"score_calibration: {score_col} must be "
+                f"fixed-decimal/{scale}")
+        y = (np.asarray(b[label_col].to_numpy(zero_copy_only=False),
+                        dtype=object) == positive)
+        df = pd.DataFrame({"v": si, "p": y.astype(np.int64),
+                           "c": np.ones(len(si), dtype=np.int64)})
+        out = df.groupby("v", sort=False, as_index=False).sum()
+        return pa.table({"v": pa.array(out["v"].to_numpy(np.int64)),
+                         "p": pa.array(out["p"].to_numpy(np.int64)),
+                         "c": pa.array(out["c"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([score_col, label_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    hist = parts.groupby("v", as_index=False)[["p", "c"]].sum()
+    v = hist["v"].to_numpy(np.int64)
+    lo, hi = int(v.min()), int(v.max())
+    bins = (v - lo) * num_bins // (hi - lo + 1)
+    hist["bin"] = bins
+    hist["sv"] = hist["v"] * hist["c"]
+    agg = hist.groupby("bin", as_index=False).agg(
+        n=("c", "sum"), n_pos=("p", "sum"), sv=("sv", "sum"))
+    agg = agg.sort_values("bin")
+    rate = agg["n_pos"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64)
+    mean = agg["sv"].to_numpy(np.float64) \
+        / (scale * agg["n"].to_numpy(np.float64))
+    return pa.table({
+        "bin": pa.array(agg["bin"].to_numpy(np.int64)),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "n_pos": pa.array(agg["n_pos"].to_numpy(np.int64)),
+        "pos_rate": pa.array(_r6(rate), pa.float64()),
+        "mean_score": pa.array(_r6(mean), pa.float64())})

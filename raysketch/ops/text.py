@@ -653,3 +653,144 @@ def source_vocab_overlap(ds, group_col: str = "source",
         "inter": pa.array([r[2] for r in rows], pa.int64()),
         "union_size": pa.array([r[3] for r in rows], pa.int64()),
         "jaccard": pa.array([r[4] for r in rows], pa.float64())})
+
+
+def ngram_continuations(ds, text_col: str = "text", topk: int = 3,
+                        min_context: int = 20,
+                        num_buckets: int = 256):
+    """Top-k next-token continuations per context word — the n-gram LM
+    completion table (what follows "the"?): exact bigram counts, per
+    context w1 the total outgoing mass ``n_from`` and the ``topk``
+    continuations ranked by (count DESC, token ASC — deterministic,
+    SQL row_number-replayable); contexts under ``min_context``
+    outgoing tokens are dropped.
+
+    Plan: per-block bigram count partials (:func:`ngram_count_partial`
+    — tokens never shuffle), ONE coarse fold on hash(ngram) for exact
+    bigram counts, then ONE coarse shuffle on hash(w1) so each
+    context's full continuation row set folds in one place. Returns a
+    Dataset of (w1, w2, n_count, n_from, rnk) — vocabulary-sized."""
+    from ..engine.hashing import append_coarse_bucket
+
+    partials = ds.select_columns([text_col]).map_batches(
+        lambda b: ngram_count_partial(b, text_col, n=2),
+        batch_format="pyarrow")
+
+    def fold_ngram(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ngram", sort=False, as_index=False)["n_count"] \
+            .sum()
+
+    def split_w(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(b["ngram"], " ")
+        t = pa.table({"w1": pc.list_element(parts, 0),
+                      "w2": pc.list_element(parts, 1),
+                      "n_count": b["n_count"]})
+        return append_coarse_bucket(t, ["w1"], num_buckets, "__wb")
+
+    def fold_ctx(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "n_count": pd.Series([], dtype="int64"),
+                "n_from": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["n_from"] = df.groupby("w1")["n_count"].transform("sum")
+        df = df[df["n_from"] >= min_context]
+        df = df.sort_values(["w1", "n_count", "w2"],
+                            ascending=[True, False, True], kind="stable")
+        df["rnk"] = df.groupby("w1").cumcount() + 1
+        out = df[df["rnk"] <= topk]
+        return pd.DataFrame({
+            "w1": out["w1"].to_numpy(object),
+            "w2": out["w2"].to_numpy(object),
+            "n_count": out["n_count"].to_numpy(np.int64),
+            "n_from": out["n_from"].to_numpy(np.int64),
+            "rnk": out["rnk"].to_numpy(np.int64)})
+
+    return (partials.map_batches(
+                lambda b: append_coarse_bucket(b, ["ngram"],
+                                               num_buckets, "__nb"),
+                batch_format="pyarrow")
+            .groupby("__nb")
+            .map_groups(lambda df: fold_ngram(df.drop(columns="__nb")),
+                        batch_format="pandas")
+            .map_batches(split_w, batch_format="pyarrow")
+            .groupby("__wb")
+            .map_groups(lambda df: fold_ctx(df.drop(columns="__wb")),
+                        batch_format="pandas"))
+
+
+def bigram_cond_entropy(ds, text_col: str = "text",
+                        num_buckets: int = 256) -> pa.Table:
+    """Conditional next-token entropy H(w₂ | w₁) of the corpus bigram
+    stream in nats — the sequence-predictability score (low = templated
+    text, high = diverse): H = Σ_{u,v} c_uv·(ln c_u· − ln c_uv) / N
+    where c_u· is the context total and N the bigram count.
+
+    Every (u,v) term is ONE double expression over two exact integers,
+    rounded half-away to integer MICRO-NATS (terms are ≥ 0 since
+    c_u· ≥ c_uv — no sign handling) and summed as int64, so the DuckDB
+    replay is bit-exact. Plan: bigram count partials → hash(ngram)
+    fold → hash(w1) fold computes context totals + per-bucket micro
+    sums; the driver adds |buckets| scalars. Returns one row
+    (n_bigrams, n_contexts, h_cond)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    partials = ds.select_columns([text_col]).map_batches(
+        lambda b: ngram_count_partial(b, text_col, n=2),
+        batch_format="pyarrow")
+
+    def fold_ngram(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ngram", sort=False, as_index=False)["n_count"] \
+            .sum()
+
+    def split_w(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(b["ngram"], " ")
+        t = pa.table({"w1": pc.list_element(parts, 0),
+                      "n_count": b["n_count"]})
+        return append_coarse_bucket(t, ["w1"], num_buckets, "__wb")
+
+    def fold_ctx(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"h_micro": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "ctx": pd.Series([], dtype="int64")})
+        cu = df.groupby("w1")["n_count"].transform("sum") \
+            .to_numpy(np.float64)
+        c = df["n_count"].to_numpy(np.int64)
+        cf = c.astype(np.float64)
+        term = np.floor(cf * (np.log(cu) - np.log(cf)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "h_micro": pd.Series([int(term.sum())], dtype="int64"),
+            "n": pd.Series([int(c.sum())], dtype="int64"),
+            "ctx": pd.Series([df["w1"].nunique()], dtype="int64")})
+
+    parts = (partials.map_batches(
+                lambda b: append_coarse_bucket(b, ["ngram"],
+                                               num_buckets, "__nb"),
+                batch_format="pyarrow")
+             .groupby("__nb")
+             .map_groups(lambda df: fold_ngram(df.drop(columns="__nb")),
+                         batch_format="pandas")
+             .map_batches(split_w, batch_format="pyarrow")
+             .groupby("__wb")
+             .map_groups(lambda df: fold_ctx(df.drop(columns="__wb")),
+                         batch_format="pandas")
+             .to_pandas())
+    h_micro = int(parts["h_micro"].sum())
+    n = int(parts["n"].sum())
+    ctx = int(parts["ctx"].sum())
+    h = np.float64(h_micro) / 1e6 / np.float64(n)
+    return pa.table({
+        "n_bigrams": pa.array([n], pa.int64()),
+        "n_contexts": pa.array([ctx], pa.int64()),
+        "h_cond": pa.array(
+            [float(np.sign(h) * np.floor(abs(h) * 1e6 + 0.5) / 1e6)],
+            pa.float64())})

@@ -5982,7 +5982,67 @@ def q_substring_containment(sf_dir: str) -> Any:
         "outer_id": pa.array(df["outer_id"].astype("int64"))})
 
 
+def q_user_survival(sf_dir: str) -> pa.Table:
+    """Kaplan–Meier user-lifetime survival curve with right-censoring
+    (ops/stats.survival_curve, 1-day censor horizon — the synthetic
+    event stream is dense, so a week-scale horizon censors everyone):
+    per-user [first, last] interval fold, lifetime-day counting pass,
+    and an INTEGER micro-unit survival
+    product (km' = (km·(n−d) + n//2) // n) that a recursive-CTE BIGINT
+    replay matches bit-for-bit — the churn curve, exactly."""
+    from .ops.stats import survival_curve
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return survival_curve(ev, "user_id", "ts", censor_days=1)
+
+
+def q_purchase_calibration(sf_dir: str) -> pa.Table:
+    """Reliability profile of event value predicting purchases
+    (ops/stats.score_calibration): ten equal-width integer-cents bins
+    over the observed range (the z-order bucketize rule), exact per-bin
+    counts/positives and round6 rates — the calibration companion to
+    purchase_auc, from the same ONE counting pass shape."""
+    from .ops.stats import score_calibration
+
+    ev = _read(sf_dir, "events", ["value", "event_type"])
+    return score_calibration(ev, "value", "event_type", "purchase")
+
+
+def q_ngram_continuations(sf_dir: str) -> pa.Table:
+    """Top-3 next-token continuations per context word with ≥ 20
+    outgoing tokens (ops/text.ngram_continuations): exact bigram
+    counts off the one-pass partial stream, a hash(w1) fold ranks
+    deterministically (count DESC, token ASC) — the n-gram completion
+    table, row_number-replayed."""
+    from .ops.text import ngram_continuations
+
+    docs = _read(sf_dir, "documents", ["text"])
+    df = ngram_continuations(docs).to_pandas() \
+        .sort_values(["w1", "rnk"]).reset_index(drop=True)
+    return pa.table({
+        "w1": pa.array(df["w1"].to_numpy(object), pa.string()),
+        "w2": pa.array(df["w2"].to_numpy(object), pa.string()),
+        "n_count": pa.array(df["n_count"].astype("int64")),
+        "n_from": pa.array(df["n_from"].astype("int64")),
+        "rnk": pa.array(df["rnk"].astype("int64"))})
+
+
+def q_bigram_cond_entropy(sf_dir: str) -> pa.Table:
+    """Corpus conditional next-token entropy H(w₂|w₁)
+    (ops/text.bigram_cond_entropy): per-(u,v) micro-nat terms — exact
+    integers summed order-free, terms provably ≥ 0 — over the folded
+    bigram/context counts; ln() replays bit-for-bit in DuckDB."""
+    from .ops.text import bigram_cond_entropy
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bigram_cond_entropy(docs)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "user_survival": q_user_survival,
+    "purchase_calibration": q_purchase_calibration,
+    "ngram_continuations": q_ngram_continuations,
+    "bigram_cond_entropy": q_bigram_cond_entropy,
     "part_kcore": q_part_kcore,
     "substring_containment": q_substring_containment,
     "peak_concurrency": q_peak_concurrency,
@@ -10013,4 +10073,107 @@ ORACLE_SQL["substring_containment"] = """
     FROM documents a JOIN documents b
       ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0
     ORDER BY inner_id, outer_id
+"""
+
+# Kaplan-Meier: the recursive CTE walks event points in lifetime order,
+# replaying the integer micro-unit survival product exactly
+ORACLE_SQL["user_survival"] = """
+    WITH RECURSIVE ui AS (
+      SELECT user_id, min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM events GROUP BY 1
+    ), mx AS (SELECT max(e) AS m FROM ui),
+    d AS (
+      SELECT (e - s) // 86400000000 AS t,
+             CASE WHEN e < (SELECT m FROM mx) - 1 * 86400000000
+                  THEN 1 ELSE 0 END AS churn
+      FROM ui
+    ), per_t AS (
+      SELECT t, count(*) AS n_all,
+             sum(churn) AS d_cnt
+      FROM d GROUP BY t
+    ), risk AS (
+      SELECT t, d_cnt,
+             (SELECT count(*) FROM d)
+               - COALESCE(sum(n_all) OVER (ORDER BY t ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ), pts AS (
+      SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(d_cnt AS BIGINT) AS d_cnt,
+             row_number() OVER (ORDER BY t) AS rk
+      FROM risk WHERE d_cnt > 0
+    ), km AS (
+      SELECT rk, t, n_risk, d_cnt,
+             (1000000 * (n_risk - d_cnt) + n_risk // 2) // n_risk AS s
+      FROM pts WHERE rk = 1
+      UNION ALL
+      SELECT p.rk, p.t, p.n_risk, p.d_cnt,
+             (km.s * (p.n_risk - p.d_cnt) + p.n_risk // 2) // p.n_risk
+      FROM km JOIN pts p ON p.rk = km.rk + 1
+    )
+    SELECT t AS t_days, n_risk, d_cnt AS n_churn,
+           CAST(CAST(s AS BIGINT) AS DOUBLE) / 1000000 AS survival
+    FROM km ORDER BY t_days
+"""
+
+ORACLE_SQL["purchase_calibration"] = """
+    WITH v AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), mm AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
+    b AS (
+      SELECT (c - mm.lo) * 10 // (mm.hi - mm.lo + 1) AS bin, c, y
+      FROM v CROSS JOIN mm
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS pos_rate,
+           round(CAST(sum(c) AS DOUBLE)
+                 / (100 * CAST(count(*) AS DOUBLE)), 6) AS mean_score
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+ORACLE_SQL["ngram_continuations"] = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT ts[CAST(i AS INTEGER)] AS w1,
+             ts[CAST(i AS INTEGER) + 1] AS w2, count(*) AS n
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+      GROUP BY 1, 2
+    ), ctx AS (SELECT w1, sum(n) AS n_from FROM bg GROUP BY 1)
+    SELECT bg.w1, bg.w2, CAST(bg.n AS BIGINT) AS n_count,
+           CAST(ctx.n_from AS BIGINT) AS n_from,
+           CAST(row_number() OVER (PARTITION BY bg.w1
+                ORDER BY bg.n DESC, bg.w2) AS BIGINT) AS rnk
+    FROM bg JOIN ctx USING (w1)
+    WHERE ctx.n_from >= 20
+    QUALIFY rnk <= 3
+    ORDER BY w1, rnk
+"""
+
+ORACLE_SQL["bigram_cond_entropy"] = """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT ts[CAST(i AS INTEGER)] AS w1,
+             ts[CAST(i AS INTEGER) + 1] AS w2, count(*) AS n
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+      GROUP BY 1, 2
+    ), ctx AS (SELECT w1, sum(n) AS nf FROM bg GROUP BY 1)
+    SELECT CAST(sum(bg.n) AS BIGINT) AS n_bigrams,
+           (SELECT CAST(count(*) AS BIGINT) FROM ctx) AS n_contexts,
+           round(CAST(sum(CAST(floor(CAST(bg.n AS DOUBLE)
+                     * (ln(CAST(ctx.nf AS DOUBLE))
+                        - ln(CAST(bg.n AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / CAST(sum(bg.n) AS DOUBLE), 6) AS h_cond
+    FROM bg JOIN ctx USING (w1)
 """

@@ -333,3 +333,115 @@ def test_substring_containment_short_docs(ray_session):
         rd.from_pandas(df).repartition(2)).to_pandas()
     got = set(zip(out["inner_id"], out["outer_id"]))
     assert got == {(0, 1)}
+
+
+def test_survival_curve_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.stats import survival_curve
+    rng = np.random.default_rng(37)
+    n = 3000
+    # sparse per-user activity so a healthy fraction of users' last
+    # events fall before the censor horizon (i.e. real churn events)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 800, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 40 * 86400 * 10**6, n), unit="us")})
+    out = survival_curve(rd.from_pandas(df).repartition(5),
+                         "user_id", "ts", censor_days=7).to_pandas()
+    us = df["ts"].astype("int64").to_numpy() // 1000
+    iv = (pd.DataFrame({"u": df["user_id"], "t": us})
+          .groupby("u")["t"].agg(["min", "max"]))
+    end = iv["max"].max()
+    dur = (iv["max"] - iv["min"]) // 86_400_000_000
+    churn = iv["max"] < end - 7 * 86_400_000_000
+    # brute KM with the integer micro product
+    km, rows = 1_000_000, []
+    for t in sorted(dur.unique()):
+        nr = int((dur >= t).sum())
+        d = int(((dur == t) & churn).sum())
+        if d == 0:
+            continue
+        km = (km * (nr - d) + nr // 2) // nr
+        rows.append((t, nr, d, km / 1e6))
+    want = pd.DataFrame(rows, columns=["t_days", "n_risk",
+                                       "n_churn", "survival"])
+    assert len(out) == len(want) > 0
+    for col in want.columns:
+        assert (out[col].to_numpy() == want[col].to_numpy()).all(), col
+    # survival is monotone nonincreasing, in (0, 1]
+    assert (np.diff(out["survival"]) <= 0).all()
+    assert out["survival"].iloc[0] <= 1.0 and out["survival"].iloc[-1] > 0
+
+
+def test_score_calibration_props(ray_session):
+    import ray.data as rd
+    from raysketch.ops.stats import score_calibration
+    rng = np.random.default_rng(43)
+    n = 5000
+    cents = rng.integers(0, 1000, n)
+    # higher score -> more likely positive (monotone-ish calibration)
+    y = rng.random(n) < cents / 1000.0
+    df = pd.DataFrame({"value": cents / 100.0,
+                       "label": np.where(y, "pos", "neg")})
+    out = score_calibration(rd.from_pandas(df).repartition(4),
+                            "value", "label", "pos").to_pandas()
+    assert out["n"].sum() == n and out["n_pos"].sum() == int(y.sum())
+    assert len(out) <= 10 and out["bin"].is_monotonic_increasing
+    # first vs last bin rates reflect the monotone generator
+    assert out["pos_rate"].iloc[-1] > out["pos_rate"].iloc[0]
+    # mean_score stays within each bin's score range
+    assert (out["mean_score"].to_numpy()
+            <= out["mean_score"].to_numpy().max()).all()
+
+
+def test_ngram_continuations_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.text import ngram_continuations
+    docs = ["a b a c a b", "b a b a", "c a c a b a"] * 30
+    df = pd.DataFrame({"text": docs})
+    out = ngram_continuations(rd.from_pandas(df).repartition(3),
+                              topk=2, min_context=10).to_pandas() \
+        .sort_values(["w1", "rnk"]).reset_index(drop=True)
+    # brute
+    from collections import Counter
+    bg = Counter()
+    for t in docs:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            bg[(ws[i], ws[i + 1])] += 1
+    ctx = Counter()
+    for (u, _), c in bg.items():
+        ctx[u] += c
+    rows = []
+    for u in sorted(ctx):
+        if ctx[u] < 10:
+            continue
+        conts = sorted(((v, c) for (uu, v), c in bg.items() if uu == u),
+                       key=lambda x: (-x[1], x[0]))[:2]
+        for r, (v, c) in enumerate(conts, 1):
+            rows.append((u, v, c, ctx[u], r))
+    want = pd.DataFrame(rows, columns=["w1", "w2", "n_count",
+                                       "n_from", "rnk"])
+    assert len(out) == len(want) > 0
+    for col in want.columns:
+        assert (out[col].to_numpy(object)
+                == want[col].to_numpy(object)).all(), col
+
+
+def test_bigram_cond_entropy_props(ray_session):
+    import ray.data as rd
+    from raysketch.ops.text import bigram_cond_entropy
+    # deterministic text: every context has ONE continuation -> H == 0
+    df0 = pd.DataFrame({"text": ["a b c d"] * 20})
+    out0 = bigram_cond_entropy(rd.from_pandas(df0).repartition(2)) \
+        .to_pandas()
+    assert out0["h_cond"][0] == 0.0
+    # uniform 2-way branching -> H == ln 2 (exactly, up to micro round)
+    df1 = pd.DataFrame({"text": ["a b", "a c"] * 50})
+    out1 = bigram_cond_entropy(rd.from_pandas(df1).repartition(2)) \
+        .to_pandas()
+    assert abs(out1["h_cond"][0] - np.log(2)) < 1e-5
+    # block invariance
+    out2 = bigram_cond_entropy(rd.from_pandas(df1).repartition(7)) \
+        .to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)
