@@ -465,3 +465,70 @@ def join_key_discovery(column_specs: list, num_buckets: int = 64,
         "inter": pa.array([r[4] for r in rows], pa.int64()),
         "containment_a_in_b": pa.array([r[5] for r in rows],
                                        pa.float64())})
+
+
+def pairwise_key_overlap(ds, group_col: str, key_col: str,
+                         num_buckets: int = 256) -> pa.Table:
+    """Cross-group duplicate-key matrix: for every unordered group pair
+    (a < b), how many distinct key values both groups contain
+    (``n_keys``) and how many cross-group row pairs share a key
+    (``n_pairs`` = Σ_key cnt_a·cnt_b) — the contamination/mirror screen
+    between sources when ``key_col`` is a content fingerprint.
+
+    Plan: per-block (key, group) exact count partials (one vectorized
+    groupby), ONE coarse shuffle on ``hash(key)`` so each key's full
+    per-group count vector folds in one bucket; each bucket emits
+    group-pair partial sums (taxonomy² tiny rows) and the driver adds
+    them. Keys never co-locate by group, so group skew cannot hot-spot
+    the shuffle. Returns (group_a, group_b, n_keys, n_pairs) ordered."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": pd.Series(b[key_col].to_pylist(), dtype="object"),
+            "g": pd.Series(b[group_col].to_pylist(), dtype="object"),
+            "n": np.ones(b.num_rows, dtype=np.int64)})
+        out = df.groupby(["k", "g"], sort=False, as_index=False)["n"].sum()
+        t = pa.table({
+            "k": pa.array(out["k"].to_numpy(object), pa.string()),
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["k"], num_buckets, "__kb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["k", "g"], as_index=False)["n"].sum()
+        m = agg.merge(agg, on="k")
+        m = m[m["g_x"] < m["g_y"]]
+        if m.empty:
+            return pd.DataFrame({
+                "group_a": pd.Series([], dtype="object"),
+                "group_b": pd.Series([], dtype="object"),
+                "n_keys": pd.Series([], dtype="int64"),
+                "n_pairs": pd.Series([], dtype="int64")})
+        m["p"] = m["n_x"] * m["n_y"]
+        out = m.groupby(["g_x", "g_y"], as_index=False).agg(
+            n_keys=("k", "nunique"), n_pairs=("p", "sum"))
+        return pd.DataFrame({
+            "group_a": out["g_x"].to_numpy(object),
+            "group_b": out["g_y"].to_numpy(object),
+            "n_keys": out["n_keys"].to_numpy(np.int64),
+            "n_pairs": out["n_pairs"].to_numpy(np.int64)})
+
+    parts = (ds.select_columns([group_col, key_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("__kb")
+             .map_groups(lambda df: fold(df.drop(columns="__kb")),
+                         batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pa.table({"group_a": pa.array([], pa.string()),
+                         "group_b": pa.array([], pa.string()),
+                         "n_keys": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
+    agg = parts.groupby(["group_a", "group_b"], as_index=False) \
+        [["n_keys", "n_pairs"]].sum().sort_values(["group_a", "group_b"])
+    return pa.table({
+        "group_a": pa.array(agg["group_a"].to_numpy(object), pa.string()),
+        "group_b": pa.array(agg["group_b"].to_numpy(object), pa.string()),
+        "n_keys": pa.array(agg["n_keys"].to_numpy(np.int64)),
+        "n_pairs": pa.array(agg["n_pairs"].to_numpy(np.int64))})

@@ -6038,7 +6038,99 @@ def q_bigram_cond_entropy(sf_dir: str) -> pa.Table:
     return bigram_cond_entropy(docs)
 
 
+def q_customer_returns_topk(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-shaped returned-item revenue report: top 20 customers
+    by returned ('R') lineitem revenue across four tables. Lineitem
+    filters at the scan, converts to per-row integer cents (order-free
+    sums), joins orders via the PARTITIONED hash join (both sides
+    fact-shaped), folds per-customer partials through one coarse
+    hash(custkey) shuffle where each bucket emits only its top-20
+    candidates (every global winner lives in exactly one bucket), and
+    the driver ranks 20·|buckets| rows, attaching names for just the
+    winners (dimension reads, no fact broadcast)."""
+    import pyarrow.compute as pc2
+
+    from .engine.hashing import append_coarse_bucket
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        keep = pc2.equal(b["l_returnflag"], pa.scalar("R"))
+        b = b.filter(keep)
+        rev = pc2.cast(pc2.floor(pc2.add(pc2.multiply(
+            pc2.multiply(b["l_extendedprice"],
+                         pc2.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"], "cents": rev})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.map_batches(to_cents, batch_format="pyarrow") \
+        .join(orders, "inner", 8, on=("l_orderkey",),
+              right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("o_custkey", sort=False).agg(
+            n_items=("cents", "size"),
+            revenue_cents=("cents", "sum")).reset_index()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, ["o_custkey"], 64, "__cb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("o_custkey", as_index=False) \
+            [["n_items", "revenue_cents"]].sum()
+        agg = agg.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True], kind="stable")
+        return agg.head(20)
+
+    cand = (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("__cb")
+            .map_groups(lambda df: fold(df.drop(columns="__cb")),
+                        batch_format="pandas").to_pandas())
+    top = cand.sort_values(["revenue_cents", "o_custkey"],
+                           ascending=[False, True],
+                           kind="stable").head(20)
+    # names for the 20 winners only: dimension-side driver lookups
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+        .sort_values(["revenue_cents", "o_custkey"],
+                     ascending=[False, True], kind="stable")
+    return pa.table({
+        "c_custkey": pa.array(out["o_custkey"].astype("int64")),
+        "c_name": pa.array(out["c_name"].to_numpy(object), pa.string()),
+        "n_name": pa.array(out["n_name"].to_numpy(object), pa.string()),
+        "n_items": pa.array(out["n_items"].astype("int64")),
+        "revenue_cents": pa.array(out["revenue_cents"].astype("int64"))})
+
+
+def q_source_prefix_dups(sf_dir: str) -> pa.Table:
+    """Cross-source duplicate-head matrix
+    (ops/setops.pairwise_key_overlap on the 64-char head fingerprint):
+    for every source pair, the distinct shared fingerprints and the
+    doc-pair mass sharing one — the boilerplate/mirror contamination
+    screen between corpus slices. One hash(fingerprint) shuffle of
+    (fingerprint, source) count partials; group skew can't hot-spot it."""
+    from .ops.setops import pairwise_key_overlap
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table({"source": b["source"],
+                         "fp": pc2.utf8_slice_codeunits(b["text"], 0, 64)})
+
+    return pairwise_key_overlap(
+        docs.map_batches(fp, batch_format="pyarrow"), "source", "fp")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "customer_returns_topk": q_customer_returns_topk,
+    "source_prefix_dups": q_source_prefix_dups,
     "user_survival": q_user_survival,
     "purchase_calibration": q_purchase_calibration,
     "ngram_continuations": q_ngram_continuations,
@@ -10176,4 +10268,36 @@ ORACLE_SQL["bigram_cond_entropy"] = """
                      * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
                  / 1000000 / CAST(sum(bg.n) AS DOUBLE), 6) AS h_cond
     FROM bg JOIN ctx USING (w1)
+"""
+
+ORACLE_SQL["customer_returns_topk"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             count(*) AS n_items,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT)) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents
+    FROM rev
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+"""
+
+ORACLE_SQL["source_prefix_dups"] = """
+    WITH h AS (
+      SELECT source, substr(text, 1, 64) AS fp FROM documents
+    ), c AS (
+      SELECT fp, source, count(*) AS n FROM h GROUP BY 1, 2
+    )
+    SELECT a.source AS group_a, b.source AS group_b,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(a.n * b.n) AS BIGINT) AS n_pairs
+    FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
 """

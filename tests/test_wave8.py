@@ -445,3 +445,41 @@ def test_bigram_cond_entropy_props(ray_session):
     out2 = bigram_cond_entropy(rd.from_pandas(df1).repartition(7)) \
         .to_pandas()
     pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_pairwise_key_overlap_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.setops import pairwise_key_overlap
+    rng = np.random.default_rng(47)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["s1", "s2", "s3", "s4"], n),
+        "k": rng.integers(0, 300, n).astype(str)})
+    out = pairwise_key_overlap(rd.from_pandas(df).repartition(5),
+                               "g", "k").to_pandas()
+    from itertools import combinations
+    rows = []
+    for a, b in combinations(sorted(df["g"].unique()), 2):
+        ca = df[df["g"] == a]["k"].value_counts()
+        cb = df[df["g"] == b]["k"].value_counts()
+        shared = set(ca.index) & set(cb.index)
+        if shared:
+            rows.append((a, b, len(shared),
+                         int(sum(ca[s] * cb[s] for s in shared))))
+    want = pd.DataFrame(rows, columns=["group_a", "group_b",
+                                       "n_keys", "n_pairs"])
+    assert len(out) == len(want)
+    m = out.merge(want, on=["group_a", "group_b"], suffixes=("", "_w"))
+    assert (m["n_keys"] == m["n_keys_w"]).all()
+    assert (m["n_pairs"] == m["n_pairs_w"]).all()
+
+
+def test_pairwise_key_overlap_disjoint_empty(ray_session):
+    import ray.data as rd
+    from raysketch.ops.setops import pairwise_key_overlap
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 5,
+                       "k": [f"x{i}" for i in range(5)]
+                            + [f"y{i}" for i in range(5)]})
+    out = pairwise_key_overlap(rd.from_pandas(df).repartition(2),
+                               "g", "k").to_pandas()
+    assert len(out) == 0
