@@ -592,3 +592,80 @@ def markov_stationary(ds, user_col: str = "user_id", ts_col: str = "ts",
     return pa.table({
         "state": pa.array(states, pa.string()),
         "pi": pa.array(pi.astype(np.float64) / 1e6, pa.float64())})
+
+
+def last_touch_attribution(ds, user_col: str = "user_id",
+                           ts_col: str = "ts", type_col: str = "event_type",
+                           order_col: str = "event_id",
+                           touch_type: str = "view",
+                           convert_type: str = "purchase",
+                           bucket_bounds_s: tuple = (3600, 86400, 604800),
+                           num_buckets: int = 256) -> pa.Table:
+    """Last-touch attribution latency profile: for every conversion
+    event, the time since the user's most recent PRIOR touch event in
+    sequence order (``(ts, order_col)`` — a same-timestamp touch with a
+    smaller order id counts), bucketed into attribution windows plus a
+    ``no_touch`` bucket — the marketing-attribution staple.
+
+    Plan: ONE coarse hash(user) shuffle co-locates histories; the
+    per-bucket fold is fully vectorized (sort + per-user forward-fill
+    of the running touch timestamp — the SQL ``max(CASE) OVER (...
+    ROWS UNBOUNDED PRECEDING)`` window, exactly) and emits ≤ |buckets|
+    count rows; the driver sums. Returns (bucket, n_conversions)
+    ordered by window, with ``no_touch`` last."""
+    import pyarrow.compute as pc
+
+    from ..engine.hashing import append_coarse_bucket
+
+    labels = [f"le_{b}s" for b in bucket_bounds_s] + ["older", "no_touch"]
+
+    def coarse(b: pa.Table) -> pa.Table:
+        b = b.select([user_col, ts_col, order_col, type_col])
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        else:
+            ts = pc.cast(ts, pa.int64())
+        b = b.set_column(b.schema.get_field_index(ts_col), ts_col, ts)
+        return append_coarse_bucket(b, [user_col], num_buckets, "__b")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.sort_values([user_col, ts_col, order_col], kind="stable")
+        is_touch = df[type_col].to_numpy(object) == touch_type
+        vts = pd.Series(
+            np.where(is_touch, df[ts_col].to_numpy(np.int64), np.nan),
+            index=df.index)
+        last_touch = vts.groupby(df[user_col].to_numpy()).ffill()
+        conv = df[type_col].to_numpy(object) == convert_type
+        if not conv.any():
+            return empty
+        pts = df[ts_col].to_numpy(np.int64)[conv]
+        lt = last_touch.to_numpy(np.float64)[conv]
+        delta_s = np.where(np.isnan(lt), -1,
+                           (pts - lt) // 1_000_000).astype(np.int64)
+        which = np.full(len(delta_s), len(bucket_bounds_s),
+                        dtype=np.int64)  # 'older'
+        for i, bound in reversed(list(enumerate(bucket_bounds_s))):
+            which[delta_s <= bound] = i
+        which[delta_s < 0] = len(bucket_bounds_s) + 1  # 'no_touch'
+        lab = np.asarray(labels, dtype=object)[which]
+        out = pd.Series(lab).value_counts().rename_axis("bucket") \
+            .rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (ds.map_batches(coarse, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(lambda df: fold(df.drop(columns="__b")),
+                         batch_format="pandas").to_pandas())
+    agg = parts.groupby("bucket", as_index=False)["n"].sum() \
+        if not parts.empty else pd.DataFrame({"bucket": [], "n": []})
+    counts = {row["bucket"]: int(row["n"]) for _, row in agg.iterrows()}
+    return pa.table({
+        "bucket": pa.array(labels, pa.string()),
+        "n_conversions": pa.array([counts.get(l_, 0) for l_ in labels],
+                                  pa.int64())})

@@ -1195,3 +1195,61 @@ def kcore(edges_ds, k: int, u_col: str = "u", v_col: str = "v",
     return pa.table({
         "node": pa.array(deg["node"].to_numpy(np.int64)),
         "core_deg": pa.array(deg["c"].to_numpy(np.int64))})
+
+
+def edge_churn(members_a, members_b, group_col: str, item_col: str,
+               num_buckets: int = 256) -> pa.Table:
+    """Temporal churn of a co-occurrence graph between two eras: build
+    the distinct item-pair edge set of era A and era B (same
+    :func:`cooccurrence_edges` semantics) and count stable / new /
+    dropped edges — "which trading relationships appeared or died
+    after the split".
+
+    Each era's edges fold era-TAGGED through the same pipeline (one
+    hash(group) pair-forming shuffle per era, then ONE shared
+    hash(u, v) fold that reduces every edge to its 2-bit era-presence
+    mask), so no edge list ever gathers to the driver — the driver
+    adds |buckets| count rows. Returns one row
+    (n_edges_a, n_edges_b, n_stable, n_new, n_dropped)."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def tag(era: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "u": b["u"], "v": b["v"],
+                "era": pa.array(np.full(b.num_rows, era, np.int64))})
+        return f
+
+    ea = cooccurrence_edges(members_a, group_col, item_col, num_buckets) \
+        .map_batches(tag(1), batch_format="pyarrow")
+    eb = cooccurrence_edges(members_b, group_col, item_col, num_buckets) \
+        .map_batches(tag(2), batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby(["u", "v"])["era"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy()))) \
+            .reset_index(name="mask")
+        cnt = m["mask"].value_counts()
+        return pd.DataFrame({
+            "n_a": pd.Series([int(cnt.get(1, 0) + cnt.get(3, 0))],
+                             dtype="int64"),
+            "n_b": pd.Series([int(cnt.get(2, 0) + cnt.get(3, 0))],
+                             dtype="int64"),
+            "n_stable": pd.Series([int(cnt.get(3, 0))], dtype="int64"),
+            "n_new": pd.Series([int(cnt.get(2, 0))], dtype="int64"),
+            "n_dropped": pd.Series([int(cnt.get(1, 0))], dtype="int64")})
+
+    parts = (ea.union(eb)
+             .map_batches(lambda b: append_coarse_bucket(
+                 b, ["u", "v"], num_buckets, "__eb"),
+                 batch_format="pyarrow")
+             .groupby("__eb")
+             .map_groups(lambda df: fold(df.drop(columns="__eb")),
+                         batch_format="pandas").to_pandas())
+    tot = parts.sum()
+    return pa.table({
+        "n_edges_a": pa.array([int(tot["n_a"])], pa.int64()),
+        "n_edges_b": pa.array([int(tot["n_b"])], pa.int64()),
+        "n_stable": pa.array([int(tot["n_stable"])], pa.int64()),
+        "n_new": pa.array([int(tot["n_new"])], pa.int64()),
+        "n_dropped": pa.array([int(tot["n_dropped"])], pa.int64())})

@@ -6128,7 +6128,58 @@ def q_source_prefix_dups(sf_dir: str) -> pa.Table:
         docs.map_batches(fp, batch_format="pyarrow"), "source", "fp")
 
 
+def q_purchase_attribution(sf_dir: str) -> pa.Table:
+    """Last-touch attribution latency profile
+    (ops/funnel.last_touch_attribution): every purchase attributed to
+    the user's most recent prior view in sequence order, bucketed into
+    1h / 1d / 7d / older / no_touch windows — one hash(user) shuffle,
+    a vectorized per-user forward-fill fold (the SQL max(CASE) OVER
+    running window, exactly), |buckets| count rows to the driver."""
+    from .ops.funnel import last_touch_attribution
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return last_touch_attribution(ev)
+
+
+def q_part_edge_churn(sf_dir: str) -> pa.Table:
+    """Temporal churn of the part co-order graph across the 1998-01-01
+    order-date split (ops/graph.edge_churn): the order era attaches to
+    lineitem through the SIZE-ROUTED attach (orders is fact-shaped —
+    never broadcast unconditionally), each era's distinct edges form
+    through the cooccurrence pipeline, and ONE shared hash(u, v) fold
+    reduces every edge to a 2-bit era mask — stable/new/dropped counts
+    without any edge list touching the driver."""
+    import pyarrow.compute as pc2
+
+    from .ops.graph import edge_churn
+    from .ops.join import attach_by_key
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def era_col(b: pa.Table) -> pa.Table:
+        cut = pa.scalar(pd.Timestamp("1998-01-01").value // 1000,
+                        pa.int64())
+        e = pc2.cast(pc2.less(pc2.cast(
+            pc2.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            cut), pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "era": pc2.add(pc2.multiply(
+                             e, pa.scalar(-1, pa.int64())),
+                             pa.scalar(2, pa.int64()))})
+
+    tagged = attach_by_key(
+        li, orders.map_batches(era_col, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["era"]).materialize()
+    era_a = tagged.filter(expr="era == 1")
+    era_b = tagged.filter(expr="era == 2")
+    return edge_churn(era_a, era_b, "l_orderkey", "l_partkey")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "purchase_attribution": q_purchase_attribution,
+    "part_edge_churn": q_part_edge_churn,
     "customer_returns_topk": q_customer_returns_topk,
     "source_prefix_dups": q_source_prefix_dups,
     "user_survival": q_user_survival,
@@ -10300,4 +10351,61 @@ ORACLE_SQL["source_prefix_dups"] = """
            CAST(sum(a.n * b.n) AS BIGINT) AS n_pairs
     FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["purchase_attribution"] = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS vt
+      FROM events
+    ), conv AS (
+      SELECT CASE
+               WHEN vt IS NULL THEN 'no_touch'
+               WHEN (epoch_us(ts) - epoch_us(vt)) // 1000000 <= 3600
+                 THEN 'le_3600s'
+               WHEN (epoch_us(ts) - epoch_us(vt)) // 1000000 <= 86400
+                 THEN 'le_86400s'
+               WHEN (epoch_us(ts) - epoch_us(vt)) // 1000000 <= 604800
+                 THEN 'le_604800s'
+               ELSE 'older' END AS bucket
+      FROM seq WHERE event_type = 'purchase'
+    ), lab(bucket) AS (
+      VALUES ('le_3600s'), ('le_86400s'), ('le_604800s'),
+             ('older'), ('no_touch')
+    )
+    SELECT lab.bucket,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_conversions
+    FROM lab LEFT JOIN (SELECT bucket, count(*) AS n
+                        FROM conv GROUP BY 1) c USING (bucket)
+    ORDER BY lab.bucket
+"""
+
+ORACLE_SQL["part_edge_churn"] = """
+    WITH le AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS BIGINT) AS s,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 2 END AS era
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), ea AS MATERIALIZED (
+      SELECT DISTINCT x.s AS u, y.s AS v
+      FROM le x JOIN le y ON x.g = y.g AND x.s < y.s
+      WHERE x.era = 1 AND y.era = 1
+    ), eb AS MATERIALIZED (
+      SELECT DISTINCT x.s AS u, y.s AS v
+      FROM le x JOIN le y ON x.g = y.g AND x.s < y.s
+      WHERE x.era = 2 AND y.era = 2
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM ea JOIN eb ON ea.u = eb.u AND ea.v = eb.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_edges_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM eb) AS n_edges_b,
+           (SELECT n FROM st) AS n_stable,
+           (SELECT CAST(count(*) AS BIGINT) FROM eb) - (SELECT n FROM st)
+             AS n_new,
+           (SELECT CAST(count(*) AS BIGINT) FROM ea) - (SELECT n FROM st)
+             AS n_dropped
 """

@@ -483,3 +483,59 @@ def test_pairwise_key_overlap_disjoint_empty(ray_session):
     out = pairwise_key_overlap(rd.from_pandas(df).repartition(2),
                                "g", "k").to_pandas()
     assert len(out) == 0
+
+
+def test_last_touch_attribution_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.funnel import last_touch_attribution
+    rng = np.random.default_rng(53)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 20 * 86400 * 10**6, n), unit="us"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["view", "purchase", "other"], n,
+                                 p=[0.3, 0.2, 0.5])})
+    out = last_touch_attribution(
+        rd.from_pandas(df).repartition(6)).to_pandas()
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    vts = pd.Series(np.where(s["event_type"] == "view",
+                             s["ts"].astype("int64") // 1000, np.nan),
+                    index=s.index)
+    lt = vts.groupby(s["user_id"].to_numpy()).ffill()
+    conv = s["event_type"].to_numpy() == "purchase"
+    pts = (s["ts"].astype("int64") // 1000).to_numpy()[conv]
+    ltc = lt.to_numpy()[conv]
+    delta = np.where(np.isnan(ltc), -1, (pts - ltc) // 1_000_000)
+    from collections import Counter
+    want = Counter()
+    for d in delta:
+        if d < 0:
+            want["no_touch"] += 1
+        elif d <= 3600:
+            want["le_3600s"] += 1
+        elif d <= 86400:
+            want["le_86400s"] += 1
+        elif d <= 604800:
+            want["le_604800s"] += 1
+        else:
+            want["older"] += 1
+    got = dict(zip(out["bucket"], out["n_conversions"]))
+    assert got == {k: want.get(k, 0) for k in got}
+    assert sum(got.values()) == int(conv.sum())
+
+
+def test_edge_churn_crafted(ray_session):
+    import ray.data as rd
+    from raysketch.ops.graph import edge_churn
+    # era A orders: {1:(a,b,c)} -> edges ab,ac,bc ; era B: {2:(a,b),
+    # 3:(c,d)} -> edges ab, cd.  stable=ab, dropped=ac,bc, new=cd
+    ma = pd.DataFrame({"g": [1, 1, 1], "i": [10, 20, 30]})
+    mb = pd.DataFrame({"g": [2, 2, 3, 3], "i": [10, 20, 30, 40]})
+    out = edge_churn(rd.from_pandas(ma).repartition(2),
+                     rd.from_pandas(mb).repartition(2),
+                     "g", "i").to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "n_edges_a": 3, "n_edges_b": 2, "n_stable": 1,
+        "n_new": 1, "n_dropped": 2}
