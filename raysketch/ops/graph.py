@@ -1197,33 +1197,40 @@ def kcore(edges_ds, k: int, u_col: str = "u", v_col: str = "v",
         "core_deg": pa.array(deg["c"].to_numpy(np.int64))})
 
 
-def edge_churn(members_a, members_b, group_col: str, item_col: str,
-               num_buckets: int = 256) -> pa.Table:
-    """Temporal churn of a co-occurrence graph between two eras: build
-    the distinct item-pair edge set of era A and era B (same
-    :func:`cooccurrence_edges` semantics) and count stable / new /
+def edge_churn(members_tagged, group_col: str, item_col: str,
+               era_col: str = "era", num_buckets: int = 256) -> pa.Table:
+    """Temporal churn of a co-occurrence graph between two eras (era
+    values 1 and 2): build each era's distinct item-pair edge set
+    (:func:`cooccurrence_edges` semantics) and count stable / new /
     dropped edges — "which trading relationships appeared or died
     after the split".
 
-    Each era's edges fold era-TAGGED through the same pipeline (one
-    hash(group) pair-forming shuffle per era, then ONE shared
-    hash(u, v) fold that reduces every edge to its 2-bit era-presence
-    mask), so no edge list ever gathers to the driver — the driver
-    adds |buckets| count rows. Returns one row
+    ``members_tagged`` carries (group, item, era) rows; BOTH eras ride
+    ONE hash(group) pair-forming shuffle (the per-bucket fold forms
+    pairs within (group, era) and dedups bucket-locally per era), then
+    ONE hash(u, v) fold reduces every edge to its 2-bit era-presence
+    mask — two shuffles total, no edge list ever gathers to the
+    driver, which adds |buckets| count rows. Returns one row
     (n_edges_a, n_edges_b, n_stable, n_new, n_dropped)."""
     from ..engine.hashing import append_coarse_bucket
 
-    def tag(era: int):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "u": b["u"], "v": b["v"],
-                "era": pa.array(np.full(b.num_rows, era, np.int64))})
-        return f
+    def members(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, item_col, era_col]).to_pandas() \
+            .drop_duplicates()
+        t = pa.table({
+            "g": pa.array(df[group_col].to_numpy(np.int64)),
+            "i": pa.array(df[item_col].to_numpy(np.int64)),
+            "era": pa.array(df[era_col].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["g"], num_buckets, "__cb")
 
-    ea = cooccurrence_edges(members_a, group_col, item_col, num_buckets) \
-        .map_batches(tag(1), batch_format="pyarrow")
-    eb = cooccurrence_edges(members_b, group_col, item_col, num_buckets) \
-        .map_batches(tag(2), batch_format="pyarrow")
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["g", "i", "era"])
+        m = df.merge(df, on=["g", "era"])
+        m = m[m["i_x"] < m["i_y"]]
+        m = m.drop_duplicates(["i_x", "i_y", "era"])
+        return pd.DataFrame({"u": m["i_x"].to_numpy(np.int64),
+                             "v": m["i_y"].to_numpy(np.int64),
+                             "era": m["era"].to_numpy(np.int64)})
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         m = df.groupby(["u", "v"])["era"].agg(
@@ -1239,7 +1246,10 @@ def edge_churn(members_a, members_b, group_col: str, item_col: str,
             "n_new": pd.Series([int(cnt.get(2, 0))], dtype="int64"),
             "n_dropped": pd.Series([int(cnt.get(1, 0))], dtype="int64")})
 
-    parts = (ea.union(eb)
+    parts = (members_tagged.map_batches(members, batch_format="pyarrow")
+             .groupby("__cb")
+             .map_groups(lambda df: pairs(df.drop(columns="__cb")),
+                         batch_format="pandas")
              .map_batches(lambda b: append_coarse_bucket(
                  b, ["u", "v"], num_buckets, "__eb"),
                  batch_format="pyarrow")

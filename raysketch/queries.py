@@ -6146,10 +6146,10 @@ def q_part_edge_churn(sf_dir: str) -> pa.Table:
     """Temporal churn of the part co-order graph across the 1998-01-01
     order-date split (ops/graph.edge_churn): the order era attaches to
     lineitem through the SIZE-ROUTED attach (orders is fact-shaped —
-    never broadcast unconditionally), each era's distinct edges form
-    through the cooccurrence pipeline, and ONE shared hash(u, v) fold
-    reduces every edge to a 2-bit era mask — stable/new/dropped counts
-    without any edge list touching the driver."""
+    never broadcast unconditionally); BOTH eras ride ONE hash(order)
+    pair-forming shuffle and ONE hash(u, v) fold reduces every edge to
+    a 2-bit era mask — stable/new/dropped counts without any edge list
+    touching the driver."""
     import pyarrow.compute as pc2
 
     from .ops.graph import edge_churn
@@ -6171,10 +6171,8 @@ def q_part_edge_churn(sf_dir: str) -> pa.Table:
 
     tagged = attach_by_key(
         li, orders.map_batches(era_col, batch_format="pyarrow"),
-        "l_orderkey", "o_orderkey", ["era"]).materialize()
-    era_a = tagged.filter(expr="era == 1")
-    era_b = tagged.filter(expr="era == 2")
-    return edge_churn(era_a, era_b, "l_orderkey", "l_partkey")
+        "l_orderkey", "o_orderkey", ["era"])
+    return edge_churn(tagged, "l_orderkey", "l_partkey", "era")
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {

@@ -529,13 +529,14 @@ def test_last_touch_attribution_brute(ray_session):
 def test_edge_churn_crafted(ray_session):
     import ray.data as rd
     from raysketch.ops.graph import edge_churn
-    # era A orders: {1:(a,b,c)} -> edges ab,ac,bc ; era B: {2:(a,b),
+    # era 1 orders: {1:(a,b,c)} -> edges ab,ac,bc ; era 2: {2:(a,b),
     # 3:(c,d)} -> edges ab, cd.  stable=ab, dropped=ac,bc, new=cd
-    ma = pd.DataFrame({"g": [1, 1, 1], "i": [10, 20, 30]})
-    mb = pd.DataFrame({"g": [2, 2, 3, 3], "i": [10, 20, 30, 40]})
-    out = edge_churn(rd.from_pandas(ma).repartition(2),
-                     rd.from_pandas(mb).repartition(2),
-                     "g", "i").to_pandas()
+    m = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 3],
+        "i": [10, 20, 30, 10, 20, 30, 40],
+        "era": [1, 1, 1, 2, 2, 2, 2]})
+    out = edge_churn(rd.from_pandas(m).repartition(3),
+                     "g", "i", "era").to_pandas()
     assert out.iloc[0].to_dict() == {
         "n_edges_a": 3, "n_edges_b": 2, "n_stable": 1,
         "n_new": 1, "n_dropped": 2}
