@@ -794,3 +794,127 @@ def bigram_cond_entropy(ds, text_col: str = "text",
         "h_cond": pa.array(
             [float(np.sign(h) * np.floor(abs(h) * 1e6 + 0.5) / 1e6)],
             pa.float64())})
+
+
+_VARINT_BOUNDS = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28],
+                          dtype=np.int64)
+
+
+def postings_compression(ds, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_buckets: int = 256) -> pa.Table:
+    """Varint-delta compression audit of the corpus inverted index —
+    the search/dedup storage-planning number: per term, sorted posting
+    ids delta-encode (gap from the previous id, first gap = id + 1)
+    and each gap costs the LEB128 varint byte count (1 B under 2⁷,
+    2 B under 2¹⁴, …). Reports total terms, postings, raw int64
+    bytes, varint bytes, and the round6 compression ratio.
+
+    Plan: per-block DISTINCT (term, doc) pairs, ONE coarse hash(term)
+    shuffle so each term's full sorted posting folds in one bucket
+    (a vectorized sort + diff + searchsorted — no per-posting loop);
+    buckets emit 3 scalars each. Returns one row."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist(), dtype="object")
+        ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
+        ex = s.str.split().explode()
+        df = pd.DataFrame({
+            "doc_id": ids.reindex(ex.index).to_numpy(np.int64),
+            "token": ex.to_numpy(dtype=object),
+        }).dropna().drop_duplicates()
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return append_coarse_bucket(t, ["token"], num_buckets, "__pb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["token", "doc_id"]) \
+            .sort_values(["token", "doc_id"], kind="mergesort")
+        ids = df["doc_id"].to_numpy(np.int64)
+        tok = df["token"].to_numpy(object)
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = tok[1:] != tok[:-1]
+        delta = np.empty(len(df), dtype=np.int64)
+        delta[first] = ids[first] + 1
+        delta[~first] = (ids - np.roll(ids, 1))[~first]
+        nb = 1 + np.searchsorted(_VARINT_BOUNDS, delta, side="right")
+        return pd.DataFrame({
+            "n_terms": pd.Series([int(first.sum())], dtype="int64"),
+            "n_postings": pd.Series([len(df)], dtype="int64"),
+            "varint_bytes": pd.Series([int(nb.sum())], dtype="int64")})
+
+    parts = (ds.select_columns([id_col, text_col])
+             .map_batches(pairs, batch_format="pyarrow")
+             .groupby("__pb")
+             .map_groups(lambda df: fold(df.drop(columns="__pb")),
+                         batch_format="pandas").to_pandas())
+    n_terms = int(parts["n_terms"].sum())
+    n_post = int(parts["n_postings"].sum())
+    vb = int(parts["varint_bytes"].sum())
+    raw = 8 * n_post
+    ratio = np.float64(vb) / np.float64(raw)
+    return pa.table({
+        "n_terms": pa.array([n_terms], pa.int64()),
+        "n_postings": pa.array([n_post], pa.int64()),
+        "raw_bytes": pa.array([raw], pa.int64()),
+        "varint_bytes": pa.array([vb], pa.int64()),
+        "ratio": pa.array(
+            [float(np.sign(ratio)
+                   * np.floor(abs(ratio) * 1e6 + 0.5) / 1e6)],
+            pa.float64())})
+
+
+def hapax_rate(ds, group_col: str, text_col: str = "text",
+               num_buckets: int = 256) -> pa.Table:
+    """Lexical-richness profile per group: distinct terms, hapax
+    legomena (terms occurring exactly ONCE in the group's token
+    stream), and the round6 hapax rate — the Zipf-tail health check
+    that catches template/boilerplate slices (low hapax) and OCR noise
+    (high hapax).
+
+    Plan: per-block (group, term) count partials, ONE coarse shuffle
+    on hash(term) — every (group, term) total resolves in one bucket
+    because the key includes the term — each bucket emits per-group
+    (n_terms, n_hapax) scalars; the driver folds |groups| rows."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        ex = s.str.split().explode()
+        df = pd.DataFrame({
+            "g": g.reindex(ex.index).to_numpy(object),
+            "t": ex.to_numpy(dtype=object)}).dropna()
+        out = df.groupby(["g", "t"], sort=False).size().rename("n") \
+            .reset_index()
+        t = pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "t": pa.array(out["t"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+        return append_coarse_bucket(t, ["t"], num_buckets, "__hb")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["g", "t"], as_index=False)["n"].sum()
+        out = agg.groupby("g").agg(
+            n_terms=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum()))).reset_index()
+        out["n_terms"] = out["n_terms"].astype("int64")
+        out["n_hapax"] = out["n_hapax"].astype("int64")
+        return out
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("__hb")
+             .map_groups(lambda df: fold(df.drop(columns="__hb")),
+                         batch_format="pandas").to_pandas())
+    agg = parts.groupby("g", as_index=False)[["n_terms", "n_hapax"]] \
+        .sum().sort_values("g")
+    rate = agg["n_hapax"].to_numpy(np.float64) \
+        / agg["n_terms"].to_numpy(np.float64)
+    return pa.table({
+        group_col: pa.array(agg["g"].to_numpy(object), pa.string()),
+        "n_terms": pa.array(agg["n_terms"].to_numpy(np.int64)),
+        "n_hapax": pa.array(agg["n_hapax"].to_numpy(np.int64)),
+        "hapax_rate": pa.array(
+            np.sign(rate) * np.floor(np.abs(rate) * 1e6 + 0.5) / 1e6,
+            pa.float64())})

@@ -6175,7 +6175,87 @@ def q_part_edge_churn(sf_dir: str) -> pa.Table:
     return edge_churn(tagged, "l_orderkey", "l_partkey", "era")
 
 
+def q_nation_revenue_share(sf_dir: str) -> pa.Table:
+    """Hierarchical percent-of-parent rollup: each supplier nation's
+    revenue as a share of its region and of the world. Lineitem folds
+    per-nation integer-cents partials against the BROADCAST supplier
+    dimension (dimension-sized — the legitimate broadcast); the driver
+    computes 25 ratio rows. Shares are round6 of exact integer-cents
+    ratios, so the SQL window replay matches."""
+    import pyarrow.compute as pc2
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    skey = sup["s_suppkey"].to_numpy(np.int64)
+    snat = sup["s_nationkey"].to_numpy(np.int64)
+    order = np.argsort(skey)
+    skey, snat = skey[order], snat[order]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc2.cast(pc2.floor(pc2.add(pc2.multiply(
+            pc2.multiply(b["l_extendedprice"],
+                         pc2.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        nk = snat[np.searchsorted(skey, sk)]
+        df = pd.DataFrame({"nk": nk, "cents": cents}) \
+            .groupby("nk", as_index=False).agg(
+                revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = li.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("nk", as_index=False)["revenue_cents"].sum()
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    out = agg.merge(nation, left_on="nk", right_on="n_nationkey") \
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    reg_tot = out.groupby("r_name")["revenue_cents"].transform("sum") \
+        .to_numpy(np.float64)
+    tot = np.float64(out["revenue_cents"].sum())
+    cents = out["revenue_cents"].to_numpy(np.float64)
+    out = out.assign(
+        share_region=round6(cents / reg_tot),
+        share_total=round6(cents / tot)) \
+        .sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.table({
+        "r_name": pa.array(out["r_name"].to_numpy(object), pa.string()),
+        "n_name": pa.array(out["n_name"].to_numpy(object), pa.string()),
+        "revenue_cents": pa.array(out["revenue_cents"].astype("int64")),
+        "share_region": pa.array(out["share_region"], pa.float64()),
+        "share_total": pa.array(out["share_total"], pa.float64())})
+
+
+def q_postings_compression(sf_dir: str) -> pa.Table:
+    """Varint-delta inverted-index storage audit
+    (ops/text.postings_compression): distinct (term, doc) pairs, one
+    hash(term) shuffle, vectorized sort+diff+searchsorted per bucket —
+    exact LEB128 byte totals and the round6 compression ratio, CASE-
+    range-replayed in SQL."""
+    from .ops.text import postings_compression
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return postings_compression(docs)
+
+
+def q_source_hapax_rate(sf_dir: str) -> pa.Table:
+    """Hapax legomena rate per source (ops/text.hapax_rate): per-block
+    (source, term) count partials, one hash(term) shuffle (the full
+    count of every (source, term) resolves in one bucket), per-group
+    scalar partials to the driver — the lexical-richness screen."""
+    from .ops.text import hapax_rate
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return hapax_rate(docs, "source")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "nation_revenue_share": q_nation_revenue_share,
+    "postings_compression": q_postings_compression,
+    "source_hapax_rate": q_source_hapax_rate,
     "purchase_attribution": q_purchase_attribution,
     "part_edge_churn": q_part_edge_churn,
     "customer_returns_topk": q_customer_returns_topk,
@@ -10406,4 +10486,70 @@ ORACLE_SQL["part_edge_churn"] = """
              AS n_new,
            (SELECT CAST(count(*) AS BIGINT) FROM ea) - (SELECT n FROM st)
              AS n_dropped
+"""
+
+ORACLE_SQL["nation_revenue_share"] = """
+    WITH rev AS (
+      SELECT s_nationkey AS nk,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT)) AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    )
+    SELECT r_name, n_name, CAST(cents AS BIGINT) AS revenue_cents,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE),
+                 6) AS share_region,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(sum(cents) OVER () AS DOUBLE), 6) AS share_total
+    FROM rev
+    JOIN nation ON nk = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    ORDER BY r_name, n_name
+"""
+
+ORACLE_SQL["postings_compression"] = """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS token
+        FROM documents)
+      WHERE token <> ''
+    ), d AS (
+      SELECT token,
+             doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY token
+                               ORDER BY doc_id), -1) AS delta
+      FROM pairs
+    ), b AS (
+      SELECT CASE WHEN delta < 128 THEN 1
+                  WHEN delta < 16384 THEN 2
+                  WHEN delta < 2097152 THEN 3
+                  WHEN delta < 268435456 THEN 4
+                  ELSE 5 END AS nb
+      FROM d
+    )
+    SELECT (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM pairs)
+             AS n_terms,
+           CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+           CAST(sum(nb) AS BIGINT) AS varint_bytes,
+           round(CAST(sum(nb) AS DOUBLE)
+                 / CAST(8 * count(*) AS DOUBLE), 6) AS ratio
+    FROM b
+"""
+
+ORACLE_SQL["source_hapax_rate"] = """
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents
+    ), c AS (
+      SELECT source, t, count(*) AS n
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+    FROM c GROUP BY source ORDER BY source
 """

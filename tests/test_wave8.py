@@ -540,3 +540,52 @@ def test_edge_churn_crafted(ray_session):
     assert out.iloc[0].to_dict() == {
         "n_edges_a": 3, "n_edges_b": 2, "n_stable": 1,
         "n_new": 1, "n_dropped": 2}
+
+
+def test_postings_compression_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.text import postings_compression
+    docs = ["alpha beta gamma", "beta gamma delta", "alpha delta",
+            "gamma gamma gamma beta"] * 25
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64) * 3,
+                       "text": docs})
+    out = postings_compression(
+        rd.from_pandas(df).repartition(4)).to_pandas()
+    from collections import defaultdict
+    post = defaultdict(set)
+    for i, t in zip(df["doc_id"], df["text"]):
+        for w in t.split():
+            post[w].add(i)
+
+    def vb(d):
+        return 1 if d < 128 else 2 if d < 16384 else 3
+
+    total = 0
+    npost = 0
+    for w, ids in post.items():
+        prev = -1
+        for i in sorted(ids):
+            total += vb(i - prev)
+            prev = i
+            npost += 1
+    assert out["n_terms"][0] == len(post)
+    assert out["n_postings"][0] == npost
+    assert out["varint_bytes"][0] == total
+    assert out["raw_bytes"][0] == 8 * npost
+
+
+def test_hapax_rate_brute(ray_session):
+    import ray.data as rd
+    from raysketch.ops.text import hapax_rate
+    df = pd.DataFrame({
+        "source": ["a", "a", "b"],
+        "text": ["one two two three", "three four", "five five six"]})
+    out = hapax_rate(rd.from_pandas(df).repartition(2),
+                     "source").to_pandas()
+    # source a: one(1) two(2) three(2) four(1) -> 4 terms, 2 hapax
+    # source b: five(2) six(1) -> 2 terms, 1 hapax
+    a = out[out["source"] == "a"].iloc[0]
+    b = out[out["source"] == "b"].iloc[0]
+    assert (a["n_terms"], a["n_hapax"]) == (4, 2)
+    assert (b["n_terms"], b["n_hapax"]) == (2, 1)
+    assert a["hapax_rate"] == 0.5 and b["hapax_rate"] == 0.5
