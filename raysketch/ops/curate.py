@@ -708,3 +708,59 @@ def doc_novelty(ds, n: int = 5, id_col: str = "doc_id",
                 batch_format="pyarrow")
             .groupby("__db")
             .map_groups(doc_fold, batch_format="pandas"))
+
+
+def chunk_dedup_coverage(ds, chunk_size: int = 16,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_buckets: int = 256):
+    """C4-style duplicate-paragraph coverage: chunk every doc into
+    NON-overlapping ``chunk_size``-token windows
+    (:func:`chunk_documents` at overlap 0) and report, per doc, how
+    many of its chunks' texts also occur in at least one OTHER doc —
+    the span-level contamination measure that doc-level exact dedup
+    misses entirely.
+
+    Plan: the chunk stream folds ONCE on ``hash(chunk_text)`` — each
+    bucket owns every (doc, text) occurrence of its texts, computes
+    which texts span ≥ 2 distinct docs, and emits per-doc
+    (n_chunks, n_dup) partials; one narrow ``hash(doc)`` fold sums
+    them. Returns a Dataset of (doc_id, n_chunks, n_dup_chunks,
+    dup_frac round6) — doc-sized, streamable."""
+    from ..engine.hashing import append_coarse_bucket
+
+    chunks = chunk_documents(ds, chunk_size=chunk_size, overlap=0,
+                             id_col=id_col, text_col=text_col)
+
+    def bucket_text(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, "chunk_text"])
+        return append_coarse_bucket(t, ["chunk_text"], num_buckets,
+                                    "__tb")
+
+    def fold_text(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("chunk_text")[id_col].transform("nunique")
+        df = df.assign(dup=(nd >= 2).astype(np.int64))
+        out = df.groupby(id_col, as_index=False).agg(
+            n_chunks=("dup", "size"), n_dup=("dup", "sum"))
+        out["n_chunks"] = out["n_chunks"].astype("int64")
+        out["n_dup"] = out["n_dup"].astype("int64")
+        return out
+
+    def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(id_col, as_index=False)[["n_chunks", "n_dup"]] \
+            .sum()
+        frac = out["n_dup"].to_numpy(np.float64) \
+            / out["n_chunks"].to_numpy(np.float64)
+        out["dup_frac"] = np.sign(frac) * np.floor(
+            np.abs(frac) * 1e6 + 0.5) / 1e6
+        return out.rename(columns={"n_dup": "n_dup_chunks"})
+
+    return (chunks.map_batches(bucket_text, batch_format="pyarrow")
+            .groupby("__tb")
+            .map_groups(lambda df: fold_text(df.drop(columns="__tb")),
+                        batch_format="pandas")
+            .map_batches(lambda b: append_coarse_bucket(
+                b, [id_col], num_buckets, "__db"),
+                batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(lambda df: fold_doc(df.drop(columns="__db")),
+                        batch_format="pandas"))

@@ -1263,3 +1263,100 @@ def edge_churn(members_tagged, group_col: str, item_col: str,
         "n_stable": pa.array([int(tot["n_stable"])], pa.int64()),
         "n_new": pa.array([int(tot["n_new"])], pa.int64()),
         "n_dropped": pa.array([int(tot["n_dropped"])], pa.int64())})
+
+
+def local_clustering(edges_ds, u_col: str = "u", v_col: str = "v",
+                     num_buckets: int = 64,
+                     driver_limit: int = 5_000_000) -> pa.Table:
+    """Per-node local clustering coefficient over an undirected simple
+    graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the
+    community-density screen (high cc = tight cliques, low = hub
+    spokes). Edges are globally deduplicated first (the
+    trade_communities lesson).
+
+    Follows :func:`triangle_count`'s size contract: the DISTINCT edge
+    set must be dimension-sized (≤ ``driver_limit``) — refusing loudly
+    above the limit rather than silently materializing a fact-sized
+    adjacency. Per-node triangles come from bit-packed common-neighbor
+    popcounts per edge (tri(v) = Σ_{e∋v} |N(u)∩N(v)| / 2), chunked over
+    edges — edges × n/8 byte-ops, never the O(n³) dense matmul (a 20k-
+    node sf0.1 part graph would need 8e12 integer ops that way).
+    Returns (node, deg, n_tri, cc round6) ordered by node."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.select([u_col, v_col]).to_pandas() \
+            .drop_duplicates([u_col, v_col])
+        a = df[u_col].to_numpy(np.int64)
+        bb = df[v_col].to_numpy(np.int64)
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        keep = lo != hi
+        t = pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
+        return append_coarse_bucket(t, ["u"], num_buckets, "__eb")
+
+    pre_ds = edges_ds.map_batches(pre, batch_format="pyarrow") \
+        .materialize()
+    if pre_ds.count() <= driver_limit:
+        # block-deduped stream already fits the driver contract: one
+        # pandas drop_duplicates beats a Ray shuffle whose only job is
+        # dedup (per-round shuffle fixed cost ~3s on this box)
+        df = pre_ds.to_pandas().drop(columns="__eb") \
+            .drop_duplicates(["u", "v"])
+    else:
+        edges = (pre_ds.groupby("__eb")
+                 .map_groups(lambda df: df.drop(columns="__eb")
+                             .drop_duplicates(["u", "v"]),
+                             batch_format="pandas").materialize())
+        if edges.count() > driver_limit:
+            raise ValueError(
+                "local_clustering: distinct edge set exceeds the "
+                "driver popcount contract; raise driver_limit only "
+                "with matching memory")
+        df = edges.to_pandas()
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=bool)
+    A[iu, iv] = True
+    A[iv, iu] = True
+    deg = A.sum(axis=1).astype(np.int64)
+    packed = np.packbits(A, axis=1)
+    del A
+    # pad row width to a uint64 multiple and view as words: the AND +
+    # SWAR popcount then run 8 bytes at a time (a uint8 table lookup
+    # here measured 25s on the sf0.1 part graph; SWAR ~2s)
+    pad = (-packed.shape[1]) % 8
+    if pad:
+        packed = np.pad(packed, ((0, 0), (0, pad)))
+    words = packed.view(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    s1, s2, s4, s56 = (np.uint64(k) for k in (1, 2, 4, 56))
+    tri2 = np.zeros(n, dtype=np.int64)  # 2·tri(v): each triangle at v
+    # is seen by BOTH of v's incident edges via the common neighbor
+    chunk = max(1, (64 << 20) // max(8 * words.shape[1], 1))
+    for s in range(0, len(iu), chunk):
+        cu, cv = iu[s:s + chunk], iv[s:s + chunk]
+        x = words[cu] & words[cv]
+        x = x - ((x >> s1) & m1)
+        x = (x & m2) + ((x >> s2) & m2)
+        x = (x + (x >> s4)) & m4
+        cn = ((x * h01) >> s56).sum(axis=1).astype(np.int64)
+        np.add.at(tri2, cu, cn)
+        np.add.at(tri2, cv, cn)
+    tri = tri2 // 2
+    denom = (deg * (deg - 1)).astype(np.float64)
+    cc = np.where(deg >= 2,
+                  (2.0 * tri.astype(np.float64))
+                  / np.where(denom == 0, 1.0, denom), 0.0)
+    cc = np.sign(cc) * np.floor(np.abs(cc) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "node": pa.array(nodes),
+        "deg": pa.array(deg),
+        "n_tri": pa.array(tri),
+        "cc": pa.array(cc, pa.float64())})

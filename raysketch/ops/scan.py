@@ -476,3 +476,57 @@ def time_weighted_scan(
             .map_batches(coarse, batch_format="pyarrow")
             .groupby("__tb")
             .map_groups(fold, batch_format="pandas"))
+
+
+def decayed_counts(ds, key_col: str, ts_col: str,
+                   half_life_us: int = 86_400_000_000,
+                   max_lags: int = 16) -> pa.Table:
+    """Exponentially-decayed event count per key at the corpus
+    horizon: each event contributes 0.5^age (age = whole half-lives
+    before the max timestamp), truncated at ``max_lags`` — the
+    recency-weighted popularity score behind trending lists.
+
+    EXACT and order-free: a truncated power-of-two weight is the
+    INTEGER 2^(max_lags − age), so per-block partials sum in int64 and
+    the final score is int_sum / 2^max_lags — dyadic, no float
+    summation anywhere, and the SQL replay is a CASE shift. The corpus
+    horizon comes from one scalar max() pass; the count fold is one
+    counting pass. Returns (key, n_events, decayed round6) ordered."""
+    import pyarrow.compute as pc
+
+    def to_us(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table({"k": b[key_col], "t": ts})
+
+    base = ds.select_columns([key_col, ts_col]) \
+        .map_batches(to_us, batch_format="pyarrow").materialize()
+    end_us = int(base.max("t"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["t"].to_numpy(zero_copy_only=False)
+        age = (end_us - t) // half_life_us
+        w = np.where(age <= max_lags,
+                     np.left_shift(np.int64(1),
+                                   np.maximum(max_lags - age, 0)),
+                     0).astype(np.int64)
+        df = pd.DataFrame({
+            "k": pd.Series(b["k"].to_pylist(), dtype="object"),
+            "n": np.ones(len(t), dtype=np.int64), "w": w})
+        out = df.groupby("k", sort=False, as_index=False).sum()
+        return pa.table({
+            "k": pa.array(out["k"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "w": pa.array(out["w"].to_numpy(np.int64))})
+
+    parts = base.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().groupby("k", as_index=False)[["n", "w"]].sum() \
+        .sort_values("k")
+    dec = parts["w"].to_numpy(np.float64) / np.float64(1 << max_lags)
+    return pa.table({
+        key_col: pa.array(parts["k"].to_numpy(object), pa.string()),
+        "n_events": pa.array(parts["n"].to_numpy(np.int64)),
+        "decayed": pa.array(
+            np.sign(dec) * np.floor(np.abs(dec) * 1e6 + 0.5) / 1e6,
+            pa.float64())})

@@ -6252,7 +6252,53 @@ def q_source_hapax_rate(sf_dir: str) -> pa.Table:
     return hapax_rate(docs, "source")
 
 
+def q_chunk_dedup_coverage(sf_dir: str) -> pa.Table:
+    """C4-style duplicate-span coverage per doc
+    (ops/curate.chunk_dedup_coverage): non-overlapping 16-token chunks,
+    ONE hash(chunk_text) fold decides which chunk texts span ≥ 2 docs,
+    one narrow hash(doc) fold sums per-doc coverage — the span-level
+    contamination measure doc-level dedup misses."""
+    from .ops.curate import chunk_dedup_coverage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = chunk_dedup_coverage(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].astype("int64")),
+        "n_chunks": pa.array(df["n_chunks"].astype("int64")),
+        "n_dup_chunks": pa.array(df["n_dup_chunks"].astype("int64")),
+        "dup_frac": pa.array(df["dup_frac"].astype("float64"))})
+
+
+def q_trending_types(sf_dir: str) -> pa.Table:
+    """Exponentially-decayed event count per type
+    (ops/scan.decayed_counts): truncated half-day... day half-life
+    weights are exact powers of two, so every partial is an INTEGER
+    2^(16−age) sum — order-free with no float summation anywhere; the
+    SQL replay is one CASE shift."""
+    from .ops.scan import decayed_counts
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return decayed_counts(ev, "event_type", "ts")
+
+
+def q_part_clustering(sf_dir: str) -> pa.Table:
+    """Local clustering coefficient of every part in the co-order
+    graph (ops/graph.local_clustering): globally deduped edges under
+    the triangle_count size contract, per-node triangles from one
+    boolean matmul diag — high cc flags parts locked into dense
+    co-purchase cliques."""
+    from .ops.graph import cooccurrence_edges, local_clustering
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return local_clustering(edges)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "chunk_dedup_coverage": q_chunk_dedup_coverage,
+    "trending_types": q_trending_types,
+    "part_clustering": q_part_clustering,
     "nation_revenue_share": q_nation_revenue_share,
     "postings_compression": q_postings_compression,
     "source_hapax_rate": q_source_hapax_rate,
@@ -10552,4 +10598,75 @@ ORACLE_SQL["source_hapax_rate"] = """
            round(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
     FROM c GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["chunk_dedup_coverage"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(ts, CAST(i AS INTEGER) * 16 + 1,
+                          CAST(i AS INTEGER) * 16 + 16), ' ')
+               AS chunk_text
+      FROM toks, UNNEST(range(0, (len(ts) + 15) // 16)) AS t(i)
+    ), dupt AS (
+      SELECT chunk_text FROM chunks
+      GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT c.doc_id,
+             CASE WHEN d.chunk_text IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM chunks c LEFT JOIN dupt d USING (chunk_text)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+           round(CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_frac
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["trending_types"] = """
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS t FROM events
+    ), mx AS (SELECT max(t) AS end_t FROM ev)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CASE WHEN (end_t - t) // 86400000000 <= 16
+                      THEN (CAST(1 AS BIGINT)
+                            << CAST(16 - (end_t - t) // 86400000000
+                                    AS INTEGER))
+                      ELSE 0 END) AS DOUBLE)
+                 / CAST(65536 AS DOUBLE), 6) AS decayed
+    FROM ev, mx GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["part_clustering"] = """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS BIGINT) AS p
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.p AS u, y.p AS v
+      FROM d x JOIN d y ON x.g = y.g AND x.p < y.p
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM sym GROUP BY u
+    ), tri AS (
+      SELECT n1.u AS node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM sym n1
+      JOIN sym n2 ON n1.u = n2.u AND n1.v < n2.v
+      JOIN e ON e.u = n1.v AND e.v = n2.v
+      GROUP BY n1.u
+    )
+    SELECT dg.node, dg.deg,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN dg.deg >= 2
+                THEN round(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                           / CAST(dg.deg * (dg.deg - 1) AS DOUBLE), 6)
+                ELSE CAST(0 AS DOUBLE) END AS cc
+    FROM deg dg LEFT JOIN tri t ON t.node = dg.node
+    ORDER BY dg.node
 """
