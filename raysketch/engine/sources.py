@@ -109,3 +109,60 @@ def stage_and_read(ds, fmt: str, root: str = "/tmp/raysketch_sources"):
 
 def cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
+
+
+def read_union_by_name(paths: list[str]):
+    """One Dataset over several parquet directories/files whose schemas
+    EVOLVED — later shards add columns older shards lack (the normal
+    life of a long-lived 100-TB sink). Columns are unified BY NAME:
+    the union schema is computed from footers only (one driver-side
+    ``pq.read_schema`` per file — no data read), each shard group is
+    read with its own reader, missing columns materialize as typed
+    nulls inside ``map_batches``, and ONE ``union(*rest)`` call stitches
+    the groups (chaining ``.union()`` per input builds a deep plan —
+    the Ray 2.49 lesson). Same-named columns must agree on type —
+    conflicting evolution refuses loudly rather than silently casting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if not paths:
+        raise ValueError("read_union_by_name: no paths")
+
+    def files_of(p: str) -> list[str]:
+        if os.path.isdir(p):
+            return sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith(".parquet") and not f.startswith("_"))
+        return [p]
+
+    groups = [files_of(p) for p in paths]
+    unified: dict[str, pa.DataType] = {}
+    group_schemas = []
+    for fl in groups:
+        if not fl:
+            raise FileNotFoundError("read_union_by_name: empty path")
+        sch = pq.read_schema(fl[0])
+        group_schemas.append(sch)
+        for f in sch:
+            prev = unified.get(f.name)
+            if prev is not None and prev != f.type:
+                raise ValueError(
+                    f"read_union_by_name: column {f.name!r} evolved "
+                    f"incompatibly ({prev} vs {f.type})")
+            unified.setdefault(f.name, f.type)
+    names = list(unified)
+    target = pa.schema([(n, unified[n]) for n in names])
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in batch.column_names:
+                cols.append(batch[n].cast(unified[n]))
+            else:
+                cols.append(pa.nulls(batch.num_rows, unified[n]))
+        return pa.table(dict(zip(names, cols)), schema=target)
+
+    parts = [rd.read_parquet(fl).map_batches(align, batch_format="pyarrow")
+             for fl in groups]
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])

@@ -1360,3 +1360,165 @@ def local_clustering(edges_ds, u_col: str = "u", v_col: str = "v",
         "deg": pa.array(deg),
         "n_tri": pa.array(tri),
         "cc": pa.array(cc, pa.float64())})
+
+
+def deterministic_walks(edges_ds, n_walks: int = 2, length: int = 3,
+                        u_col: str = "u", v_col: str = "v",
+                        num_buckets: int = 64,
+                        driver_limit: int = 5_000_000) -> pa.Table:
+    """Stateless deterministic random walks over an undirected simple
+    graph — the node2vec/DeepWalk corpus generator: ``n_walks`` walks
+    of ``length`` steps start at EVERY node, and the step rule is
+    RNG-free: at node c, step s, walk w the next node is the sorted
+    neighbor at rank ``seed_key32(c·16 + s·n_walks + w) % deg(c)``
+    (injective for s·n_walks + w < 16), so any executor, any block
+    order, and the DuckDB HUGEINT replay all walk the same paths.
+
+    Size-routed on the block-deduped edge stream (the bounded-graph
+    driver-fold discipline): under ``driver_limit`` one numpy CSR walk
+    on the driver; above it the adjacency is rank-annotated once via a
+    hash(u) fold and each step is one tagged-union bucket fold joining
+    the frontier to (u, rank) — ``length`` bounded shuffles, no
+    per-pair blowup. Returns (start, walk_id, step, node) for steps
+    0..length; output is nodes × n_walks × (length+1) rows (write it
+    to a sink for fact-sized node sets)."""
+    from ..engine.hashing import append_coarse_bucket
+    from .cluster import seed_key32
+
+    if n_walks < 1 or length < 1 or n_walks * length + n_walks - 1 >= 16:
+        raise ValueError("deterministic_walks: need n_walks, length >= 1 "
+                         "and length*n_walks + n_walks - 1 < 16")
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.select([u_col, v_col]).to_pandas() \
+            .drop_duplicates([u_col, v_col])
+        a = df[u_col].to_numpy(np.int64)
+        bb = df[v_col].to_numpy(np.int64)
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        t = pa.table({"u": pa.array(np.concatenate([a, bb])),
+                      "v": pa.array(np.concatenate([bb, a]))})
+        t = pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["u", "v"]),
+            preserve_index=False)
+        return append_coarse_bucket(t, ["u"], num_buckets, "__wb")
+
+    pre_ds = edges_ds.map_batches(pre, batch_format="pyarrow") \
+        .materialize()
+
+    if pre_ds.count() <= driver_limit:
+        df = pre_ds.to_pandas().drop(columns="__wb") \
+            .drop_duplicates(["u", "v"]).sort_values(["u", "v"])
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        nodes = np.unique(u)
+        indptr = np.searchsorted(u, nodes)
+        indptr = np.append(indptr, len(u))
+        deg = np.diff(indptr).astype(np.int64)
+        starts = np.repeat(nodes, n_walks)
+        walks = np.tile(np.arange(n_walks, dtype=np.int64), len(nodes))
+        cur = starts.copy()
+        frames = [(starts, walks, np.zeros(len(cur), np.int64), cur)]
+        for s in range(1, length + 1):
+            key = cur * 16 + np.int64(s * n_walks) + walks
+            idx = np.searchsorted(nodes, cur)
+            rank = seed_key32(key) % deg[idx]
+            cur = v[indptr[idx] + rank]
+            frames.append((starts, walks,
+                           np.full(len(cur), s, np.int64), cur))
+        out = pd.DataFrame({
+            "start": np.concatenate([f[0] for f in frames]),
+            "walk_id": np.concatenate([f[1] for f in frames]),
+            "step": np.concatenate([f[2] for f in frames]),
+            "node": np.concatenate([f[3] for f in frames])}) \
+            .sort_values(["start", "walk_id", "step"])
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    # distributed route: rank-annotate the adjacency once, then one
+    # tagged-union bucket fold per step
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__wb").drop_duplicates(["u", "v"]) \
+            .sort_values(["u", "v"])
+        df["rk"] = df.groupby("u").cumcount().astype(np.int64)
+        df["deg"] = df.groupby("u")["v"].transform("size") \
+            .astype(np.int64)
+        return df
+
+    adj = pre_ds.groupby("__wb") \
+        .map_groups(annotate, batch_format="pandas").materialize()
+
+    def seeds(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["rk"] == 0]
+        n0 = df["u"].to_numpy(np.int64)
+        return pa.table({
+            "start": pa.array(np.repeat(n0, n_walks)),
+            "walk_id": pa.array(np.tile(
+                np.arange(n_walks, dtype=np.int64), len(n0))),
+            "node": pa.array(np.repeat(n0, n_walks))})
+
+    frontier = adj.map_batches(seeds, batch_format="pyarrow") \
+        .materialize()
+    collected = [frontier.to_pandas().assign(step=np.int64(0))]
+
+    def tag_adj(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "u": b["u"], "v": b["v"], "rk": b["rk"], "deg": b["deg"],
+            # zero sentinels, never nulls: nullable int64 turns
+            # float64 inside the pandas fold and rounds ids > 2^53
+            "start": pa.array(np.zeros(b.num_rows, np.int64)),
+            "walk_id": pa.array(np.zeros(b.num_rows, np.int64)),
+            "kind": pa.array(np.zeros(b.num_rows, np.int64))})
+        return append_coarse_bucket(t, ["u"], num_buckets, "__sb")
+
+    adj_tagged = adj.map_batches(tag_adj, batch_format="pyarrow") \
+        .materialize()
+
+    for s in range(1, length + 1):
+        def tag_frontier(b: pa.Table, _s=s) -> pa.Table:
+            t = pa.table({
+                "u": b["node"],
+                "v": pa.array(np.zeros(b.num_rows, np.int64)),
+                "rk": pa.array(np.zeros(b.num_rows, np.int64)),
+                "deg": pa.array(np.zeros(b.num_rows, np.int64)),
+                "start": b["start"], "walk_id": b["walk_id"],
+                "kind": pa.array(np.ones(b.num_rows, np.int64))})
+            return append_coarse_bucket(t, ["u"], num_buckets, "__sb")
+
+        def step_fold(df: pd.DataFrame, _s=s) -> pd.DataFrame:
+            a = df[df["kind"] == 0]
+            f = df[df["kind"] == 1]
+            if f.empty or a.empty:
+                return pd.DataFrame({
+                    "start": pd.Series(dtype="int64"),
+                    "walk_id": pd.Series(dtype="int64"),
+                    "node": pd.Series(dtype="int64")})
+            dg = a[["u", "deg"]].drop_duplicates("u")
+            fm = f[["start", "walk_id", "u"]].astype("int64") \
+                .merge(dg.astype({"u": "int64", "deg": "int64"}), on="u")
+            key = fm["u"].to_numpy(np.int64) * 16 \
+                + np.int64(_s * n_walks) \
+                + fm["walk_id"].to_numpy(np.int64)
+            from .cluster import seed_key32 as _sk
+            fm["rk"] = _sk(key) % fm["deg"].to_numpy(np.int64)
+            nx = fm.merge(a[["u", "rk", "v"]].astype("int64"),
+                          on=["u", "rk"])
+            return pd.DataFrame({
+                "start": nx["start"].to_numpy(np.int64),
+                "walk_id": nx["walk_id"].to_numpy(np.int64),
+                "node": nx["v"].to_numpy(np.int64)})
+
+        stepped = (adj_tagged.union(
+            frontier.map_batches(tag_frontier, batch_format="pyarrow"))
+            .groupby("__sb")
+            .map_groups(lambda d, _f=step_fold: _f(d.drop(columns="__sb")),
+                        batch_format="pandas").materialize())
+        frontier = stepped
+        collected.append(stepped.to_pandas().assign(step=np.int64(s)))
+
+    out = pd.concat(collected, ignore_index=True) \
+        [["start", "walk_id", "step", "node"]] \
+        .astype("int64").sort_values(["start", "walk_id", "step"])
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)

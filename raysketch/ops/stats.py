@@ -1671,3 +1671,137 @@ def score_calibration(ds, score_col: str, label_col: str, positive: str,
         "n_pos": pa.array(agg["n_pos"].to_numpy(np.int64)),
         "pos_rate": pa.array(_r6(rate), pa.float64()),
         "mean_score": pa.array(_r6(mean), pa.float64())})
+
+
+def target_encoding(ds, cat_col: str, y_col: str, m: int = 20,
+                    y_scale: int = 100) -> pa.Table:
+    """Smoothed + leave-one-out target encoding per category — the
+    classic categorical-feature preprocessing step (mean target with a
+    prior of weight ``m`` pulled toward the global mean; the LOO
+    variant each ROW would actually receive removes its own target so
+    the encoding never leaks the label it encodes).
+
+    EXACT: targets become integer units (floor(|y|·scale + 0.5), the
+    nation_revenue cents rule), per-block partials are narrow
+    (category, n, sum, min, max) rows, and the driver evaluates every
+    encoding as ONE integer ratio micro-rounded half-away
+    ((num·2e6 + den) // (2·den) — the lang_source_chi2 recipe) in
+    Python big-ints, so no row count or magnitude overflows. LOO mean/
+    min/max are closed forms of the same sums (Σᵢ(S−yᵢ+mP)/(n−1+m)
+    telescopes), so one counting pass yields the full audit. All six
+    columns replay in DuckDB HUGEINT arithmetic. Categories must be
+    taxonomy-bounded; rows never are."""
+    if m < 1:
+        raise ValueError("target_encoding: prior weight m must be >= 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        yi = (np.sign(y) * np.floor(np.abs(y) * y_scale + 0.5)) \
+            .astype(np.int64)
+        g = pd.Series(b[cat_col].to_pylist(), dtype="object")
+        df = pd.DataFrame({"g": g, "y": yi})
+        out = df.groupby("g", sort=False)["y"] \
+            .agg(n="size", s="sum", mn="min", mx="max").reset_index()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "s": pa.array(out["s"].astype("int64").to_numpy()),
+            "mn": pa.array(out["mn"].astype("int64").to_numpy()),
+            "mx": pa.array(out["mx"].astype("int64").to_numpy())})
+
+    parts = (ds.select_columns([cat_col, y_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        raise ValueError("target_encoding: empty input")
+    N = int(parts["n"].sum())
+    G = sum(int(v) for v in parts["s"])  # Python-int fold: overflow-proof
+
+    def ratio6(num: int, den: int) -> float:
+        # micro-units, half AWAY from zero, exact integer arithmetic
+        sgn = -1 if num < 0 else 1
+        return sgn * ((abs(num) * 2_000_000 + den) // (2 * den)) / 1e6
+
+    rows = []
+    for gv, sub in parts.groupby("g", sort=True):
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])
+        mn, mx = int(sub["mn"].min()), int(sub["mx"].max())
+        den_full = (n + m) * N * y_scale
+        den_loo = (n - 1 + m) * N * y_scale
+        rows.append((
+            gv, n,
+            ratio6(s * N + m * G, den_full),
+            ratio6(n * (s * N + m * G) - s * N, n * den_loo),
+            ratio6((s - mx) * N + m * G, den_loo),
+            ratio6((s - mn) * N + m * G, den_loo)))
+    return pa.table({
+        cat_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "enc": pa.array([r[2] for r in rows], pa.float64()),
+        "loo_mean": pa.array([r[3] for r in rows], pa.float64()),
+        "loo_min": pa.array([r[4] for r in rows], pa.float64()),
+        "loo_max": pa.array([r[5] for r in rows], pa.float64())})
+
+
+def welch_ttest(ds, group_col: str, y_col: str, group_a, group_b,
+                y_scale: int = 100) -> pa.Table:
+    """Welch's unequal-variance two-sample t-test between two groups of
+    one numeric column — the drift/AB significance screen. One
+    distributed counting pass: per-block partials carry n and the Σy /
+    Σy² power sums as DECIMAL STRINGS (grouped_linear_fit's
+    overflow-proof exchange — y² in scaled units overflows int64 long
+    before 100 TB), folded in Python big-ints. The t statistic and
+    Welch–Satterthwaite df are then IDENTICAL-SHAPE double expressions
+    of the exact integer sums (every operand CAST once, the
+    embedding_quantization discipline), so DuckDB replays them
+    bit-for-bit at round6."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        yi = (np.sign(y) * np.floor(np.abs(y) * y_scale + 0.5)) \
+            .astype(np.int64)
+        rows = []
+        for gv in (group_a, group_b):
+            mask = (g == gv).to_numpy()
+            ym = yi[mask]
+            rows.append((str(gv), len(ym), str(_chunked_int_sum(ym)),
+                         str(_chunked_int_sum(ym * ym, chunk=64))))
+        out = pd.DataFrame(rows, columns=["g", "n", "s", "s2"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (ds.select_columns([group_col, y_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    stats = {}
+    for gv, sub in parts.groupby("g", sort=True):
+        stats[gv] = (int(sub["n"].sum()),
+                     sum(int(v) for v in sub["s"]),
+                     sum(int(v) for v in sub["s2"]))
+    (n1, s1, s11) = stats[str(group_a)]
+    (n2, s2, s22) = stats[str(group_b)]
+    if n1 < 2 or n2 < 2:
+        raise ValueError("welch_ttest: both groups need >= 2 rows")
+    # identical-shape float evaluation: exact int -> one double CAST
+    # per operand, then the same IEEE operation tree as the SQL replay
+    m1 = float(s1) / float(n1)
+    m2 = float(s2) / float(n2)
+    v1 = float(n1 * s11 - s1 * s1) / float(n1 * (n1 - 1))
+    v2 = float(n2 * s22 - s2 * s2) / float(n2 * (n2 - 1))
+    se1 = v1 / float(n1)
+    se2 = v2 / float(n2)
+    se = se1 + se2
+    t = (m1 - m2) / math.sqrt(se)
+    df = (se * se) / (se1 * se1 / float(n1 - 1)
+                      + se2 * se2 / float(n2 - 1))
+    r6 = lambda x: float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)
+                         / 1e6)
+    sc = float(y_scale)
+    return pa.table({
+        "group_a": pa.array([str(group_a)], pa.string()),
+        "group_b": pa.array([str(group_b)], pa.string()),
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "mean_a": pa.array([r6(m1 / sc)], pa.float64()),
+        "mean_b": pa.array([r6(m2 / sc)], pa.float64()),
+        "t_stat": pa.array([r6(t)], pa.float64()),
+        "welch_df": pa.array([r6(df)], pa.float64())})

@@ -6295,7 +6295,116 @@ def q_part_clustering(sf_dir: str) -> pa.Table:
     return local_clustering(edges)
 
 
+def q_segment_target_encoding(sf_dir: str) -> pa.Table:
+    """Smoothed + leave-one-out target encoding of customer market
+    segment by order total (ops/stats.target_encoding): integer-cents
+    targets, narrow (cat, n, sum, min, max) partials, every encoding
+    ONE big-int ratio micro-rounded half-away — the LOO closed forms
+    telescope from the same sums, so nothing leaks and nothing
+    overflows. Segment attach is size-routed (attach_by_key)."""
+    from .ops.join import attach_by_key
+    from .ops.stats import target_encoding
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    tagged = attach_by_key(orders, cust, "o_custkey", "c_custkey",
+                           ["c_mktsegment"])
+    return target_encoding(tagged, "c_mktsegment", "o_totalprice",
+                           m=20, y_scale=100)
+
+
+def q_returnflag_ttest(sf_dir: str) -> pa.Table:
+    """Welch's t-test between returned (R) and non-returned (N)
+    lineitem revenue (ops/stats.welch_ttest): decimal-string power-sum
+    partials fold in Python big-ints, then t and the Welch df are
+    identical-shape double expressions of the exact integer sums —
+    DuckDB replays both bit-for-bit at round6."""
+    from .ops.stats import welch_ttest
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return welch_ttest(li, "l_returnflag", "l_extendedprice", "R", "N")
+
+
+def q_schema_evolution(sf_dir: str) -> pa.Table:
+    """Schema-evolution read (engine/sources.read_union_by_name): even
+    doc_ids are staged as v1 shards (doc_id, source) and odd ones as
+    v2 shards that ADDED n_chars; the union-by-name reader unifies the
+    schemas from footers only, fills typed nulls, and one per-source
+    counting pass audits row/char coverage over the stitched Dataset."""
+    import shutil
+    import uuid
+
+    import pyarrow.compute as pc
+
+    from .engine.sources import read_union_by_name
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    root = f"/tmp/raysketch_evolve_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+    def v1(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 2 == 0))
+        return t.select(["doc_id", "source"])
+
+    def v2(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 2 == 1))
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    try:
+        docs.map_batches(v1, batch_format="pyarrow") \
+            .write_parquet(os.path.join(root, "v1"))
+        docs.map_batches(v2, batch_format="pyarrow") \
+            .write_parquet(os.path.join(root, "v2"))
+        u = read_union_by_name([os.path.join(root, "v1"),
+                                os.path.join(root, "v2")])
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "source": pd.Series(b["source"].to_pylist(),
+                                    dtype="object"),
+                "has": (~pd.isna(pd.Series(b["n_chars"].to_pylist())))
+                .to_numpy(),
+                "nc": pd.to_numeric(
+                    pd.Series(b["n_chars"].to_pylist()), errors="coerce")
+                .fillna(0).astype("int64")})
+            g = df.groupby("source", sort=False).agg(
+                n_rows=("has", "size"), n_with_chars=("has", "sum"),
+                sum_chars=("nc", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = u.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = parts.groupby("source", sort=True, as_index=False).sum()
+    return pa.table({
+        "source": pa.array(out["source"].to_numpy(object), pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype("int64")),
+        "n_with_chars": pa.array(out["n_with_chars"].astype("int64")),
+        "sum_chars": pa.array(out["sum_chars"].astype("int64"))})
+
+
+def q_supplier_walks(sf_dir: str) -> pa.Table:
+    """Deterministic node2vec-style walks over the supplier co-order
+    graph (ops/graph.deterministic_walks): 2 walks × 3 steps from
+    every supplier, next-hop = sorted neighbor at rank
+    seed_key32(node·16 + step·2 + walk) % deg — RNG-free, block-order
+    free, and replayed step-for-step by an unrolled HUGEINT CTE."""
+    from .ops.graph import cooccurrence_edges, deterministic_walks
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return deterministic_walks(edges, n_walks=2, length=3)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "segment_target_encoding": q_segment_target_encoding,
+    "returnflag_ttest": q_returnflag_ttest,
+    "schema_evolution": q_schema_evolution,
+    "supplier_walks": q_supplier_walks,
     "chunk_dedup_coverage": q_chunk_dedup_coverage,
     "trending_types": q_trending_types,
     "part_clustering": q_part_clustering,
@@ -10670,3 +10779,140 @@ ORACLE_SQL["part_clustering"] = """
     FROM deg dg LEFT JOIN tri t ON t.node = dg.node
     ORDER BY dg.node
 """
+
+ORACLE_SQL["segment_target_encoding"] = """
+    WITH y AS (
+      SELECT c.c_mktsegment AS cat,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS HUGEINT) AS yc
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS nn, sum(yc) AS gg FROM y
+    ), p AS (
+      SELECT cat, CAST(count(*) AS HUGEINT) AS n, sum(yc) AS s,
+             min(yc) AS mn, max(yc) AS mx
+      FROM y GROUP BY cat
+    )
+    SELECT p.cat AS c_mktsegment, CAST(p.n AS BIGINT) AS n,
+           CAST(CAST(((p.s * g.nn + 20 * g.gg) * 2000000
+                       + (p.n + 20) * g.nn * 100)
+                     // (2 * (p.n + 20) * g.nn * 100) AS BIGINT)
+                AS DOUBLE) / CAST(1000000 AS DOUBLE) AS enc,
+           CAST(CAST(((p.n * (p.s * g.nn + 20 * g.gg) - p.s * g.nn)
+                        * 2000000
+                       + p.n * (p.n - 1 + 20) * g.nn * 100)
+                     // (2 * p.n * (p.n - 1 + 20) * g.nn * 100)
+                     AS BIGINT)
+                AS DOUBLE) / CAST(1000000 AS DOUBLE) AS loo_mean,
+           CAST(CAST((((p.s - p.mx) * g.nn + 20 * g.gg) * 2000000
+                       + (p.n - 1 + 20) * g.nn * 100)
+                     // (2 * (p.n - 1 + 20) * g.nn * 100) AS BIGINT)
+                AS DOUBLE) / CAST(1000000 AS DOUBLE) AS loo_min,
+           CAST(CAST((((p.s - p.mn) * g.nn + 20 * g.gg) * 2000000
+                       + (p.n - 1 + 20) * g.nn * 100)
+                     // (2 * (p.n - 1 + 20) * g.nn * 100) AS BIGINT)
+                AS DOUBLE) / CAST(1000000 AS DOUBLE) AS loo_max
+    FROM p, g ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["returnflag_ttest"] = """
+    WITH y AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS yc
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), p AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(yc) AS s,
+             sum(yc * yc) AS s2
+      FROM y GROUP BY g
+    ), v AS (
+      SELECT CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+             CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+             CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+             CAST(a.n * a.s2 - a.s * a.s AS DOUBLE)
+               / CAST(a.n * (a.n - 1) AS DOUBLE) AS v1,
+             CAST(b.n * b.s2 - b.s * b.s AS DOUBLE)
+               / CAST(b.n * (b.n - 1) AS DOUBLE) AS v2
+      FROM (SELECT * FROM p WHERE g = 'R') a,
+           (SELECT * FROM p WHERE g = 'N') b
+    ), w AS (
+      SELECT *, v1 / CAST(na AS DOUBLE) AS se1,
+             v2 / CAST(nb AS DOUBLE) AS se2
+      FROM v
+    ), x AS (SELECT *, se1 + se2 AS se FROM w)
+    SELECT 'R' AS group_a, 'N' AS group_b, na AS n_a, nb AS n_b,
+           round(m1 / CAST(100 AS DOUBLE), 6) AS mean_a,
+           round(m2 / CAST(100 AS DOUBLE), 6) AS mean_b,
+           round((m1 - m2) / sqrt(se), 6) AS t_stat,
+           round((se * se) / (se1 * se1 / CAST(na - 1 AS DOUBLE)
+                              + se2 * se2 / CAST(nb - 1 AS DOUBLE)), 6)
+             AS welch_df
+    FROM x
+"""
+
+ORACLE_SQL["schema_evolution"] = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+             AS n_with_chars,
+           CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+                             THEN length(text) END), 0) AS BIGINT)
+             AS sum_chars
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _walks_sql(n_walks: int = 2, length: int = 3) -> str:
+    """Unrolled HUGEINT replay of deterministic_walks over the supplier
+    co-order graph: one (h1 -> h2 -> hh) seed_key32 chain + one
+    rank-join per step."""
+    ctes, prev = [], "f0"
+    for s in range(1, length + 1):
+        off = s * n_walks
+        ctes.append(f"""
+    k{s}a AS (
+      SELECT start, walk_id, node,
+             (CAST(node * 16 + {off} + walk_id AS HUGEINT) * 2654435761)
+               % 4294967296 AS h1
+      FROM {prev}
+    ), k{s}b AS (
+      SELECT start, walk_id, node,
+             (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+      FROM k{s}a
+    ), k{s}c AS (
+      SELECT start, walk_id, node,
+             CAST(xor(h2, h2 // 65536) AS BIGINT) AS hh
+      FROM k{s}b
+    ), f{s} AS (
+      SELECT k.start, k.walk_id, a.v AS node
+      FROM k{s}c k JOIN adj a
+        ON a.u = k.node AND a.rk = k.hh % a.deg
+    )""")
+        prev = f"f{s}"
+    unions = "\n      UNION ALL ".join(
+        f"SELECT start, walk_id, {s} AS st, node FROM f{s}"
+        for s in range(0, length + 1))
+    walks_vals = ", ".join(f"(CAST({w} AS BIGINT))"
+                           for w in range(n_walks))
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS g, CAST(l_suppkey AS BIGINT) AS s
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.s AS u, y.s AS v
+      FROM d x JOIN d y ON x.g = y.g AND x.s <> y.s
+    ), adj AS (
+      SELECT u, v,
+             CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+                  AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+      FROM e
+    ), w(walk_id) AS (VALUES {walks_vals}),
+    f0 AS (
+      SELECT u AS start, walk_id, u AS node
+      FROM (SELECT DISTINCT u FROM e) CROSS JOIN w
+    ),{",".join(ctes)}
+    SELECT start, walk_id, CAST(st AS BIGINT) AS step, node
+    FROM ({unions})
+    ORDER BY start, walk_id, step
+"""
+
+
+ORACLE_SQL["supplier_walks"] = _walks_sql(2, 3)
