@@ -322,3 +322,58 @@ def read_bloom_pruned(path: str, col: str, keys):
     if not keep:
         return None, 0, total
     return rd.read_parquet(keep), len(keep), total
+
+
+def write_version(ds, root: str) -> int:
+    """Append one SNAPSHOT VERSION of a dataset under ``root`` — the
+    time-travel sink: each call writes a full ``v=N`` directory and
+    commits it atomically (stage dir → one ``os.rename`` → ``_SUCCESS``
+    marker), so readers never observe a half-written snapshot and a
+    crashed write leaves only an ignorable stage dir. Single-writer
+    protocol (version numbers are assigned from the committed set at
+    call time); returns the committed version number."""
+    import uuid as _uuid
+
+    os.makedirs(root, exist_ok=True)
+    existing = list_versions(root)
+    ver = (max(existing) + 1) if existing else 1
+    stage = os.path.join(root, f"_stage-{os.getpid()}-{_uuid.uuid4().hex[:8]}")
+    ds.write_parquet(stage)
+    final = os.path.join(root, f"v={ver}")
+    os.rename(stage, final)
+    with open(os.path.join(final, SUCCESS_MARKER), "w"):
+        pass
+    return ver
+
+
+def list_versions(root: str) -> list[int]:
+    """Committed snapshot versions under ``root`` (ascending): ``v=N``
+    directories carrying the ``_SUCCESS`` marker; stage dirs and
+    partial writes are invisible."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v=") and os.path.exists(
+                os.path.join(root, name, SUCCESS_MARKER)):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_version(root: str, version: int | None = None):
+    """Dataset over one committed snapshot (default: the LATEST) — the
+    time-travel read. Refuses unknown/uncommitted versions loudly."""
+    import ray.data as rd
+
+    vers = list_versions(root)
+    if not vers:
+        raise FileNotFoundError(f"{root}: no committed versions")
+    ver = vers[-1] if version is None else version
+    if ver not in vers:
+        raise FileNotFoundError(
+            f"{root}: version {ver} not committed (have {vers})")
+    return rd.read_parquet(os.path.join(root, f"v={ver}"),
+                           file_extensions=["parquet"])

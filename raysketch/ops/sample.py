@@ -301,3 +301,80 @@ def negative_samples(ds, n_ids: int, k: int = 4,
 
     return ds.select_columns([id_col]).map_batches(
         expand, batch_format="pyarrow")
+
+
+def stratified_split(ds, stratum_col: str, id_col: str,
+                     num_buckets: int = 256, hb_shift: int = 24):
+    """Deterministic 80/10/10 train/val/test split with EXACT
+    per-stratum proportions — grouped kfold's leakage guarantee plus
+    stratified_hash_sample's balance, in two counting passes and ONE
+    balanced shuffle (never a per-stratum hot-key group).
+
+    Rows rank within their stratum by (seed_key32(id), id); the split
+    rule is pure integer arithmetic on the 0-based rank r and stratum
+    size n — train iff 5r < 4n, val iff 10r < 9n, else test — so both
+    engines decide identically with no float thresholds. Pass 1 counts
+    (stratum, h-bucket) cells (narrow: strata × 2^(32-hb_shift) rows);
+    the driver turns them into global rank offsets; pass 2 shuffles on
+    hash(stratum, h-bucket) coarse buckets and each fold resolves its
+    cells with one vectorized sort — cells are ~n/256ths of a stratum,
+    so a fact-sized stratum never lands on one task. Returns a Dataset
+    of (stratum, id, split)."""
+    import pandas as pd
+
+    from ..engine.hashing import append_coarse_bucket
+    from .cluster import seed_key32
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = seed_key32(ids)
+        return pa.table({
+            stratum_col: b[stratum_col],
+            id_col: pa.array(ids),
+            "__h": pa.array(h),
+            "__hb": pa.array(h >> np.int64(hb_shift))})
+
+    keyed_ds = ds.select_columns([stratum_col, id_col]) \
+        .map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def pass1(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": pd.Series(b[stratum_col].to_pylist(), dtype="object"),
+            "hb": b["__hb"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["s", "hb"], sort=False).size().reset_index(
+            name="c")
+        return pa.table({
+            "s": pa.array(g["s"].to_numpy(object), pa.string()),
+            "hb": pa.array(g["hb"].to_numpy(np.int64)),
+            "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    cells = keyed_ds.map_batches(pass1, batch_format="pyarrow") \
+        .to_pandas().groupby(["s", "hb"], as_index=False)["c"].sum() \
+        .sort_values(["s", "hb"])
+    cells["off"] = cells.groupby("s")["c"].cumsum() - cells["c"]
+    offsets = {(s, int(hb)): int(o)
+               for s, hb, o in zip(cells["s"], cells["hb"], cells["off"])}
+    ntot = cells.groupby("s")["c"].sum().to_dict()
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (s, hb), g in df.groupby([stratum_col, "__hb"], sort=False):
+            g = g.sort_values(["__h", id_col])
+            r = offsets[(s, int(hb))] + np.arange(len(g), dtype=np.int64)
+            n = ntot[s]
+            split = np.where(
+                5 * r < 4 * n, "train",
+                np.where(10 * r < 9 * n, "val", "test"))
+            outs.append(pd.DataFrame({
+                stratum_col: s,
+                id_col: g[id_col].to_numpy(np.int64),
+                "split": split}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (keyed_ds.map_batches(
+        lambda b: append_coarse_bucket(b, [stratum_col, "__hb"],
+                                       num_buckets, "__b"),
+        batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda d: assign(d.drop(columns="__b")),
+                    batch_format="pandas"))

@@ -613,3 +613,67 @@ def embedding_quantization(ds, vec_col: str = "embedding",
         "n_vecs": pa.array(agg["n_vecs"].to_numpy(np.int64)),
         "n_vals": pa.array(agg["n_vals"].to_numpy(np.int64)),
         "err_micro": pa.array(agg["err_micro"].to_numpy(np.int64))})
+
+
+def knn_label_noise(ds, k: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding", label_col: str = "label",
+                    broadcast_budget: int = 50_000_000):
+    """Label-noise screen via k-NN disagreement — the training-data QA
+    pass that flags rows whose ``k`` nearest neighbors (ROUND6 cosine,
+    id tie-break — the kmeans_assign decision rule, so DuckDB replays
+    every ranking) mostly carry a DIFFERENT label. Likely-mislabeled
+    rows poison classifier heads; this surfaces them before training.
+
+    The (id, vector, label) corpus is broadcast ONCE (``ray.put``) and
+    every block does one float64 matmul against it — O(n²·d) flops
+    spread across blocks, shuffle-free. The broadcast is the size
+    contract: refuses when rows × dim exceeds ``broadcast_budget``
+    (the kcenter VALUE-budget rule — vectors are wide; an IVF-bucketed
+    variant is the documented swap beyond it). Returns a Dataset of
+    (id, label, n_same, noisy) with ``noisy = (2·n_same < k)``."""
+    import ray
+
+    mat = ds.select_columns([id_col, vec_col, label_col]).materialize()
+    df = mat.to_pandas()
+    n = len(df)
+    if n <= k:
+        raise ValueError("knn_label_noise: need more rows than k")
+    X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
+    if n * X.shape[1] > broadcast_budget:
+        raise ValueError(
+            "knn_label_noise: corpus exceeds the broadcast budget; "
+            "use an IVF/LSH-bucketed variant at this scale")
+    order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
+    ids = df[id_col].to_numpy(np.int64)[order]
+    labels = df[label_col].to_numpy(np.int64)[order]
+    X = X[order]
+    if ids.max() >= (1 << 33) or ids.min() < 0:
+        raise ValueError("knn_label_noise: ids must fit 33 bits "
+                         "(composite rank key)")
+    norms = np.sqrt((X * X).sum(axis=1))
+    ref = ray.put((ids, labels, X, norms))
+
+    def score(b: pa.Table) -> pa.Table:
+        r_ids, r_labels, R, r_norms = ray.get(ref)
+        bid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        Xb = np.asarray([np.asarray(v, np.float64) for v in
+                         b[vec_col].to_pylist()])
+        bl = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.sqrt((Xb * Xb).sum(axis=1))
+        cos = (Xb @ R.T) / (nb[:, None] * r_norms[None, :])
+        micro = (np.sign(cos)
+                 * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(np.int64)
+        # composite ascending key: (-cos6, neighbor_id); self excluded
+        key = (1_000_000 - micro) * np.int64(1 << 33) + r_ids[None, :]
+        self_mask = bid[:, None] == r_ids[None, :]
+        key = np.where(self_mask, np.iinfo(np.int64).max, key)
+        part = np.argpartition(key, k - 1, axis=1)[:, :k]
+        nbr_labels = r_labels[part]
+        n_same = (nbr_labels == bl[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(bid),
+            label_col: pa.array(bl),
+            "n_same": pa.array(n_same),
+            "noisy": pa.array((2 * n_same < k).astype(np.int64))})
+
+    return mat.map_batches(score, batch_format="pyarrow")

@@ -6400,7 +6400,89 @@ def q_supplier_walks(sf_dir: str) -> pa.Table:
     return deterministic_walks(edges, n_walks=2, length=3)
 
 
+def q_knn_label_noise(sf_dir: str) -> pa.Table:
+    """k-NN label-noise screen over the embeddings table
+    (ops/similarity.knn_label_noise): one broadcast + one f64 matmul
+    per block, neighbors ranked by (round6 cosine DESC, vec_id) — the
+    kmeans_assign decision rule — and a row is noisy when under half
+    of its 5 nearest share its label."""
+    from .ops.similarity import knn_label_noise
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    df = knn_label_noise(emb, k=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(df["vec_id"].astype("int64")),
+        "label": pa.array(df["label"].astype("int64")),
+        "n_same": pa.array(df["n_same"].astype("int64")),
+        "noisy": pa.array(df["noisy"].astype("int64"))})
+
+
+def q_corpus_split(sf_dir: str) -> pa.Table:
+    """Deterministic stratified 80/10/10 split of documents by source
+    (ops/sample.stratified_split): rank-by-seed_key32 with pure-integer
+    thresholds (5r < 4n / 10r < 9n), two counting passes + one balanced
+    (stratum, h-bucket) shuffle. The id_sum checksum pins the exact
+    membership of every split, not just its size."""
+    from .ops.sample import stratified_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    parts = stratified_split(docs, "source", "doc_id").to_pandas()
+    out = parts.groupby(["source", "split"], as_index=False).agg(
+        n_rows=("doc_id", "size"), id_sum=("doc_id", "sum")) \
+        .sort_values(["source", "split"]).reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(out["source"].to_numpy(object), pa.string()),
+        "split": pa.array(out["split"].to_numpy(object), pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype("int64")),
+        "id_sum": pa.array(out["id_sum"].astype("int64"))})
+
+
+def q_snapshot_versions(sf_dir: str) -> pa.Table:
+    """Time-travel sink audit (engine/sinks.write_version/read_version):
+    v=1 snapshots the doc catalog, v=2 is the same catalog after a
+    deterministic retention pass (doc_id % 3 != 0); reading BOTH
+    committed versions side-by-side yields the per-source row/char
+    deltas — the snapshot-diff a 100-TB retention job publishes."""
+    import shutil
+    import uuid
+
+    from .engine.sinks import read_version, write_version
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    root = f"/tmp/raysketch_versions_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 != 0))
+
+    try:
+        v1 = write_version(docs, root)
+        v2 = write_version(docs.map_batches(keep, batch_format="pyarrow"),
+                           root)
+        assert (v1, v2) == (1, 2)
+        frames = []
+        for ver in (1, None):  # explicit v1 + latest-resolution path
+            snap = read_version(root, ver).to_pandas()
+            g = snap.groupby("source", as_index=False).agg(
+                n_rows=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+            g["version"] = np.int64(1 if ver == 1 else 2)
+            frames.append(g)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = pd.concat(frames, ignore_index=True) \
+        .sort_values(["version", "source"]).reset_index(drop=True)
+    return pa.table({
+        "version": pa.array(out["version"].astype("int64")),
+        "source": pa.array(out["source"].to_numpy(object), pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype("int64")),
+        "sum_chars": pa.array(out["sum_chars"].astype("int64"))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "knn_label_noise": q_knn_label_noise,
+    "corpus_split": q_corpus_split,
+    "snapshot_versions": q_snapshot_versions,
     "segment_target_encoding": q_segment_target_encoding,
     "returnflag_ttest": q_returnflag_ttest,
     "schema_evolution": q_schema_evolution,
@@ -10916,3 +10998,82 @@ def _walks_sql(n_walks: int = 2, length: int = 3) -> str:
 
 
 ORACLE_SQL["supplier_walks"] = _walks_sql(2, 3)
+
+ORACLE_SQL["knn_label_noise"] = """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS xx
+      FROM ex GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS xy
+      FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.qa, d.qb,
+             round(d.xy / (sqrt(na.xx) * sqrt(nb.xx)), 6) AS c6
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.qa
+      JOIN nrm nb ON nb.vec_id = d.qb
+    ), top AS (
+      SELECT qa, qb FROM (
+        SELECT qa, qb, row_number() OVER (
+            PARTITION BY qa ORDER BY c6 DESC, qb) AS rn
+        FROM scored)
+      WHERE rn <= 5
+    ), lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+               FROM embeddings)
+    SELECT la.vec_id, la.label,
+           CAST(count(*) FILTER (WHERE lb.label = la.label) AS BIGINT)
+             AS n_same,
+           CAST(CASE WHEN 2 * count(*) FILTER (WHERE lb.label = la.label)
+                          < 5 THEN 1 ELSE 0 END AS BIGINT) AS noisy
+    FROM top t
+    JOIN lab la ON la.vec_id = t.qa
+    JOIN lab lb ON lb.vec_id = t.qb
+    GROUP BY la.vec_id, la.label ORDER BY la.vec_id
+"""
+
+ORACLE_SQL["corpus_split"] = """
+    WITH ka AS (
+      SELECT doc_id, source,
+             (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS h1
+      FROM documents
+    ), kb AS (
+      SELECT doc_id, source,
+             (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+      FROM ka
+    ), kc AS (
+      SELECT doc_id, source,
+             CAST(xor(h2, h2 // 65536) AS BIGINT) AS hh
+      FROM kb
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hh, doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM kc
+    )
+    SELECT source,
+           CASE WHEN 5 * rk < 4 * n THEN 'train'
+                WHEN 10 * rk < 9 * n THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["snapshot_versions"] = """
+    SELECT CAST(1 AS BIGINT) AS version, source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), source,
+           CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 3 <> 0 GROUP BY source
+    ORDER BY version, source
+"""
