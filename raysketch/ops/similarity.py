@@ -677,3 +677,67 @@ def knn_label_noise(ds, k: int = 5, id_col: str = "vec_id",
             "noisy": pa.array((2 * n_same < k).astype(np.int64))})
 
     return mat.map_batches(score, batch_format="pyarrow")
+
+
+def mutual_best_match(ds, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      broadcast_budget: int = 50_000_000) -> pa.Table:
+    """Reciprocal best match (mutual nearest neighbors): the pairs
+    (a, b) where b is a's cosine top-1 AND a is b's — the
+    high-precision alignment/dedup primitive (bitext mining, record
+    linkage seeds) that one-directional top-1 cannot give. Ranking is
+    (round6 cosine DESC, id ASC) — knn_label_noise's SQL-replayable
+    decision rule; the same broadcast-matmul contract applies. The
+    per-row best-match stream is node-sized (one row per vector), so
+    the mutuality fold is a driver searchsorted. Returns
+    (a, b, cos) with a < b, ordered by a."""
+    import ray
+
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    df = mat.to_pandas()
+    n = len(df)
+    if n < 2:
+        raise ValueError("mutual_best_match: need >= 2 rows")
+    X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
+    if n * X.shape[1] > broadcast_budget:
+        raise ValueError(
+            "mutual_best_match: corpus exceeds the broadcast budget")
+    order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
+    ids = df[id_col].to_numpy(np.int64)[order]
+    if ids.max() >= (1 << 33) or ids.min() < 0:
+        raise ValueError("mutual_best_match: ids must fit 33 bits")
+    X = X[order]
+    norms = np.sqrt((X * X).sum(axis=1))
+    ref = ray.put((ids, X, norms))
+
+    def best(b: pa.Table) -> pa.Table:
+        r_ids, R, r_norms = ray.get(ref)
+        bid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        Xb = np.asarray([np.asarray(v, np.float64) for v in
+                         b[vec_col].to_pylist()])
+        nb = np.sqrt((Xb * Xb).sum(axis=1))
+        cos = (Xb @ R.T) / (nb[:, None] * r_norms[None, :])
+        micro = (np.sign(cos)
+                 * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(np.int64)
+        key = (1_000_000 - micro) * np.int64(1 << 33) + r_ids[None, :]
+        key = np.where(bid[:, None] == r_ids[None, :],
+                       np.iinfo(np.int64).max, key)
+        j = np.argmin(key, axis=1)
+        rows = np.arange(len(bid))
+        return pa.table({
+            "src": pa.array(bid),
+            "dst": pa.array(r_ids[j]),
+            "micro": pa.array(micro[rows, j])})
+
+    bm = mat.map_batches(best, batch_format="pyarrow").to_pandas() \
+        .sort_values("src").reset_index(drop=True)
+    src = bm["src"].to_numpy(np.int64)
+    dst = bm["dst"].to_numpy(np.int64)
+    mic = bm["micro"].to_numpy(np.int64)
+    pos = np.searchsorted(src, dst)  # src is sorted, one row per id
+    mutual = (src[pos] == dst) & (dst[pos] == src) & (src < dst)
+    return pa.table({
+        "a": pa.array(src[mutual]),
+        "b": pa.array(dst[mutual]),
+        "cos": pa.array(mic[mutual].astype(np.float64) / 1e6,
+                        pa.float64())})

@@ -918,3 +918,76 @@ def hapax_rate(ds, group_col: str, text_col: str = "text",
         "hapax_rate": pa.array(
             np.sign(rate) * np.floor(np.abs(rate) * 1e6 + 0.5) / 1e6,
             pa.float64())})
+
+
+def oov_rate(ds, group_col: str = "source", text_col: str = "text",
+             vocab_k: int = 1000, num_buckets: int = 256) -> pa.Table:
+    """Out-of-vocabulary token rate per group after fixing the corpus
+    vocabulary to its ``vocab_k`` most frequent tokens — the tokenizer-
+    coverage audit run before committing a vocab size (high OOV in one
+    source means that source will shred into fallback bytes).
+
+    Vocabulary selection is deterministic: (count DESC, token ASC). The
+    count fold is the token_topk shape — per-block value_counts, ONE
+    coarse hash(token) shuffle, and each bucket emits only its own
+    top-``vocab_k`` candidates (a global top-k token lives in exactly
+    one bucket, so the driver's final cut sees ≤ buckets·k rows, never
+    the vocabulary). Pass 2 re-streams the corpus against the broadcast
+    vocab set with per-(group) partials. Returns
+    (group, n_tokens, n_oov, oov_rate round6) ordered by group."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b[text_col].to_pylist(), dtype="object").dropna()
+        vc = s.str.split().explode().dropna().value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy(object), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum().reset_index()
+        return g.sort_values(["n", "token"],
+                             ascending=[False, True]).head(vocab_k)
+
+    cand = (ds.select_columns([text_col])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .map_batches(lambda b: append_coarse_bucket(
+                b, ["token"], num_buckets, "__vb"), batch_format="pyarrow")
+            .groupby("__vb")
+            .map_groups(lambda d: fold(d.drop(columns="__vb")),
+                        batch_format="pandas")
+            .to_pandas())
+    vocab = set(cand.sort_values(["n", "token"],
+                                 ascending=[False, True])
+                .head(vocab_k)["token"])
+
+    def rate_partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b[text_col].to_pylist(), dtype="object")
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        ex = s.str.split().explode().dropna()
+        if ex.empty:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "nt": pa.array([], pa.int64()),
+                             "no": pa.array([], pa.int64())})
+        gg = g.reindex(ex.index)
+        oov = (~ex.isin(vocab)).to_numpy()
+        df = pd.DataFrame({"g": gg.to_numpy(object), "oov": oov})
+        out = df.groupby("g", sort=False)["oov"].agg(["size", "sum"]) \
+            .reset_index()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy(object), pa.string()),
+            "nt": pa.array(out["size"].to_numpy(np.int64)),
+            "no": pa.array(out["sum"].astype("int64").to_numpy())})
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(rate_partial, batch_format="pyarrow")
+             .to_pandas().groupby("g", as_index=False)[["nt", "no"]]
+             .sum().sort_values("g"))
+    rate = parts["no"].to_numpy(np.float64) / parts["nt"].to_numpy(
+        np.float64)
+    rate = np.sign(rate) * np.floor(np.abs(rate) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        group_col: pa.array(parts["g"].to_numpy(object), pa.string()),
+        "n_tokens": pa.array(parts["nt"].to_numpy(np.int64)),
+        "n_oov": pa.array(parts["no"].to_numpy(np.int64)),
+        "oov_rate": pa.array(rate, pa.float64())})

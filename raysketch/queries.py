@@ -6479,7 +6479,74 @@ def q_snapshot_versions(sf_dir: str) -> pa.Table:
         "sum_chars": pa.array(out["sum_chars"].astype("int64"))})
 
 
+def q_mutual_matches(sf_dir: str) -> pa.Table:
+    """Reciprocal best matches over the embeddings table
+    (ops/similarity.mutual_best_match): pairs where each vector is the
+    other's cosine top-1 under the (round6 cos, id) decision rule —
+    the high-precision alignment seed set."""
+    from .ops.similarity import mutual_best_match
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mutual_best_match(emb)
+
+
+def q_source_oov_rate(sf_dir: str) -> pa.Table:
+    """Per-source OOV rate after fixing the corpus vocabulary to its
+    1000 most frequent tokens (ops/text.oov_rate): deterministic
+    (count DESC, token ASC) vocab cut, bucket-local top-k candidate
+    folds, one broadcast re-stream — the tokenizer-coverage audit."""
+    from .ops.text import oov_rate
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return oov_rate(docs, "source", "text", vocab_k=1000)
+
+
+def q_quantile_warehouse(sf_dir: str) -> pa.Table:
+    """QUANTILE WAREHOUSE — sketch_warehouse's pattern for order
+    statistics: stage A persists per-lang KLL(2048) payloads over
+    n_chars as a parquet sketch table (atomic sink); stage B answers
+    per-lang p50/p90 AND the cross-lang global row by merging ONLY the
+    KB-sized payloads — raw documents are never re-scanned. Oracle-
+    gated via the sparse-exact principle: below compaction capacity
+    the merged sketches retain every weight-1 item, so each estimate
+    IS quantile_disc."""
+    import shutil
+    import uuid as _uuid
+
+    from .engine import sinks
+    from .engine.aggregate import build_partials, merge_partials_ds
+    from .engine.udaf import SketchSpec, merge_payloads_obj
+    from .sketches import KLL
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    specs = [SketchSpec("q", "n_chars", functools.partial(KLL, 2048))]
+    partials = build_partials(ds, specs, group_key="lang").materialize()
+    cells = merge_partials_ds(partials)
+    path = os.path.join(
+        "/tmp", f"raysketch_qwarehouse_{os.getpid()}_{_uuid.uuid4().hex[:8]}")
+    sinks.write_dataset(cells, path)
+    back = sinks.read_back(path).to_pandas()
+    shutil.rmtree(path, ignore_errors=True)
+    by_lang = {
+        lang: merge_payloads_obj("kll", list(sub))
+        for lang, sub in back["payload"].groupby(back["group"])}
+    glob = merge_payloads_obj("kll", list(back["payload"]))
+    langs = sorted(by_lang)
+    rows = [(lg, int(by_lang[lg].n), float(by_lang[lg].quantile(0.5)),
+             float(by_lang[lg].quantile(0.9))) for lg in langs]
+    rows.append(("__all__", int(glob.n), float(glob.quantile(0.5)),
+                 float(glob.quantile(0.9))))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "p50": pa.array([r[2] for r in rows], pa.float64()),
+        "p90": pa.array([r[3] for r in rows], pa.float64())})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "mutual_matches": q_mutual_matches,
+    "source_oov_rate": q_source_oov_rate,
+    "quantile_warehouse": q_quantile_warehouse,
     "knn_label_noise": q_knn_label_noise,
     "corpus_split": q_corpus_split,
     "snapshot_versions": q_snapshot_versions,
@@ -11076,4 +11143,73 @@ ORACLE_SQL["snapshot_versions"] = """
            CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
     FROM documents WHERE doc_id % 3 <> 0 GROUP BY source
     ORDER BY version, source
+"""
+
+ORACLE_SQL["mutual_matches"] = """
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS xx
+      FROM ex GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS xy
+      FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.qa, d.qb,
+             round(d.xy / (sqrt(na.xx) * sqrt(nb.xx)), 6) AS c6
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.qa
+      JOIN nrm nb ON nb.vec_id = d.qb
+    ), best AS (
+      SELECT qa, qb, c6 FROM (
+        SELECT qa, qb, c6, row_number() OVER (
+            PARTITION BY qa ORDER BY c6 DESC, qb) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT x.qa AS a, x.qb AS b, x.c6 AS cos
+    FROM best x JOIN best y ON x.qb = y.qa AND y.qb = x.qa
+    WHERE x.qa < x.qb
+    ORDER BY a
+"""
+
+ORACLE_SQL["source_oov_rate"] = """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(text, '\\s+')) AS tk
+      FROM documents
+    ), tc AS (
+      SELECT tk, count(*) AS n FROM tok WHERE tk <> '' GROUP BY tk
+    ), vocab AS (
+      SELECT tk FROM (
+        SELECT tk, row_number() OVER (ORDER BY n DESC, tk) AS rn
+        FROM tc)
+      WHERE rn <= 1000
+    ), j AS (
+      SELECT t.source,
+             CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON v.tk = t.tk
+      WHERE t.tk <> ''
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS oov_rate
+    FROM j GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["quantile_warehouse"] = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS p90
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__all__', CAST(count(*) AS BIGINT),
+           CAST(quantile_disc(n_chars, 0.50) AS DOUBLE),
+           CAST(quantile_disc(n_chars, 0.90) AS DOUBLE)
+    FROM documents
+    ORDER BY lang
 """
