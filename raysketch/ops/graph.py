@@ -1522,3 +1522,68 @@ def deterministic_walks(edges_ds, n_walks: int = 2, length: int = 3,
         .astype("int64").sort_values(["start", "walk_id", "step"])
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def neighbor_features(edges_ds, feat_ds, node_col: str, feat_col: str,
+                      u_col: str = "u", v_col: str = "v",
+                      feat_scale: int = 100,
+                      num_buckets: int = 64) -> "object":
+    """One round of GNN-style feature propagation over an undirected
+    simple graph: for every node, the COUNT and integer-scaled SUM/MEAN
+    of its distinct neighbors' feature — the graph feature-engineering
+    pass (e.g. "average account balance of my trading partners") that
+    turns an edge list into model columns.
+
+    Plan: edges dedup+symmetrize per block, the neighbor value rides a
+    SIZE-ROUTED attach (feature table is node-sized), and ONE coarse
+    hash(u) fold emits (node, n_nbrs, nbr_sum, nbr_mean) — mean is an
+    exact integer ratio micro-rounded half-away, so DuckDB replays it.
+    Returns a Dataset ordered within folds; node-sized output."""
+    from ..engine.hashing import append_coarse_bucket
+    from .join import attach_by_key
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.select([u_col, v_col]).to_pandas() \
+            .drop_duplicates([u_col, v_col])
+        a = df[u_col].to_numpy(np.int64)
+        bb = df[v_col].to_numpy(np.int64)
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        t = pa.table({"u": pa.array(np.concatenate([a, bb])),
+                      "v": pa.array(np.concatenate([bb, a]))})
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["u", "v"]),
+            preserve_index=False)
+
+    def scale_feat(b: pa.Table) -> pa.Table:
+        x = b[feat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = (np.sign(x) * np.floor(np.abs(x) * feat_scale + 0.5)) \
+            .astype(np.int64)
+        return pa.table({node_col: b[node_col], "__fv": pa.array(xi)})
+
+    edges = edges_ds.map_batches(pre, batch_format="pyarrow")
+    feats = feat_ds.select_columns([node_col, feat_col]) \
+        .map_batches(scale_feat, batch_format="pyarrow")
+    tagged = attach_by_key(edges, feats, "v", node_col, ["__fv"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["u", "v"])
+        g = df.groupby("u", sort=True)["__fv"].agg(["size", "sum"]) \
+            .reset_index()
+        n = g["size"].to_numpy(np.int64)
+        s = g["sum"].astype("int64").to_numpy()
+        den = n * np.int64(feat_scale)
+        micro = np.sign(s) * ((np.abs(s) * 2_000_000 + den)
+                              // (2 * den))
+        return pd.DataFrame({
+            "node": g["u"].to_numpy(np.int64),
+            "n_nbrs": n,
+            "nbr_sum": s,
+            "nbr_mean": micro.astype(np.float64) / 1e6})
+
+    return (tagged.map_batches(
+        lambda b: append_coarse_bucket(b, ["u"], num_buckets, "__nb"),
+        batch_format="pyarrow")
+        .groupby("__nb")
+        .map_groups(lambda d: fold(d.drop(columns="__nb")),
+                    batch_format="pandas"))

@@ -940,3 +940,52 @@ def peak_concurrency(ds, key_col: str, ts_col: str,
         "day_idx": pa.array(out["day_idx"].to_numpy(np.int64)),
         "n_keys": pa.array(out["n_keys"].to_numpy(np.int64)),
         "peak": pa.array(out["peak"].to_numpy(np.int64))})
+
+
+def calendar_densify(ds, key_col: str, ts_col: str,
+                     day_us: int = 86_400_000_000) -> pa.Table:
+    """Dense (key × day) event-count grid with explicit ZERO rows for
+    the gaps — the gap-fill pass every per-key time-series model needs
+    (a missing day is a 0, not an absent row, and downstream windows
+    must see it). One distributed counting pass reduces the corpus to
+    narrow (key, day, n) partials; the driver then fills the
+    calendar-bounded grid (keys × days — bounded by taxonomy × time,
+    never by rows) between the GLOBAL min/max day. Returns
+    (key, day_idx, n_events, is_gap) ordered."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        d = ts.to_numpy(zero_copy_only=False) // day_us
+        df = pd.DataFrame({
+            "k": pd.Series(b[key_col].to_pylist(), dtype="object"),
+            "d": d})
+        g = df.groupby(["k", "d"], sort=False).size().reset_index(
+            name="n")
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(object), pa.string()),
+            "d": pa.array(g["d"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([key_col, ts_col])
+             .map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["k", "d"], as_index=False)["n"].sum())
+    if parts.empty:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "day_idx": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "is_gap": pa.array([], pa.int64())})
+    lo, hi = int(parts["d"].min()), int(parts["d"].max())
+    keys = sorted(parts["k"].unique())
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    grid = pd.MultiIndex.from_product([keys, days], names=["k", "d"])
+    dense = parts.set_index(["k", "d"])["n"].reindex(grid, fill_value=0) \
+        .reset_index()
+    return pa.table({
+        key_col: pa.array(dense["k"].to_numpy(object), pa.string()),
+        "day_idx": pa.array(dense["d"].to_numpy(np.int64)),
+        "n_events": pa.array(dense["n"].to_numpy(np.int64)),
+        "is_gap": pa.array((dense["n"].to_numpy(np.int64) == 0)
+                           .astype(np.int64))})

@@ -6543,7 +6543,92 @@ def q_quantile_warehouse(sf_dir: str) -> pa.Table:
         "p90": pa.array([r[3] for r in rows], pa.float64())})
 
 
+def q_event_calendar(sf_dir: str) -> pa.Table:
+    """Dense per-type daily event grid with explicit zero gap rows
+    (ops/window.calendar_densify): one narrow counting pass, then the
+    calendar-bounded fill on the driver — gap days become (0, is_gap=1)
+    rows downstream windows can actually see."""
+    from .ops.window import calendar_densify
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return calendar_densify(ev, "event_type", "ts")
+
+
+def q_supplier_neighbor_balance(sf_dir: str) -> pa.Table:
+    """GNN-style feature propagation over the supplier co-order graph
+    (ops/graph.neighbor_features): count / integer-cents sum / exact
+    micro-rounded mean of each supplier's distinct trading partners'
+    account balances — edge features for a risk model."""
+    from .ops.graph import cooccurrence_edges, neighbor_features
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    df = neighbor_features(edges, sup, "s_suppkey", "s_acctbal") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "node": pa.array(df["node"].astype("int64")),
+        "n_nbrs": pa.array(df["n_nbrs"].astype("int64")),
+        "nbr_sum": pa.array(df["nbr_sum"].astype("int64")),
+        "nbr_mean": pa.array(df["nbr_mean"].astype("float64"))})
+
+
+def q_canonical_dedup(sf_dir: str) -> pa.Table:
+    """Case/punctuation-insensitive dedup: canonicalize text with the
+    RE2 kernel chain (lower → non-alnum runs to one space → trim, both
+    engines run the SAME regex) and keep the min-doc_id row per
+    canonical value via ops/dedup.exact_dedup — per-source survivor
+    counts. Catches the near-exact duplicates byte-exact dedup misses."""
+    from .ops.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        c = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(b["text"]), "[^a-z0-9]+", " "))
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "canon": c})
+
+    kept = exact_dedup(docs.map_batches(canon, batch_format="pyarrow"),
+                       text_col="canon", id_col="doc_id")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source"]).to_pandas().groupby(
+            "source", sort=False).size().reset_index(name="n_kept")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    kept_counts = kept.map_batches(count_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("source", as_index=False)["n_kept"].sum()
+    totals = docs.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(["source"]).to_pandas().groupby("source", sort=False)
+            .size().reset_index(name="n_docs"), preserve_index=False),
+        batch_format="pyarrow").to_pandas() \
+        .groupby("source", as_index=False)["n_docs"].sum()
+    out = totals.merge(kept_counts, on="source", how="left") \
+        .fillna({"n_kept": 0}).sort_values("source")
+    return pa.table({
+        "source": pa.array(out["source"].to_numpy(object), pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64")),
+        "n_kept": pa.array(out["n_kept"].astype("int64"))})
+
+
+def q_new_vs_returning(sf_dir: str) -> pa.Table:
+    """Daily active/new/returning user split (ops/funnel.
+    new_vs_returning): distinct (user, day) pre-reduce + one hash(user)
+    fold that owns each user's whole history — growth accounting
+    without ever shipping raw events."""
+    from .ops.funnel import new_vs_returning
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return new_vs_returning(ev, "user_id", "ts")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "event_calendar": q_event_calendar,
+    "supplier_neighbor_balance": q_supplier_neighbor_balance,
+    "canonical_dedup": q_canonical_dedup,
+    "new_vs_returning": q_new_vs_returning,
     "mutual_matches": q_mutual_matches,
     "source_oov_rate": q_source_oov_rate,
     "quantile_warehouse": q_quantile_warehouse,
@@ -11212,4 +11297,80 @@ ORACLE_SQL["quantile_warehouse"] = """
            CAST(quantile_disc(n_chars, 0.90) AS DOUBLE)
     FROM documents
     ORDER BY lang
+"""
+
+ORACLE_SQL["event_calendar"] = """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+    grid AS (
+      SELECT t.event_type, CAST(g.d AS BIGINT) AS d
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(range((SELECT lo FROM b),
+                                (SELECT hi FROM b) + 1)) AS d) g
+    )
+    SELECT grid.event_type, grid.d AS day_idx,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_gap
+    FROM grid LEFT JOIN c
+      ON c.event_type = grid.event_type AND c.d = grid.d
+    ORDER BY grid.event_type, grid.d
+"""
+
+ORACLE_SQL["supplier_neighbor_balance"] = """
+    WITH dm AS (
+      SELECT DISTINCT l_orderkey AS g, CAST(l_suppkey AS BIGINT) AS s
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.s AS u, y.s AS v
+      FROM dm x JOIN dm y ON x.g = y.g AND x.s <> y.s
+    ), f AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS v,
+             CASE WHEN s_acctbal >= 0
+                  THEN CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                  ELSE -CAST(floor(-s_acctbal * 100 + 0.5) AS BIGINT)
+             END AS fv
+      FROM supplier
+    ), j AS (SELECT e.u, f.fv FROM e JOIN f ON f.v = e.v)
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS n_nbrs,
+           CAST(sum(fv) AS BIGINT) AS nbr_sum,
+           CAST(CASE WHEN sum(fv) >= 0
+                THEN (sum(fv) * 2000000 + count(*) * 100)
+                     // (2 * count(*) * 100)
+                ELSE -((-sum(fv) * 2000000 + count(*) * 100)
+                       // (2 * count(*) * 100))
+           END AS DOUBLE) / CAST(1000000 AS DOUBLE) AS nbr_mean
+    FROM j GROUP BY u ORDER BY u
+"""
+
+ORACLE_SQL["canonical_dedup"] = """
+    WITH c AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS canon
+      FROM documents
+    ), w AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon)
+    SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE c.doc_id IN
+                                 (SELECT doc_id FROM w)) AS BIGINT)
+             AS n_kept
+    FROM c GROUP BY c.source ORDER BY c.source
+"""
+
+ORACLE_SQL["new_vs_returning"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ), fst AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id)
+    SELECT CAST(ud.d AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE ud.d = fst.fd) AS BIGINT)
+             AS n_new,
+           CAST(count(*) FILTER (WHERE ud.d > fst.fd) AS BIGINT)
+             AS n_returning
+    FROM ud JOIN fst USING (user_id)
+    GROUP BY ud.d ORDER BY ud.d
 """
