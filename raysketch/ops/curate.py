@@ -764,3 +764,114 @@ def chunk_dedup_coverage(ds, chunk_size: int = 16,
             .groupby("__db")
             .map_groups(lambda df: fold_doc(df.drop(columns="__db")),
                         batch_format="pandas"))
+
+
+def cdc_chunks(ds, group_col: str = "source", text_col: str = "text",
+               window: int = 8, mask: int = 63,
+               num_buckets: int = 256):
+    """Content-defined chunking (the rsync/LBFS/storage-dedup
+    primitive): a chunk boundary falls AFTER byte i whenever the
+    Rabin–Karp hash of the ``window`` bytes ending at i satisfies
+    ``h % (mask+1) == 0`` — so identical content produces identical
+    chunks at ANY offset (insertions only disturb neighboring chunks,
+    which fixed-window chunking cannot promise). Reports per-group
+    chunk-level dedup: total vs distinct chunks/bytes and the
+    storage ratio a chunk store would achieve.
+
+    Fully vectorized AND loop-free: one rolling-hash pass over the
+    block's byte blob (fingerprint_batch's machinery), boundary
+    positions become ONE Arrow BinaryArray offsets buffer — chunk
+    extraction is zero-copy, never a per-chunk slice loop. Chunk
+    texts fold once on hash(chunk) coarse buckets (every copy of a
+    chunk lands in one bucket), emitting narrow per-group partials.
+    Returns (group, n_chunks, n_bytes, n_distinct, distinct_bytes,
+    dedup_ratio round6) ordered by group. The boundary rule replays
+    in DuckDB HUGEINT arithmetic (the fingerprints oracle family)."""
+    from ..engine.hashing import append_coarse_bucket
+    from .text import _FP_BASE  # same polynomial family
+
+    if window < 2 or mask < 1:
+        raise ValueError("cdc_chunks: need window >= 2 and mask >= 1")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        enc = [(t or "").encode("utf-8") for t in texts]
+        lens = np.fromiter((len(e) for e in enc), np.int64,
+                           count=len(enc))
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({"g": pa.array([], pa.string()),
+                             "chunk": pa.array([], pa.binary())})
+        enc = [e for e, k in zip(enc, keep) if k]
+        groups = [g for g, k in zip(groups, keep) if k]
+        lens = lens[keep]
+        blob = np.frombuffer(b"".join(enc), np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens)])  # len+1 fence
+        n = blob.size
+        cuts = np.zeros(0, np.int64)
+        if n >= window:
+            h = np.zeros(n - window + 1, np.uint64)
+            with np.errstate(over="ignore"):
+                pows = _FP_BASE ** np.arange(window - 1, -1, -1,
+                                             dtype=np.uint64)
+                arr = blob.astype(np.uint64)
+                for j in range(window):
+                    h += arr[j:j + n - window + 1] * pows[j]
+            # window [i, i+window) → cut AFTER global byte i+window;
+            # valid only when the window sits inside ONE doc
+            end = np.arange(window, n + 1, dtype=np.int64)
+            doc_of_start = np.searchsorted(starts, end - window,
+                                           side="right") - 1
+            doc_of_last = np.searchsorted(starts, end - 1,
+                                          side="right") - 1
+            hit = (h % np.uint64(mask + 1) == 0) \
+                & (doc_of_start == doc_of_last)
+            cuts = end[hit]
+        bounds = np.unique(np.concatenate([starts, cuts]))
+        off = bounds.astype(np.int32)
+        # chunk i spans [bounds[i], bounds[i+1]); map to its doc
+        doc_idx = np.searchsorted(starts, bounds[:-1], side="right") - 1
+        chunks = pa.Array.from_buffers(
+            pa.binary(), len(bounds) - 1,
+            [None, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(blob.tobytes())])
+        garr = pa.array(
+            np.asarray(groups, object)[doc_idx], pa.string())
+        return pa.table({"g": garr, "chunk": chunks})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["chunk"].str.len().to_numpy(np.int64)
+        df = df.assign(ln=ln)
+        tot = df.groupby("g", sort=False)["ln"].agg(["size", "sum"])
+        dis = df.drop_duplicates(["g", "chunk"]) \
+            .groupby("g", sort=False)["ln"].agg(["size", "sum"])
+        out = tot.join(dis, lsuffix="_t", rsuffix="_d").reset_index()
+        return pd.DataFrame({
+            "g": out["g"],
+            "n_chunks": out["size_t"].astype("int64"),
+            "n_bytes": out["sum_t"].astype("int64"),
+            "n_distinct": out["size_d"].astype("int64"),
+            "distinct_bytes": out["sum_d"].astype("int64")})
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(chunk, batch_format="pyarrow")
+             .map_batches(lambda b: append_coarse_bucket(
+                 b, ["chunk"], num_buckets, "__cb"),
+                 batch_format="pyarrow")
+             .groupby("__cb")
+             .map_groups(lambda d: fold(d.drop(columns="__cb")),
+                         batch_format="pandas")
+             .to_pandas()
+             .groupby("g", as_index=False).sum().sort_values("g"))
+    ratio = parts["distinct_bytes"].to_numpy(np.float64) \
+        / parts["n_bytes"].to_numpy(np.float64)
+    ratio = np.sign(ratio) * np.floor(np.abs(ratio) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        group_col: pa.array(parts["g"].to_numpy(object), pa.string()),
+        "n_chunks": pa.array(parts["n_chunks"].astype("int64")),
+        "n_bytes": pa.array(parts["n_bytes"].astype("int64")),
+        "n_distinct": pa.array(parts["n_distinct"].astype("int64")),
+        "distinct_bytes": pa.array(parts["distinct_bytes"]
+                                   .astype("int64")),
+        "dedup_ratio": pa.array(ratio, pa.float64())})

@@ -6624,7 +6624,61 @@ def q_new_vs_returning(sf_dir: str) -> pa.Table:
     return new_vs_returning(ev, "user_id", "ts")
 
 
+def q_cdc_dedup(sf_dir: str) -> pa.Table:
+    """Content-defined chunk dedup profile per source
+    (ops/curate.cdc_chunks): Rabin–Karp boundary rule h % 64 == 0 over
+    8-byte windows, zero-copy Arrow chunk extraction, one
+    hash(chunk) fold — the storage ratio a chunk store would get."""
+    from .ops.curate import cdc_chunks
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return cdc_chunks(docs, "source", "text")
+
+
+def q_ab_srm_check(sf_dir: str) -> pa.Table:
+    """Deterministic A/B assignment + sample-ratio-mismatch audit:
+    variant = seed_key32(user_id) % 2 (stateless, replayable), exposure
+    counts per event type, and the per-type SRM chi-squared statistic
+    (n_a − n_b)²/(n_a + n_b) as an EXACT integer ratio micro-rounded
+    half-away — the experiment-health check that catches broken
+    bucketing before anyone reads the metrics."""
+    from .ops.cluster import seed_key32
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        var = seed_key32(uid) % 2
+        df = pd.DataFrame({
+            "t": pd.Series(b["event_type"].to_pylist(), dtype="object"),
+            "v": var})
+        g = df.groupby(["t", "v"], sort=False).size().reset_index(
+            name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas().groupby(["t", "v"], as_index=False)["n"].sum()
+    piv = parts.pivot(index="t", columns="v", values="n") \
+        .fillna(0).astype("int64").reset_index()
+    na = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    nb = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    rows = []
+    for t, a, b_ in sorted(zip(piv["t"], na, nb)):
+        num = int(a - b_) ** 2
+        den = int(a + b_)
+        rows.append((t, int(a), int(b_),
+                     ((num * 2_000_000 + den) // (2 * den)) / 1e6))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_a": pa.array([r[1] for r in rows], pa.int64()),
+        "n_b": pa.array([r[2] for r in rows], pa.int64()),
+        "srm_chi2": pa.array([r[3] for r in rows], pa.float64())})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "cdc_dedup": q_cdc_dedup,
+    "ab_srm_check": q_ab_srm_check,
     "event_calendar": q_event_calendar,
     "supplier_neighbor_balance": q_supplier_neighbor_balance,
     "canonical_dedup": q_canonical_dedup,
@@ -11373,4 +11427,87 @@ ORACLE_SQL["new_vs_returning"] = """
              AS n_returning
     FROM ud JOIN fst USING (user_id)
     GROUP BY ud.d ORDER BY ud.d
+"""
+
+
+def _cdc_sql(window: int = 8, mask: int = 63) -> str:
+    """HUGEINT replay of cdc_chunks' boundary rule (fingerprints'
+    polynomial family, window-8 powers of the FNV base mod 2^64)."""
+    pows = [1]
+    for _ in range(window - 1):
+        pows.append((pows[-1] * 1099511628211) % (1 << 64))
+    pows = pows[::-1]  # base^(w-1) .. base^0 for offsets 0..w-1
+    terms = " + ".join(
+        f"CAST(ord(substr(text, CAST(i - {window - 1 - k} AS INTEGER), "
+        f"1)) AS HUGEINT) * {p}::HUGEINT"
+        for k, p in enumerate(pows))
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series({window}, length(text))) AS i
+      FROM documents
+    ), cut AS (
+      SELECT doc_id, i FROM pos
+      WHERE CAST((({terms})
+                  % 18446744073709551616::HUGEINT) AS UBIGINT)
+            % {mask + 1} = 0
+    ), b AS (
+      SELECT doc_id, 0 AS p FROM documents
+      UNION SELECT doc_id, length(text) FROM documents
+      UNION SELECT doc_id, i FROM cut
+    ), seg AS (
+      SELECT doc_id, p,
+             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS q
+      FROM b
+    ), ch AS (
+      SELECT d.source,
+             substr(d.text, CAST(s.p + 1 AS INTEGER),
+                    CAST(s.q - s.p AS INTEGER)) AS chunk
+      FROM seg s JOIN documents d USING (doc_id)
+      WHERE s.q IS NOT NULL AND s.q > s.p
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(length(chunk)) AS BIGINT) AS n_bytes
+      FROM ch GROUP BY source
+    ), dis AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(length(chunk)) AS BIGINT) AS distinct_bytes
+      FROM (SELECT source, chunk FROM ch GROUP BY source, chunk)
+      GROUP BY source
+    )
+    SELECT t.source, t.n_chunks, t.n_bytes, d.n_distinct,
+           d.distinct_bytes,
+           round(CAST(d.distinct_bytes AS DOUBLE)
+                 / CAST(t.n_bytes AS DOUBLE), 6) AS dedup_ratio
+    FROM tot t JOIN dis d USING (source) ORDER BY t.source
+"""
+
+
+ORACLE_SQL["cdc_dedup"] = _cdc_sql(8, 63)
+
+ORACLE_SQL["ab_srm_check"] = """
+    WITH ka AS (
+      SELECT event_type,
+             (CAST(user_id AS HUGEINT) * 2654435761) % 4294967296 AS h1
+      FROM events
+    ), kb AS (
+      SELECT event_type,
+             (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+      FROM ka
+    ), kc AS (
+      SELECT event_type,
+             CAST(xor(h2, h2 // 65536) AS BIGINT) % 2 AS v
+      FROM kb
+    ), c AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE v = 0) AS HUGEINT) AS na,
+             CAST(count(*) FILTER (WHERE v = 1) AS HUGEINT) AS nb
+      FROM kc GROUP BY event_type
+    )
+    SELECT event_type, CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(CAST(((na - nb) * (na - nb) * 2000000 + (na + nb))
+                     // (2 * (na + nb)) AS BIGINT) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE) AS srm_chi2
+    FROM c ORDER BY event_type
 """
