@@ -329,18 +329,28 @@ def write_version(ds, root: str) -> int:
     time-travel sink: each call writes a full ``v=N`` directory and
     commits it atomically (stage dir → one ``os.rename`` → ``_SUCCESS``
     marker), so readers never observe a half-written snapshot and a
-    crashed write leaves only an ignorable stage dir. Single-writer
-    protocol (version numbers are assigned from the committed set at
-    call time); returns the committed version number."""
+    crashed write leaves only an ignorable stage dir. Returns the
+    committed version number. Version-number races between concurrent
+    writers resolve by compare-and-swap: ``os.rename`` onto an existing
+    ``v=N`` directory fails atomically (POSIX ENOTEMPTY/EEXIST) and the
+    loser retries with the next number — the staged data is written
+    ONCE, only the rename retries."""
     import uuid as _uuid
 
     os.makedirs(root, exist_ok=True)
-    existing = list_versions(root)
-    ver = (max(existing) + 1) if existing else 1
     stage = os.path.join(root, f"_stage-{os.getpid()}-{_uuid.uuid4().hex[:8]}")
     ds.write_parquet(stage)
-    final = os.path.join(root, f"v={ver}")
-    os.rename(stage, final)
+    while True:
+        existing = list_versions(root)
+        ver = (max(existing) + 1) if existing else 1
+        final = os.path.join(root, f"v={ver}")
+        try:
+            os.rename(stage, final)
+        except OSError:
+            if os.path.isdir(final):  # lost the race: retry next number
+                continue
+            raise
+        break
     with open(os.path.join(final, SUCCESS_MARKER), "w"):
         pass
     return ver

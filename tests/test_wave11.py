@@ -141,3 +141,18 @@ def test_versioned_sink_roundtrip(ray_session, tmp_path):
     assert list_versions(root) == [1, 2]
     with pytest.raises(FileNotFoundError):
         read_version(str(tmp_path / "nothing"))
+
+
+def test_versioned_sink_cas_retry(ray_session, tmp_path):
+    # a competing writer committed v=1 between our stage write and
+    # rename: the rename fails atomically and we land on v=2
+    root = str(tmp_path / "race")
+    d = pd.DataFrame({"k": np.arange(5, dtype=np.int64)})
+    assert write_version(_mk(d, 1), root) == 1
+    # simulate the loser's view: a fresh write must skip the taken slot
+    assert write_version(_mk(d, 1), root) == 2
+    os.makedirs(os.path.join(root, "v=3"))
+    with open(os.path.join(root, "v=3", "_SUCCESS"), "w"):
+        pass
+    assert write_version(_mk(d, 1), root) == 4
+    assert list_versions(root) == [1, 2, 3, 4]
