@@ -2049,3 +2049,42 @@ def substring_containment(ds, text_col: str = "text",
     if len(results) > 1:
         out = out.union(*results[1:])
     return out
+
+
+def dedup_lineage(ds, text_col: str = "text", id_col: str = "doc_id",
+                  buckets: int = 256):
+    """Dedup EXPLAINABILITY: the (dropped_id, winner_id) pair for every
+    row exact dedup would remove — the audit trail a compliance/debug
+    pass needs ("why is doc X gone, and which copy survived?"), which
+    :func:`exact_dedup`'s survivors-only output cannot answer.
+
+    Same narrow exchange as exact_dedup phase 1 — (content_hash, id)
+    rows, never content — but WITHOUT the block-winner pre-reduce
+    (every loser is an output row, so all ids must reach the fold); one
+    coarse hash(content_hash) shuffle, winner = min id per hash in a
+    vectorized fold. Returns a Dataset of (dropped_id, winner_id) —
+    duplicate-volume sized."""
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        from ..engine.hashing import hash64_batch_aligned
+
+        b = add_content_hash(b, text_col)
+        h, _ = hash64_batch_aligned(b["content_hash"])
+        return pa.table({
+            "content_hash": b["content_hash"],
+            id_col: b[id_col],
+            "hash_bucket": pa.array(
+                (h % np.uint64(buckets)).astype(np.int64), pa.int64())})
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        win = df.groupby("content_hash", sort=False)[id_col] \
+            .transform("min")
+        out = df[df[id_col] != win]
+        return pd.DataFrame({
+            "dropped_id": out[id_col].to_numpy(np.int64),
+            "winner_id": win[df[id_col] != win].to_numpy(np.int64)})
+
+    return (ds.map_batches(hash_and_bucket, batch_format="pyarrow")
+            .groupby("hash_bucket")
+            .map_groups(lambda d: losers(d.drop(columns="hash_bucket")),
+                        batch_format="pandas"))

@@ -670,55 +670,3 @@ def last_touch_attribution(ds, user_col: str = "user_id",
         "n_conversions": pa.array([counts.get(l_, 0) for l_ in labels],
                                   pa.int64())})
 
-
-def new_vs_returning(ds, user_col: str = "user_id", ts_col: str = "ts",
-                     day_us: int = 86_400_000_000,
-                     num_buckets: int = 64) -> pa.Table:
-    """Daily active / new / returning user counts — the growth-
-    accounting split every product pipeline publishes. A user is NEW
-    on their first-ever active day, RETURNING on any later one.
-
-    Plan: per-block DISTINCT (user, day) pre-reduce, ONE coarse
-    hash(user) shuffle; each fold owns its users completely, so it can
-    mark first days locally and emit (day, n_active, n_new) partials —
-    days are calendar-bounded, so the driver sum is trivial. Returns
-    (day_idx, n_active, n_new, n_returning) ordered by day."""
-    import pyarrow.compute as pc
-
-    from ..engine.hashing import append_coarse_bucket
-
-    def pre(b: pa.Table) -> pa.Table:
-        ts = b[ts_col]
-        if pa.types.is_timestamp(ts.type):
-            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-        d = ts.to_numpy(zero_copy_only=False) // day_us
-        df = pd.DataFrame({
-            "u": b[user_col].to_numpy(zero_copy_only=False)
-            .astype(np.int64),
-            "d": d}).drop_duplicates()
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        return append_coarse_bucket(t, ["u"], num_buckets, "__ub")
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["u", "d"])
-        fd = df.groupby("u")["d"].transform("min")
-        df = df.assign(new=(df["d"] == fd).astype(np.int64))
-        g = df.groupby("d", sort=False).agg(
-            n_active=("new", "size"), n_new=("new", "sum")).reset_index()
-        g["n_active"] = g["n_active"].astype("int64")
-        g["n_new"] = g["n_new"].astype("int64")
-        return g
-
-    parts = (ds.select_columns([user_col, ts_col])
-             .map_batches(pre, batch_format="pyarrow")
-             .groupby("__ub")
-             .map_groups(lambda d: fold(d.drop(columns="__ub")),
-                         batch_format="pandas")
-             .to_pandas().groupby("d", as_index=False)[
-                 ["n_active", "n_new"]].sum().sort_values("d"))
-    return pa.table({
-        "day_idx": pa.array(parts["d"].to_numpy(np.int64)),
-        "n_active": pa.array(parts["n_active"].astype("int64")),
-        "n_new": pa.array(parts["n_new"].astype("int64")),
-        "n_returning": pa.array(
-            (parts["n_active"] - parts["n_new"]).astype("int64"))})

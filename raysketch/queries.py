@@ -6613,17 +6613,6 @@ def q_canonical_dedup(sf_dir: str) -> pa.Table:
         "n_kept": pa.array(out["n_kept"].astype("int64"))})
 
 
-def q_new_vs_returning(sf_dir: str) -> pa.Table:
-    """Daily active/new/returning user split (ops/funnel.
-    new_vs_returning): distinct (user, day) pre-reduce + one hash(user)
-    fold that owns each user's whole history — growth accounting
-    without ever shipping raw events."""
-    from .ops.funnel import new_vs_returning
-
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
-    return new_vs_returning(ev, "user_id", "ts")
-
-
 def q_cdc_dedup(sf_dir: str) -> pa.Table:
     """Content-defined chunk dedup profile per source
     (ops/curate.cdc_chunks): Rabin–Karp boundary rule h % 64 == 0 over
@@ -6676,13 +6665,112 @@ def q_ab_srm_check(sf_dir: str) -> pa.Table:
         "srm_chi2": pa.array([r[3] for r in rows], pa.float64())})
 
 
+def q_dedup_lineage(sf_dir: str) -> pa.Table:
+    """Dedup audit trail (ops/dedup.dedup_lineage) over the 16-token
+    HEAD PREFIX key (the source_prefix_dups duplication signal — full
+    texts are unique at small scale): for every doc whose prefix
+    duplicates another's, the (dropped_id, winner_id) pair exact dedup
+    would produce — narrow (content_hash, id) exchange, winner = min
+    id per key group."""
+    from .ops.dedup import dedup_lineage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def head(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["text"].to_pylist(), dtype="object")
+        pre = s.str.split().str[:16].str.join(" ")
+        return pa.table({"doc_id": b["doc_id"],
+                         "pre": pa.array(pre.to_numpy(object),
+                                         pa.string())})
+
+    df = dedup_lineage(docs.map_batches(head, batch_format="pyarrow"),
+                       text_col="pre").to_pandas()
+    if df.empty:  # empty Ray Datasets lose their schema (Ray 2.49)
+        return pa.table({"dropped_id": pa.array([], pa.int64()),
+                         "winner_id": pa.array([], pa.int64())})
+    df = df.sort_values("dropped_id").reset_index(drop=True)
+    return pa.table({
+        "dropped_id": pa.array(df["dropped_id"].astype("int64")),
+        "winner_id": pa.array(df["winner_id"].astype("int64"))})
+
+
+def q_incremental_quantiles(sf_dir: str) -> pa.Table:
+    """Incremental sketch-warehouse maintenance: v=1 snapshots per-lang
+    KLL(2048) payloads built from HALF the corpus (even doc_ids); the
+    nightly delta (odd doc_ids) merges INTO the stored payloads and
+    commits v=2 (time-travel sink); the rollup reads v=2 ONLY. Below
+    compaction capacity the merged sketch is bit-equivalent to a full
+    rebuild, so per-lang p50/p90 == full-corpus quantile_disc — the
+    oracle proves incremental maintenance ≡ recompute."""
+    import shutil
+    import uuid as _uuid
+
+    from .engine.aggregate import build_partials, merge_partials_ds
+    from .engine.sinks import read_version, write_version
+    from .engine.udaf import SketchSpec, merge_payloads_obj
+    from .sketches import KLL
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    root = f"/tmp/raysketch_incq_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+    specs = [SketchSpec("q", "n_chars", functools.partial(KLL, 2048))]
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return f
+
+    def cells_table(ds) -> pa.Table:
+        cells = merge_partials_ds(
+            build_partials(ds, specs, group_key="lang").materialize()) \
+            .to_pandas()
+        return pa.table({
+            "group": pa.array(cells["group"].to_numpy(object),
+                              pa.string()),
+            "payload": pa.array(list(cells["payload"]), pa.binary())})
+
+    try:
+        import ray.data as rd
+
+        base = cells_table(docs.map_batches(half(0),
+                                            batch_format="pyarrow"))
+        write_version(rd.from_arrow(base), root)  # v=1
+        delta = cells_table(docs.map_batches(half(1),
+                                             batch_format="pyarrow"))
+        stored = read_version(root, 1).to_pandas()
+        both = pd.concat([stored, delta.to_pandas()], ignore_index=True)
+        merged_rows = [(lang, merge_payloads_obj(
+            "kll", list(sub["payload"])).to_bytes())
+            for lang, sub in both.groupby("group", sort=True)]
+        write_version(rd.from_arrow(pa.table({
+            "group": pa.array([r[0] for r in merged_rows], pa.string()),
+            "payload": pa.array([r[1] for r in merged_rows],
+                                pa.binary())})), root)  # v=2
+        final = read_version(root).to_pandas()  # latest == v2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    from .sketches import KLL as _KLL
+
+    rows = []
+    for _, r in final.sort_values("group").iterrows():
+        sk = _KLL.from_bytes(r["payload"])
+        rows.append((r["group"], int(sk.n), float(sk.quantile(0.5)),
+                     float(sk.quantile(0.9))))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "p50": pa.array([r[2] for r in rows], pa.float64()),
+        "p90": pa.array([r[3] for r in rows], pa.float64())})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "dedup_lineage": q_dedup_lineage,
+    "incremental_quantiles": q_incremental_quantiles,
     "cdc_dedup": q_cdc_dedup,
     "ab_srm_check": q_ab_srm_check,
     "event_calendar": q_event_calendar,
     "supplier_neighbor_balance": q_supplier_neighbor_balance,
     "canonical_dedup": q_canonical_dedup,
-    "new_vs_returning": q_new_vs_returning,
     "mutual_matches": q_mutual_matches,
     "source_oov_rate": q_source_oov_rate,
     "quantile_warehouse": q_quantile_warehouse,
@@ -11414,22 +11502,6 @@ ORACLE_SQL["canonical_dedup"] = """
     FROM c GROUP BY c.source ORDER BY c.source
 """
 
-ORACLE_SQL["new_vs_returning"] = """
-    WITH ud AS (
-      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
-      FROM events
-    ), fst AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id)
-    SELECT CAST(ud.d AS BIGINT) AS day_idx,
-           CAST(count(*) AS BIGINT) AS n_active,
-           CAST(count(*) FILTER (WHERE ud.d = fst.fd) AS BIGINT)
-             AS n_new,
-           CAST(count(*) FILTER (WHERE ud.d > fst.fd) AS BIGINT)
-             AS n_returning
-    FROM ud JOIN fst USING (user_id)
-    GROUP BY ud.d ORDER BY ud.d
-"""
-
-
 def _cdc_sql(window: int = 8, mask: int = 63) -> str:
     """HUGEINT replay of cdc_chunks' boundary rule (fingerprints'
     polynomial family, window-8 powers of the FNV base mod 2^64)."""
@@ -11510,4 +11582,23 @@ ORACLE_SQL["ab_srm_check"] = """
                      // (2 * (na + nb)) AS BIGINT) AS DOUBLE)
              / CAST(1000000 AS DOUBLE) AS srm_chi2
     FROM c ORDER BY event_type
+"""
+
+ORACLE_SQL["dedup_lineage"] = """
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string(list_slice(list_filter(
+               string_split_regex(text, '\\s+'), x -> x <> ''),
+               1, 16), ' ') AS pre
+      FROM documents
+    ), w AS (SELECT pre, min(doc_id) AS wid FROM p GROUP BY pre)
+    SELECT p.doc_id AS dropped_id, w.wid AS winner_id
+    FROM p JOIN w USING (pre)
+    WHERE p.doc_id <> w.wid ORDER BY dropped_id
+"""
+ORACLE_SQL["incremental_quantiles"] = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS p90
+    FROM documents GROUP BY lang ORDER BY lang
 """

@@ -6,7 +6,6 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from raysketch.ops.funnel import new_vs_returning
 from raysketch.ops.graph import neighbor_features
 from raysketch.ops.window import calendar_densify
 
@@ -77,24 +76,3 @@ def test_neighbor_features_matches_brute(ray_session):
         micro = np.sign(s) * ((abs(s) * 2_000_000 + den) // (2 * den))
         assert r["nbr_mean"] == micro / 1e6
     assert set(got["node"]) == set(adj)
-
-
-def test_new_vs_returning_matches_brute(ray_session):
-    rng = np.random.default_rng(9)
-    n = 3000
-    users = rng.integers(0, 120, n)
-    days = rng.integers(0, 15, n)
-    df = pd.DataFrame({
-        "user_id": users.astype(np.int64),
-        "ts": pd.to_datetime(days * DAY + rng.integers(0, DAY, n),
-                             unit="us")})
-    got = new_vs_returning(_mk(df, 6)).to_pandas().set_index("day_idx")
-    ud = pd.DataFrame({"u": users, "d": days}).drop_duplicates()
-    fd = ud.groupby("u")["d"].min()
-    for d, sub in ud.groupby("d"):
-        new = int((fd.reindex(sub["u"]).to_numpy() == d).sum())
-        assert int(got.loc[d, "n_active"]) == len(sub)
-        assert int(got.loc[d, "n_new"]) == new
-        assert int(got.loc[d, "n_returning"]) == len(sub) - new
-    # every user is new exactly once
-    assert int(got["n_new"].sum()) == ud["u"].nunique()

@@ -1,0 +1,59 @@
+"""Round-4 seventh-session wave 7: dedup_lineage (incremental_quantiles
+is a composition of build_partials + the versioned sink + KLL merge,
+oracle-gated end-to-end in test_oracle_parity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raysketch.ops.dedup import dedup_lineage
+
+
+def _mk(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+def test_dedup_lineage_matches_brute(ray_session):
+    rng = np.random.default_rng(5)
+    texts = [f"doc body {i}" for i in range(60)]
+    # plant duplicate groups: {3, 17, 41} share one text, {8, 9} another
+    for i in (17, 41):
+        texts[i] = texts[3]
+    texts[9] = texts[8]
+    ids = rng.permutation(60).astype(np.int64) + 100
+    df = pd.DataFrame({"doc_id": ids, "text": [texts[i] for i in range(60)]})
+    got = dedup_lineage(_mk(df, 6)).to_pandas() \
+        .sort_values("dropped_id").reset_index(drop=True)
+    w = df.groupby("text")["doc_id"].min()
+    want = df[df["doc_id"] != w.reindex(df["text"]).to_numpy()]
+    want = pd.DataFrame({
+        "dropped_id": want["doc_id"].to_numpy(np.int64),
+        "winner_id": w.reindex(want["text"]).to_numpy(np.int64)}) \
+        .sort_values("dropped_id").reset_index(drop=True)
+    assert len(got) == 3  # two losers in the triple, one in the pair
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_dedup_lineage_no_duplicates_is_empty(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                       "text": [f"unique {i}" for i in range(20)]})
+    got = dedup_lineage(_mk(df, 3)).to_pandas()
+    assert len(got) == 0
+
+
+def test_dedup_lineage_winners_consistent_with_exact_dedup(ray_session):
+    from raysketch.ops.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"t{i % 12}" for i in range(40)]})
+    lineage = dedup_lineage(_mk(df, 4)).to_pandas()
+    kept = exact_dedup(_mk(df, 4)).to_pandas()
+    # dropped ∪ kept == all rows; dropped ∩ kept == ∅; winners all kept
+    assert set(lineage["dropped_id"]) | set(kept["doc_id"]) == \
+        set(df["doc_id"])
+    assert not set(lineage["dropped_id"]) & set(kept["doc_id"])
+    assert set(lineage["winner_id"]) <= set(kept["doc_id"])
