@@ -6763,7 +6763,76 @@ def q_incremental_quantiles(sf_dir: str) -> pa.Table:
         "p90": pa.array([r[3] for r in rows], pa.float64())})
 
 
+def q_ingest_lifecycle(sf_dir: str) -> pa.Table:
+    """END-TO-END lakehouse lifecycle in ONE oracle-gated query — the
+    composition a 100-TB deployment actually runs: (1) four atomic
+    micro-batch APPENDS (event_id % 4 — the append-log a streaming
+    ingest leaves), (2) union read of the log, (3) range RE-LAYOUT on
+    user_id into KLL-bound disjoint shards (the OPTIMIZE pass), (4)
+    zone-map build from footers only, (5) a PRUNED range scan
+    (files whose zones miss [5, 50] never open) + residual row filter,
+    (6) per-type rollup. The oracle replays the whole lifecycle as one
+    WHERE clause — bytes in flight differ, answers must not."""
+    import shutil
+    import uuid as _uuid
+
+    import ray.data as rd
+
+    from .engine import sinks
+    from .ops.curate import write_range_shards
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    root = f"/tmp/raysketch_ingest_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+
+    def part(k: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 4 == k))
+        return f
+
+    try:
+        batch_dirs = []
+        for k in range(4):
+            p = os.path.join(root, f"batch={k}")
+            sinks.write_dataset(
+                ev.map_batches(part(k), batch_format="pyarrow"), p)
+            batch_dirs.append(p)
+        log = sinks.read_back(batch_dirs[0]) \
+            .union(*[sinks.read_back(p) for p in batch_dirs[1:]])
+        shard_root, _bounds = write_range_shards(
+            log, os.path.join(root, "sorted"), "user_id", n_shards=8)
+        sinks.write_zone_map(shard_root, ["user_id"])
+        pruned, scanned, total = sinks.read_pruned_range(
+            shard_root, "user_id", 5, 50)
+        assert pruned is not None and scanned < total, \
+            (scanned, total)  # zones must actually skip files
+
+        def rollup(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "t": pd.Series(b["event_type"].to_pylist(),
+                               dtype="object"),
+                "u": b["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
+            df = df[(df["u"] >= 5) & (df["u"] <= 50)]  # residual filter
+            g = df.groupby(["t", "u"], sort=False).size() \
+                .reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        pairs = pruned.map_batches(rollup, batch_format="pyarrow") \
+            .to_pandas().groupby(["t", "u"], as_index=False)["n"].sum()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = pairs.groupby("t").agg(
+        n_events=("n", "sum"), n_users=("u", "nunique")) \
+        .reset_index().sort_values("t")
+    return pa.table({
+        "event_type": pa.array(out["t"].to_numpy(object), pa.string()),
+        "n_events": pa.array(out["n_events"].astype("int64")),
+        "n_users": pa.array(out["n_users"].astype("int64"))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "ingest_lifecycle": q_ingest_lifecycle,
     "dedup_lineage": q_dedup_lineage,
     "incremental_quantiles": q_incremental_quantiles,
     "cdc_dedup": q_cdc_dedup,
@@ -11601,4 +11670,11 @@ ORACLE_SQL["incremental_quantiles"] = """
            CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
            CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS p90
     FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLE_SQL["ingest_lifecycle"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id BETWEEN 5 AND 50
+    GROUP BY event_type ORDER BY event_type
 """

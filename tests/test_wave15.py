@@ -57,3 +57,22 @@ def test_dedup_lineage_winners_consistent_with_exact_dedup(ray_session):
         set(df["doc_id"])
     assert not set(lineage["dropped_id"]) & set(kept["doc_id"])
     assert set(lineage["winner_id"]) <= set(kept["doc_id"])
+
+
+def test_ingest_lifecycle_prunes_and_matches(ray_session, sf_dir):
+    """The capstone query's own assert pins files_scanned < files_total;
+    here pin that the micro-batch append-log loses nothing: the union
+    of the four event_id % 4 batches equals the full table."""
+    import duckdb
+
+    from raysketch.queries import QUERIES
+
+    got = QUERIES["ingest_lifecycle"](sf_dir).to_pandas()
+    want = duckdb.query(
+        f"""SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE user_id BETWEEN 5 AND 50
+            GROUP BY event_type ORDER BY event_type""").df()
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert list(got["n_users"]) == list(want["n_users"])
