@@ -1805,3 +1805,75 @@ def welch_ttest(ds, group_col: str, y_col: str, group_a, group_b,
         "mean_b": pa.array([r6(m2 / sc)], pa.float64()),
         "t_stat": pa.array([r6(t)], pa.float64()),
         "welch_df": pa.array([r6(df)], pa.float64())})
+
+
+def grouped_median_impute(ds, group_col: str, value_col: str,
+                          missing_col: str, scale: int = 100,
+                          num_buckets: int = 64) -> pa.Table:
+    """Group-median missing-value imputation — the standard tabular-ML
+    cleaning step, EXACT and distributed: per-group discrete medians
+    (quantile_disc rank ceil(n/2)) come from one counting pass over the
+    integer-scaled value domain (the ks_drift value-domain-bounded
+    contract), and the post-imputation total is pure integer arithmetic
+    (observed sum + n_missing · median) — no imputed row ever
+    materializes. Returns (group, n_rows, n_imputed, imputed_value,
+    total_value) with the two value columns round6 of the same double
+    expressions DuckDB replays."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)) \
+            .astype(np.int64)
+        miss = b[missing_col].to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        obs = pd.DataFrame({"g": g[~miss].to_numpy(object),
+                            "c": c[~miss]})
+        oc = obs.groupby(["g", "c"], sort=False).size() \
+            .reset_index(name="n")
+        mc = pd.DataFrame({"g": g[miss].to_numpy(object)}) \
+            .groupby("g", sort=False).size().reset_index(name="nm")
+        oc["nm"] = np.int64(0)
+        if not mc.empty:
+            mc["c"] = np.int64(0)
+            mc["n"] = np.int64(0)
+            oc = pd.concat([oc, mc[["g", "c", "n", "nm"]]],
+                           ignore_index=True)
+        return pa.table({
+            "g": pa.array(oc["g"].to_numpy(object), pa.string()),
+            "c": pa.array(oc["c"].to_numpy(np.int64)),
+            "n": pa.array(oc["n"].to_numpy(np.int64)),
+            "nm": pa.array(oc["nm"].to_numpy(np.int64))})
+
+    parts = (ds.select_columns([group_col, value_col, missing_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["g", "c"], as_index=False)[["n", "nm"]].sum())
+    rows = []
+    for gv, sub in parts.groupby("g", sort=True):
+        n_miss = int(sub["nm"].sum())
+        sub = sub[sub["n"] > 0].sort_values("c")
+        n_obs = int(sub["n"].sum())
+        if n_obs == 0:
+            raise ValueError(
+                f"grouped_median_impute: group {gv!r} has no observed "
+                "values to impute from")
+        cum = sub["n"].cumsum().to_numpy(np.int64)
+        rank = (n_obs + 1) // 2  # ceil(0.5·n) == quantile_disc
+        med = int(sub["c"].to_numpy(np.int64)[
+            np.searchsorted(cum, rank)])
+        s_obs = int((sub["c"].to_numpy(np.int64)
+                     * sub["n"].to_numpy(np.int64)).sum())
+        total = s_obs + n_miss * med
+        r6 = lambda x: float(np.sign(x)
+                             * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6)
+        rows.append((gv, n_obs + n_miss, n_miss,
+                     r6(float(med) / float(scale)),
+                     r6(float(total) / float(scale))))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_imputed": pa.array([r[2] for r in rows], pa.int64()),
+        "imputed_value": pa.array([r[3] for r in rows], pa.float64()),
+        "total_value": pa.array([r[4] for r in rows], pa.float64())})

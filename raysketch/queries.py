@@ -6831,7 +6831,29 @@ def q_ingest_lifecycle(sf_dir: str) -> pa.Table:
         "n_users": pa.array(out["n_users"].astype("int64"))})
 
 
+def q_impute_event_values(sf_dir: str) -> pa.Table:
+    """Group-median imputation audit (ops/stats.grouped_median_impute):
+    values of rows with event_id % 7 == 0 are treated as MISSING and
+    imputed with their type's discrete median (exact counting-pass
+    rank); the post-imputation totals are pure integer arithmetic —
+    the oracle replays median + CASE in one query."""
+    from .ops.stats import grouped_median_impute
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"], "value": b["value"],
+            "missing": pa.array(ids % 7 == 0)})
+
+    return grouped_median_impute(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        "event_type", "value", "missing")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "impute_event_values": q_impute_event_values,
     "ingest_lifecycle": q_ingest_lifecycle,
     "dedup_lineage": q_dedup_lineage,
     "incremental_quantiles": q_incremental_quantiles,
@@ -11677,4 +11699,25 @@ ORACLE_SQL["ingest_lifecycle"] = """
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events WHERE user_id BETWEEN 5 AND 50
     GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["impute_event_values"] = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             event_id % 7 = 0 AS isn
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_disc(c, 0.5) AS m
+      FROM base WHERE NOT isn GROUP BY event_type
+    )
+    SELECT b.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE isn) AS BIGINT) AS n_imputed,
+           round(CAST(m.m AS DOUBLE) / CAST(100 AS DOUBLE), 6)
+             AS imputed_value,
+           round(CAST(CAST(sum(CASE WHEN isn THEN m.m ELSE b.c END)
+                           AS BIGINT) AS DOUBLE)
+                 / CAST(100 AS DOUBLE), 6) AS total_value
+    FROM base b JOIN med m USING (event_type)
+    GROUP BY b.event_type, m.m ORDER BY b.event_type
 """

@@ -76,3 +76,33 @@ def test_ingest_lifecycle_prunes_and_matches(ray_session, sf_dir):
             GROUP BY event_type ORDER BY event_type""").df()
     assert list(got["n_events"]) == list(want["n_events"])
     assert list(got["n_users"]) == list(want["n_users"])
+
+
+def test_grouped_median_impute_matches_brute(ray_session):
+    from raysketch.ops.stats import grouped_median_impute
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    g = rng.choice(["a", "b"], n)
+    v = rng.integers(1, 5000, n) / 100.0
+    miss = rng.random(n) < 0.15
+    df = pd.DataFrame({"g": g, "v": v, "m": miss})
+    got = grouped_median_impute(_mk(df, 6), "g", "v", "m").to_pandas() \
+        .set_index("g")
+    for gv in ("a", "b"):
+        sel = g == gv
+        obs = np.sort(np.floor(v[sel & ~miss] * 100 + 0.5).astype(np.int64))
+        med = int(obs[(len(obs) + 1) // 2 - 1])
+        nm = int((sel & miss).sum())
+        total = int(obs.sum()) + nm * med
+        row = got.loc[gv]
+        assert int(row["n_rows"]) == int(sel.sum())
+        assert int(row["n_imputed"]) == nm
+        assert row["imputed_value"] == pytest.approx(med / 100, abs=1e-6)
+        assert row["total_value"] == pytest.approx(total / 100, abs=2e-6)
+    # a group with nothing observed refuses loudly
+    allmiss = pd.DataFrame({"g": ["z"] * 4 + ["a"] * 4,
+                            "v": [1.0] * 8,
+                            "m": [True] * 4 + [False] * 4})
+    with pytest.raises(ValueError, match="no observed"):
+        grouped_median_impute(_mk(allmiss, 2), "g", "v", "m")
