@@ -741,3 +741,61 @@ def mutual_best_match(ds, id_col: str = "vec_id",
         "b": pa.array(dst[mutual]),
         "cos": pa.array(mic[mutual].astype(np.float64) / 1e6,
                         pa.float64())})
+
+
+def hard_negatives(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   broadcast_budget: int = 50_000_000):
+    """Hard-negative mining for contrastive training: for every vector,
+    its most similar neighbor with a DIFFERENT label — the pairs that
+    teach a model the decision boundary (random negatives are too easy;
+    same-label neighbors are positives). Ranking is (round6 cosine
+    DESC, id ASC) — the SQL-replayable decision rule — and the same
+    broadcast-matmul contract as :func:`knn_label_noise` applies; the
+    per-row output is node-sized. Returns a Dataset of
+    (id, label, neg_id, neg_label, cos)."""
+    import ray
+
+    mat = ds.select_columns([id_col, vec_col, label_col]).materialize()
+    df = mat.to_pandas()
+    n = len(df)
+    if df[label_col].nunique() < 2:
+        raise ValueError("hard_negatives: need at least two labels")
+    X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
+    if n * X.shape[1] > broadcast_budget:
+        raise ValueError(
+            "hard_negatives: corpus exceeds the broadcast budget")
+    order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
+    ids = df[id_col].to_numpy(np.int64)[order]
+    if ids.max() >= (1 << 33) or ids.min() < 0:
+        raise ValueError("hard_negatives: ids must fit 33 bits")
+    labels = df[label_col].to_numpy(np.int64)[order]
+    X = X[order]
+    norms = np.sqrt((X * X).sum(axis=1))
+    ref = ray.put((ids, labels, X, norms))
+
+    def mine(b: pa.Table) -> pa.Table:
+        r_ids, r_labels, R, r_norms = ray.get(ref)
+        bid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bl = b[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        Xb = np.asarray([np.asarray(v, np.float64) for v in
+                         b[vec_col].to_pylist()])
+        nb = np.sqrt((Xb * Xb).sum(axis=1))
+        cos = (Xb @ R.T) / (nb[:, None] * r_norms[None, :])
+        micro = (np.sign(cos)
+                 * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(np.int64)
+        key = (1_000_000 - micro) * np.int64(1 << 33) + r_ids[None, :]
+        same = bl[:, None] == r_labels[None, :]  # positives excluded
+        key = np.where(same, np.iinfo(np.int64).max, key)
+        j = np.argmin(key, axis=1)
+        rows = np.arange(len(bid))
+        return pa.table({
+            id_col: pa.array(bid),
+            label_col: pa.array(bl),
+            "neg_id": pa.array(r_ids[j]),
+            "neg_label": pa.array(r_labels[j]),
+            "cos": pa.array(micro[rows, j].astype(np.float64) / 1e6,
+                            pa.float64())})
+
+    return mat.map_batches(mine, batch_format="pyarrow")

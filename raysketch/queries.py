@@ -6852,7 +6852,26 @@ def q_impute_event_values(sf_dir: str) -> pa.Table:
         "event_type", "value", "missing")
 
 
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining over the embeddings table
+    (ops/similarity.hard_negatives): per vector, the most similar
+    DIFFERENT-label neighbor under the (round6 cos, id) decision rule
+    — the contrastive-training pair generator."""
+    from .ops.similarity import hard_negatives
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    df = hard_negatives(emb).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(df["vec_id"].astype("int64")),
+        "label": pa.array(df["label"].astype("int64")),
+        "neg_id": pa.array(df["neg_id"].astype("int64")),
+        "neg_label": pa.array(df["neg_label"].astype("int64")),
+        "cos": pa.array(df["cos"].astype("float64"))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "hard_negatives": q_hard_negatives,
     "impute_event_values": q_impute_event_values,
     "ingest_lifecycle": q_ingest_lifecycle,
     "dedup_lineage": q_dedup_lineage,
@@ -11720,4 +11739,40 @@ ORACLE_SQL["impute_event_values"] = """
                  / CAST(100 AS DOUBLE), 6) AS total_value
     FROM base b JOIN med m USING (event_type)
     GROUP BY b.event_type, m.m ORDER BY b.event_type
+"""
+
+ORACLE_SQL["hard_negatives"] = """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS xx
+      FROM ex GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS xy
+      FROM ex a JOIN ex b
+        ON a.d = b.d AND a.label <> b.label
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.qa, d.qb,
+             round(d.xy / (sqrt(na.xx) * sqrt(nb.xx)), 6) AS c6
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.qa
+      JOIN nrm nb ON nb.vec_id = d.qb
+    ), best AS (
+      SELECT qa, qb, c6 FROM (
+        SELECT qa, qb, c6, row_number() OVER (
+            PARTITION BY qa ORDER BY c6 DESC, qb) AS rn
+        FROM scored)
+      WHERE rn = 1
+    ), lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+               FROM embeddings)
+    SELECT b.qa AS vec_id, la.label, b.qb AS neg_id,
+           lb.label AS neg_label, b.c6 AS cos
+    FROM best b
+    JOIN lab la ON la.vec_id = b.qa
+    JOIN lab lb ON lb.vec_id = b.qb
+    ORDER BY vec_id
 """

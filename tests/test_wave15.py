@@ -106,3 +106,35 @@ def test_grouped_median_impute_matches_brute(ray_session):
                             "m": [True] * 4 + [False] * 4})
     with pytest.raises(ValueError, match="no observed"):
         grouped_median_impute(_mk(allmiss, 2), "g", "v", "m")
+
+
+def test_hard_negatives_matches_brute(ray_session):
+    from raysketch.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(6)
+    n, d = 60, 6
+    X = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32) for r in X],
+        "label": labels})
+    got = hard_negatives(_mk(df, 4)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    Xd = X.astype(np.float32).astype(np.float64)
+    nrm = np.sqrt((Xd * Xd).sum(axis=1))
+    cos = (Xd @ Xd.T) / (nrm[:, None] * nrm[None, :])
+    micro = (np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)) \
+        .astype(np.int64)
+    for i in range(n):
+        cand = sorted((-int(micro[i, j]), j) for j in range(n)
+                      if labels[j] != labels[i])
+        j = cand[0][1]
+        row = got.iloc[i]
+        assert int(row["neg_id"]) == j
+        assert int(row["neg_label"]) == int(labels[j])
+        assert row["cos"] == micro[i, j] / 1e6
+        assert int(row["neg_label"]) != int(row["label"])
+    onelabel = df.assign(label=np.int64(1))
+    with pytest.raises(ValueError, match="two labels"):
+        hard_negatives(_mk(onelabel, 2))
