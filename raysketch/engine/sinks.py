@@ -387,3 +387,37 @@ def read_version(root: str, version: int | None = None):
             f"{root}: version {ver} not committed (have {vers})")
     return rd.read_parquet(os.path.join(root, f"v={ver}"),
                            file_extensions=["parquet"])
+
+
+def write_tables_atomic(named_ds: dict, root: str) -> str:
+    """CROSS-TABLE atomic publish: write several Datasets as
+    ``root/<name>/`` directories that become visible TOGETHER or not at
+    all — the multi-table snapshot a warehouse export needs (orders
+    without their lineitems is corruption, not a partial result). All
+    tables write into one staging root; a single manifest + rename
+    publishes them, so a crash anywhere leaves no readable root.
+    Readers use :func:`read_back` on ``root/<name>`` (each table dir
+    carries its own marker) or check the root manifest."""
+    import uuid as _uuid
+
+    if not named_ds:
+        raise ValueError("write_tables_atomic: no tables")
+    parent = os.path.dirname(os.path.abspath(root)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(
+        parent, f".staging-{os.path.basename(root)}-{_uuid.uuid4().hex[:12]}")
+    os.makedirs(staging)
+    try:
+        for name, ds in named_ds.items():
+            sub = os.path.join(staging, name)
+            ds.write_parquet(sub)
+            with open(os.path.join(sub, SUCCESS_MARKER), "w"):
+                pass
+        with open(os.path.join(staging, SUCCESS_MARKER), "w") as f:
+            f.write("\n".join(sorted(named_ds)) + "\n")
+        shutil.rmtree(root, ignore_errors=True)
+        os.rename(staging, root)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return root

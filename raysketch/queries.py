@@ -6870,7 +6870,93 @@ def q_hard_negatives(sf_dir: str) -> pa.Table:
         "cos": pa.array(df["cos"].astype("float64"))})
 
 
+def q_consistent_export(sf_dir: str) -> pa.Table:
+    """Cross-table consistent snapshot (engine/sinks.write_tables_atomic):
+    orders with o_orderkey % 5 != 0 AND their lineitems export in ONE
+    atomic publish; the read-back audit proves FK closure (every
+    exported lineitem's order is present) and the oracle replays the
+    retention rule on both tables."""
+    import shutil
+    import uuid as _uuid
+
+    from .engine import sinks
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    root = f"/tmp/raysketch_export_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+
+    def keep(col):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[col].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 5 != 0))
+        return f
+
+    try:
+        sinks.write_tables_atomic({
+            "orders": orders.map_batches(keep("o_orderkey"),
+                                         batch_format="pyarrow"),
+            "lineitem": li.map_batches(keep("l_orderkey"),
+                                       batch_format="pyarrow")}, root)
+        ob = sinks.read_back(os.path.join(root, "orders")).to_pandas()
+        lb = sinks.read_back(os.path.join(root, "lineitem")).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # FK closure audit on the EXPORTED bytes
+    assert set(lb["l_orderkey"]) <= set(ob["o_orderkey"])
+    cents_o = np.floor(ob["o_totalprice"].to_numpy(np.float64) * 100
+                       + 0.5).astype(np.int64)
+    return pa.table({
+        "n_orders": pa.array([len(ob)], pa.int64()),
+        "n_lineitems": pa.array([len(lb)], pa.int64()),
+        "order_cents": pa.array([int(cents_o.sum())], pa.int64()),
+        "sum_quantity": pa.array(
+            [int(np.floor(lb["l_quantity"].to_numpy(np.float64) + 0.5)
+                 .astype(np.int64).sum())], pa.int64())})
+
+
+def q_epoch_order(sf_dir: str) -> pa.Table:
+    """Deterministic per-epoch data ordering: epoch e ranks docs by
+    (seed_key32(doc_id·4 + e), doc_id) — three INDEPENDENT stateless
+    shuffles of the same corpus (multi-epoch training order without an
+    RNG or a materialized permutation). Emits each epoch's first 10
+    positions; per-block top-k partials keep the exchange at
+    blocks × epochs × k rows."""
+    from .ops.cluster import seed_key32
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    E, K = 3, 10
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_e, out_k, out_i = [], [], []
+        for e in range(E):
+            key = seed_key32(ids * 4 + e)
+            sel = np.lexsort((ids, key))[:K]
+            out_e.append(np.full(len(sel), e, np.int64))
+            out_k.append(key[sel])
+            out_i.append(ids[sel])
+        return pa.table({
+            "epoch": pa.array(np.concatenate(out_e)),
+            "key": pa.array(np.concatenate(out_k)),
+            "doc_id": pa.array(np.concatenate(out_i))})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    out = []
+    for e, sub in parts.groupby("epoch", sort=True):
+        sub = sub.sort_values(["key", "doc_id"]).head(K)
+        for pos, (_, r) in enumerate(sub.iterrows()):
+            out.append((int(e), pos, int(r["doc_id"])))
+    return pa.table({
+        "epoch": pa.array([r[0] for r in out], pa.int64()),
+        "position": pa.array([r[1] for r in out], pa.int64()),
+        "doc_id": pa.array([r[2] for r in out], pa.int64())})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "epoch_order": q_epoch_order,
+    "consistent_export": q_consistent_export,
     "hard_negatives": q_hard_negatives,
     "impute_event_values": q_impute_event_values,
     "ingest_lifecycle": q_ingest_lifecycle,
@@ -11775,4 +11861,45 @@ ORACLE_SQL["hard_negatives"] = """
     JOIN lab la ON la.vec_id = b.qa
     JOIN lab lb ON lb.vec_id = b.qb
     ORDER BY vec_id
+"""
+
+ORACLE_SQL["consistent_export"] = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+       WHERE o_orderkey % 5 <> 0) AS n_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       WHERE l_orderkey % 5 <> 0) AS n_lineitems,
+      (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) FROM orders WHERE o_orderkey % 5 <> 0)
+        AS order_cents,
+      (SELECT CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+              AS BIGINT) FROM lineitem WHERE l_orderkey % 5 <> 0)
+        AS sum_quantity
+"""
+
+ORACLE_SQL["epoch_order"] = """
+    WITH e(ep) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+                          (CAST(2 AS BIGINT))),
+    ka AS (
+      SELECT ep, doc_id,
+             (CAST(doc_id * 4 + ep AS HUGEINT) * 2654435761)
+               % 4294967296 AS h1
+      FROM documents CROSS JOIN e
+    ), kb AS (
+      SELECT ep, doc_id,
+             (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+      FROM ka
+    ), kc AS (
+      SELECT ep, doc_id,
+             CAST(xor(h2, h2 // 65536) AS BIGINT) AS hh
+      FROM kb
+    )
+    SELECT ep AS epoch,
+           CAST(row_number() OVER (PARTITION BY ep
+                                   ORDER BY hh, doc_id) - 1 AS BIGINT)
+             AS position,
+           doc_id
+    FROM kc
+    QUALIFY position < 10
+    ORDER BY epoch, position
 """

@@ -2,6 +2,8 @@
 is a composition of build_partials + the versioned sink + KLL merge,
 oracle-gated end-to-end in test_oracle_parity)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -138,3 +140,27 @@ def test_hard_negatives_matches_brute(ray_session):
     onelabel = df.assign(label=np.int64(1))
     with pytest.raises(ValueError, match="two labels"):
         hard_negatives(_mk(onelabel, 2))
+
+
+def test_write_tables_atomic_all_or_nothing(ray_session, tmp_path):
+    from raysketch.engine.sinks import (read_back, write_tables_atomic)
+
+    root = str(tmp_path / "multi")
+    a = pd.DataFrame({"k": np.arange(6, dtype=np.int64)})
+    b = pd.DataFrame({"v": np.arange(3, dtype=np.int64) + 10})
+    write_tables_atomic({"a": _mk(a, 2), "b": _mk(b, 1)}, root)
+    assert sorted(read_back(root + "/a").to_pandas()["k"]) == list(range(6))
+    assert sorted(read_back(root + "/b").to_pandas()["v"]) == [10, 11, 12]
+    assert os.path.exists(os.path.join(root, "_SUCCESS"))
+    # a failing table leaves NO readable root (all-or-nothing)
+    root2 = str(tmp_path / "multi2")
+
+    class Boom:
+        def write_parquet(self, path):
+            raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError):
+        write_tables_atomic({"a": _mk(a, 1), "z": Boom()}, root2)
+    assert not os.path.exists(root2)
+    with pytest.raises(ValueError, match="no tables"):
+        write_tables_atomic({}, root2)
