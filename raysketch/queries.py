@@ -6954,7 +6954,43 @@ def q_epoch_order(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([r[2] for r in out], pa.int64())})
 
 
+def q_countsketch_user_counts(sf_dir: str) -> pa.Table:
+    """Per-user event counts from ONE merged Count Sketch
+    (sketches/countsketch.py — Charikar et al. 2002): the SIGNED
+    unbiased frequency sketch (median of d=5 rows) built as a hash-fed
+    mergeable UDAF, probed at the distinct user set with the SAME
+    vectorized hash family the build used (the Bloom alignment rule).
+    ORACLE-GATED via the sparse-exact principle: at the driver gate
+    scale the key domain is ≪ width 2^16, so a majority of rows is
+    collision-free per key and the median IS the exact count; at
+    corpus scale the same pipeline degrades to the published two-sided
+    √(F2/w) bound (gated in tests)."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.hashing import hash64_batch_aligned
+    from .engine.udaf import SketchSpec
+    from .sketches import CountSketch
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    merged = sketch_aggregate(
+        ev, [SketchSpec("cs", "user_id",
+                        functools.partial(CountSketch, 5, 1 << 16))],
+        merge="driver")[""]["cs"]
+
+    def uniq(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"u": pa.array(u)})
+
+    users = np.unique(ev.map_batches(uniq, batch_format="pyarrow")
+                      .to_pandas()["u"].to_numpy(np.int64))
+    h, _valid = hash64_batch_aligned(pa.array(users, pa.int64()))
+    est = merged.estimate_hashes(h)
+    return pa.table({"user_id": pa.array(users),
+                     "n_est": pa.array(est.astype(np.int64))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "countsketch_user_counts": q_countsketch_user_counts,
     "epoch_order": q_epoch_order,
     "consistent_export": q_consistent_export,
     "hard_negatives": q_hard_negatives,
@@ -11902,4 +11938,9 @@ ORACLE_SQL["epoch_order"] = """
     FROM kc
     QUALIFY position < 10
     ORDER BY epoch, position
+"""
+
+ORACLE_SQL["countsketch_user_counts"] = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_est
+    FROM events GROUP BY user_id ORDER BY user_id
 """

@@ -3,6 +3,7 @@
 from .base import CodecError, SketchUDAF
 from .bloom import BloomFilter
 from .cms import CMSketch
+from .countsketch import CountSketch
 from .hll import HyperLogLog
 from .kll import KLL
 from .matrix import MatrixFlt, MatrixInt
@@ -18,6 +19,7 @@ from .tdigest import TDigest
 SKETCH_KINDS = {
     "bloom": BloomFilter,
     "cms": CMSketch,
+    "countsketch": CountSketch,
     "hll": HyperLogLog,
     "kll": KLL,
     "matrix_int": MatrixInt,
@@ -33,6 +35,6 @@ SKETCH_KINDS = {
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
     "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "REQ", "RunningStats",
-    "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
+    "CountSketch", "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
     "TimeSeriesInt",
 ]
