@@ -6989,7 +6989,35 @@ def q_countsketch_user_counts(sf_dir: str) -> pa.Table:
                      "n_est": pa.array(est.astype(np.int64))})
 
 
+def q_fd_embedding_sketch(sf_dir: str) -> pa.Table:
+    """Frequent Directions matrix sketch over the embedding matrix
+    (sketches/fd.py, Liberty 2013): the covariance/PCA SCALE PATH —
+    one ℓ×d row sketch per block, merged by row-concatenation +
+    re-shrink, with the certified ‖AᵀA − BᵀB‖₂ bound carried in the
+    payload. Rows-only by design (merges are bound-equivalent, not
+    bit-identical — the t-digest precedent); the spectral/PSD
+    invariants and exact-PCA agreement are gated in tests/test_fd.py.
+    At d = 64 the exact pass (embedding_covariance) is preferred;
+    FD is what survives 10⁵-wide feature spaces."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import FrequentDirections
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    merged = sketch_aggregate(
+        emb, [SketchSpec("fd", "embedding",
+                         functools.partial(FrequentDirections, 16))],
+        merge="driver")[""]["fd"]
+    eig = np.linalg.eigvalsh(merged.gram())[::-1][:8]
+    return pa.table({
+        "rank": pa.array(np.arange(8, dtype=np.int64)),
+        "fd_eig": pa.array(np.round(eig, 3), pa.float64()),
+        "bound": pa.array([round(merged.bound(), 3)] * 8, pa.float64()),
+        "n": pa.array([merged.n] * 8, pa.int64())})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "fd_embedding_sketch": q_fd_embedding_sketch,
     "countsketch_user_counts": q_countsketch_user_counts,
     "epoch_order": q_epoch_order,
     "consistent_export": q_consistent_export,

@@ -4,6 +4,7 @@ from .base import CodecError, SketchUDAF
 from .bloom import BloomFilter
 from .cms import CMSketch
 from .countsketch import CountSketch
+from .fd import FrequentDirections
 from .hll import HyperLogLog
 from .kll import KLL
 from .matrix import MatrixFlt, MatrixInt
@@ -20,6 +21,7 @@ SKETCH_KINDS = {
     "bloom": BloomFilter,
     "cms": CMSketch,
     "countsketch": CountSketch,
+    "fd": FrequentDirections,
     "hll": HyperLogLog,
     "kll": KLL,
     "matrix_int": MatrixInt,
@@ -35,6 +37,6 @@ SKETCH_KINDS = {
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
     "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "REQ", "RunningStats",
-    "CountSketch", "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
+    "CountSketch", "FrequentDirections", "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
     "TimeSeriesInt",
 ]
