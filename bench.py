@@ -167,6 +167,31 @@ def measure_errors() -> dict:
     out["tdigest_max_rank_err"] = round(td_err, 5)
     out["kll_max_rank_err"] = round(kll_err, 5)
     out["req_max_rel_rank_err"] = round(req_err, 5)
+    # Count Sketch: merged signed point estimates vs exact per-repo
+    # counts, gated on the published two-sided 3*sqrt(F2/w) bound
+    # (median of 5 rows; 187 heavy keys in 2^16 slots read EXACT)
+    import functools
+
+    import pyarrow as pa
+
+    from raysketch.engine.aggregate import sketch_aggregate
+    from raysketch.engine.hashing import hash64_batch_aligned
+    from raysketch.engine.udaf import SketchSpec
+    from raysketch.sketches import CountSketch
+
+    cs = sketch_aggregate(
+        rd.read_parquet(path, columns=["repo"]),
+        [SketchSpec("cs", "repo",
+                    functools.partial(CountSketch, 5, 1 << 16))],
+        merge="driver")[""]["cs"]
+    rc = con.execute(
+        "SELECT repo, count(*) n FROM c GROUP BY repo ORDER BY repo").df()
+    h_probe, _ = hash64_batch_aligned(pa.array(rc["repo"].tolist(),
+                                               pa.string()))
+    cs_err = np.abs(cs.estimate_hashes(h_probe) - rc["n"].to_numpy())
+    cs_f2 = float((rc["n"].to_numpy(np.float64) ** 2).sum())
+    out["countsketch_max_abs_err"] = int(cs_err.max())
+    out["countsketch_bound_3sigma"] = round(3 * (cs_f2 / (1 << 16)) ** 0.5, 1)
     out["bounds_hold"] = bool(
         max(out["hll_d_repo_max_rel_err"], out["hll_d_path_max_rel_err"],
             out["hll_d_commit_max_rel_err"]) <= out["hll_bound_3sigma"]
@@ -175,6 +200,7 @@ def measure_errors() -> dict:
         # (Karnin-Lang-Liberty as deployed in Apache DataSketches)
         and out["kll_max_rank_err"] <= 0.0165
         and out["req_max_rel_rank_err"] <= 1.0  # eps(k=32) relative bound
+        and out["countsketch_max_abs_err"] <= out["countsketch_bound_3sigma"]
         and out["stats_mean_max_abs_err"] < 1e-6
     )
     return out
