@@ -7016,7 +7016,55 @@ def q_fd_embedding_sketch(sf_dir: str) -> pa.Table:
         "n": pa.array([merged.n] * 8, pa.int64())})
 
 
+def q_heavy_changers(sf_dir: str) -> pa.Table:
+    """Heavy-CHANGER detection via Count Sketch signed linearity: the
+    sketch of era A merged with era B's NEGATION estimates the
+    difference stream f_a(k) − f_b(k) directly — the capability CMS
+    fundamentally lacks (its counters only go up). Top 10 users by
+    |Δ events| across the _DRIFT_SPLIT_US midpoint, (|Δ| DESC, user)
+    tie-break. Oracle-gated via the sparse-exact family (the user
+    domain is ≪ width, so every Δ estimate is exact)."""
+    from .engine.aggregate import sketch_aggregate
+    from .engine.hashing import hash64_batch_aligned
+    from .engine.udaf import SketchSpec
+    from .sketches import CountSketch
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def era(before: bool):
+        def f(b: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            mask = us < _DRIFT_SPLIT_US if before else us >= _DRIFT_SPLIT_US
+            return b.filter(pa.array(mask)).select(["user_id"])
+        return f
+
+    factory = functools.partial(CountSketch, 5, 1 << 16)
+    cs_a = sketch_aggregate(
+        ev.map_batches(era(True), batch_format="pyarrow"),
+        [SketchSpec("cs", "user_id", factory)], merge="driver")[""]["cs"]
+    cs_b = sketch_aggregate(
+        ev.map_batches(era(False), batch_format="pyarrow"),
+        [SketchSpec("cs", "user_id", factory)], merge="driver")[""]["cs"]
+    diff = cs_a.merge(cs_b.negated())
+
+    def uniq(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"u": pa.array(u)})
+
+    users = np.unique(ev.map_batches(uniq, batch_format="pyarrow")
+                      .to_pandas()["u"].to_numpy(np.int64))
+    h, _v = hash64_batch_aligned(pa.array(users, pa.int64()))
+    delta = diff.estimate_hashes(h)
+    order = np.lexsort((users, -np.abs(delta)))[:10]
+    return pa.table({
+        "user_id": pa.array(users[order]),
+        "delta": pa.array(delta[order].astype(np.int64))})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "heavy_changers": q_heavy_changers,
     "countsketch_user_counts": q_countsketch_user_counts,
     "epoch_order": q_epoch_order,
     "consistent_export": q_consistent_export,
@@ -11973,4 +12021,20 @@ ORACLE_SQL["epoch_order"] = """
 ORACLE_SQL["countsketch_user_counts"] = """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_est
     FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["heavy_changers"] = """
+    WITH a AS (
+      SELECT user_id, count(*) AS na FROM events
+      WHERE epoch_us(ts) < 1705363200000000 GROUP BY user_id
+    ), b AS (
+      SELECT user_id, count(*) AS nb FROM events
+      WHERE epoch_us(ts) >= 1705363200000000 GROUP BY user_id
+    ), d AS (
+      SELECT coalesce(a.user_id, b.user_id) AS user_id,
+             CAST(coalesce(na, 0) - coalesce(nb, 0) AS BIGINT) AS delta
+      FROM a FULL JOIN b ON a.user_id = b.user_id
+    )
+    SELECT user_id, delta FROM d
+    ORDER BY abs(delta) DESC, user_id LIMIT 10
 """

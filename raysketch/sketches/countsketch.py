@@ -107,6 +107,16 @@ class CountSketch:
         per_row = (self.table.astype(object) ** 2).sum(axis=1)
         return int(sorted(per_row)[self.depth // 2])
 
+    def negated(self) -> "CountSketch":
+        """A sketch of the NEGATED stream (every weight × −1) — the
+        signed-linearity primitive CMS lacks: ``a.merge(b.negated())``
+        sketches the DIFFERENCE stream, so point queries estimate
+        f_a(k) − f_b(k) directly (heavy-changer detection)."""
+        out = CountSketch(self.depth, self.width)
+        out.table = -self.table
+        out.n = self.n
+        return out
+
     # -- merge -------------------------------------------------------------
 
     def _check(self, other: "CountSketch") -> None:

@@ -100,3 +100,18 @@ def test_weighted_updates_and_validation():
         CountSketch(5, 1 << 10).merge(CountSketch(5, 1 << 11))
     with pytest.raises(ValueError, match="shape"):
         cs.update_hashes(_hashes([1, 2]), weights=np.array([1]))
+
+
+def test_negated_difference_stream():
+    # the signed-linearity property: a + (-b) sketches the difference
+    a = CountSketch(5, 1 << 12)
+    b = CountSketch(5, 1 << 12)
+    keys = np.arange(50)
+    a.update_hashes(np.repeat(_hashes(keys), np.arange(50) + 3))
+    b.update_hashes(np.repeat(_hashes(keys), 4))
+    diff = CountSketch.from_bytes(a.to_bytes()).merge(b.negated())
+    est = diff.estimate_hashes(_hashes(keys))
+    assert (est == np.arange(50) - 1).all()
+    # double negation is the identity; original b is untouched
+    assert (b.negated().negated().table == b.table).all()
+    assert b.estimate_hashes(_hashes([0]))[0] == 4
