@@ -378,3 +378,131 @@ def stratified_split(ds, stratum_col: str, id_col: str,
         .groupby("__b")
         .map_groups(lambda d: assign(d.drop(columns="__b")),
                     batch_format="pandas"))
+
+
+def stratified_split_checkpointed(
+    shard_paths: list[str], out_root: str, stratum_col: str,
+    id_col: str, hb_shift: int = 24,
+    _fail_after: int | None = None) -> dict:
+    """Resumable corpus-scale train/val/test split (run.py --pipeline
+    split). Two per-chunk-resumable stages:
+
+    stage A — each input chunk publishes its (stratum, h-bucket) cell
+    counts as one atomic manifest file (skip on resume);
+    stage B — each chunk assigns and writes its own hive
+    ``chunk-<j>/split=.../`` directory using ONLY the stage-A manifests
+    (skip on resume).
+
+    The rank rule is (h-bucket, chunk, h, id) lexicographic — a
+    deterministic permutation per stratum, so the 80/10/10 integer
+    thresholds (5r < 4n / 10r < 9n) hold EXACTLY per stratum, and a
+    killed run resumed with the same inputs reproduces byte-identical
+    output. (The in-memory :func:`stratified_split` ranks by (h, id)
+    globally — a differently-seeded but equally-exact split; chunk
+    locality is what buys resumability here.) ``_fail_after=j`` is the
+    test kill hook. Returns chunk accounting."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..engine.sinks import SUCCESS_MARKER, write_dataset, write_table
+    from .cluster import seed_key32
+
+    os.makedirs(out_root, exist_ok=True)
+    paths = sorted(shard_paths)
+
+    def keyed_frame(src: str) -> pd.DataFrame:
+        t = rd.read_parquet(src, columns=[stratum_col, id_col]) \
+            .to_pandas()
+        ids = t[id_col].to_numpy(np.int64)
+        h = seed_key32(ids)
+        return pd.DataFrame({
+            "s": t[stratum_col].astype(str), "id": ids, "h": h,
+            "hb": h >> np.int64(hb_shift)})
+
+    # stage A: per-chunk cell-count manifests
+    counted = skipped_a = 0
+    for j, src in enumerate(paths):
+        man = os.path.join(out_root, f"counts-{j:05d}.parquet")
+        if os.path.exists(man):
+            skipped_a += 1
+            continue
+        df = keyed_frame(src)
+        g = df.groupby(["s", "hb"], sort=True).size().reset_index(
+            name="c")
+        g["chunk"] = np.int64(j)
+        write_table(pa.Table.from_pandas(g, preserve_index=False), man)
+        counted += 1
+
+    import pyarrow.parquet as pq
+
+    cells = pd.concat(
+        [pq.read_table(m).to_pandas() for m in
+         sorted(glob.glob(os.path.join(out_root, "counts-*.parquet")))],
+        ignore_index=True)
+    # global offsets: cells ordered (s, hb, chunk)
+    cells = cells.sort_values(["s", "hb", "chunk"]).reset_index(drop=True)
+    cells["off"] = cells.groupby("s")["c"].cumsum() - cells["c"]
+    offsets = {(s, int(hb), int(ch)): int(o) for s, hb, ch, o in
+               zip(cells["s"], cells["hb"], cells["chunk"],
+                   cells["off"])}
+    ntot = cells.groupby("s")["c"].sum().to_dict()
+
+    # stage B: per-chunk assignment + atomic hive write
+    written = skipped_b = 0
+    for j, src in enumerate(paths):
+        chunk_dir = os.path.join(out_root, f"chunk-{j:05d}")
+        if os.path.exists(os.path.join(chunk_dir, SUCCESS_MARKER)):
+            skipped_b += 1
+            continue
+        df = keyed_frame(src).sort_values(["s", "hb", "h", "id"])
+        local = df.groupby(["s", "hb"]).cumcount().to_numpy(np.int64)
+        off = np.fromiter(
+            (offsets[(s, int(hb), j)] for s, hb in
+             zip(df["s"], df["hb"])), np.int64, count=len(df))
+        r = off + local
+        n = np.fromiter((ntot[s] for s in df["s"]), np.int64,
+                        count=len(df))
+        split = np.where(5 * r < 4 * n, "train",
+                         np.where(10 * r < 9 * n, "val", "test"))
+        out = pa.table({
+            stratum_col: pa.array(df["s"].to_numpy(object),
+                                  pa.string()),
+            id_col: pa.array(df["id"].to_numpy(np.int64)),
+            "split": pa.array(split, pa.string())})
+        write_dataset(rd.from_arrow(out), chunk_dir,
+                      partition_cols=["split"])
+        written += 1
+        if _fail_after is not None and j >= _fail_after:
+            raise RuntimeError(f"injected failure after chunk {j}")
+    return {"chunks_total": len(paths), "counts_written": counted,
+            "counts_skipped_resume": skipped_a,
+            "chunks_written": written,
+            "chunks_skipped_resume": skipped_b}
+
+
+def read_split(out_root: str, split: str):
+    """Dataset over ONE split across every published chunk of a
+    :func:`stratified_split_checkpointed` layout (unpublished chunks
+    are invisible)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ..engine.sinks import SUCCESS_MARKER
+
+    dirs = []
+    for chunk in sorted(glob.glob(os.path.join(out_root, "chunk-*"))):
+        if not os.path.isdir(chunk) or not os.path.exists(
+                os.path.join(chunk, SUCCESS_MARKER)):
+            continue
+        sub = os.path.join(chunk, f"split={split}")
+        if os.path.isdir(sub):
+            dirs.append(sub)
+    if not dirs:
+        raise FileNotFoundError(f"{out_root}: no published {split!r}")
+    return rd.read_parquet(dirs, file_extensions=["parquet"])

@@ -46,7 +46,7 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--max-in-flight", type=int, default=32)
     ap.add_argument("--pipeline",
-                    choices=["sketch", "dedup", "pagerank", "shards"],
+                    choices=["sketch", "dedup", "pagerank", "shards", "split"],
                     default="sketch",
                     help="sketch = flagship profile build; dedup = resumable "
                          "MinHash near-dup pairs over the corpus text; "
@@ -105,6 +105,9 @@ def _run(args: argparse.Namespace) -> None:
         return
     if args.pipeline == "shards":
         _run_shards(args, shards)
+        return
+    if args.pipeline == "split":
+        _run_split(args, shards)
         return
 
     store = CheckpointStore(args.checkpoint_root, args.job_id)
@@ -199,6 +202,29 @@ def _run_shards(args: argparse.Namespace, shards: list[str]) -> None:
         id_col=args.id_col, text_col=args.text_col)
     print(_json.dumps({
         "job_id": args.job_id, "pipeline": "shards",
+        "wall_sec": round(time.perf_counter() - t0, 2), **stats}))
+
+
+def _run_split(args: argparse.Namespace, shards: list[str]) -> None:
+    """Resumable stratified train/val/test split (ops.sample two-stage
+    per-chunk resume: cell-count manifests, then hive split writes).
+
+    --output is the layout root (REQUIRED); --group-key is the stratum
+    column. Re-running with the same --output skips published stages."""
+    import json as _json
+
+    from .ops.sample import stratified_split_checkpointed
+
+    if not args.output:
+        raise SystemExit("--pipeline split requires --output (layout root)")
+    if not args.group_key:
+        raise SystemExit("--pipeline split requires --group-key (stratum)")
+    t0 = time.perf_counter()
+    stats = stratified_split_checkpointed(
+        shards, args.output, stratum_col=args.group_key,
+        id_col=args.id_col)
+    print(_json.dumps({
+        "job_id": args.job_id, "pipeline": "split",
         "wall_sec": round(time.perf_counter() - t0, 2), **stats}))
 
 

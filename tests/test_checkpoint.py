@@ -96,3 +96,56 @@ def test_metrics_summary(ray_session, shards, tmp_path):
     for man in store.manifests():
         assert man["payload_sha256"]
         assert man["input_file"].endswith(".parquet")
+
+
+def test_stratified_split_checkpointed_kill_resume(ray_session, tmp_path):
+    """Killed split run resumes: finished stages skip, output is
+    byte-identical to a clean run, proportions stay exact."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.ops.sample import (read_split,
+                                      stratified_split_checkpointed)
+
+    rng = np.random.default_rng(4)
+    srcs = []
+    for j in range(4):
+        t = pa.table({
+            "src": pa.array(rng.choice(["a", "b"], 250), pa.string()),
+            "doc_id": pa.array(np.arange(250, dtype=np.int64) + j * 250)})
+        p = str(tmp_path / f"in-{j}.parquet")
+        pq.write_table(t, p)
+        srcs.append(p)
+
+    clean_root = str(tmp_path / "clean")
+    stats = stratified_split_checkpointed(srcs, clean_root, "src",
+                                          "doc_id")
+    assert stats["chunks_written"] == 4 and stats["counts_written"] == 4
+
+    crash_root = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected"):
+        stratified_split_checkpointed(srcs, crash_root, "src", "doc_id",
+                                      _fail_after=1)
+    resumed = stratified_split_checkpointed(srcs, crash_root, "src",
+                                            "doc_id")
+    assert resumed["counts_skipped_resume"] == 4  # stage A finished
+    assert resumed["chunks_skipped_resume"] == 2  # chunks 0,1 published
+    assert resumed["chunks_written"] == 2
+
+    def collect(root):
+        frames = [read_split(root, s).to_pandas().assign(split=s)
+                  for s in ("train", "val", "test")]
+        return pd.concat(frames, ignore_index=True) \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    a, b = collect(clean_root), collect(crash_root)
+    pd.testing.assert_frame_equal(a, b)  # byte-identical resume
+    assert sorted(a["doc_id"]) == list(range(1000))  # partition
+    for s, sub in a.groupby("src"):
+        ns = len(sub)
+        n_train = sum(1 for r in range(ns) if 5 * r < 4 * ns)
+        assert (sub["split"] == "train").sum() == n_train
