@@ -568,3 +568,63 @@ def range_copartition_join(
     joined = fact.map_batches(norm_shard, batch_format="pyarrow") \
         .map_batches(layout_join, batch_format="pyarrow")
     return joined, layout_root, bounds
+
+
+def salted_attach_by_key(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    value_cols: list[str],
+    salt: int = 8,
+    num_partitions: int = 8,
+    how: str = "inner",
+):
+    """HOT-KEY-SAFE partitioned dimension attach: when one join key
+    carries a disproportionate share of fact rows, a plain hash join
+    sends that key's entire volume to ONE partition — the straggler
+    that stalls a 256-node cluster. Salting splits it: the dim side is
+    REPLICATED ``salt`` times (dim rows × salt is cheap — the dim is
+    the small side by contract), the fact side gets a deterministic
+    per-row salt from ``seed_key32`` of its block-local row index mixed
+    with the key (stateless — no RNG, reruns identical), and the join
+    runs on (key, salt) so a hot key spreads over ``salt`` partitions.
+
+    Emits exactly :func:`attach_by_key`'s columns and rows — route
+    identity is test-pinned. Use when ``key_skew_profile`` flags a hot
+    key; the unsalted route is cheaper on balanced keys (no dim
+    replication)."""
+    import ray.data as rd
+
+    from .cluster import seed_key32
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    dim = dim_ds.select_columns([dim_key] + value_cols).materialize()
+
+    def replicate(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), salt)
+        t = b.take(pa.array(idx))
+        return t.append_column("__salt", pa.array(
+            np.tile(np.arange(salt, dtype=np.int64), n)))
+
+    dim_salted = dim.map_batches(replicate, batch_format="pyarrow")
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        k = b[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        # stateless per-row spread: block-local position mixed with the
+        # key through seed_key32 — deterministic under re-execution of
+        # the same block, uniform across salts
+        pos = np.arange(b.num_rows, dtype=np.int64)
+        return b.append_column("__salt", pa.array(
+            seed_key32(k * 131 + pos * 31 + 7) % np.int64(salt)))
+
+    fact_salted = fact_ds.map_batches(add_salt, batch_format="pyarrow")
+    joined = fact_salted.join(
+        dim_salted, "inner" if how == "inner" else "left_outer",
+        num_partitions, on=(fact_key, "__salt"),
+        right_on=(dim_key, "__salt"))
+    return joined.drop_columns(["__salt"])

@@ -164,3 +164,36 @@ def test_write_tables_atomic_all_or_nothing(ray_session, tmp_path):
     assert not os.path.exists(root2)
     with pytest.raises(ValueError, match="no tables"):
         write_tables_atomic({}, root2)
+
+
+def test_salted_attach_route_identity(ray_session):
+    """Salted (key, salt) join emits exactly attach_by_key's rows —
+    including a HOT key carrying half the fact volume, and unmatched
+    fact rows under how='left' (one salt value each: never duplicated,
+    never dropped)."""
+    from raysketch.ops.join import attach_by_key, salted_attach_by_key
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.5, 7,
+                    rng.integers(0, 40, n)).astype(np.int64)
+    fact = pd.DataFrame({"k": keys,
+                         "x": np.arange(n, dtype=np.int64)})
+    dim = pd.DataFrame({"d": np.arange(35, dtype=np.int64),
+                        "v": np.arange(35, dtype=np.int64) * 10})
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["x"]).reset_index(drop=True)
+        return df[sorted(df.columns)]
+
+    for how in ("inner", "left"):
+        plain = canon(attach_by_key(_mk(fact, 6), _mk(dim, 2), "k", "d",
+                                    ["v"], broadcast_limit_rows=1,
+                                    how=how))
+        salted = canon(salted_attach_by_key(_mk(fact, 6), _mk(dim, 2),
+                                            "k", "d", ["v"], salt=4,
+                                            how=how))
+        pd.testing.assert_frame_equal(plain, salted)
+    with pytest.raises(ValueError, match="salt"):
+        salted_attach_by_key(_mk(fact, 2), _mk(dim, 1), "k", "d", ["v"],
+                             salt=1)
