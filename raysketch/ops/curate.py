@@ -766,6 +766,61 @@ def chunk_dedup_coverage(ds, chunk_size: int = 16,
                         batch_format="pandas"))
 
 
+def cdc_chunk_table(batch: pa.Table, group_col: str, text_col: str,
+                    window: int, mask: int) -> pa.Table:
+    """One block -> its (g, chunk) content-defined chunk stream
+    (cdc_chunks' boundary rule, hoisted for reuse by the transfer
+    estimator)."""
+    from .text import _FP_BASE
+
+    texts = batch[text_col].to_pylist()
+    groups = batch[group_col].to_pylist()
+    enc = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), np.int64,
+                       count=len(enc))
+    keep = lens > 0
+    if not keep.any():
+        return pa.table({"g": pa.array([], pa.string()),
+                         "chunk": pa.array([], pa.binary())})
+    enc = [e for e, k in zip(enc, keep) if k]
+    groups = [g for g, k in zip(groups, keep) if k]
+    lens = lens[keep]
+    blob = np.frombuffer(b"".join(enc), np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)])  # len+1 fence
+    n = blob.size
+    cuts = np.zeros(0, np.int64)
+    if n >= window:
+        h = np.zeros(n - window + 1, np.uint64)
+        with np.errstate(over="ignore"):
+            pows = _FP_BASE ** np.arange(window - 1, -1, -1,
+                                         dtype=np.uint64)
+            arr = blob.astype(np.uint64)
+            for j in range(window):
+                h += arr[j:j + n - window + 1] * pows[j]
+        # window [i, i+window) → cut AFTER global byte i+window;
+        # valid only when the window sits inside ONE doc
+        end = np.arange(window, n + 1, dtype=np.int64)
+        doc_of_start = np.searchsorted(starts, end - window,
+                                       side="right") - 1
+        doc_of_last = np.searchsorted(starts, end - 1,
+                                      side="right") - 1
+        hit = (h % np.uint64(mask + 1) == 0) \
+            & (doc_of_start == doc_of_last)
+        cuts = end[hit]
+    bounds = np.unique(np.concatenate([starts, cuts]))
+    off = bounds.astype(np.int32)
+    # chunk i spans [bounds[i], bounds[i+1]); map to its doc
+    doc_idx = np.searchsorted(starts, bounds[:-1], side="right") - 1
+    chunks = pa.Array.from_buffers(
+        pa.binary(), len(bounds) - 1,
+        [None, pa.py_buffer(off.tobytes()),
+         pa.py_buffer(blob.tobytes())])
+    garr = pa.array(
+        np.asarray(groups, object)[doc_idx], pa.string())
+    return pa.table({"g": garr, "chunk": chunks})
+
+
+
 def cdc_chunks(ds, group_col: str = "source", text_col: str = "text",
                window: int = 8, mask: int = 63,
                num_buckets: int = 256):
@@ -794,51 +849,7 @@ def cdc_chunks(ds, group_col: str = "source", text_col: str = "text",
         raise ValueError("cdc_chunks: need window >= 2 and mask >= 1")
 
     def chunk(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        groups = batch[group_col].to_pylist()
-        enc = [(t or "").encode("utf-8") for t in texts]
-        lens = np.fromiter((len(e) for e in enc), np.int64,
-                           count=len(enc))
-        keep = lens > 0
-        if not keep.any():
-            return pa.table({"g": pa.array([], pa.string()),
-                             "chunk": pa.array([], pa.binary())})
-        enc = [e for e, k in zip(enc, keep) if k]
-        groups = [g for g, k in zip(groups, keep) if k]
-        lens = lens[keep]
-        blob = np.frombuffer(b"".join(enc), np.uint8)
-        starts = np.concatenate([[0], np.cumsum(lens)])  # len+1 fence
-        n = blob.size
-        cuts = np.zeros(0, np.int64)
-        if n >= window:
-            h = np.zeros(n - window + 1, np.uint64)
-            with np.errstate(over="ignore"):
-                pows = _FP_BASE ** np.arange(window - 1, -1, -1,
-                                             dtype=np.uint64)
-                arr = blob.astype(np.uint64)
-                for j in range(window):
-                    h += arr[j:j + n - window + 1] * pows[j]
-            # window [i, i+window) → cut AFTER global byte i+window;
-            # valid only when the window sits inside ONE doc
-            end = np.arange(window, n + 1, dtype=np.int64)
-            doc_of_start = np.searchsorted(starts, end - window,
-                                           side="right") - 1
-            doc_of_last = np.searchsorted(starts, end - 1,
-                                          side="right") - 1
-            hit = (h % np.uint64(mask + 1) == 0) \
-                & (doc_of_start == doc_of_last)
-            cuts = end[hit]
-        bounds = np.unique(np.concatenate([starts, cuts]))
-        off = bounds.astype(np.int32)
-        # chunk i spans [bounds[i], bounds[i+1]); map to its doc
-        doc_idx = np.searchsorted(starts, bounds[:-1], side="right") - 1
-        chunks = pa.Array.from_buffers(
-            pa.binary(), len(bounds) - 1,
-            [None, pa.py_buffer(off.tobytes()),
-             pa.py_buffer(blob.tobytes())])
-        garr = pa.array(
-            np.asarray(groups, object)[doc_idx], pa.string())
-        return pa.table({"g": garr, "chunk": chunks})
+        return cdc_chunk_table(batch, group_col, text_col, window, mask)
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         ln = df["chunk"].str.len().to_numpy(np.int64)
@@ -875,3 +886,80 @@ def cdc_chunks(ds, group_col: str = "source", text_col: str = "text",
         "distinct_bytes": pa.array(parts["distinct_bytes"]
                                    .astype("int64")),
         "dedup_ratio": pa.array(ratio, pa.float64())})
+
+
+def cdc_transfer_estimate(ds_old, ds_new, group_col: str = "source",
+                          text_col: str = "text", window: int = 8,
+                          mask: int = 63,
+                          num_buckets: int = 256) -> pa.Table:
+    """rsync/dedup-store DELTA-SYNC planner: per group, which DISTINCT
+    chunks of the NEW version are absent from the old version's chunk
+    store — the bytes a content-addressed store actually uploads when a
+    corpus revision lands (content-defined boundaries make an edited
+    prefix disturb only its neighborhood, so unchanged tails reuse).
+
+    Both versions chunk with the same rule (:func:`cdc_chunk_table`),
+    sides are tagged, and ONE hash(chunk) fold resolves presence —
+    every copy of a chunk text, either side, lands in one bucket, so
+    old∩new is decided locally and only narrow per-group partials
+    leave the fold. Returns (group, n_new_chunks, transfer_chunks,
+    transfer_bytes, reuse_bytes, reuse_ratio round6) ordered."""
+    from ..engine.hashing import append_coarse_bucket
+
+    def tagged(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            t = cdc_chunk_table(b, group_col, text_col, window, mask)
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int64)))
+        return f
+
+    stream = ds_old.select_columns([group_col, text_col]) \
+        .map_batches(tagged(0), batch_format="pyarrow") \
+        .union(ds_new.select_columns([group_col, text_col])
+               .map_batches(tagged(1), batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["g", "chunk", "side"])
+        piv = d.assign(one=1).pivot_table(
+            index=["g", "chunk"], columns="side", values="one",
+            aggfunc="max", fill_value=0).reset_index()
+        if 0 not in piv.columns:
+            piv[0] = 0
+        if 1 not in piv.columns:
+            piv[1] = 0
+        new = piv[piv[1] == 1]
+        ln = new["chunk"].str.len().to_numpy(np.int64)
+        xfer = (new[0] == 0).to_numpy()
+        out = pd.DataFrame({
+            "g": new["g"].to_numpy(object), "ln": ln,
+            "x": xfer.astype(np.int64)})
+        out["bx"] = np.where(xfer, ln, 0)
+        out["br"] = np.where(xfer, 0, ln)
+        agg = out.groupby("g", sort=False).agg(
+            n_new=("x", "size"), n_xfer=("x", "sum"),
+            b_xfer=("bx", "sum"), b_reuse=("br", "sum")).reset_index()
+        return agg.astype({c: "int64" for c in
+                           ("n_new", "n_xfer", "b_xfer", "b_reuse")})
+
+    parts = (stream.map_batches(
+        lambda b: append_coarse_bucket(b, ["chunk"], num_buckets, "__tb"),
+        batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(lambda d: fold(d.drop(columns="__tb")),
+                    batch_format="pandas")
+        .to_pandas()
+        .groupby("g", as_index=False)[["n_new", "n_xfer", "b_xfer",
+                                       "b_reuse"]].sum()
+        .sort_values("g"))
+    tot = parts["b_xfer"].to_numpy(np.int64) \
+        + parts["b_reuse"].to_numpy(np.int64)
+    ratio = parts["b_reuse"].to_numpy(np.float64) \
+        / np.where(tot == 0, 1, tot).astype(np.float64)
+    ratio = np.sign(ratio) * np.floor(np.abs(ratio) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        group_col: pa.array(parts["g"].to_numpy(object), pa.string()),
+        "n_new_chunks": pa.array(parts["n_new"].astype("int64")),
+        "transfer_chunks": pa.array(parts["n_xfer"].astype("int64")),
+        "transfer_bytes": pa.array(parts["b_xfer"].astype("int64")),
+        "reuse_bytes": pa.array(parts["b_reuse"].astype("int64")),
+        "reuse_ratio": pa.array(ratio, pa.float64())})

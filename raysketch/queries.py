@@ -7063,7 +7063,30 @@ def q_heavy_changers(sf_dir: str) -> pa.Table:
         "delta": pa.array(delta[order].astype(np.int64))})
 
 
+def q_cdc_transfer(sf_dir: str) -> pa.Table:
+    """Delta-sync planning between two corpus revisions
+    (ops/curate.cdc_transfer_estimate): revision 2 prefixes every
+    doc_id % 3 == 0 text with 'XYZ ' (simulated edits); content-defined
+    boundaries keep the unchanged tails reusable, and the query reports
+    per-source the distinct new chunks a content-addressed store must
+    actually ingest vs reuse."""
+    from .ops.curate import cdc_transfer_estimate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def edit(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pd.Series(b["text"].to_pylist(), dtype="object")
+        t = np.where(ids % 3 == 0, "XYZ " + t, t)
+        return pa.table({"source": b["source"],
+                         "text": pa.array(t, pa.string())})
+
+    new = docs.map_batches(edit, batch_format="pyarrow")
+    return cdc_transfer_estimate(docs, new, "source", "text")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "cdc_transfer": q_cdc_transfer,
     "heavy_changers": q_heavy_changers,
     "countsketch_user_counts": q_countsketch_user_counts,
     "epoch_order": q_epoch_order,
@@ -12037,4 +12060,71 @@ ORACLE_SQL["heavy_changers"] = """
     )
     SELECT user_id, delta FROM d
     ORDER BY abs(delta) DESC, user_id LIMIT 10
+"""
+
+
+def _cdc_chain(src_cte: str, sfx: str, window: int = 8,
+               mask: int = 63) -> str:
+    """Boundary-rule CTE chain (the cdc_dedup oracle's polynomial) for
+    one source CTE; emits ch{sfx} AS (source, chunk)."""
+    pows = [1]
+    for _ in range(window - 1):
+        pows.append((pows[-1] * 1099511628211) % (1 << 64))
+    pows = pows[::-1]
+    terms = " + ".join(
+        f"CAST(ord(substr(text, CAST(i - {window - 1 - k} AS INTEGER), "
+        f"1)) AS HUGEINT) * {p}::HUGEINT"
+        for k, p in enumerate(pows))
+    return f"""
+    pos{sfx} AS (
+      SELECT doc_id, text,
+             unnest(generate_series({window}, length(text))) AS i
+      FROM {src_cte}
+    ), cut{sfx} AS (
+      SELECT doc_id, i FROM pos{sfx}
+      WHERE CAST((({terms})
+                  % 18446744073709551616::HUGEINT) AS UBIGINT)
+            % {mask + 1} = 0
+    ), b{sfx} AS (
+      SELECT doc_id, 0 AS p FROM {src_cte}
+      UNION SELECT doc_id, length(text) FROM {src_cte}
+      UNION SELECT doc_id, i FROM cut{sfx}
+    ), seg{sfx} AS (
+      SELECT doc_id, p,
+             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS q
+      FROM b{sfx}
+    ), ch{sfx} AS (
+      SELECT d.source,
+             substr(d.text, CAST(s.p + 1 AS INTEGER),
+                    CAST(s.q - s.p AS INTEGER)) AS chunk
+      FROM seg{sfx} s JOIN {src_cte} d USING (doc_id)
+      WHERE s.q IS NOT NULL AND s.q > s.p
+    )"""
+
+
+ORACLE_SQL["cdc_transfer"] = f"""
+    WITH d2 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN 'XYZ ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),{_cdc_chain("documents", "o")},{_cdc_chain("d2", "n")},
+    od AS (SELECT DISTINCT source, chunk FROM cho),
+    nd AS (SELECT DISTINCT source, chunk FROM chn),
+    j AS (
+      SELECT n.source, length(n.chunk) AS ln,
+             CASE WHEN o.chunk IS NULL THEN 1 ELSE 0 END AS x
+      FROM nd n LEFT JOIN od o
+        ON o.source = n.source AND o.chunk = n.chunk
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_new_chunks,
+           CAST(sum(x) AS BIGINT) AS transfer_chunks,
+           CAST(sum(CASE WHEN x = 1 THEN ln ELSE 0 END) AS BIGINT)
+             AS transfer_bytes,
+           CAST(sum(CASE WHEN x = 0 THEN ln ELSE 0 END) AS BIGINT)
+             AS reuse_bytes,
+           round(CAST(sum(CASE WHEN x = 0 THEN ln ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(ln) AS DOUBLE), 6) AS reuse_ratio
+    FROM j GROUP BY source ORDER BY source
 """

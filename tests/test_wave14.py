@@ -85,3 +85,30 @@ def test_cdc_chunks_block_invariant_and_validates(ray_session):
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError, match="window"):
         cdc_chunks(_mk(df, 1), window=1)
+
+
+def test_cdc_transfer_estimate_matches_brute(ray_session):
+    from raysketch.ops.curate import cdc_transfer_estimate
+
+    rng = np.random.default_rng(9)
+    alpha = list("abcdefgh ")
+    old_texts = ["".join(rng.choice(alpha, rng.integers(60, 400)))
+                 for _ in range(40)]
+    new_texts = ["EDIT " + t if i % 3 == 0 else t
+                 for i, t in enumerate(old_texts)]
+    import ray.data as rd
+    old = rd.from_pandas(pd.DataFrame(
+        {"source": "s", "text": old_texts})).repartition(4)
+    new = rd.from_pandas(pd.DataFrame(
+        {"source": "s", "text": new_texts})).repartition(4)
+    got = cdc_transfer_estimate(old, new).to_pandas().iloc[0]
+    ocs = {c for t in old_texts for c in _brute_chunks(t)}
+    ncs = {c for t in new_texts for c in _brute_chunks(t)}
+    xfer = ncs - ocs
+    reuse = ncs & ocs
+    assert int(got["n_new_chunks"]) == len(ncs)
+    assert int(got["transfer_chunks"]) == len(xfer)
+    assert int(got["transfer_bytes"]) == sum(map(len, xfer))
+    assert int(got["reuse_bytes"]) == sum(map(len, reuse))
+    # the point of CDC: 1/3 of docs edited but most bytes reuse
+    assert got["reuse_ratio"] > 0.7
