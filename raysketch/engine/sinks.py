@@ -119,11 +119,14 @@ def read_partition(path: str, col: str, value) -> "object":
 
 
 def parquet_files(path: str) -> list[str]:
-    """All .parquet leaf files under a sink output (sorted)."""
+    """All DATA .parquet leaf files under a sink output (sorted).
+    Underscore-prefixed files (_zonemap/_bloommap manifests) are
+    metadata, not data — counting or footer-scanning them would
+    corrupt compaction accounting and manifest builds."""
     out = []
     for root, _dirs, files in os.walk(path):
         out.extend(os.path.join(root, f) for f in files
-                   if f.endswith(".parquet"))
+                   if f.endswith(".parquet") and not f.startswith("_"))
     return sorted(out)
 
 
@@ -221,6 +224,22 @@ def write_zone_map(path: str, cols: list[str]) -> str:
     return target
 
 
+def _check_manifest_fresh(path: str, manifest_files, kind: str) -> None:
+    """A stale file-skipping manifest is SILENT WRONGNESS: files added
+    (or removed) after the manifest was built are invisible to pruning,
+    so a point/range read would quietly drop their rows. Refuse loudly
+    when the sink's current parquet file set differs from the manifest's
+    — the caller rebuilds the manifest (cheap: footers/key column only)."""
+    current = {os.path.relpath(f, path) for f in parquet_files(path)}
+    known = set(manifest_files)
+    if current != known:
+        extra = sorted(current - known)[:3]
+        gone = sorted(known - current)[:3]
+        raise RuntimeError(
+            f"{path}: {kind} manifest is STALE (files added {extra} / "
+            f"removed {gone}); rebuild it before pruned reads")
+
+
 def read_pruned_range(path: str, col: str, lo, hi):
     """Zone-map file skipping: a Dataset over ONLY the files whose
     ``[vmin, vmax]`` zone for ``col`` overlaps ``[lo, hi]`` — the
@@ -236,6 +255,7 @@ def read_pruned_range(path: str, col: str, lo, hi):
     if not os.path.exists(zpath):
         raise FileNotFoundError(f"{zpath}: run write_zone_map first")
     zm = pq.read_table(zpath).to_pandas()
+    _check_manifest_fresh(path, zm["file"].unique(), "zone-map")
     zm = zm[zm["column"] == col]
     if zm.empty:
         raise KeyError(f"zone map has no column {col!r}")
@@ -311,6 +331,7 @@ def read_bloom_pruned(path: str, col: str, keys):
     if not os.path.exists(mpath):
         raise FileNotFoundError(f"{mpath}: run write_bloom_manifest first")
     man = pq.read_table(mpath)
+    _check_manifest_fresh(path, man["file"].to_pylist(), "bloom")
     key_hashes = hash64_batch(pa.array(list(keys)))
     keep = []
     for name, payload in zip(man["file"].to_pylist(),

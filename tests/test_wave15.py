@@ -197,3 +197,36 @@ def test_salted_attach_route_identity(ray_session):
     with pytest.raises(ValueError, match="salt"):
         salted_attach_by_key(_mk(fact, 2), _mk(dim, 1), "k", "d", ["v"],
                              salt=1)
+
+
+def test_pruned_reads_refuse_stale_manifests(ray_session, tmp_path):
+    """Files added after a zone-map/bloom manifest was built are
+    invisible to pruning — a silent-wrongness hazard; both pruned-read
+    paths must refuse loudly until the manifest is rebuilt."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.engine.sinks import (read_bloom_pruned,
+                                        read_pruned_range,
+                                        write_bloom_manifest,
+                                        write_zone_map)
+
+    root = str(tmp_path / "sink")
+    os.makedirs(root)
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}),
+                   os.path.join(root, "part-0.parquet"))
+    write_zone_map(root, ["k"])
+    write_bloom_manifest(root, "k")
+    ds, scanned, total = read_pruned_range(root, "k", 2, 3)
+    assert scanned == total == 1
+    # a late-arriving file makes both manifests stale
+    pq.write_table(pa.table({"k": pa.array([99], pa.int64())}),
+                   os.path.join(root, "part-1.parquet"))
+    with pytest.raises(RuntimeError, match="STALE"):
+        read_pruned_range(root, "k", 2, 3)
+    with pytest.raises(RuntimeError, match="STALE"):
+        read_bloom_pruned(root, "k", [99])
+    # rebuilding restores service and sees the new file
+    write_zone_map(root, ["k"])
+    ds, scanned, total = read_pruned_range(root, "k", 99, 99)
+    assert scanned == 1 and total == 2
