@@ -156,7 +156,8 @@ def compact_dataset(path: str, out_path: str,
             "n_rows": int(n_rows)}
 
 
-def write_zone_map(path: str, cols: list[str]) -> str:
+def write_zone_map(path: str, cols: list[str],
+                   incremental: bool = False) -> str:
     """Build a per-FILE zone map — (file, column, vmin, vmax, nulls,
     rows) — for a sink output and publish it atomically as
     ``path/_zonemap.parquet``. The stats come from the parquet FOOTERS
@@ -164,13 +165,43 @@ def write_zone_map(path: str, cols: list[str]) -> str:
     map is metadata-bound: no data pages are read at any corpus size.
     Footer reads fan out as a Ray Data pass over the file list. Columns
     must be numeric/temporal (zone bounds are stored as float64 —
-    exact for ints up to 2^53; timestamps use epoch-us)."""
+    exact for ints up to 2^53; timestamps use epoch-us).
+
+    ``incremental=True`` footer-scans ONLY files absent from the
+    existing manifest and unions them in (entries whose files vanished
+    are dropped) — the nightly-append refresh that keeps manifest
+    maintenance O(new files) instead of O(all files) at warehouse
+    scale. Requires the same ``cols`` as the base build."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     files = parquet_files(path)
     if not files:
         raise FileNotFoundError(f"{path}: no parquet files")
+    prev = None
+    if incremental:
+        zpath = os.path.join(path, "_zonemap.parquet")
+        if os.path.exists(zpath):
+            prev = pq.read_table(zpath).to_pandas()
+            if sorted(prev["column"].unique()) != sorted(cols):
+                raise ValueError(
+                    "write_zone_map(incremental): column set differs "
+                    "from the existing manifest — rebuild from scratch")
+            rel = {os.path.relpath(f, path) for f in files}
+            prev = prev[prev["file"].isin(rel)]  # drop vanished files
+            known = set(prev["file"])
+            files = [f for f in files
+                     if os.path.relpath(f, path) not in known]
+            if not files:
+                import pandas as _pd
+
+                target = zpath
+                tmp = f"{target}.tmp-{os.getpid()}"
+                pq.write_table(pa.Table.from_pandas(
+                    prev.sort_values(["file", "column"])
+                    .reset_index(drop=True), preserve_index=False), tmp)
+                os.replace(tmp, target)
+                return target
 
     def footers(batch: "pa.Table") -> "pa.Table":
         import pyarrow.parquet as pq
@@ -214,6 +245,10 @@ def write_zone_map(path: str, cols: list[str]) -> str:
 
     zm = (rd.from_items(files, override_num_blocks=min(len(files), 32))
           .map_batches(footers, batch_format="pyarrow").to_pandas())
+    if prev is not None:
+        import pandas as _pd
+
+        zm = _pd.concat([prev, zm], ignore_index=True)
     target = os.path.join(path, "_zonemap.parquet")
     tmp = f"{target}.tmp-{os.getpid()}"
     pq.write_table(

@@ -230,3 +230,40 @@ def test_pruned_reads_refuse_stale_manifests(ray_session, tmp_path):
     write_zone_map(root, ["k"])
     ds, scanned, total = read_pruned_range(root, "k", 99, 99)
     assert scanned == 1 and total == 2
+
+
+def test_zone_map_incremental_refresh(ray_session, tmp_path):
+    """incremental=True footer-scans only NEW files and unions them in;
+    the refreshed manifest prunes correctly and matches a full rebuild."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysketch.engine.sinks import read_pruned_range, write_zone_map
+
+    root = str(tmp_path / "zsink")
+    os.makedirs(root)
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}),
+                   os.path.join(root, "part-0.parquet"))
+    write_zone_map(root, ["k"])
+    pq.write_table(pa.table({"k": pa.array([50, 60], pa.int64())}),
+                   os.path.join(root, "part-1.parquet"))
+    write_zone_map(root, ["k"], incremental=True)
+    ds, scanned, total = read_pruned_range(root, "k", 55, 100)
+    assert (scanned, total) == (1, 2)
+    assert sorted(ds.to_pandas()["k"]) == [50, 60]
+    # incremental refresh == full rebuild, entry for entry
+    inc = pq.read_table(os.path.join(root, "_zonemap.parquet")) \
+        .to_pandas()
+    write_zone_map(root, ["k"])
+    full = pq.read_table(os.path.join(root, "_zonemap.parquet")) \
+        .to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(inc.reset_index(drop=True),
+                                  full.reset_index(drop=True))
+    # vanished files drop out; no-op refresh keeps service
+    os.remove(os.path.join(root, "part-0.parquet"))
+    write_zone_map(root, ["k"], incremental=True)
+    _, scanned, total = read_pruned_range(root, "k", 0, 100)
+    assert total == 1
+    with pytest.raises(ValueError, match="column set"):
+        write_zone_map(root, ["k", "other"], incremental=True)
