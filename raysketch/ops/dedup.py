@@ -2088,3 +2088,140 @@ def dedup_lineage(ds, text_col: str = "text", id_col: str = "doc_id",
             .groupby("hash_bucket")
             .map_groups(lambda d: losers(d.drop(columns="hash_bucket")),
                         batch_format="pandas"))
+
+
+def build_neardup_index(ds, index_root: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5) -> str:
+    """Persist the corpus's LSH BAND INDEX — (id, band, band_hash) rows
+    as an atomic parquet sink plus a params manifest — so tomorrow's
+    incoming batch can be near-dup-checked against ALL history without
+    ever re-banding the corpus (the streaming-ingest counterpart of
+    :func:`build_dedup_index`'s exact sha256 store)."""
+    import json
+
+    from ..engine.sinks import write_dataset
+
+    rows = ds.map_batches(
+        MinHasher(text_col, id_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow")
+    write_dataset(rows, index_root)
+    with open(os.path.join(index_root, "_neardup_params.json"), "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands,
+                   "shingle_k": shingle_k, "id_col": id_col}, f)
+    return index_root
+
+
+def incremental_neardup(incoming_ds, history_ds, index_root: str,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        new_rows_limit: int = 2_000_000) -> pa.Table:
+    """Streaming near-dup check of an INCOMING batch against a persisted
+    band index (:func:`build_neardup_index`): the index STREAMS (probed
+    block-by-block against the broadcast new-side band rows — incoming
+    is the small side by construction, refused above ``new_rows_limit``
+    band rows), candidates dedupe, and survivors verify with EXACT
+    shingle Jaccard — the same vectorized one-lexsort pass the batch
+    pipeline uses, over candidate-volume-bounded text gathers (new side
+    is at hand; old side arrives via a broadcast semi-filter on the
+    candidate id set). Returns (new_id, old_id, jaccard round6)
+    ordered — history is never re-banded and never gathered whole."""
+    import json
+
+    import ray
+
+    from ..engine.sinks import read_back
+
+    with open(os.path.join(index_root, "_neardup_params.json")) as f:
+        params = json.load(f)
+    hasher = MinHasher(text_col, id_col, params["num_perm"],
+                       params["bands"], params["shingle_k"])
+    k = params["shingle_k"]
+
+    new_rows = incoming_ds.map_batches(hasher, batch_format="pyarrow") \
+        .to_pandas()
+    if len(new_rows) > new_rows_limit:
+        raise ValueError(
+            "incremental_neardup: incoming band rows exceed the "
+            "broadcast contract — split the batch")
+    ref = ray.put(new_rows)
+
+    def probe(b: pa.Table) -> pa.Table:
+        nr = ray.get(ref)
+        df = b.to_pandas().merge(
+            nr, on=["band", "band_hash"], suffixes=("_old", "_new"))
+        df = df[[f"{id_col}_new", f"{id_col}_old"]].drop_duplicates()
+        return pa.table({
+            "new_id": pa.array(df[f"{id_col}_new"].to_numpy(np.int64)),
+            "old_id": pa.array(df[f"{id_col}_old"].to_numpy(np.int64))})
+
+    cand = read_back(index_root).map_batches(
+        probe, batch_format="pyarrow").to_pandas().drop_duplicates()
+    if cand.empty:
+        return pa.table({"new_id": pa.array([], pa.int64()),
+                         "old_id": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    # candidate-bounded text gathers
+    new_texts = incoming_ds.select_columns([id_col, text_col]) \
+        .to_pandas().set_index(id_col)[text_col]
+    old_idset = ray.put(np.unique(cand["old_id"].to_numpy(np.int64)))
+
+    def keep_old(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(np.isin(ids, ray.get(old_idset))))
+
+    old_texts = history_ds.select_columns([id_col, text_col]) \
+        .map_batches(keep_old, batch_format="pyarrow") \
+        .to_pandas().set_index(id_col)[text_col]
+
+    # signature-agreement estimate filter BEFORE exact verify (the
+    # batch pipeline's decision-safe cut: threshold − 2.5σ under the
+    # 64-perm binomial — band collisions on similar prefixes can leave
+    # 50× more candidates than true pairs; measured 61s → ~8s at sf0.1)
+    num_perm = params["num_perm"]
+    sigma = float(np.sqrt(threshold * (1 - threshold) / num_perm))
+    cut = max(0.0, threshold - 2.5 * sigma)
+    uniq_new = cand["new_id"].unique()
+    uniq_old = cand["old_id"].unique()
+    sig_new = dict(zip(uniq_new, batch_minhash_signatures(
+        [new_texts.loc[i] for i in uniq_new], k, num_perm)))
+    sig_old = dict(zip(uniq_old, batch_minhash_signatures(
+        [old_texts.loc[i] for i in uniq_old], k, num_perm)))
+    A = np.stack([sig_new[i] for i in cand["new_id"]])
+    B = np.stack([sig_old[i] for i in cand["old_id"]])
+    cand = cand[(A == B).mean(axis=1) >= cut]
+    if cand.empty:
+        return pa.table({"new_id": pa.array([], pa.int64()),
+                         "old_id": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    sets_new = {i: shingle_hash_set(new_texts.loc[i], k)
+                for i in cand["new_id"].unique()}
+    sets_old = {i: shingle_hash_set(old_texts.loc[i], k)
+                for i in cand["old_id"].unique()}
+    ids_n = cand["new_id"].to_numpy(np.int64)
+    ids_o = cand["old_id"].to_numpy(np.int64)
+    sa = [sets_new[i] for i in ids_n]
+    sb = [sets_old[i] for i in ids_o]
+    npairs = len(ids_n)
+    sizes_a = np.fromiter((s.size for s in sa), np.int64, npairs)
+    sizes_b = np.fromiter((s.size for s in sb), np.int64, npairs)
+    values = np.concatenate(
+        [v for pair in zip(sa, sb) for v in pair]) \
+        if npairs else np.zeros(0, np.uint64)
+    segs = np.repeat(np.arange(npairs, dtype=np.int64),
+                     sizes_a + sizes_b)
+    order = np.lexsort((values, segs))
+    v, s = values[order], segs[order]
+    dup = (v[1:] == v[:-1]) & (s[1:] == s[:-1])
+    inter = np.bincount(s[1:][dup], minlength=npairs)
+    union = sizes_a + sizes_b - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    keep = jac >= threshold
+    out = pd.DataFrame({
+        "new_id": ids_n[keep], "old_id": ids_o[keep],
+        "jaccard": np.sign(jac[keep])
+        * np.floor(np.abs(jac[keep]) * 1e6 + 0.5) / 1e6}) \
+        .sort_values(["new_id", "old_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -7085,7 +7085,39 @@ def q_cdc_transfer(sf_dir: str) -> pa.Table:
     return cdc_transfer_estimate(docs, new, "source", "text")
 
 
+def q_incremental_neardup(sf_dir: str) -> pa.Table:
+    """Streaming near-dup ingest check (ops/dedup.build_neardup_index +
+    incremental_neardup): even doc_ids are HISTORY (band index persisted
+    once), odd doc_ids arrive as the incoming batch and probe the index
+    — history is never re-banded; candidates verify with exact shingle
+    Jaccard. The full-enumeration oracle also gates LSH recall on the
+    new×old pair space (the neardup_pairs discipline)."""
+    import shutil
+    import uuid as _uuid
+
+    from .ops.dedup import build_neardup_index, incremental_neardup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return f
+
+    hist = docs.map_batches(half(0), batch_format="pyarrow")
+    inc = docs.map_batches(half(1), batch_format="pyarrow")
+    root = f"/tmp/raysketch_ndidx_{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+    try:
+        build_neardup_index(hist, root, num_perm=64, bands=16)
+        out = incremental_neardup(inc, hist, root, threshold=0.5)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "incremental_neardup": q_incremental_neardup,
     "cdc_transfer": q_cdc_transfer,
     "heavy_changers": q_heavy_changers,
     "countsketch_user_counts": q_countsketch_user_counts,
@@ -12127,4 +12159,31 @@ ORACLE_SQL["cdc_transfer"] = f"""
                       AS DOUBLE)
                  / CAST(sum(ln) AS DOUBLE), 6) AS reuse_ratio
     FROM j GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["incremental_neardup"] = """
+    -- exact all-pairs 5-gram Jaccard >= 0.5 restricted to NEW (odd id)
+    -- x OLD (even id) pairs: the full enumeration also gates the band
+    -- index's recall on the incoming batch (neardup_pairs discipline)
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             substr(text || repeat(chr(1), 4), CAST(i AS INTEGER), 5) AS g
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT b.doc_id AS nid, a.doc_id AS oid, count(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT nid AS new_id, oid AS old_id,
+           round(ninter::DOUBLE / (sa.n + sb.n - ninter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = oid
+    JOIN sizes sb ON sb.doc_id = nid
+    WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
+    ORDER BY new_id, old_id
 """

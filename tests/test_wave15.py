@@ -267,3 +267,37 @@ def test_zone_map_incremental_refresh(ray_session, tmp_path):
     assert total == 1
     with pytest.raises(ValueError, match="column set"):
         write_zone_map(root, ["k", "other"], incremental=True)
+
+
+def test_incremental_neardup_index_probe(ray_session, tmp_path):
+    """Planted near-dups across the history/incoming split are found by
+    probing the PERSISTED index; unrelated docs are not; the no-match
+    batch returns an empty typed table."""
+    from raysketch.ops.dedup import (build_neardup_index,
+                                     incremental_neardup, jaccard)
+
+    rng = np.random.default_rng(3)
+    base = ["".join(rng.choice(list("abcdef "), 300)) for _ in range(20)]
+    hist = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64), "text": base})
+    inc_texts = [base[4] + " tail", base[9], "completely different zzz"]
+    inc = pd.DataFrame({
+        "doc_id": np.array([100, 101, 102], np.int64),
+        "text": inc_texts})
+    root = str(tmp_path / "ndidx")
+    build_neardup_index(_mk(hist, 4), root, num_perm=64, bands=16)
+    got = incremental_neardup(_mk(inc, 2), _mk(hist, 4), root,
+                              threshold=0.5).to_pandas()
+    pairs = set(zip(got["new_id"], got["old_id"]))
+    assert (100, 4) in pairs and (101, 9) in pairs
+    assert not any(n == 102 for n, _ in pairs)
+    for _, r in got.iterrows():
+        true_j = jaccard(inc_texts[int(r["new_id"]) - 100],
+                         base[int(r["old_id"])], 5)
+        assert r["jaccard"] == pytest.approx(true_j, abs=1e-6)
+    empty = incremental_neardup(
+        _mk(pd.DataFrame({"doc_id": np.array([200], np.int64),
+                          "text": ["qqq www eee rrr ttt yyy uuu"]}), 1),
+        _mk(hist, 4), root, threshold=0.5).to_pandas()
+    assert len(empty) == 0 and list(empty.columns) == [
+        "new_id", "old_id", "jaccard"]
