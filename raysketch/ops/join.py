@@ -594,8 +594,6 @@ def salted_attach_by_key(
     identity is test-pinned. Use when ``key_skew_profile`` flags a hot
     key; the unsalted route is cheaper on balanced keys (no dim
     replication)."""
-    import ray.data as rd
-
     from .cluster import seed_key32
 
     if how not in ("inner", "left"):
