@@ -1877,3 +1877,76 @@ def grouped_median_impute(ds, group_col: str, value_col: str,
         "n_imputed": pa.array([r[2] for r in rows], pa.int64()),
         "imputed_value": pa.array([r[3] for r in rows], pa.float64()),
         "total_value": pa.array([r[4] for r in rows], pa.float64())})
+
+
+def grouped_spearman(ds, group_col: str, x_col: str, y_col: str,
+                     x_scale: int = 1, y_scale: int = 1) -> pa.Table:
+    """Exact per-group Spearman rank correlation (midranks for ties) —
+    the robust monotone-dependence screen Pearson isn't (one outlier
+    can't move a rank). EXACT and distributed on BOUNDED integer
+    domains (the ks_drift value-domain contract, validated per block):
+    one counting pass reduces each block to (group, x, y, n) JOINT
+    cells; the driver reconstructs doubled midranks 2R = 2·cum_less +
+    count + 1 (always an integer) per margin, folds all rank power
+    sums in Python big-ints (midrank products overflow int64 early),
+    and evaluates ρ as ONE identical-shape double expression DuckDB
+    replays at round6."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = (np.sign(x) * np.floor(np.abs(x) * x_scale + 0.5)) \
+            .astype(np.int64)
+        yi = (np.sign(y) * np.floor(np.abs(y) * y_scale + 0.5)) \
+            .astype(np.int64)
+        if not np.allclose(xi / x_scale, x, rtol=0, atol=1e-9):
+            raise ValueError(f"grouped_spearman: {x_col} carries more "
+                             f"precision than x_scale represents")
+        if not np.allclose(yi / y_scale, y, rtol=0, atol=1e-9):
+            raise ValueError(f"grouped_spearman: {y_col} carries more "
+                             f"precision than y_scale represents")
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        df = pd.DataFrame({"g": g, "x": xi, "y": yi})
+        c = df.groupby(["g", "x", "y"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    cells = (ds.select_columns([group_col, x_col, y_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["g", "x", "y"], as_index=False)["n"].sum())
+    rows = []
+    for gv, sub in cells.groupby("g", sort=True):
+        n = int(sub["n"].sum())
+        if n < 2:
+            raise ValueError(f"grouped_spearman: group {gv!r} needs "
+                             ">= 2 rows")
+
+        def doubled_midranks(col: str) -> dict[int, int]:
+            m = sub.groupby(col)["n"].sum().sort_index()
+            cum = m.cumsum().shift(fill_value=0)
+            return {int(v): int(2 * c + k + 1) for v, c, k in
+                    zip(m.index, cum, m)}
+
+        rx = doubled_midranks("x")
+        ry = doubled_midranks("y")
+        sx = sy = sxx = syy = sxy = 0
+        for x, y, c in zip(sub["x"], sub["y"], sub["n"]):
+            a, b2, ci = rx[int(x)], ry[int(y)], int(c)
+            sx += ci * a
+            sy += ci * b2
+            sxx += ci * a * a
+            syy += ci * b2 * b2
+            sxy += ci * a * b2
+        num = float(n * sxy - sx * sy)
+        dx = float(n * sxx - sx * sx)
+        dy = float(n * syy - sy * sy)
+        rho = num / math.sqrt(dx * dy) if dx > 0 and dy > 0 \
+            else float("nan")
+        r6 = float(np.sign(rho) * np.floor(np.abs(rho) * 1e6 + 0.5)
+                   / 1e6) if rho == rho else float("nan")
+        rows.append((gv, n, r6))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "spearman": pa.array([r[2] for r in rows], pa.float64())})

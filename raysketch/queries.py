@@ -7116,7 +7116,21 @@ def q_incremental_neardup(sf_dir: str) -> pa.Table:
     return out
 
 
+def q_spearman_qty_discount(sf_dir: str) -> pa.Table:
+    """Exact per-returnflag Spearman rank correlation of quantity vs
+    discount (ops/stats.grouped_spearman): joint counting-pass cells,
+    doubled midranks (2·cum_less + count + 1 — always integer), big-int
+    rank power sums, ρ as one identical-shape double expression."""
+    from .ops.stats import grouped_spearman
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_spearman(li, "l_returnflag", "l_quantity",
+                            "l_discount", x_scale=1, y_scale=100)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "spearman_qty_discount": q_spearman_qty_discount,
     "incremental_neardup": q_incremental_neardup,
     "cdc_transfer": q_cdc_transfer,
     "heavy_changers": q_heavy_changers,
@@ -12186,4 +12200,44 @@ ORACLE_SQL["incremental_neardup"] = """
     JOIN sizes sb ON sb.doc_id = nid
     WHERE ninter::DOUBLE / (sa.n + sb.n - ninter) >= 0.5
     ORDER BY new_id, old_id
+"""
+
+ORACLE_SQL["spearman_qty_discount"] = """
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), cj AS (
+      SELECT g, x, y, CAST(count(*) AS HUGEINT) AS n
+      FROM base GROUP BY 1, 2, 3
+    ), mx AS (SELECT g, x, sum(n) AS cnt FROM cj GROUP BY 1, 2),
+    rx AS (
+      SELECT g, x,
+             2 * (sum(cnt) OVER (PARTITION BY g ORDER BY x) - cnt)
+               + cnt + 1 AS rr
+      FROM mx
+    ), my AS (SELECT g, y, sum(n) AS cnt FROM cj GROUP BY 1, 2),
+    ry AS (
+      SELECT g, y,
+             2 * (sum(cnt) OVER (PARTITION BY g ORDER BY y) - cnt)
+               + cnt + 1 AS rr
+      FROM my
+    ), s AS (
+      SELECT cj.g, sum(cj.n) AS n,
+             sum(cj.n * rx.rr) AS sx, sum(cj.n * ry.rr) AS sy,
+             sum(cj.n * rx.rr * rx.rr) AS sxx,
+             sum(cj.n * ry.rr * ry.rr) AS syy,
+             sum(cj.n * rx.rr * ry.rr) AS sxy
+      FROM cj
+      JOIN rx ON rx.g = cj.g AND rx.x = cj.x
+      JOIN ry ON ry.g = cj.g AND ry.y = cj.y
+      GROUP BY cj.g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman
+    FROM s ORDER BY g
 """

@@ -301,3 +301,49 @@ def test_incremental_neardup_index_probe(ray_session, tmp_path):
         _mk(hist, 4), root, threshold=0.5).to_pandas()
     assert len(empty) == 0 and list(empty.columns) == [
         "new_id", "old_id", "jaccard"]
+
+
+def test_grouped_spearman_matches_scipy_style_brute(ray_session):
+    from raysketch.ops.stats import grouped_spearman
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    g = rng.choice(["a", "b"], n)
+    x = rng.integers(1, 20, n).astype(np.float64)
+    # monotone-ish dependence with ties + noise
+    y = (x * 3 + rng.integers(0, 25, n)).astype(np.float64) / 100.0
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    got = grouped_spearman(_mk(df, 6), "g", "x", "y",
+                           x_scale=1, y_scale=100).to_pandas() \
+        .set_index("g")
+
+    def brute_rho(xv, yv):
+        def midranks(v):
+            order = np.argsort(v, kind="stable")
+            r = np.empty(len(v), np.float64)
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j < len(sv) and sv[j] == sv[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2
+                i = j
+            return r
+        rx, ry = midranks(xv), midranks(yv)
+        return np.corrcoef(rx, ry)[0, 1]
+
+    for gv in ("a", "b"):
+        m = g == gv
+        assert got.loc[gv, "spearman"] == pytest.approx(
+            brute_rho(x[m], np.floor(y[m] * 100 + 0.5)), abs=2e-6)
+        assert int(got.loc[gv, "n"]) == int(m.sum())
+    # perfect monotone -> rho == 1 exactly
+    mono = pd.DataFrame({"g": "m", "x": np.arange(50, dtype=np.float64),
+                         "y": np.arange(50, dtype=np.float64) ** 2})
+    r = grouped_spearman(_mk(mono, 3), "g", "x", "y").to_pandas()
+    assert r["spearman"].iloc[0] == 1.0
+    # raised inside a TASK stage -> surfaces as RayTaskError(ValueError)
+    with pytest.raises(Exception, match="precision"):
+        grouped_spearman(_mk(pd.DataFrame(
+            {"g": ["a"], "x": [1.234], "y": [1.0]}), 1), "g", "x", "y")
