@@ -7129,7 +7129,81 @@ def q_spearman_qty_discount(sf_dir: str) -> pa.Table:
                             "l_discount", x_scale=1, y_scale=100)
 
 
+def q_dataset_card(sf_dir: str) -> pa.Table:
+    """One-row DATASET CARD — the datasheet a corpus release ships:
+    row/source/lang counts, token volume, vocabulary size, 16-token
+    head-prefix duplicate count, and exact micro-rounded mean length —
+    every figure from streaming counting passes (vocabulary counted in
+    a hash(token) distinct fold, never gathered)."""
+    from .engine.hashing import append_coarse_bucket
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "source", "lang", "text", "n_chars"])
+
+    # vocabulary + distinct prefixes need global distinct folds
+    def tok_rows(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["text"].to_pylist(), dtype="object")
+        u = s.str.split().explode().dropna().unique()
+        t = pa.table({"t": pa.array(u.astype(object), pa.string())})
+        return append_coarse_bucket(t, ["t"], 256, "__vb")
+
+    vocab = (docs.map_batches(tok_rows, batch_format="pyarrow")
+             .groupby("__vb")
+             .map_groups(lambda d: pd.DataFrame(
+                 {"c": [d["t"].nunique()]}), batch_format="pandas")
+             .to_pandas()["c"].sum())
+
+    def pre_rows(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["text"].to_pylist(), dtype="object")
+        pre = s.str.split().str[:16].str.join(" ").unique()
+        t = pa.table({"p": pa.array(pre.astype(object), pa.string())})
+        return append_coarse_bucket(t, ["p"], 256, "__pb")
+
+    n_prefixes = (docs.map_batches(pre_rows, batch_format="pyarrow")
+                  .groupby("__pb")
+                  .map_groups(lambda d: pd.DataFrame(
+                      {"c": [d["p"].nunique()]}), batch_format="pandas")
+                  .to_pandas()["c"].sum())
+
+    def flat(b: pa.Table) -> pa.Table:
+        s = pd.Series(b["text"].to_pylist(), dtype="object")
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_tokens": pa.array(
+                [int(s.str.split().map(len).sum())], pa.int64()),
+            "sum_chars": pa.array(
+                [int(b["n_chars"].to_numpy(zero_copy_only=False)
+                     .sum())], pa.int64()),
+            "sources": pa.array(
+                [",".join(sorted(set(b["source"].to_pylist())))],
+                pa.string()),
+            "langs": pa.array(
+                [",".join(sorted(set(b["lang"].to_pylist())))],
+                pa.string())})
+
+    parts = docs.map_batches(flat, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    n_tokens = int(parts["n_tokens"].sum())
+    sum_chars = int(parts["sum_chars"].sum())
+    n_sources = len({x for row in parts["sources"]
+                     for x in row.split(",") if x})
+    n_langs = len({x for row in parts["langs"]
+                   for x in row.split(",") if x})
+    mean_chars = ((sum_chars * 2_000_000 + n_docs)
+                  // (2 * n_docs)) / 1e6
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "vocab_size": pa.array([int(vocab)], pa.int64()),
+        "prefix_dup_docs": pa.array([n_docs - int(n_prefixes)],
+                                    pa.int64()),
+        "mean_chars": pa.array([mean_chars], pa.float64())})
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "dataset_card": q_dataset_card,
     "spearman_qty_discount": q_spearman_qty_discount,
     "incremental_neardup": q_incremental_neardup,
     "cdc_transfer": q_cdc_transfer,
@@ -12240,4 +12314,30 @@ ORACLE_SQL["spearman_qty_discount"] = """
                         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
              AS spearman
     FROM s ORDER BY g
+"""
+
+ORACLE_SQL["dataset_card"] = """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents
+    ), pre AS (
+      SELECT array_to_string(list_slice(list_filter(
+               string_split_regex(text, '\\s+'), x -> x <> ''),
+               1, 16), ' ') AS p
+      FROM documents
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(DISTINCT source) AS BIGINT)
+            FROM documents) AS n_sources,
+           (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+            FROM documents) AS n_langs,
+           (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE t <> '')
+             AS n_tokens,
+           (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok
+            WHERE t <> '') AS vocab_size,
+           (SELECT CAST(count(*) - count(DISTINCT p) AS BIGINT)
+            FROM pre) AS prefix_dup_docs,
+           (SELECT CAST(CAST((sum(n_chars) * 2000000 + count(*))
+                             // (2 * count(*)) AS BIGINT) AS DOUBLE)
+            / CAST(1000000 AS DOUBLE) FROM documents) AS mean_chars
 """
