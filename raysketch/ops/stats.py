@@ -1950,3 +1950,59 @@ def grouped_spearman(ds, group_col: str, x_col: str, y_col: str,
         group_col: pa.array([r[0] for r in rows], pa.string()),
         "n": pa.array([r[1] for r in rows], pa.int64()),
         "spearman": pa.array([r[2] for r in rows], pa.float64())})
+
+
+def grouped_kendall(ds, group_col: str, x_col: str, y_col: str,
+                    x_scale: int = 1, y_scale: int = 1) -> pa.Table:
+    """Exact per-group Kendall τ-b (tie-corrected) — the
+    concordant/discordant-pair rank correlation, from the SAME joint
+    counting cells :func:`grouped_spearman` uses: C and D are cell-pair
+    products over the bounded grid (one numpy broadcast per group,
+    |X|·|Y| cells squared — never row pairs), tie terms come from the
+    margins, and τ-b = (C − D)/√((T−Tx)(T−Ty)) evaluates as one
+    identical-shape double expression DuckDB replays at round6."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = (np.sign(x) * np.floor(np.abs(x) * x_scale + 0.5)) \
+            .astype(np.int64)
+        yi = (np.sign(y) * np.floor(np.abs(y) * y_scale + 0.5)) \
+            .astype(np.int64)
+        g = pd.Series(b[group_col].to_pylist(), dtype="object")
+        c = pd.DataFrame({"g": g, "x": xi, "y": yi}) \
+            .groupby(["g", "x", "y"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    cells = (ds.select_columns([group_col, x_col, y_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["g", "x", "y"], as_index=False)["n"].sum())
+    rows = []
+    for gv, sub in cells.groupby("g", sort=True):
+        n = int(sub["n"].sum())
+        xv = sub["x"].to_numpy(np.int64)
+        yv = sub["y"].to_numpy(np.int64)
+        cn = sub["n"].to_numpy(np.int64)
+        # cell-pair concordance over the bounded grid (python-int sums:
+        # n² terms overflow int64 at corpus row counts)
+        gx = xv[:, None] < xv[None, :]
+        prod = cn[:, None].astype(object) * cn[None, :].astype(object)
+        C = int((prod * (gx & (yv[:, None] < yv[None, :]))).sum())
+        D = int((prod * (gx & (yv[:, None] > yv[None, :]))).sum())
+        tx = sum(int(c_) * (int(c_) - 1) // 2
+                 for c_ in sub.groupby("x")["n"].sum())
+        ty = sum(int(c_) * (int(c_) - 1) // 2
+                 for c_ in sub.groupby("y")["n"].sum())
+        tt = n * (n - 1) // 2
+        dx, dy = tt - tx, tt - ty
+        tau = float(C - D) / math.sqrt(float(dx) * float(dy)) \
+            if dx > 0 and dy > 0 else float("nan")
+        r6 = float(np.sign(tau) * np.floor(np.abs(tau) * 1e6 + 0.5)
+                   / 1e6) if tau == tau else float("nan")
+        rows.append((gv, n, r6))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "kendall_tau": pa.array([r[2] for r in rows], pa.float64())})

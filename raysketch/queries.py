@@ -7202,7 +7202,21 @@ def q_dataset_card(sf_dir: str) -> pa.Table:
         "mean_chars": pa.array([mean_chars], pa.float64())})
 
 
+def q_kendall_qty_discount(sf_dir: str) -> pa.Table:
+    """Exact per-returnflag Kendall τ-b of quantity vs discount
+    (ops/stats.grouped_kendall): concordant/discordant CELL-pair
+    products over the bounded joint grid (never row pairs), margin tie
+    corrections, one identical-shape double expression."""
+    from .ops.stats import grouped_kendall
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_kendall(li, "l_returnflag", "l_quantity",
+                           "l_discount", x_scale=1, y_scale=100)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "kendall_qty_discount": q_kendall_qty_discount,
     "dataset_card": q_dataset_card,
     "spearman_qty_discount": q_spearman_qty_discount,
     "incremental_neardup": q_incremental_neardup,
@@ -12340,4 +12354,39 @@ ORACLE_SQL["dataset_card"] = """
            (SELECT CAST(CAST((sum(n_chars) * 2000000 + count(*))
                              // (2 * count(*)) AS BIGINT) AS DOUBLE)
             / CAST(1000000 AS DOUBLE) FROM documents) AS mean_chars
+"""
+
+ORACLE_SQL["kendall_qty_discount"] = """
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), cj AS (
+      SELECT g, x, y, CAST(count(*) AS HUGEINT) AS n
+      FROM base GROUP BY 1, 2, 3
+    ), cd AS (
+      SELECT a.g,
+             coalesce(sum(a.n * b.n)
+                      FILTER (WHERE b.y > a.y), 0) AS cc,
+             coalesce(sum(a.n * b.n)
+                      FILTER (WHERE b.y < a.y), 0) AS dd
+      FROM cj a JOIN cj b ON a.g = b.g AND b.x > a.x
+      GROUP BY a.g
+    ), ties AS (
+      SELECT g, CAST(sum(n) AS HUGEINT) AS nn,
+             (SELECT sum(m.c * (m.c - 1) // 2) FROM (
+                SELECT sum(n) AS c FROM cj i
+                WHERE i.g = o.g GROUP BY i.x) m) AS tx,
+             (SELECT sum(m.c * (m.c - 1) // 2) FROM (
+                SELECT sum(n) AS c FROM cj i
+                WHERE i.g = o.g GROUP BY i.y) m) AS ty
+      FROM cj o GROUP BY g
+    )
+    SELECT t.g AS l_returnflag, CAST(t.nn AS BIGINT) AS n,
+           round(CAST(cd.cc - cd.dd AS DOUBLE)
+                 / sqrt(CAST(t.nn * (t.nn - 1) // 2 - t.tx AS DOUBLE)
+                        * CAST(t.nn * (t.nn - 1) // 2 - t.ty
+                               AS DOUBLE)), 6) AS kendall_tau
+    FROM ties t JOIN cd ON cd.g = t.g ORDER BY t.g
 """

@@ -347,3 +347,41 @@ def test_grouped_spearman_matches_scipy_style_brute(ray_session):
     with pytest.raises(Exception, match="precision"):
         grouped_spearman(_mk(pd.DataFrame(
             {"g": ["a"], "x": [1.234], "y": [1.0]}), 1), "g", "x", "y")
+
+
+def test_grouped_kendall_matches_brute(ray_session):
+    from raysketch.ops.stats import grouped_kendall
+
+    rng = np.random.default_rng(11)
+    n = 800
+    g = rng.choice(["a", "b"], n)
+    x = rng.integers(1, 12, n).astype(np.float64)
+    y = (x * 2 + rng.integers(0, 15, n)).astype(np.float64)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    got = grouped_kendall(_mk(df, 5), "g", "x", "y").to_pandas() \
+        .set_index("g")
+
+    def brute_tau(xv, yv):
+        m = len(xv)
+        C = D = 0
+        for i in range(m):
+            for j in range(i + 1, m):
+                s = (xv[i] - xv[j]) * (yv[i] - yv[j])
+                C += s > 0
+                D += s < 0
+        tt = m * (m - 1) // 2
+        tx = sum(c * (c - 1) // 2
+                 for c in pd.Series(xv).value_counts())
+        ty = sum(c * (c - 1) // 2
+                 for c in pd.Series(yv).value_counts())
+        return (C - D) / np.sqrt(float(tt - tx) * float(tt - ty))
+
+    for gv in ("a", "b"):
+        m = g == gv
+        assert got.loc[gv, "kendall_tau"] == pytest.approx(
+            brute_tau(x[m], y[m]), abs=2e-6)
+    # perfect monotone -> tau == 1 exactly
+    mono = pd.DataFrame({"g": "m", "x": np.arange(30, dtype=np.float64),
+                         "y": np.arange(30, dtype=np.float64) * 3})
+    r = grouped_kendall(_mk(mono, 2), "g", "x", "y").to_pandas()
+    assert r["kendall_tau"].iloc[0] == 1.0
