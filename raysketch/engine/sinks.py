@@ -390,14 +390,18 @@ def write_version(ds, root: str) -> int:
     writers resolve by compare-and-swap: ``os.rename`` onto an existing
     ``v=N`` directory fails atomically (POSIX ENOTEMPTY/EEXIST) and the
     loser retries with the next number — the staged data is written
-    ONCE, only the rename retries."""
+    ONCE, only the rename retries. The next number is picked from ALL
+    ``v=N`` directories present, committed or not: an UNCOMMITTED
+    leftover (a writer that crashed between rename and ``_SUCCESS``)
+    must be skipped past, not retried forever — readers still ignore it
+    via :func:`list_versions`."""
     import uuid as _uuid
 
     os.makedirs(root, exist_ok=True)
     stage = os.path.join(root, f"_stage-{os.getpid()}-{_uuid.uuid4().hex[:8]}")
     ds.write_parquet(stage)
     while True:
-        existing = list_versions(root)
+        existing = _all_version_dirs(root)
         ver = (max(existing) + 1) if existing else 1
         final = os.path.join(root, f"v={ver}")
         try:
@@ -410,6 +414,24 @@ def write_version(ds, root: str) -> int:
     with open(os.path.join(final, SUCCESS_MARKER), "w"):
         pass
     return ver
+
+
+def _all_version_dirs(root: str) -> list[int]:
+    """Every ``v=N`` directory under ``root`` — committed or NOT.
+    Version-number allocation must see uncommitted leftovers (a writer
+    that crashed between rename and ``_SUCCESS``) or it would retry the
+    same taken number forever; readers keep using :func:`list_versions`,
+    which hides them."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v=") and os.path.isdir(os.path.join(root, name)):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def list_versions(root: str) -> list[int]:
@@ -471,8 +493,24 @@ def write_tables_atomic(named_ds: dict, root: str) -> str:
                 pass
         with open(os.path.join(staging, SUCCESS_MARKER), "w") as f:
             f.write("\n".join(sorted(named_ds)) + "\n")
-        shutil.rmtree(root, ignore_errors=True)
-        os.rename(staging, root)
+        # Publish without a window where NOTHING is readable: move the
+        # previous snapshot ASIDE (rename, not delete), swing staging
+        # into place, then drop the old copy. If the publish rename
+        # fails, the old snapshot is restored — a failure never loses
+        # both the previous snapshot and the new data.
+        old = None
+        if os.path.exists(root):
+            old = os.path.join(
+                parent, f".old-{os.path.basename(root)}-{_uuid.uuid4().hex[:12]}")
+            os.rename(root, old)
+        try:
+            os.rename(staging, root)
+        except BaseException:
+            if old is not None:
+                os.rename(old, root)
+            raise
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -1319,18 +1319,25 @@ def local_clustering(edges_ds, u_col: str = "u", v_col: str = "v",
     iu = np.searchsorted(nodes, u)
     iv = np.searchsorted(nodes, v)
     n = len(nodes)
-    A = np.zeros((n, n), dtype=bool)
-    A[iu, iv] = True
-    A[iv, iu] = True
-    deg = A.sum(axis=1).astype(np.int64)
-    packed = np.packbits(A, axis=1)
-    del A
-    # pad row width to a uint64 multiple and view as words: the AND +
-    # SWAR popcount then run 8 bytes at a time (a uint8 table lookup
-    # here measured 25s on the sf0.1 part graph; SWAR ~2s)
-    pad = (-packed.shape[1]) % 8
-    if pad:
-        packed = np.pad(packed, ((0, 0), (0, pad)))
+    # driver memory is O(n²/8) for the packed adjacency — the edge-count
+    # route guard alone lets a sparse 5M-edge/1M-node graph through that
+    # would need ~125GB here; bound the PACKED bytes explicitly
+    width = ((n + 63) // 64) * 8  # bytes per row, uint64-aligned
+    if n * width > (2 << 30):
+        raise ValueError(
+            f"local_clustering: packed adjacency needs {n * width >> 20} MiB "
+            f"for {n} nodes — exceeds the 2 GiB driver budget; bucket the "
+            "graph or reduce the node set")
+    # build the packed bitmap DIRECTLY from edge indices (MSB-first, as
+    # np.packbits would) — never materializing the n×n bool intermediate
+    packed = np.zeros((n, width), dtype=np.uint8)
+    rows = np.concatenate([iu, iv])
+    cols = np.concatenate([iv, iu])
+    np.bitwise_or.at(packed, (rows, cols >> 3),
+                     (np.uint8(0x80) >> (cols & 7).astype(np.uint8)))
+    deg = np.bincount(rows, minlength=n).astype(np.int64)
+    # the AND + SWAR popcount runs 8 bytes at a time (a uint8 table
+    # lookup here measured 25s on the sf0.1 part graph; SWAR ~2s)
     words = packed.view(np.uint64)
     m1 = np.uint64(0x5555555555555555)
     m2 = np.uint64(0x3333333333333333)

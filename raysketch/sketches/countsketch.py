@@ -40,6 +40,15 @@ _ROW_MULT = np.array([
     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5 | 1, 0xC2B2AE3D27D4EB4F,
     0x165667B19E3779F9, 0x27D4EB2F165667C5], dtype=np.uint64)
 
+# INDEPENDENT odd multipliers for the per-row SIGN hash: Charikar et
+# al.'s two-sided √(F2/w) analysis needs the sign independent of the
+# bucket; deriving both from one product correlates them, so the sign
+# comes from its own multiply-shift remix (top bit of a second product).
+_SIGN_MULT = np.array([
+    0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D,
+    0x9E6C63D0876A9F77, 0xCA5A826395121157, 0x8CB92BA72F3D8DD7,
+    0xDA942042E4DD58B5, 0x93D765DD3E9B3C4F], dtype=np.uint64)
+
 
 class CountSketch:
     kind = "countsketch"
@@ -51,6 +60,11 @@ class CountSketch:
             raise ValueError("width must be a power of two >= 2")
         if depth % 2 == 0:
             raise ValueError("depth must be odd (median of rows)")
+        if depth * width > (1 << 32):
+            # the sparse codec stores flat cell indices as uint32; a
+            # larger table would silently wrap them into corrupt payloads
+            raise ValueError("depth*width must be <= 2^32 (sparse codec "
+                             "stores uint32 cell indices)")
         self.depth = depth
         self.width = width
         self._shift = np.uint64(64 - int(np.log2(width)))
@@ -67,10 +81,11 @@ class CountSketch:
         for r in range(self.depth):
             with np.errstate(over="ignore"):
                 mix = h * _ROW_MULT[r]
+                smix = h * _SIGN_MULT[r]
             idx[r] = (mix >> self._shift).astype(np.int64)
-            # sign from the next bit below the index bits
-            sgn[r] = 1 - 2 * ((mix >> (self._shift - np.uint64(1)))
-                              & np.uint64(1)).astype(np.int64)
+            # sign from an INDEPENDENT multiply-shift remix (top bit):
+            # sign ⟂ bucket, as the published analysis assumes
+            sgn[r] = 1 - 2 * (smix >> np.uint64(63)).astype(np.int64)
         return idx, sgn
 
     # -- updates ----------------------------------------------------------

@@ -1,0 +1,160 @@
+"""Round-5 ADVICE regression pins: sinks crash windows, countsketch
+guards/sign independence, local_clustering memory contract."""
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk(df, blocks=1):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(blocks)
+
+
+# ---------------------------------------------------------------------------
+# write_version: a writer that crashed BETWEEN os.rename and _SUCCESS must
+# not wedge version allocation (pre-fix: busy-loop forever on the taken N)
+# ---------------------------------------------------------------------------
+
+def test_write_version_skips_uncommitted_leftover(ray_session, tmp_path):
+    from raysketch.engine.sinks import (list_versions, read_version,
+                                        write_version)
+
+    root = str(tmp_path / "snap")
+    d = pd.DataFrame({"k": np.arange(5, dtype=np.int64)})
+    assert write_version(_mk(d), root) == 1
+    # crashed writer: v=2 dir exists (rename done) but no _SUCCESS
+    os.makedirs(os.path.join(root, "v=2"))
+    with open(os.path.join(root, "v=2", "junk.parquet"), "wb") as f:
+        f.write(b"half-written")
+    assert write_version(_mk(d), root) == 3  # skips past, never retries v=2
+    assert list_versions(root) == [1, 3]  # readers still never see v=2
+    assert sorted(read_version(root).to_pandas()["k"]) == list(range(5))
+
+
+# ---------------------------------------------------------------------------
+# write_tables_atomic: a failed publish rename must leave the PREVIOUS
+# snapshot readable (pre-fix: old root rmtree'd before rename, then the
+# except handler deleted staging too -> both copies lost)
+# ---------------------------------------------------------------------------
+
+def test_write_tables_atomic_failed_publish_restores_old(ray_session,
+                                                         tmp_path):
+    import pyarrow.parquet as pq
+
+    from raysketch.engine import sinks
+
+    root = str(tmp_path / "tables")
+    sinks.write_tables_atomic({"a": _mk(pd.DataFrame({"x": [1]}))}, root)
+    real_rename = sinks.os.rename
+
+    def bad_rename(src, dst):
+        if dst == root and ".staging-" in os.path.basename(src):
+            raise OSError("injected publish failure")
+        return real_rename(src, dst)
+
+    sinks.os.rename = bad_rename
+    try:
+        with pytest.raises(OSError, match="injected"):
+            sinks.write_tables_atomic(
+                {"a": _mk(pd.DataFrame({"x": [999]}))}, root)
+    finally:
+        sinks.os.rename = real_rename
+    # previous snapshot restored, no staging/old litter
+    assert pq.read_table(os.path.join(root, "a")).to_pandas()["x"].tolist() \
+        == [1]
+    litter = [n for n in os.listdir(str(tmp_path))
+              if n.startswith((".staging-", ".old-"))]
+    assert litter == []
+
+
+def test_write_tables_atomic_republish_over_existing(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raysketch.engine.sinks import write_tables_atomic
+
+    root = str(tmp_path / "tables2")
+    write_tables_atomic({"a": _mk(pd.DataFrame({"x": [1]}))}, root)
+    write_tables_atomic({"a": _mk(pd.DataFrame({"x": [2]}))}, root)
+    assert pq.read_table(os.path.join(root, "a")).to_pandas()["x"].tolist() \
+        == [2]
+    assert [n for n in os.listdir(str(tmp_path)) if n.startswith(".old-")] \
+        == []
+
+
+# ---------------------------------------------------------------------------
+# CountSketch: sparse codec stores uint32 flat indices -> tables beyond
+# 2^32 cells must be refused at construction, and the sign hash must be
+# INDEPENDENT of the bucket hash (distinct remix families)
+# ---------------------------------------------------------------------------
+
+def test_countsketch_rejects_table_beyond_uint32_codec():
+    from raysketch.sketches import CountSketch
+
+    with pytest.raises(ValueError, match="2\\^32"):
+        CountSketch(5, 1 << 30)
+    CountSketch(3, 1 << 30)  # 3 * 2^30 < 2^32: fine
+
+
+def test_countsketch_sign_independent_of_bucket():
+    from raysketch.sketches.countsketch import _ROW_MULT, _SIGN_MULT, \
+        CountSketch
+
+    # distinct remix constants per row (independence precondition)
+    assert not set(_ROW_MULT.tolist()) & set(_SIGN_MULT.tolist())
+    # empirically: among hashes landing in the SAME bucket of row 0,
+    # signs split ~50/50 (correlated derivation gave constant sign runs)
+    cs = CountSketch(1, 1 << 4)
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, 200_000, dtype=np.uint64)
+    idx, sgn = cs._cells(h)
+    for b in range(16):
+        s = sgn[0][idx[0] == b]
+        assert 0.45 < (s > 0).mean() < 0.55
+
+
+# ---------------------------------------------------------------------------
+# local_clustering: driver memory is O(n^2/8) packed — node-count budget
+# must refuse graphs whose packed adjacency exceeds 2 GiB even when the
+# EDGE count passes, and the direct packed build must equal brute force
+# ---------------------------------------------------------------------------
+
+def test_local_clustering_node_budget_guard(ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.graph import local_clustering
+
+    n = 200_000  # chain: only 200k edges but (n^2)/8 = 5 GB packed
+    chain = pa.table({"u": pa.array(np.arange(n - 1, dtype=np.int64)),
+                      "v": pa.array(np.arange(1, n, dtype=np.int64))})
+    with pytest.raises(ValueError, match="driver budget"):
+        local_clustering(rd.from_arrow(chain))
+
+
+def test_local_clustering_packed_build_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from raysketch.ops.graph import local_clustering
+
+    rng = np.random.default_rng(3)
+    m = rng.integers(0, 40, size=(300, 2))
+    m = m[m[:, 0] != m[:, 1]]
+    eds = rd.from_arrow(pa.table({"u": pa.array(m[:, 0]),
+                                  "v": pa.array(m[:, 1])}))
+    out = local_clustering(eds).to_pandas().set_index("node")
+    # brute force on the deduped simple graph
+    lo = np.minimum(m[:, 0], m[:, 1])
+    hi = np.maximum(m[:, 0], m[:, 1])
+    simple = set(zip(lo.tolist(), hi.tolist()))
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, nbrs in adj.items():
+        tri = sum(len(adj[x] & nbrs) for x in nbrs) // 2
+        assert out.loc[node, "deg"] == len(nbrs)
+        assert out.loc[node, "n_tri"] == tri
