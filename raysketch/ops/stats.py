@@ -28,6 +28,48 @@ def _r6(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 
+# Driver budget for histogram-partial folds (rows, not bytes — the
+# partials here are 3-4 narrow int64/string columns). Module-level so
+# route-identity tests can monkeypatch it; same discipline as the
+# pagerank/key-skew `_DRIVER_FOLD_LIMIT`.
+_HIST_DRIVER_LIMIT = 5_000_000
+
+
+def _fold_hist_partials(parts_ds, key_cols: list, sum_cols: list,
+                        num_buckets: int = 256) -> pd.DataFrame:
+    """SIZE-ROUTED fold of per-block (key…, count…) histogram partials
+    to driver pandas. The counting-pass ops' partials are bounded by
+    |keys|×|domain| PER BLOCK, but the stream of them is blocks × that —
+    at corpus scale (10⁵-10⁶ blocks) gathering the raw stream would put
+    10⁸-10¹⁰ rows through the driver. Under ``_HIST_DRIVER_LIMIT`` total
+    partial rows the driver folds directly (one pandas groupby beats a
+    Ray shuffle whose only job is dedup); above it ONE coarse
+    ``hash(key…)`` shuffle pre-folds duplicate (block × key) rows inside
+    the cluster, so the driver sees at most the key-domain itself — the
+    grouped_mode / table_profile pattern, shared.
+
+    Returns the folded histogram (key_cols + summed sum_cols); empty
+    input gives an empty DataFrame with the right columns (empty Ray
+    datasets lose their schema, so the frame is built by hand)."""
+    parts_ds = parts_ds.materialize()
+    if parts_ds.count() == 0:
+        return pd.DataFrame(columns=list(key_cols) + list(sum_cols))
+    if parts_ds.count() <= _HIST_DRIVER_LIMIT:
+        return parts_ds.to_pandas().groupby(
+            list(key_cols), as_index=False)[list(sum_cols)].sum()
+    from ..engine.hashing import append_coarse_bucket
+
+    folded = (parts_ds.map_batches(
+        lambda b: append_coarse_bucket(b, list(key_cols), num_buckets,
+                                       "__hb"),
+        batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(lambda df: df.drop(columns="__hb").groupby(
+            list(key_cols), as_index=False)[list(sum_cols)].sum(),
+            batch_format="pandas"))
+    return folded.to_pandas()
+
+
 def grouped_moments(ds, group_col: str, value_col: str) -> pa.Table:
     """Exact per-group mean / sample stddev / skewness / excess
     kurtosis of an integer-valued column in ONE distributed pass.
@@ -133,7 +175,9 @@ def robust_profile(ds, group_col: str, value_col: str,
 
     Requires a BOUNDED integer value domain (ratings, counts,
     quantities): each block reduces to ≤ |groups|×|domain| count rows,
-    the driver folds them, and every statistic is computed from the
+    the partial stream folds via the size-routed
+    :func:`_fold_hist_partials` (coarse ``hash(g, v)`` pre-shuffle above
+    the driver budget), and every statistic is computed from the
     exact histogram — medians land on halves, MADs on quarters, all
     exact binary fractions, so the DuckDB replay matches bit-for-bit
     with no rounding slack. Outlier comparison uses the unrounded
@@ -154,15 +198,15 @@ def robust_profile(ds, group_col: str, value_col: str,
             "v": pa.array(out["v"].to_numpy(np.int64)),
             "n": pa.array(out["n"].to_numpy(np.int64))})
 
-    parts = (ds.select_columns([group_col, value_col])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
-    if parts.empty:
+    hist = _fold_hist_partials(
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"), ["g", "v"], ["n"])
+    if hist.empty:
         return pa.table({group_col: pa.array([], pa.string()),
                          "n": pa.array([], pa.int64()),
                          "median": pa.array([], pa.float64()),
                          "mad": pa.array([], pa.float64()),
                          "n_outliers": pa.array([], pa.int64())})
-    hist = parts.groupby(["g", "v"], as_index=False)["n"].sum()
     rows = []
     for g, sub in hist.groupby("g", sort=True):
         v = sub["v"].to_numpy(np.int64).astype(np.float64)
@@ -347,13 +391,13 @@ def windowed_quantiles(ds, window_col: str, value_col: str, scale: int,
                          "v": pa.array(out["v"].to_numpy(np.int64)),
                          "n": pa.array(out["n"].to_numpy(np.int64))})
 
-    parts = (ds.select_columns([window_col, value_col])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    hist = _fold_hist_partials(
+        ds.select_columns([window_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"), ["w", "v"], ["n"])
     cols = {window_col: [], "n": []}
     for q in qs:
         cols[f"q{int(round(q * 100))}"] = []
-    if not parts.empty:
-        hist = parts.groupby(["w", "v"], as_index=False)["n"].sum()
+    if not hist.empty:
         for w, sub in hist.groupby("w", sort=True):
             v = sub["v"].to_numpy(np.int64)
             c = sub["n"].to_numpy(np.int64)
@@ -395,14 +439,14 @@ def trimmed_mean(ds, group_col: str, value_col: str,
             "v": pa.array(out["v"].to_numpy(np.int64)),
             "n": pa.array(out["n"].to_numpy(np.int64))})
 
-    parts = (ds.select_columns([group_col, value_col])
-             .map_batches(partial, batch_format="pyarrow").to_pandas())
-    if parts.empty:
+    hist = _fold_hist_partials(
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"), ["g", "v"], ["n"])
+    if hist.empty:
         return pa.table({group_col: pa.array([], pa.string()),
                          "n": pa.array([], pa.int64()),
                          "n_used": pa.array([], pa.int64()),
                          "trimmed_mean": pa.array([], pa.float64())})
-    hist = parts.groupby(["g", "v"], as_index=False)["n"].sum()
     rows = []
     for g, sub in hist.groupby("g", sort=True):
         sub = sub.sort_values("v")
@@ -716,11 +760,11 @@ def weighted_quantiles(ds, value_col: str, weight_col: str,
         return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
                          "w": pa.array(g["w"].to_numpy(np.int64))})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if parts.empty or parts["w"].sum() == 0:
+    hist = _fold_hist_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["v"], ["w"])
+    if hist.empty or hist["w"].sum() == 0:
         raise ValueError("weighted_quantiles: zero total weight")
-    hist = parts.groupby("v", as_index=False)["w"].sum() \
-        .sort_values("v").reset_index(drop=True)
+    hist = hist.sort_values("v").reset_index(drop=True)
     vals = hist["v"].to_numpy(np.int64)
     cumw = hist["w"].to_numpy(np.int64).cumsum()
     W = int(cumw[-1])
@@ -1846,10 +1890,10 @@ def grouped_median_impute(ds, group_col: str, value_col: str,
             "n": pa.array(oc["n"].to_numpy(np.int64)),
             "nm": pa.array(oc["nm"].to_numpy(np.int64))})
 
-    parts = (ds.select_columns([group_col, value_col, missing_col])
-             .map_batches(partial, batch_format="pyarrow")
-             .to_pandas()
-             .groupby(["g", "c"], as_index=False)[["n", "nm"]].sum())
+    parts = _fold_hist_partials(
+        ds.select_columns([group_col, value_col, missing_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["g", "c"], ["n", "nm"])
     rows = []
     for gv, sub in parts.groupby("g", sort=True):
         n_miss = int(sub["nm"].sum())

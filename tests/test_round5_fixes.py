@@ -158,3 +158,51 @@ def test_local_clustering_packed_build_matches_bruteforce(ray_session):
         tri = sum(len(adj[x] & nbrs) for x in nbrs) // 2
         assert out.loc[node, "deg"] == len(nbrs)
         assert out.loc[node, "n_tri"] == tri
+
+
+# ---------------------------------------------------------------------------
+# counting-pass stats ops: the histogram-partial fold is SIZE-ROUTED
+# (_fold_hist_partials) — the forced coarse-shuffle route must produce
+# bit-identical output to the driver-fold route on every op
+# ---------------------------------------------------------------------------
+
+def _mk_blocks(df, parallelism=6):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+def test_hist_fold_route_identity(ray_session, monkeypatch):
+    import pyarrow.compute as pc  # noqa: F401
+
+    from raysketch.ops import stats as st
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.integers(0, 50, n).astype(np.float64),
+        "w": rng.integers(0, 30, n).astype(np.int64),
+        "win": rng.integers(0, 5, n).astype(np.int64),
+        "miss": rng.random(n) < 0.1,
+    })
+
+    def run_all():
+        return {
+            "robust": st.robust_profile(_mk_blocks(df), "g", "v"),
+            "windowed": st.windowed_quantiles(
+                _mk_blocks(df.assign(v=df["v"] / 100.0)), "win", "v", 100),
+            "trimmed": st.trimmed_mean(_mk_blocks(df), "g", "v"),
+            "weighted": st.weighted_quantiles(
+                _mk_blocks(df[["v", "w"]]), "v", "w", qs=(0.1, 0.5, 0.9)),
+            "impute": st.grouped_median_impute(
+                _mk_blocks(df.assign(v=df["v"].where(~df["miss"], 0.0))),
+                "g", "v", "miss"),
+        }
+
+    assert st._HIST_DRIVER_LIMIT > 100_000  # default: driver route
+    base = run_all()
+    monkeypatch.setattr(st, "_HIST_DRIVER_LIMIT", 0)  # force the shuffle
+    routed = run_all()
+    for name in base:
+        assert base[name].equals(routed[name]), name
