@@ -615,34 +615,186 @@ def embedding_quantization(ds, vec_col: str = "embedding",
         "err_micro": pa.array(agg["err_micro"].to_numpy(np.int64))})
 
 
+_KEY_MAX = np.iinfo(np.int64).max
+
+
+def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
+                           label_col: str | None, k: int, exclude: str,
+                           n_cells: int = 16, n_probe: int = 4,
+                           train_sample: int = 4096, seed: int = 42):
+    """Shared IVF-bucketed candidate machinery for the corpus-vs-itself
+    similarity screens ABOVE the broadcast budget: a coarse k-means
+    quantizer (trained on a bounded sample, broadcast once) assigns
+    every row a HOME cell; each row also probes its ``n_probe`` nearest
+    cells as a query. One shuffle co-locates members and probes per
+    cell (each vector ships ≤ 1+n_probe times); the per-cell search is
+    the same composite-key matmul as the broadcast route ((round6
+    cosine DESC, id ASC) — ids must fit 33 bits). Home cells are
+    DISJOINT, so per-query candidates never duplicate across cells and
+    the global fold is a pure k-smallest-key merge.
+
+    ``exclude``: ``"self"`` (knn/mutual) or ``"same_label"`` (hard
+    negatives). Approximate when ``n_probe < n_cells`` — a true
+    neighbor outside the probed cells is missed (recall rises with
+    n_probe; ``n_probe == n_cells`` is exact by construction). Returns
+    a Dataset of (qid[, qlabel][, nbr_label], key) candidates; the
+    neighbor id and round6-cosine micros are recoverable from ``key``.
+    """
+    import ray
+
+    from ..engine.hashing import append_coarse_bucket
+
+    n_probe = min(n_probe, n_cells)
+    with_label = label_col is not None
+    # bounded training sample, one streaming pass, no shuffle
+    sample: list[np.ndarray] = []
+    seen = 0
+    for b in mat.select_columns([vec_col]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        sample.append(np.asarray(b[vec_col].to_pylist(), np.float64))
+        seen += sample[-1].shape[0]
+        if seen >= train_sample:
+            break
+    C = _kmeans(_normalize(np.concatenate(sample)[:train_sample]),
+                n_cells, seed=seed)
+    cref = ray.put(C)
+
+    def expand(b: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size and (ids.max() >= (1 << 33) or ids.min() < 0):
+            raise ValueError("ivf screen: ids must fit 33 bits "
+                             "(composite rank key)")
+        X = np.asarray([np.asarray(v, np.float64)
+                        for v in b[vec_col].to_pylist()])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        sims = (X / np.maximum(nrm, 1e-12)[:, None]) @ Cm.T
+        probes = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
+        home = probes[:, 0]  # argmax == first of the sorted probes
+        nb = len(ids)
+        cells = np.concatenate([home] + [probes[:, j]
+                                         for j in range(n_probe)])
+        roles = np.concatenate([np.zeros(nb, np.int64),
+                                np.ones(nb * n_probe, np.int64)])
+        rep = np.tile(np.arange(nb), 1 + n_probe)
+        cols = {"cell": pa.array(cells), "role": pa.array(roles),
+                "id": pa.array(ids[rep]),
+                "v": pa.array([X[i].tolist() for i in rep],
+                              pa.list_(pa.float64())),
+                "nrm": pa.array(nrm[rep], pa.float64())}
+        if with_label:
+            lab = b[label_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cols["label"] = pa.array(lab[rep])
+        return pa.table(cols)
+
+    def search(df: pd.DataFrame) -> pd.DataFrame:
+        M = df[df["role"] == 0]
+        P = df[df["role"] == 1].drop_duplicates("id")
+        empty_cols = {"qid": pd.Series([], dtype="int64"),
+                      "key": pd.Series([], dtype="int64")}
+        if with_label:
+            empty_cols["qlabel"] = pd.Series([], dtype="int64")
+            empty_cols["nbr_label"] = pd.Series([], dtype="int64")
+        if M.empty or P.empty:
+            return pd.DataFrame(empty_cols)
+        Mv = np.stack([np.asarray(v, np.float64) for v in M["v"]])
+        Pv = np.stack([np.asarray(v, np.float64) for v in P["v"]])
+        mid = M["id"].to_numpy(np.int64)
+        pid = P["id"].to_numpy(np.int64)
+        cos = (Pv @ Mv.T) / (P["nrm"].to_numpy(np.float64)[:, None]
+                             * M["nrm"].to_numpy(np.float64)[None, :])
+        micro = (np.sign(cos)
+                 * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(np.int64)
+        key = (1_000_000 - micro) * np.int64(1 << 33) + mid[None, :]
+        if exclude == "self":
+            bad = pid[:, None] == mid[None, :]
+        else:
+            bad = (P["label"].to_numpy(np.int64)[:, None]
+                   == M["label"].to_numpy(np.int64)[None, :])
+        key = np.where(bad, _KEY_MAX, key)
+        kk = min(k, key.shape[1])
+        if kk < key.shape[1]:
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.tile(np.arange(key.shape[1]), (len(pid), 1))
+        qi = np.repeat(np.arange(len(pid)), part.shape[1])
+        ks = key[qi, part.ravel()]
+        keep = ks != _KEY_MAX
+        out = {"qid": pid[qi][keep], "key": ks[keep]}
+        if with_label:
+            out["qlabel"] = P["label"].to_numpy(np.int64)[qi][keep]
+            out["nbr_label"] = M["label"].to_numpy(np.int64)[
+                part.ravel()][keep]
+        return pd.DataFrame(out)
+
+    cand = (mat.map_batches(expand, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(search, batch_format="pandas"))
+    return cand.map_batches(
+        lambda b: append_coarse_bucket(b, ["qid"], 64, "__qb"),
+        batch_format="pyarrow")
+
+
+def _topk_fold(k: int):
+    """Per-query k-smallest-key merge for IVF screen candidates."""
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__qb").sort_values(["qid", "key"],
+                                                 kind="stable")
+        return df.groupby("qid", sort=False).head(k)
+    return fold
+
+
 def knn_label_noise(ds, k: int = 5, id_col: str = "vec_id",
                     vec_col: str = "embedding", label_col: str = "label",
-                    broadcast_budget: int = 50_000_000):
+                    broadcast_budget: int = 50_000_000,
+                    n_cells: int = 16, n_probe: int = 4):
     """Label-noise screen via k-NN disagreement — the training-data QA
     pass that flags rows whose ``k`` nearest neighbors (ROUND6 cosine,
     id tie-break — the kmeans_assign decision rule, so DuckDB replays
     every ranking) mostly carry a DIFFERENT label. Likely-mislabeled
     rows poison classifier heads; this surfaces them before training.
 
-    The (id, vector, label) corpus is broadcast ONCE (``ray.put``) and
-    every block does one float64 matmul against it — O(n²·d) flops
-    spread across blocks, shuffle-free. The broadcast is the size
-    contract: refuses when rows × dim exceeds ``broadcast_budget``
-    (the kcenter VALUE-budget rule — vectors are wide; an IVF-bucketed
-    variant is the documented swap beyond it). Returns a Dataset of
+    SIZE-ROUTED on rows × dim (the kcenter VALUE-budget rule — vectors
+    are wide): under ``broadcast_budget`` the (id, vector, label)
+    corpus is broadcast ONCE (``ray.put``) and every block does one
+    float64 matmul against it — O(n²·d) flops spread across blocks,
+    shuffle-free. ABOVE the budget it routes through the IVF-bucketed
+    screen (:func:`_ivf_screen_candidates`): same composite decision
+    key, one cell shuffle instead of a corpus broadcast; approximate
+    when ``n_probe < n_cells`` (exact by construction at
+    ``n_probe == n_cells``). Returns a Dataset of
     (id, label, n_same, noisy) with ``noisy = (2·n_same < k)``."""
     import ray
 
     mat = ds.select_columns([id_col, vec_col, label_col]).materialize()
-    df = mat.to_pandas()
-    n = len(df)
+    n = mat.count()
     if n <= k:
         raise ValueError("knn_label_noise: need more rows than k")
+    dim = len(mat.take(1)[0][vec_col])
+    if n * dim > broadcast_budget:
+        cand = _ivf_screen_candidates(mat, id_col, vec_col, label_col,
+                                      k, "self", n_cells, n_probe)
+        fold_k = _topk_fold(k)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            top = fold_k(df)
+            top = top.assign(same=(top["nbr_label"]
+                                   == top["qlabel"]).astype(np.int64))
+            out = top.groupby("qid", sort=False).agg(
+                qlabel=("qlabel", "first"),
+                n_same=("same", "sum")).reset_index()
+            return pd.DataFrame({
+                id_col: out["qid"].to_numpy(np.int64),
+                label_col: out["qlabel"].to_numpy(np.int64),
+                "n_same": out["n_same"].to_numpy(np.int64),
+                "noisy": (2 * out["n_same"].to_numpy(np.int64) < k)
+                .astype(np.int64)})
+
+        return cand.groupby("__qb").map_groups(finalize,
+                                               batch_format="pandas")
+    df = mat.to_pandas()
     X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
-    if n * X.shape[1] > broadcast_budget:
-        raise ValueError(
-            "knn_label_noise: corpus exceeds the broadcast budget; "
-            "use an IVF/LSH-bucketed variant at this scale")
     order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
     ids = df[id_col].to_numpy(np.int64)[order]
     labels = df[label_col].to_numpy(np.int64)[order]
@@ -679,9 +831,27 @@ def knn_label_noise(ds, k: int = 5, id_col: str = "vec_id",
     return mat.map_batches(score, batch_format="pyarrow")
 
 
+def _mutual_fold(bm: pd.DataFrame) -> pa.Table:
+    """Driver mutuality resolve over the node-sized per-row best-match
+    stream (src sorted, one row per id): keep (a, b) where each is the
+    other's top-1 and a < b."""
+    src = bm["src"].to_numpy(np.int64)
+    dst = bm["dst"].to_numpy(np.int64)
+    mic = bm["micro"].to_numpy(np.int64)
+    pos = np.searchsorted(src, dst)
+    pos = np.minimum(pos, len(src) - 1)
+    mutual = (src[pos] == dst) & (dst[pos] == src) & (src < dst)
+    return pa.table({
+        "a": pa.array(src[mutual]),
+        "b": pa.array(dst[mutual]),
+        "cos": pa.array(mic[mutual].astype(np.float64) / 1e6,
+                        pa.float64())})
+
+
 def mutual_best_match(ds, id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      broadcast_budget: int = 50_000_000) -> pa.Table:
+                      broadcast_budget: int = 50_000_000,
+                      n_cells: int = 16, n_probe: int = 4) -> pa.Table:
     """Reciprocal best match (mutual nearest neighbors): the pairs
     (a, b) where b is a's cosine top-1 AND a is b's — the
     high-precision alignment/dedup primitive (bitext mining, record
@@ -690,18 +860,33 @@ def mutual_best_match(ds, id_col: str = "vec_id",
     decision rule; the same broadcast-matmul contract applies. The
     per-row best-match stream is node-sized (one row per vector), so
     the mutuality fold is a driver searchsorted. Returns
-    (a, b, cos) with a < b, ordered by a."""
+    (a, b, cos) with a < b, ordered by a. SIZE-ROUTED like
+    :func:`knn_label_noise`: above ``broadcast_budget`` the per-row
+    best match comes from the IVF-bucketed screen (approximate when
+    ``n_probe < n_cells``); the mutuality resolve stays the driver
+    searchsorted over the node-sized best-match stream either way."""
     import ray
 
     mat = ds.select_columns([id_col, vec_col]).materialize()
-    df = mat.to_pandas()
-    n = len(df)
+    n = mat.count()
     if n < 2:
         raise ValueError("mutual_best_match: need >= 2 rows")
+    dim = len(mat.take(1)[0][vec_col])
+    if n * dim > broadcast_budget:
+        cand = _ivf_screen_candidates(mat, id_col, vec_col, None,
+                                      1, "self", n_cells, n_probe)
+        fold1 = _topk_fold(1)
+        best = cand.groupby("__qb").map_groups(
+            fold1, batch_format="pandas").to_pandas()
+        bm = pd.DataFrame({
+            "src": best["qid"].to_numpy(np.int64),
+            "dst": (best["key"].to_numpy(np.int64)
+                    & ((np.int64(1) << 33) - 1)),
+            "micro": 1_000_000 - (best["key"].to_numpy(np.int64) >> 33),
+        }).sort_values("src").reset_index(drop=True)
+        return _mutual_fold(bm)
+    df = mat.to_pandas()
     X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
-    if n * X.shape[1] > broadcast_budget:
-        raise ValueError(
-            "mutual_best_match: corpus exceeds the broadcast budget")
     order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
     ids = df[id_col].to_numpy(np.int64)[order]
     if ids.max() >= (1 << 33) or ids.min() < 0:
@@ -731,40 +916,51 @@ def mutual_best_match(ds, id_col: str = "vec_id",
 
     bm = mat.map_batches(best, batch_format="pyarrow").to_pandas() \
         .sort_values("src").reset_index(drop=True)
-    src = bm["src"].to_numpy(np.int64)
-    dst = bm["dst"].to_numpy(np.int64)
-    mic = bm["micro"].to_numpy(np.int64)
-    pos = np.searchsorted(src, dst)  # src is sorted, one row per id
-    mutual = (src[pos] == dst) & (dst[pos] == src) & (src < dst)
-    return pa.table({
-        "a": pa.array(src[mutual]),
-        "b": pa.array(dst[mutual]),
-        "cos": pa.array(mic[mutual].astype(np.float64) / 1e6,
-                        pa.float64())})
+    return _mutual_fold(bm)
 
 
 def hard_negatives(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label",
-                   broadcast_budget: int = 50_000_000):
+                   broadcast_budget: int = 50_000_000,
+                   n_cells: int = 16, n_probe: int = 4):
     """Hard-negative mining for contrastive training: for every vector,
     its most similar neighbor with a DIFFERENT label — the pairs that
     teach a model the decision boundary (random negatives are too easy;
     same-label neighbors are positives). Ranking is (round6 cosine
     DESC, id ASC) — the SQL-replayable decision rule — and the same
-    broadcast-matmul contract as :func:`knn_label_noise` applies; the
+    size-route as :func:`knn_label_noise` applies (above
+    ``broadcast_budget`` the IVF-bucketed screen excludes SAME-label
+    members per cell; a row whose probed cells hold no other label is
+    dropped — approximate, recall rises with ``n_probe``); the
     per-row output is node-sized. Returns a Dataset of
     (id, label, neg_id, neg_label, cos)."""
     import ray
 
     mat = ds.select_columns([id_col, vec_col, label_col]).materialize()
-    df = mat.to_pandas()
-    n = len(df)
-    if df[label_col].nunique() < 2:
+    n = mat.count()
+    if len(mat.unique(label_col)) < 2:
         raise ValueError("hard_negatives: need at least two labels")
+    dim = len(mat.take(1)[0][vec_col])
+    if n * dim > broadcast_budget:
+        cand = _ivf_screen_candidates(mat, id_col, vec_col, label_col,
+                                      1, "same_label", n_cells, n_probe)
+        fold1 = _topk_fold(1)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            top = fold1(df)
+            key = top["key"].to_numpy(np.int64)
+            return pd.DataFrame({
+                id_col: top["qid"].to_numpy(np.int64),
+                label_col: top["qlabel"].to_numpy(np.int64),
+                "neg_id": key & ((np.int64(1) << 33) - 1),
+                "neg_label": top["nbr_label"].to_numpy(np.int64),
+                "cos": (1_000_000 - (key >> 33)).astype(np.float64)
+                / 1e6})
+
+        return cand.groupby("__qb").map_groups(finalize,
+                                               batch_format="pandas")
+    df = mat.to_pandas()
     X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
-    if n * X.shape[1] > broadcast_budget:
-        raise ValueError(
-            "hard_negatives: corpus exceeds the broadcast budget")
     order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
     ids = df[id_col].to_numpy(np.int64)[order]
     if ids.max() >= (1 << 33) or ids.min() < 0:

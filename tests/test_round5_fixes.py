@@ -206,3 +206,66 @@ def test_hist_fold_route_identity(ray_session, monkeypatch):
     routed = run_all()
     for name in base:
         assert base[name].equals(routed[name]), name
+
+
+# ---------------------------------------------------------------------------
+# similarity screens: above the broadcast budget the ops now ROUTE through
+# the IVF-bucketed screen instead of raising. With n_probe == n_cells the
+# route is exact by construction -> bit-identical to the broadcast route.
+# ---------------------------------------------------------------------------
+
+def _vec_corpus(n=90, d=6, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(3, d)) * 8
+    labels = rng.integers(0, 3, n)
+    X = centers[labels] + rng.normal(size=(n, d))
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.tolist() for row in X],
+        "label": labels.astype(np.int64)})
+
+
+def test_similarity_screens_ivf_route_identity(ray_session):
+    from raysketch.ops.similarity import (hard_negatives, knn_label_noise,
+                                          mutual_best_match)
+
+    df = _vec_corpus()
+    mk = lambda: _mk(df, 5)
+    # knn_label_noise
+    base = knn_label_noise(mk(), k=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    ivf = knn_label_noise(mk(), k=5, broadcast_budget=1,
+                          n_cells=8, n_probe=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base.astype("int64"), ivf.astype("int64"))
+    # mutual_best_match (driver table, ordered by a)
+    base = mutual_best_match(mk()).to_pandas()
+    ivf = mutual_best_match(mk(), broadcast_budget=1,
+                            n_cells=8, n_probe=8).to_pandas()
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  ivf.reset_index(drop=True))
+    assert len(base) > 0
+    # hard_negatives
+    cols = ["vec_id", "label", "neg_id", "neg_label", "cos"]
+    base = hard_negatives(mk()).to_pandas()[cols] \
+        .sort_values("vec_id").reset_index(drop=True)
+    ivf = hard_negatives(mk(), broadcast_budget=1,
+                         n_cells=8, n_probe=8).to_pandas()[cols] \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, ivf)
+
+
+def test_similarity_ivf_route_partial_probe_recall(ray_session):
+    # well-separated clusters: probing a strict subset of cells still
+    # recovers nearly every broadcast answer (the documented trade-off)
+    from raysketch.ops.similarity import knn_label_noise
+
+    df = _vec_corpus(n=120, seed=9)
+    base = knn_label_noise(_mk(df, 5), k=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    ivf = knn_label_noise(_mk(df, 5), k=5, broadcast_budget=1,
+                          n_cells=8, n_probe=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(ivf) == len(base)
+    agree = (base["noisy"].to_numpy() == ivf["noisy"].to_numpy()).mean()
+    assert agree >= 0.95, agree

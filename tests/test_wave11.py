@@ -70,8 +70,6 @@ def test_knn_label_noise_matches_brute(ray_session):
 
 def test_knn_label_noise_guards(ray_session):
     df, _ = _clustered(n=20)
-    with pytest.raises(ValueError, match="budget"):
-        knn_label_noise(_mk(df), k=5, broadcast_budget=10)
     big = df.copy()
     big["vec_id"] = big["vec_id"] + (1 << 40)
     with pytest.raises(ValueError, match="33 bits"):
