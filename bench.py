@@ -223,11 +223,19 @@ def _warm_join_pool() -> None:
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__
 
+    from raysketch.queries import _minhash_pairs_invalidate
+
     _warm_join_pool()
     out: dict[str, float] = {}
     for name, fn in __ray_entry__.queries().items():
         if name in SKIP_QUERIES:
             continue
+        if name == "neardup_pairs":
+            # the canonical pair set persists through a staged sink and
+            # is shared by three registry queries; the historically
+            # watched name must charge the FULL derivation, not a read
+            # of an artifact a sibling already published this run
+            _minhash_pairs_invalidate(sf_dir)
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)
@@ -323,15 +331,26 @@ def main() -> None:
         queries = run_queries(args.sf_dir)
         errors = measure_errors()
         total = headline["seconds"] + sum(queries.values())
-        # Two lines, full timings FIRST and the compact summary LAST:
-        # the driver captures a bounded stdout tail and parses the final
-        # line — the 100+-query timing dict outgrew it in round 3
-        # ("parsed": null), amputating the totals. The summary keeps a
-        # small `queries` subset (the historically perf-watched ones) so
-        # the parsed artifact still answers the regression questions;
-        # the full per-query dict is the preceding line.
-        print(json.dumps({"metric": "per_query_seconds", "unit": "sec",
-                          "queries": queries}))
+        # Full per-query timings go to a FILE (the driver's stdout tail
+        # truncated the 246-entry dict in rounds 3-4; only ~31 timings
+        # survived in BENCH_r04.json). The compact stdout summary stays
+        # last so the driver parses it.
+        qfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_queries.json")
+        with open(qfile, "w") as f:
+            json.dump({"metric": "per_query_seconds", "unit": "sec",
+                       "sf": args.sf_dir, "num_cpus": args.cpus,
+                       "queries_count": len(queries),
+                       "queries": queries,
+                       "notes": {"neardup_pairs":
+                                 "persisted pair-set sink invalidated "
+                                 "first: timing charges the full "
+                                 "derivation",
+                                 "neardup_clusters/neardup_doc_counts/"
+                                 "quality_keep_dedup":
+                                 "read the pair set neardup_pairs "
+                                 "published (durable staged sink)"}},
+                      f, indent=1, sort_keys=True)
         watch = [
             "dedup_doc_counts", "neardup_pairs", "time_series_window",
             "pagerank_suppliers", "pagerank_weighted", "ppr_trade",
@@ -346,7 +365,7 @@ def main() -> None:
             "queries": {k: queries[k] for k in watch if k in queries},
             "queries_total_seconds": round(sum(queries.values()), 3),
             "queries_count": len(queries),
-            "queries_full": "per_query_seconds line above",
+            "queries_full": "BENCH_queries.json (repo root)",
             "sf": args.sf_dir,
             "num_cpus": args.cpus,
             "headline_files_per_sec": headline["files_per_sec"],

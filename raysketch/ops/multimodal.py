@@ -22,10 +22,14 @@ Codec status — REAL where the container allows, stubbed where it can't:
 - **Video (uncompressed YUV4MPEG2)** — decoded for real by
   :mod:`raysketch.ops.y4m` (`SampleVideoFrames`: decode → frame
   sample → luma/motion features).
-- **MP3 / compressed video codecs** — NOT in this container; the one
-  remaining honest stub. ``DecodeImage(real=True)`` raises
-  ``NotImplementedError`` exactly where ffmpeg would run; the default
-  deterministic fake derives pixels from the payload hash so
+- **Video (Motion-JPEG)** — REAL compressed-video decode via
+  :mod:`raysketch.ops.mjpeg` (marker-walk frame split + the in-repo
+  baseline JPEG decoder per frame); `SampleVideoFrames` handles both
+  video mimes.
+- **MP3 / inter-frame video codecs (MPEG, H.264)** — NOT in this
+  container; the remaining honest stub. ``DecodeImage(real=True)``
+  raises ``NotImplementedError`` exactly where ffmpeg would run; the
+  default deterministic fake derives pixels from the payload hash so
   downstream stages still exercise real array plumbing.
 
 Scale notes: binary payloads are wide — callers should cap ``batch_size``
@@ -60,6 +64,7 @@ MIME_WAV = "audio/wav"
 MIME_JPEG = "image/jpeg"
 MIME_PNG = "image/png"
 MIME_Y4M = "video/x-yuv4mpeg"
+MIME_MJPEG = "video/x-motion-jpeg"
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +180,7 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
             nf.append(1)
             sr.append(rate)
         elif kind == "video":
+            from .mjpeg import encode_mjpeg
             from .y4m import encode_y4m
 
             n_frames = 8 + i % 8
@@ -186,8 +192,12 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
                 sh = np.roll(base, f * 2, axis=1)
                 px = np.stack([sh, sh[::-1], 255 - sh], axis=2)
                 fr.append(np.clip(px, 0, 255).astype(np.uint8))
-            payloads.append(encode_y4m(np.stack(fr)))
-            mime.append(MIME_Y4M)
+            if i % 2:  # alternate containers: uncompressed / MJPEG
+                payloads.append(encode_mjpeg(np.stack(fr), quality=92))
+                mime.append(MIME_MJPEG)
+            else:
+                payloads.append(encode_y4m(np.stack(fr)))
+                mime.append(MIME_Y4M)
             nf.append(n_frames)
             sr.append(0)
         else:
@@ -245,9 +255,10 @@ class DecodeImage:
             return px
         if self.real:
             raise NotImplementedError(
-                "compressed video/mp3 codecs are not available in this "
-                "environment; uncompressed y4m video decodes for real "
-                "via SampleVideoFrames (jpeg/png/ppm/wav/y4m are real)"
+                "mp3 / inter-frame video codecs (MPEG, H.264) are not "
+                "available in this environment; jpeg/png/ppm/wav are "
+                "real here, and y4m + MJPEG video decode for real via "
+                "SampleVideoFrames"
             )
         seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
         reps = int(np.ceil(h * w * 3 / seed.size))
@@ -343,21 +354,26 @@ class DecodeAudio:
 
 
 class SampleVideoFrames:
-    """Actor stage for video rows: REAL y4m decode (ops/y4m.py), sample
-    every ``every_k``-th frame, and reduce each video to a feature
-    vector [n_frames_sampled, mean luma, std luma, mean |frame diff|
-    (motion)] — the decode→frame-sample→featurize shape of a video
-    curation stage. One decode per row, all-numpy."""
+    """Actor stage for video rows: REAL decode — y4m (ops/y4m.py) or
+    Motion-JPEG (ops/mjpeg.py, per-frame baseline JPEG entropy-decode +
+    IDCT) by mime — then sample every ``every_k``-th frame and reduce
+    each video to a feature vector [n_frames_sampled, mean luma, std
+    luma, mean |frame diff| (motion)] — the decode→frame-sample→
+    featurize shape of a video curation stage. One decode per row,
+    all-numpy."""
 
     def __init__(self, every_k: int = 4) -> None:
         self.every_k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .mjpeg import decode_mjpeg
         from .y4m import decode_y4m, sample_frames
 
         feats = []
-        for payload in batch["payload"].to_pylist():
-            fr = sample_frames(decode_y4m(payload), self.every_k)
+        for payload, mime in zip(batch["payload"].to_pylist(),
+                                 batch["mime"].to_pylist()):
+            dec = decode_mjpeg if mime == MIME_MJPEG else decode_y4m
+            fr = sample_frames(dec(payload), self.every_k)
             luma = fr.astype(np.float64).mean(axis=3) if fr.shape[3] == 3 \
                 else fr[..., 0].astype(np.float64)
             motion = 0.0 if fr.shape[0] < 2 else float(

@@ -1510,31 +1510,63 @@ def q_bloom_membership(sf_dir: str) -> pa.Table:
     )
 
 
+def _minhash_pairs_root(sf_dir: str) -> str:
+    """Keyed persisted location for the canonical pair set: the key
+    folds in the documents parquet's (path, mtime, size) and the
+    derivation parameters, so regenerated data or changed params never
+    serve a stale artifact."""
+    import hashlib
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|t0.5,p64,b16".encode()).hexdigest()[:20]
+    return os.path.join(tempfile.gettempdir(), "raysketch_minhash_pairs",
+                        key)
+
+
+def _minhash_pairs_invalidate(sf_dir: str) -> None:
+    """Drop the persisted pair set (bench uses this so the watched
+    ``neardup_pairs`` timing charges the full derivation cost)."""
+    import shutil
+
+    shutil.rmtree(_minhash_pairs_root(sf_dir), ignore_errors=True)
+
+
 def _minhash_pairs_df(sf_dir: str) -> pd.DataFrame:
     """Canonical verified minhash pairs for ``sf_dir`` (threshold 0.5,
-    64 perms, 16 bands) as driver pandas, memoized per process: three
-    registry queries (pairs, clusters, dedup counts) consume the same
-    deterministic pair set, and each query callable must stay
-    independently runnable — caching the sf-scale RESULT (never a
-    session-bound Dataset handle) re-derives nothing while surviving
-    Ray session restarts. The cache key includes the parquet's
-    (mtime, size), so regenerated data at the same path is never served
-    stale. At corpus scale the analogous reuse is the checkpointed
-    pipeline's persisted stage_verified sink."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    return _minhash_pairs_df_cached(sf_dir, st.st_mtime_ns, st.st_size)
+    64 perms, 16 bands) as driver pandas, PERSISTED through a staged
+    parquet sink under /tmp: three registry queries (pairs, clusters,
+    dedup counts) consume the same deterministic pair set, and each
+    query callable must stay independently runnable — the durable
+    artifact (not process memory) is what they share, exactly as the
+    checkpointed pipeline's published ``stage_verified`` sink is at
+    corpus scale. The first caller derives and publishes atomically
+    (write-to-temp + ``os.replace``; concurrent derivations race
+    benignly — the pair set is deterministic); later callers pay one
+    driver-sized parquet read. The key folds in the source parquet's
+    (mtime, size), so regenerated data is never served stale."""
+    import uuid
 
+    import pyarrow.parquet as pq
 
-@functools.lru_cache(maxsize=4)
-def _minhash_pairs_df_cached(sf_dir: str, _mtime_ns: int,
-                             _size: int) -> pd.DataFrame:
+    root = _minhash_pairs_root(sf_dir)
+    path = os.path.join(root, "pairs.parquet")
+    if os.path.exists(path):
+        return pq.read_table(path).to_pandas()
     from .ops.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return _pairs_df(
+    df = _pairs_df(
         minhash_dedup_pairs(ds, threshold=0.5, num_perm=64, bands=16),
         {"id_a": "int64", "id_b": "int64", "jaccard": "float64"},
     )
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return df
 
 
 def q_neardup_pairs(sf_dir: str) -> pa.Table:
@@ -7216,65 +7248,16 @@ def q_kendall_qty_discount(sf_dir: str) -> pa.Table:
 
 
 QUERIES: dict[str, Callable[[str], Any]] = {
-    "kendall_qty_discount": q_kendall_qty_discount,
-    "dataset_card": q_dataset_card,
-    "spearman_qty_discount": q_spearman_qty_discount,
-    "incremental_neardup": q_incremental_neardup,
-    "cdc_transfer": q_cdc_transfer,
-    "heavy_changers": q_heavy_changers,
-    "countsketch_user_counts": q_countsketch_user_counts,
-    "epoch_order": q_epoch_order,
-    "consistent_export": q_consistent_export,
-    "hard_negatives": q_hard_negatives,
-    "impute_event_values": q_impute_event_values,
-    "ingest_lifecycle": q_ingest_lifecycle,
-    "dedup_lineage": q_dedup_lineage,
-    "incremental_quantiles": q_incremental_quantiles,
-    "cdc_dedup": q_cdc_dedup,
-    "ab_srm_check": q_ab_srm_check,
-    "event_calendar": q_event_calendar,
-    "supplier_neighbor_balance": q_supplier_neighbor_balance,
-    "canonical_dedup": q_canonical_dedup,
-    "mutual_matches": q_mutual_matches,
-    "source_oov_rate": q_source_oov_rate,
-    "quantile_warehouse": q_quantile_warehouse,
-    "knn_label_noise": q_knn_label_noise,
-    "corpus_split": q_corpus_split,
-    "snapshot_versions": q_snapshot_versions,
-    "segment_target_encoding": q_segment_target_encoding,
-    "returnflag_ttest": q_returnflag_ttest,
-    "schema_evolution": q_schema_evolution,
-    "supplier_walks": q_supplier_walks,
-    "chunk_dedup_coverage": q_chunk_dedup_coverage,
-    "trending_types": q_trending_types,
-    "part_clustering": q_part_clustering,
-    "nation_revenue_share": q_nation_revenue_share,
-    "postings_compression": q_postings_compression,
-    "source_hapax_rate": q_source_hapax_rate,
-    "purchase_attribution": q_purchase_attribution,
-    "part_edge_churn": q_part_edge_churn,
-    "customer_returns_topk": q_customer_returns_topk,
-    "source_prefix_dups": q_source_prefix_dups,
-    "user_survival": q_user_survival,
-    "purchase_calibration": q_purchase_calibration,
-    "ngram_continuations": q_ngram_continuations,
-    "bigram_cond_entropy": q_bigram_cond_entropy,
-    "part_kcore": q_part_kcore,
-    "substring_containment": q_substring_containment,
-    "peak_concurrency": q_peak_concurrency,
-    "lag_correlation": q_lag_correlation,
-    "markov_stationary": q_markov_stationary,
-    "source_lang_jsd": q_source_lang_jsd,
-    "purchase_auc": q_purchase_auc,
+    # ROTATION (round 5): the driver checks the FIRST 50 entries; they
+    # are the never-driver-checked oracle-gated queries (125 of them
+    # lead, then the 5 never-checked rows-only, then the 116 with
+    # green rows from r01-r04 - all still gated by test_oracle_parity).
     "transition_latency": q_transition_latency,
     "winsorized_quantity": q_winsorized_quantity,
     "length_drift_w1": q_length_drift_w1,
     "user_max_streak": q_user_max_streak,
     "user_gap_profile": q_user_gap_profile,
     "user_growth_daily": q_user_growth_daily,
-    # rows-only by design (bound-equivalent merges) — kept OUT of the
-    # driver's first-50 oracle window
-    "fd_embedding_sketch": q_fd_embedding_sketch,
     "user_topk_drift": q_user_topk_drift,
     "quality_keep_dedup": q_quality_keep_dedup,
     "supplier_abc": q_supplier_abc,
@@ -7325,7 +7308,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dsir_selection": q_dsir_selection,
     "event_transitions": q_event_transitions,
     "dist_moments": q_dist_moments,
-    "event_pivot": q_event_pivot,
     "fuzzy_dedup": q_fuzzy_dedup,
     "robust_quantities": q_robust_quantities,
     "user_mode_event": q_user_mode_event,
@@ -7394,10 +7376,63 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_by_status": q_lineitem_by_status,
     "supplier_balances": q_supplier_balances,
     "grouping_sets_pricing": q_grouping_sets_pricing,
+    "hourly_event_pivot": q_hourly_event_pivot,
+    "fd_embedding_sketch": q_fd_embedding_sketch,
     "bpe_vocab": q_bpe_vocab,
     "bpe_token_counts": q_bpe_token_counts,
     "kmeans_clusters": q_kmeans_clusters,
     "linear_probe": q_linear_probe,
+    "kendall_qty_discount": q_kendall_qty_discount,
+    "dataset_card": q_dataset_card,
+    "spearman_qty_discount": q_spearman_qty_discount,
+    "incremental_neardup": q_incremental_neardup,
+    "cdc_transfer": q_cdc_transfer,
+    "heavy_changers": q_heavy_changers,
+    "countsketch_user_counts": q_countsketch_user_counts,
+    "epoch_order": q_epoch_order,
+    "consistent_export": q_consistent_export,
+    "hard_negatives": q_hard_negatives,
+    "impute_event_values": q_impute_event_values,
+    "ingest_lifecycle": q_ingest_lifecycle,
+    "dedup_lineage": q_dedup_lineage,
+    "incremental_quantiles": q_incremental_quantiles,
+    "cdc_dedup": q_cdc_dedup,
+    "ab_srm_check": q_ab_srm_check,
+    "event_calendar": q_event_calendar,
+    "supplier_neighbor_balance": q_supplier_neighbor_balance,
+    "canonical_dedup": q_canonical_dedup,
+    "mutual_matches": q_mutual_matches,
+    "source_oov_rate": q_source_oov_rate,
+    "quantile_warehouse": q_quantile_warehouse,
+    "knn_label_noise": q_knn_label_noise,
+    "corpus_split": q_corpus_split,
+    "snapshot_versions": q_snapshot_versions,
+    "segment_target_encoding": q_segment_target_encoding,
+    "returnflag_ttest": q_returnflag_ttest,
+    "schema_evolution": q_schema_evolution,
+    "supplier_walks": q_supplier_walks,
+    "chunk_dedup_coverage": q_chunk_dedup_coverage,
+    "trending_types": q_trending_types,
+    "part_clustering": q_part_clustering,
+    "nation_revenue_share": q_nation_revenue_share,
+    "postings_compression": q_postings_compression,
+    "source_hapax_rate": q_source_hapax_rate,
+    "purchase_attribution": q_purchase_attribution,
+    "part_edge_churn": q_part_edge_churn,
+    "customer_returns_topk": q_customer_returns_topk,
+    "source_prefix_dups": q_source_prefix_dups,
+    "user_survival": q_user_survival,
+    "purchase_calibration": q_purchase_calibration,
+    "ngram_continuations": q_ngram_continuations,
+    "bigram_cond_entropy": q_bigram_cond_entropy,
+    "part_kcore": q_part_kcore,
+    "substring_containment": q_substring_containment,
+    "peak_concurrency": q_peak_concurrency,
+    "lag_correlation": q_lag_correlation,
+    "markov_stationary": q_markov_stationary,
+    "source_lang_jsd": q_source_lang_jsd,
+    "purchase_auc": q_purchase_auc,
+    "event_pivot": q_event_pivot,
     "lang_id": q_lang_id,
     "time_series_window": q_time_series_window,
     "window_stats": q_window_stats,
@@ -7427,7 +7462,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_pricing": q_lineitem_pricing,
     "rollup_pricing": q_rollup_pricing,
     "customer_order_profile": q_customer_order_profile,
-    "hourly_event_pivot": q_hourly_event_pivot,
     "semijoin_pricing": q_semijoin_pricing,
     "quantiles_exact": q_quantiles_exact,
     "ann_topk": q_ann_topk,
@@ -10224,7 +10258,7 @@ ORACLE_SQL["supplier_changepoint"] = """
       FROM d
     )
     SELECT l_suppkey, dd AS cp_order,
-           abs(n*sk - rn*sn) AS stat, n AS n_steps
+           CAST(abs(n*sk - rn*sn) AS BIGINT) AS stat, n AS n_steps
     FROM s
     QUALIFY ROW_NUMBER() OVER (PARTITION BY l_suppkey
                                ORDER BY abs(n*sk - rn*sn) DESC,
@@ -10377,7 +10411,9 @@ ORACLE_SQL["dict_compression_profile"] = """
               FROM (SELECT DISTINCT text AS x FROM documents))
       FROM documents
     )
-    SELECT c AS column_name, n, plain_bytes, n_distinct,
+    SELECT c AS column_name, CAST(n AS BIGINT) AS n,
+           CAST(plain_bytes AS BIGINT) AS plain_bytes,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
            CAST(db + 4*n AS BIGINT) AS dict_bytes,
            round(1.0 - CAST(db + 4*n AS DOUBLE) / plain_bytes, 6)
              AS savings_ratio

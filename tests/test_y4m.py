@@ -61,8 +61,12 @@ def test_video_feature_stage_real_motion():
                                           synthesize_media_batch)
 
     t = synthesize_media_batch(list(range(5)), kind="video")
-    assert set(t["mime"].to_pylist()) == {MIME_Y4M}
-    assert all(p[:9] == b"YUV4MPEG2" for p in t["payload"].to_pylist())
+    # even ids are uncompressed y4m; odd ids are MJPEG (test_mjpeg.py)
+    mimes = t["mime"].to_pylist()
+    assert all(m == MIME_Y4M for i, m in enumerate(mimes) if i % 2 == 0)
+    assert all(p[:9] == b"YUV4MPEG2"
+               for p, m in zip(t["payload"].to_pylist(), mimes)
+               if m == MIME_Y4M)
     out = SampleVideoFrames(every_k=4)(t)
     feats = out["features"].to_pylist()
     for f in feats:
