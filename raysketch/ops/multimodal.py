@@ -26,6 +26,9 @@ Codec status — REAL where the container allows, stubbed where it can't:
   :mod:`raysketch.ops.mjpeg` (marker-walk frame split + the in-repo
   baseline JPEG decoder per frame); `SampleVideoFrames` handles both
   video mimes.
+- **Audio (IMA ADPCM)** — REAL compressed-audio decode via
+  :mod:`raysketch.ops.adpcm` (published IMA/DVI 4-bit adaptive codec);
+  `DecodeAudio` handles PCM WAV and ADPCM rows alike.
 - **MP3 / inter-frame video codecs (MPEG, H.264)** — NOT in this
   container; the remaining honest stub. ``DecodeImage(real=True)``
   raises ``NotImplementedError`` exactly where ffmpeg would run; the
@@ -65,6 +68,7 @@ MIME_JPEG = "image/jpeg"
 MIME_PNG = "image/png"
 MIME_Y4M = "video/x-yuv4mpeg"
 MIME_MJPEG = "video/x-motion-jpeg"
+MIME_ADPCM = "audio/x-ima-adpcm"
 
 
 # ---------------------------------------------------------------------------
@@ -175,8 +179,15 @@ def synthesize_media_batch(ids: list[int], kind: str = "image") -> pa.Table:
             t = np.arange(rate // 4) / rate  # 250 ms
             freq = 200 + (i % 20) * 50
             s = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.normal(0, 1, t.size)
-            payloads.append(encode_wav((s * 32767).astype(np.int16), rate))
-            mime.append(MIME_WAV)
+            pcm = (s * 32767).astype(np.int16)
+            if i % 2:  # alternate containers: PCM WAV / IMA ADPCM
+                from .adpcm import encode_adpcm
+
+                payloads.append(encode_adpcm(pcm, rate))
+                mime.append(MIME_ADPCM)
+            else:
+                payloads.append(encode_wav(pcm, rate))
+                mime.append(MIME_WAV)
             nf.append(1)
             sr.append(rate)
         elif kind == "video":
@@ -329,18 +340,26 @@ class ImageFeatures:
 
 
 class DecodeAudio:
-    """Actor stage: WAV payload → real sample array + per-row features:
-    duration, RMS energy, zero-crossing rate, peak, dominant-bin of an
-    8-point frame-energy profile."""
+    """Actor stage: audio payload → real sample array + per-row
+    features: duration, RMS energy, zero-crossing rate, peak,
+    dominant-bin of an 8-point frame-energy profile. PCM WAV and IMA
+    ADPCM (ops/adpcm.py, real compressed-audio decode) both decode for
+    real; other mimes emit a zero vector."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .adpcm import decode_adpcm
+
         feats = []
         for payload, mime in zip(batch["payload"].to_pylist(),
                                  batch["mime"].to_pylist()):
-            if mime != MIME_WAV:
+            if mime == MIME_WAV:
+                s, sr = decode_wav(payload)
+            elif mime == MIME_ADPCM:
+                pcm, sr = decode_adpcm(payload)
+                s = pcm.astype(np.float64) / 32768.0
+            else:
                 feats.append([0.0] * 12)
                 continue
-            s, sr = decode_wav(payload)
             rms = float(np.sqrt(np.mean(s**2)))
             zcr = float(np.mean(np.abs(np.diff(np.signbit(s)))))
             peak = float(np.abs(s).max(initial=0.0))
