@@ -1265,6 +1265,28 @@ def edge_churn(members_tagged, group_col: str, item_col: str,
         "n_dropped": pa.array([int(tot["n_dropped"])], pa.int64())})
 
 
+# driver-vs-distributed budget for the per-edge popcount fold
+# (edges × uint64-words per adjacency row); module-level so a
+# route-identity test can monkeypatch it
+_POPCOUNT_DRIVER_WORK = 32 << 20
+
+
+def _swar_common_counts(words: np.ndarray, cu: np.ndarray,
+                        cv: np.ndarray) -> np.ndarray:
+    """|N(u)∩N(v)| per edge from packed uint64 adjacency rows —
+    4-step SWAR popcount of the row AND, vectorized over edges."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    s1, s2, s4, s56 = (np.uint64(k) for k in (1, 2, 4, 56))
+    x = words[cu] & words[cv]
+    x = x - ((x >> s1) & m1)
+    x = (x & m2) + ((x >> s2) & m2)
+    x = (x + (x >> s4)) & m4
+    return ((x * h01) >> s56).sum(axis=1).astype(np.int64)
+
+
 def local_clustering(edges_ds, u_col: str = "u", v_col: str = "v",
                      num_buckets: int = 64,
                      driver_limit: int = 5_000_000) -> pa.Table:
@@ -1337,25 +1359,58 @@ def local_clustering(edges_ds, u_col: str = "u", v_col: str = "v",
                      (np.uint8(0x80) >> (cols & 7).astype(np.uint8)))
     deg = np.bincount(rows, minlength=n).astype(np.int64)
     # the AND + SWAR popcount runs 8 bytes at a time (a uint8 table
-    # lookup here measured 25s on the sf0.1 part graph; SWAR ~2s)
+    # lookup here measured 25s on the sf0.1 part graph; SWAR ~2s).
+    # SIZE-ROUTED on total word-ops (edges × words/row): small graphs
+    # loop on the driver; dense fact-scale graphs (the sf0.1 co-order
+    # graph is 1.2M edges × 313 words ≈ 375M word-ops — ~20s of pure
+    # memory-bound popcount) broadcast the packed matrix ONCE
+    # (ray.put, ~n²/8 bytes — already driver-budget-guarded above) and
+    # fan the edge chunks over the cluster; per-node partial sums fold
+    # exactly, so both routes are bit-identical.
     words = packed.view(np.uint64)
-    m1 = np.uint64(0x5555555555555555)
-    m2 = np.uint64(0x3333333333333333)
-    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
-    h01 = np.uint64(0x0101010101010101)
-    s1, s2, s4, s56 = (np.uint64(k) for k in (1, 2, 4, 56))
     tri2 = np.zeros(n, dtype=np.int64)  # 2·tri(v): each triangle at v
     # is seen by BOTH of v's incident edges via the common neighbor
-    chunk = max(1, (64 << 20) // max(8 * words.shape[1], 1))
-    for s in range(0, len(iu), chunk):
-        cu, cv = iu[s:s + chunk], iv[s:s + chunk]
-        x = words[cu] & words[cv]
-        x = x - ((x >> s1) & m1)
-        x = (x & m2) + ((x >> s2) & m2)
-        x = (x + (x >> s4)) & m4
-        cn = ((x * h01) >> s56).sum(axis=1).astype(np.int64)
-        np.add.at(tri2, cu, cn)
-        np.add.at(tri2, cv, cn)
+    if len(iu) * words.shape[1] <= _POPCOUNT_DRIVER_WORK:
+        chunk = max(1, (64 << 20) // max(8 * words.shape[1], 1))
+        for s in range(0, len(iu), chunk):
+            cu, cv = iu[s:s + chunk], iv[s:s + chunk]
+            cn = _swar_common_counts(words, cu, cv)
+            tri2 += np.bincount(cu, weights=cn, minlength=n) \
+                .astype(np.int64)
+            tri2 += np.bincount(cv, weights=cn, minlength=n) \
+                .astype(np.int64)
+    else:
+        import ray
+        import ray.data as rd
+
+        wref = ray.put(words)
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+        def count_part(b: pa.Table) -> pa.Table:
+            W = ray.get(wref)
+            cu = b["cu"].to_numpy(zero_copy_only=False)
+            cv = b["cv"].to_numpy(zero_copy_only=False)
+            t2 = np.zeros(n, dtype=np.float64)
+            chunk = max(1, (64 << 20) // max(8 * W.shape[1], 1))
+            for s in range(0, len(cu), chunk):
+                cn = _swar_common_counts(W, cu[s:s + chunk],
+                                         cv[s:s + chunk])
+                t2 += np.bincount(cu[s:s + chunk], weights=cn,
+                                  minlength=n)
+                t2 += np.bincount(cv[s:s + chunk], weights=cn,
+                                  minlength=n)
+            nz = np.flatnonzero(t2)
+            return pa.table({"node": pa.array(nz.astype(np.int64)),
+                             "t2": pa.array(t2[nz].astype(np.int64))})
+
+        parts = (rd.from_arrow(pa.table({"cu": pa.array(iu.astype(np.int64)),
+                                         "cv": pa.array(iv.astype(np.int64))}))
+                 .repartition(n_blocks)
+                 .map_batches(count_part, batch_format="pyarrow",
+                              batch_size=None)
+                 .to_pandas())
+        agg = parts.groupby("node")["t2"].sum()
+        tri2[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
     tri = tri2 // 2
     denom = (deg * (deg - 1)).astype(np.float64)
     cc = np.where(deg >= 2,

@@ -269,3 +269,20 @@ def test_similarity_ivf_route_partial_probe_recall(ray_session):
     assert len(ivf) == len(base)
     agree = (base["noisy"].to_numpy() == ivf["noisy"].to_numpy()).mean()
     assert agree >= 0.95, agree
+
+
+def test_local_clustering_popcount_route_identity(ray_session, monkeypatch):
+    # the distributed popcount fold must equal the driver loop exactly
+    import ray.data as rd
+
+    from raysketch.ops import graph as gr
+
+    rng = np.random.default_rng(13)
+    m = rng.integers(0, 200, size=(3000, 2))
+    m = m[m[:, 0] != m[:, 1]]
+    eds = lambda: rd.from_arrow(pa.table({"u": pa.array(m[:, 0]),
+                                          "v": pa.array(m[:, 1])}))
+    base = gr.local_clustering(eds())
+    monkeypatch.setattr(gr, "_POPCOUNT_DRIVER_WORK", 0)
+    routed = gr.local_clustering(eds())
+    assert base.equals(routed)
