@@ -467,6 +467,38 @@ def read_version(root: str, version: int | None = None):
                            file_extensions=["parquet"])
 
 
+def recover_tables(root: str) -> str | None:
+    """Recover ``root`` after a writer was HARD-KILLED inside
+    :func:`write_tables_atomic`'s two-rename publish window (root
+    renamed aside, staging not yet swung in). Preference order: a
+    staging dir whose root ``_SUCCESS`` manifest exists is a COMPLETE
+    new snapshot — promote the newest one (finishing the publish);
+    otherwise restore the newest ``.old-*`` snapshot (rolling back).
+    Returns which dir was promoted/restored, or None if ``root``
+    already exists or nothing recoverable is found."""
+    if os.path.exists(root):
+        return None
+    parent = os.path.dirname(os.path.abspath(root)) or "."
+    base = os.path.basename(root)
+    if not os.path.isdir(parent):
+        return None
+
+    def newest(prefix: str, committed_only: bool) -> str | None:
+        cands = [os.path.join(parent, d) for d in os.listdir(parent)
+                 if d.startswith(prefix)]
+        if committed_only:
+            cands = [c for c in cands
+                     if os.path.exists(os.path.join(c, SUCCESS_MARKER))]
+        return max(cands, key=os.path.getmtime) if cands else None
+
+    pick = newest(f".staging-{base}-", committed_only=True) \
+        or newest(f".old-{base}-", committed_only=False)
+    if pick is None:
+        return None
+    os.rename(pick, root)
+    return pick
+
+
 def write_tables_atomic(named_ds: dict, root: str) -> str:
     """CROSS-TABLE atomic publish: write several Datasets as
     ``root/<name>/`` directories that become visible TOGETHER or not at
@@ -480,6 +512,7 @@ def write_tables_atomic(named_ds: dict, root: str) -> str:
 
     if not named_ds:
         raise ValueError("write_tables_atomic: no tables")
+    recover_tables(root)  # heal a prior writer's kill window first
     parent = os.path.dirname(os.path.abspath(root)) or "."
     os.makedirs(parent, exist_ok=True)
     staging = os.path.join(
@@ -493,11 +526,14 @@ def write_tables_atomic(named_ds: dict, root: str) -> str:
                 pass
         with open(os.path.join(staging, SUCCESS_MARKER), "w") as f:
             f.write("\n".join(sorted(named_ds)) + "\n")
-        # Publish without a window where NOTHING is readable: move the
-        # previous snapshot ASIDE (rename, not delete), swing staging
-        # into place, then drop the old copy. If the publish rename
-        # fails, the old snapshot is restored — a failure never loses
-        # both the previous snapshot and the new data.
+        # Publish via two renames: move the previous snapshot ASIDE
+        # (rename, not delete), swing staging into place, then drop the
+        # old copy. A publish-rename FAILURE restores the old snapshot
+        # in-process; a hard kill BETWEEN the two renames leaves root
+        # briefly absent with both copies intact on disk —
+        # :func:`recover_tables` (also run on the next publish) promotes
+        # the committed staging or restores the old snapshot. No window
+        # loses both copies.
         old = None
         if os.path.exists(root):
             old = os.path.join(

@@ -92,14 +92,17 @@ def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 15 or payload[:4] != _MAGIC:
         raise ValueError("decode_adpcm: bad payload")
     n, rate, first, index0 = struct.unpack_from("<IIhB", payload, 4)
+    # validate the header count against the bytes actually present
+    # BEFORE any allocation: a corrupt n must not drive np.empty(n)
+    if n < 1:
+        raise ValueError("decode_adpcm: bad payload (zero samples)")
+    if len(payload) - 15 != (n - 1 + 1) // 2:
+        raise ValueError("decode_adpcm: truncated payload")
     packed = np.frombuffer(payload, np.uint8, offset=15)
     codes = np.empty(packed.size * 2, np.uint8)
     codes[0::2] = packed & 0x0F
     codes[1::2] = packed >> 4
-    need = n - 1
-    if codes.size < need:
-        raise ValueError("decode_adpcm: truncated payload")
-    codes = codes[:need]
+    codes = codes[:n - 1]
     out = np.empty(n, dtype=np.int64)
     out[0] = first
     pred = int(first)

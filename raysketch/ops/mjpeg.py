@@ -43,12 +43,19 @@ def _frame_end(buf: bytes, start: int) -> int:
         if not in_scan:
             if buf[pos] != 0xFF:
                 raise ValueError("mjpeg: marker expected")
+            if pos + 2 > n:
+                raise ValueError("mjpeg: truncated marker")
             tag = buf[pos + 1]
+            if tag == 0xFF:  # fill byte (T.81 B.1.1.2): skip padding
+                pos += 1
+                continue
             if tag == _EOI:
                 return pos + 2
             if tag == _TEM or _RST0 <= tag <= _RST7:
                 pos += 2
                 continue
+            if pos + 4 > n:
+                raise ValueError("mjpeg: truncated segment header")
             seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
             if tag == _SOS:
                 in_scan = True

@@ -352,12 +352,20 @@ class DecodeAudio:
         feats = []
         for payload, mime in zip(batch["payload"].to_pylist(),
                                  batch["mime"].to_pylist()):
-            if mime == MIME_WAV:
-                s, sr = decode_wav(payload)
-            elif mime == MIME_ADPCM:
-                pcm, sr = decode_adpcm(payload)
-                s = pcm.astype(np.float64) / 32768.0
-            else:
+            # corrupt rows emit the zero vector instead of raising:
+            # an exception from an actor-pool map_batches stage makes
+            # Ray 2.49 respawn the actor and retry the poisoned batch
+            # forever (CLAUDE.md round-4) — quarantine, don't raise
+            try:
+                if mime == MIME_WAV:
+                    s, sr = decode_wav(payload)
+                elif mime == MIME_ADPCM:
+                    pcm, sr = decode_adpcm(payload)
+                    s = pcm.astype(np.float64) / 32768.0
+                else:
+                    feats.append([0.0] * 12)
+                    continue
+            except (ValueError, EOFError, wave.Error):
                 feats.append([0.0] * 12)
                 continue
             rms = float(np.sqrt(np.mean(s**2)))
@@ -392,7 +400,14 @@ class SampleVideoFrames:
         for payload, mime in zip(batch["payload"].to_pylist(),
                                  batch["mime"].to_pylist()):
             dec = decode_mjpeg if mime == MIME_MJPEG else decode_y4m
-            fr = sample_frames(dec(payload), self.every_k)
+            try:
+                fr = sample_frames(dec(payload), self.every_k)
+            except ValueError:
+                # corrupt row -> zero vector; never raise from an
+                # actor-pool stage (CLAUDE.md round-4: Ray retries the
+                # poisoned batch forever instead of failing)
+                feats.append([0.0, 0.0, 0.0, 0.0])
+                continue
             luma = fr.astype(np.float64).mean(axis=3) if fr.shape[3] == 3 \
                 else fr[..., 0].astype(np.float64)
             motion = 0.0 if fr.shape[0] < 2 else float(

@@ -126,6 +126,25 @@ def _kmeans(X: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarra
     return C
 
 
+def _train_coarse_quantizer(ds, vec_col: str, n_cells: int,
+                            train_sample: int, seed: int) -> np.ndarray:
+    """Train the IVF coarse quantizer on a bounded streaming sample
+    (one pass, no shuffle) — shared by :func:`ivf_topk` and
+    :func:`_ivf_screen_candidates`. May return FEWER than ``n_cells``
+    centroids when the sample is small (callers must clamp n_probe to
+    ``C.shape[0]``)."""
+    sample: list[np.ndarray] = []
+    seen = 0
+    for b in ds.select_columns([vec_col]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        sample.append(np.asarray(b[vec_col].to_pylist(), np.float64))
+        seen += sample[-1].shape[0]
+        if seen >= train_sample:
+            break
+    return _kmeans(_normalize(np.concatenate(sample)[:train_sample]),
+                   n_cells, seed=seed)
+
+
 def ivf_topk(
     ds,
     query_ids: np.ndarray,
@@ -150,18 +169,7 @@ def ivf_topk(
     Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
 
-    # train the coarse quantizer on a bounded sample (one pass, no shuffle)
-    sample: list[np.ndarray] = []
-    seen = 0
-    for b in ds.select_columns([vec_col]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        V = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        sample.append(V)
-        seen += V.shape[0]
-        if seen >= train_sample:
-            break
-    C = _kmeans(_normalize(np.concatenate(sample)[:train_sample]), n_cells, seed=seed)
+    C = _train_coarse_quantizer(ds, vec_col, n_cells, train_sample, seed)
 
     # queries per cell (n_probe nearest centroids each), broadcast
     q_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
@@ -627,11 +635,16 @@ def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
     quantizer (trained on a bounded sample, broadcast once) assigns
     every row a HOME cell; each row also probes its ``n_probe`` nearest
     cells as a query. One shuffle co-locates members and probes per
-    cell (each vector ships ≤ 1+n_probe times); the per-cell search is
-    the same composite-key matmul as the broadcast route ((round6
-    cosine DESC, id ASC) — ids must fit 33 bits). Home cells are
-    DISJOINT, so per-query candidates never duplicate across cells and
-    the global fold is a pure k-smallest-key merge.
+    cell (each vector ships ``n_probe`` times — the home cell carries
+    one row tagged both member and probe); the per-cell search is the
+    same composite-key matmul as the broadcast route ((round6 cosine
+    DESC, id ASC) — ids must fit 33 bits), with the probe side chunked
+    so the dense slabs stay bounded regardless of cell size. Home
+    cells are DISJOINT, so per-query candidates never duplicate across
+    cells and the global fold is a pure k-smallest-key merge.
+    ``n_cells`` auto-grows so one cell's member matrix stays within a
+    fixed value budget (k-means imbalance makes this approximate; the
+    probe-side chunking bounds the slabs exactly either way).
 
     ``exclude``: ``"self"`` (knn/mutual) or ``"same_label"`` (hard
     negatives). Approximate when ``n_probe < n_cells`` — a true
@@ -644,20 +657,25 @@ def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
 
     from ..engine.hashing import append_coarse_bucket
 
-    n_probe = min(n_probe, n_cells)
     with_label = label_col is not None
-    # bounded training sample, one streaming pass, no shuffle
-    sample: list[np.ndarray] = []
-    seen = 0
-    for b in mat.select_columns([vec_col]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        sample.append(np.asarray(b[vec_col].to_pylist(), np.float64))
-        seen += sample[-1].shape[0]
-        if seen >= train_sample:
-            break
-    C = _kmeans(_normalize(np.concatenate(sample)[:train_sample]),
-                n_cells, seed=seed)
+    # grow the cell count so one cell's member side stays ~bounded
+    # (16M values ≈ 128MB float64 per search task)
+    n_rows = mat.count()
+    dim = len(mat.take(1)[0][vec_col])
+    n_cells = max(n_cells, int(np.ceil(n_rows * dim / 16_000_000)))
+    C = _train_coarse_quantizer(mat, vec_col, n_cells, train_sample, seed)
+    # the sample can be smaller than n_cells: clamp probes to the
+    # centroids that actually exist
+    n_probe = min(n_probe, n_cells, C.shape[0])
     cref = ray.put(C)
+
+    def _list_col(X: np.ndarray, rep: np.ndarray) -> pa.Array:
+        # repeated list<float64> column straight from the matrix — no
+        # per-row Python list loop
+        d = X.shape[1]
+        offsets = np.arange(0, (len(rep) + 1) * d, d, dtype=np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(X[rep].ravel(), pa.float64()))
 
     def expand(b: pa.Table) -> pa.Table:
         Cm = ray.get(cref)
@@ -672,15 +690,17 @@ def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
         probes = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int64)
         home = probes[:, 0]  # argmax == first of the sorted probes
         nb = len(ids)
+        # role bitmask per (row, cell): 1=member (home), 2=probe; the
+        # home cell carries ONE row with role 3, so each vector ships
+        # n_probe times (not 1+n_probe)
         cells = np.concatenate([home] + [probes[:, j]
-                                         for j in range(n_probe)])
-        roles = np.concatenate([np.zeros(nb, np.int64),
-                                np.ones(nb * n_probe, np.int64)])
-        rep = np.tile(np.arange(nb), 1 + n_probe)
+                                         for j in range(1, n_probe)])
+        roles = np.concatenate([np.full(nb, 3, np.int64),
+                                np.full(nb * (n_probe - 1), 2, np.int64)])
+        rep = np.tile(np.arange(nb), n_probe)
         cols = {"cell": pa.array(cells), "role": pa.array(roles),
                 "id": pa.array(ids[rep]),
-                "v": pa.array([X[i].tolist() for i in rep],
-                              pa.list_(pa.float64())),
+                "v": _list_col(X, rep),
                 "nrm": pa.array(nrm[rep], pa.float64())}
         if with_label:
             lab = b[label_col].to_numpy(zero_copy_only=False) \
@@ -689,8 +709,8 @@ def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
         return pa.table(cols)
 
     def search(df: pd.DataFrame) -> pd.DataFrame:
-        M = df[df["role"] == 0]
-        P = df[df["role"] == 1].drop_duplicates("id")
+        M = df[(df["role"].to_numpy() & 1) == 1]
+        P = df[(df["role"].to_numpy() & 2) == 2]
         empty_cols = {"qid": pd.Series([], dtype="int64"),
                       "key": pd.Series([], dtype="int64")}
         if with_label:
@@ -699,34 +719,45 @@ def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
         if M.empty or P.empty:
             return pd.DataFrame(empty_cols)
         Mv = np.stack([np.asarray(v, np.float64) for v in M["v"]])
-        Pv = np.stack([np.asarray(v, np.float64) for v in P["v"]])
         mid = M["id"].to_numpy(np.int64)
-        pid = P["id"].to_numpy(np.int64)
-        cos = (Pv @ Mv.T) / (P["nrm"].to_numpy(np.float64)[:, None]
-                             * M["nrm"].to_numpy(np.float64)[None, :])
-        micro = (np.sign(cos)
-                 * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(np.int64)
-        key = (1_000_000 - micro) * np.int64(1 << 33) + mid[None, :]
-        if exclude == "self":
-            bad = pid[:, None] == mid[None, :]
-        else:
-            bad = (P["label"].to_numpy(np.int64)[:, None]
-                   == M["label"].to_numpy(np.int64)[None, :])
-        key = np.where(bad, _KEY_MAX, key)
-        kk = min(k, key.shape[1])
-        if kk < key.shape[1]:
-            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.tile(np.arange(key.shape[1]), (len(pid), 1))
-        qi = np.repeat(np.arange(len(pid)), part.shape[1])
-        ks = key[qi, part.ravel()]
-        keep = ks != _KEY_MAX
-        out = {"qid": pid[qi][keep], "key": ks[keep]}
-        if with_label:
-            out["qlabel"] = P["label"].to_numpy(np.int64)[qi][keep]
-            out["nbr_label"] = M["label"].to_numpy(np.int64)[
-                part.ravel()][keep]
-        return pd.DataFrame(out)
+        mn = M["nrm"].to_numpy(np.float64)
+        mlab = M["label"].to_numpy(np.int64) if with_label else None
+        pid_all = P["id"].to_numpy(np.int64)
+        pn_all = P["nrm"].to_numpy(np.float64)
+        plab_all = P["label"].to_numpy(np.int64) if with_label else None
+        Pv_all = np.stack([np.asarray(v, np.float64) for v in P["v"]])
+        # chunk the probe side so the dense cos/key slabs stay bounded
+        # (~32M cells) no matter how big the cell is — the member side
+        # is the IVF contract (≈ n/n_cells rows; pick n_cells to match)
+        chunk = max(1, (32 << 20) // max(len(mid), 1))
+        outs = []
+        for s in range(0, len(pid_all), chunk):
+            pid = pid_all[s:s + chunk]
+            Pv = Pv_all[s:s + chunk]
+            pn = pn_all[s:s + chunk]
+            cos = (Pv @ Mv.T) / (pn[:, None] * mn[None, :])
+            micro = (np.sign(cos)
+                     * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(np.int64)
+            key = (1_000_000 - micro) * np.int64(1 << 33) + mid[None, :]
+            if exclude == "self":
+                bad = pid[:, None] == mid[None, :]
+            else:
+                bad = plab_all[s:s + chunk][:, None] == mlab[None, :]
+            key = np.where(bad, _KEY_MAX, key)
+            kk = min(k, key.shape[1])
+            if kk < key.shape[1]:
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.tile(np.arange(key.shape[1]), (len(pid), 1))
+            qi = np.repeat(np.arange(len(pid)), part.shape[1])
+            ks = key[qi, part.ravel()]
+            keep = ks != _KEY_MAX
+            out = {"qid": pid[qi][keep], "key": ks[keep]}
+            if with_label:
+                out["qlabel"] = plab_all[s:s + chunk][qi][keep]
+                out["nbr_label"] = mlab[part.ravel()][keep]
+            outs.append(pd.DataFrame(out))
+        return pd.concat(outs, ignore_index=True)
 
     cand = (mat.map_batches(expand, batch_format="pyarrow")
             .groupby("cell")

@@ -286,3 +286,114 @@ def test_local_clustering_popcount_route_identity(ray_session, monkeypatch):
     monkeypatch.setattr(gr, "_POPCOUNT_DRIVER_WORK", 0)
     routed = gr.local_clustering(eds())
     assert base.equals(routed)
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review fixes
+# ---------------------------------------------------------------------------
+
+def test_mjpeg_fill_bytes_and_truncation():
+    from raysketch.ops.jpeg import decode_jpeg, encode_jpeg
+    from raysketch.ops.mjpeg import split_frames
+
+    y, x = np.mgrid[0:16, 0:16]
+    f = np.stack([x * 8 % 256, y * 8 % 256, (x + y) * 4 % 256],
+                 axis=2).astype(np.uint8)
+    enc = encode_jpeg(f, quality=92)
+    # T.81 B.1.1.2 fill bytes: 0xFF padding before EOI must not derail
+    # the marker walk (a naive length-read after 0xFF 0xFF skips junk)
+    doctored = enc[:-2] + b"\xff\xff\xff" + enc[-2:]
+    parts = split_frames(doctored + enc)
+    assert len(parts) == 2
+    assert np.array_equal(decode_jpeg(parts[1]), decode_jpeg(enc))
+    # truncation in marker state raises the contractual ValueError,
+    # never IndexError
+    with pytest.raises(ValueError):
+        split_frames(b"\xff\xd8\xff")
+
+
+def test_adpcm_rejects_corrupt_headers_before_allocating():
+    import struct
+
+    from raysketch.ops.adpcm import decode_adpcm
+
+    with pytest.raises(ValueError, match="zero samples"):
+        decode_adpcm(b"ADP1" + struct.pack("<IIhB", 0, 8000, 5, 0))
+    # a huge bogus n must be rejected against actual payload bytes
+    with pytest.raises(ValueError, match="truncated"):
+        decode_adpcm(b"ADP1" + struct.pack("<IIhB", 0xFFFFFFFF, 8000, 5, 0))
+
+
+def test_media_stages_quarantine_corrupt_rows(ray_session):
+    from raysketch.ops import multimodal as mm
+
+    t = mm.synthesize_media_batch(list(range(4)), kind="audio")
+    bad = t.set_column(t.schema.get_field_index("payload"), "payload",
+                       pa.array([t["payload"][0].as_py(), b"garbage",
+                                 t["payload"][2].as_py(), b"ADP1xx"],
+                                pa.large_binary()))
+    out = mm.DecodeAudio()(bad)  # must NOT raise (actor-stage rule)
+    f = out["features"].to_pylist()
+    assert f[0][1] > 0.2 and f[2][1] > 0.2
+    assert f[1] == [0.0] * 12 and f[3] == [0.0] * 12
+    tv = mm.synthesize_media_batch([1, 3], kind="video")  # MJPEG rows
+    badv = tv.set_column(tv.schema.get_field_index("payload"), "payload",
+                         pa.array([tv["payload"][0].as_py(), b"\x00bad"],
+                                  pa.large_binary()))
+    outv = mm.SampleVideoFrames()(badv)
+    fv = outv["features"].to_pylist()
+    assert fv[0][0] >= 1 and fv[1] == [0.0] * 4
+
+
+def test_recover_tables_kill_window(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from raysketch.engine import sinks
+
+    root = str(tmp_path / "t")
+    sinks.write_tables_atomic({"a": _mk(pd.DataFrame({"x": [1]}))}, root)
+    # simulate a SIGKILL between the two publish renames: root moved
+    # aside, a COMMITTED staging left behind
+    old = str(tmp_path / ".old-t-deadbeef")
+    os.rename(root, old)
+    staging = str(tmp_path / ".staging-t-cafebabe")
+    os.makedirs(os.path.join(staging, "a"))
+    import pandas as _pd
+    pq.write_table(pa.Table.from_pandas(_pd.DataFrame({"x": [2]}),
+                                        preserve_index=False),
+                   os.path.join(staging, "a", "d.parquet"))
+    with open(os.path.join(staging, "a", "_SUCCESS"), "w"):
+        pass
+    with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
+        fh.write("a\n")
+    picked = sinks.recover_tables(root)
+    assert picked == staging  # committed staging promoted (newer data)
+    assert pq.read_table(os.path.join(root, "a")).to_pandas()["x"] \
+        .tolist() == [2]
+    # rollback path: only an .old dir remains
+    root2 = str(tmp_path / "t2")
+    sinks.write_tables_atomic({"a": _mk(pd.DataFrame({"x": [7]}))}, root2)
+    os.rename(root2, str(tmp_path / ".old-t2-feedface"))
+    assert sinks.recover_tables(root2).endswith(".old-t2-feedface")
+    assert pq.read_table(os.path.join(root2, "a")).to_pandas()["x"] \
+        .tolist() == [7]
+    # next write_tables_atomic self-heals before publishing
+    os.rename(root2, str(tmp_path / ".old-t2-00000000"))
+    sinks.write_tables_atomic({"a": _mk(pd.DataFrame({"x": [9]}))}, root2)
+    assert pq.read_table(os.path.join(root2, "a")).to_pandas()["x"] \
+        .tolist() == [9]
+
+
+def test_ivf_screen_tiny_corpus_clamps_probes(ray_session):
+    # corpus smaller than n_cells/n_probe: centroid count clamps the
+    # probe fan-out instead of IndexError inside a map task
+    from raysketch.ops.similarity import mutual_best_match
+
+    df = pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]})
+    out = mutual_best_match(_mk(df, 2), broadcast_budget=1,
+                            n_cells=16, n_probe=8).to_pandas()
+    base = mutual_best_match(_mk(df, 2)).to_pandas()
+    # full-probe tiny corpus: IVF degenerates to exact
+    pd.testing.assert_frame_equal(out, base)
