@@ -74,7 +74,7 @@ def check_family(families) -> str:
     return next(iter(fams))
 
 
-_HASH_FED_KINDS = {"hll", "bloom", "theta", "countsketch"}  # fed precomputed 64-bit hashes
+_HASH_FED_KINDS = {"hll", "bloom", "theta", "countsketch", "countingbloom"}  # fed precomputed 64-bit hashes
 
 
 def partials_for_block(

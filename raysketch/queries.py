@@ -1510,6 +1510,46 @@ def q_bloom_membership(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_membership_filter(sf_dir: str) -> pa.Table:
+    """DELETABLE membership over a CDC stream — the new r5 COUNTING
+    Bloom filter (sketches/countingbloom.py, Fan et al. 2000) exercised
+    through its LINEARITY: the live-key filter is
+    ``adds.merge(deletes.negated())`` where BOTH sides are distributed
+    sketch builds (one pass each, sparse KB partials, merge-order
+    bit-identical) — no key set ever gathers to the driver, which is
+    what makes tombstone membership work at corpus scale. Probes cover
+    kept keys, tombstoned keys (o_orderkey % 19 == 0), and absent keys;
+    the oracle replays presence from the orders view. Plain Bloom
+    cannot express this (a deleted key stays present forever)."""
+    import functools
+
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import CountingBloomFilter
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    spec = [SketchSpec("cbf", "o_orderkey",
+                       functools.partial(CountingBloomFilter,
+                                         200_000, 1e-5))]
+    cbf_all = sketch_aggregate(ds, spec, group_key=None,
+                               merge="driver")[""]["cbf"]
+
+    def tombstones(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(k[k % 19 == 0],
+                                                pa.int64())})
+
+    dels = ds.map_batches(tombstones, batch_format="pyarrow")
+    cbf_del = sketch_aggregate(dels, spec, group_key=None,
+                               merge="driver")[""]["cbf"]
+    live = cbf_all.merge(cbf_del.negated())
+    probes = list(range(1, 41)) + [10**9 + i for i in range(8)]
+    hits = live.contains_batch(pa.array(probes, pa.int64()))
+    return pa.table({
+        "probe": pa.array(probes, pa.int64()),
+        "present": pa.array([bool(h) for h in hits], pa.bool_())})
+
+
 def _minhash_pairs_root(sf_dir: str) -> str:
     """Keyed persisted location for the canonical pair set: the key
     folds in the documents parquet's (path, mtime, size) and the
@@ -7252,6 +7292,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # are the never-driver-checked oracle-gated queries (125 of them
     # lead, then the 5 never-checked rows-only, then the 116 with
     # green rows from r01-r04 - all still gated by test_oracle_parity).
+    "cdc_membership_filter": q_cdc_membership_filter,
     "transition_latency": q_transition_latency,
     "winsorized_quantity": q_winsorized_quantity,
     "length_drift_w1": q_length_drift_w1,
@@ -10241,6 +10282,19 @@ ORACLE_SQL["seasonal_outliers"] = """
 """
 
 # integer CUSUM change-point: |n*S_k - k*S_n| all-int64, min-day tie
+ORACLE_SQL["cdc_membership_filter"] = """
+    WITH probes(probe) AS (
+      SELECT * FROM unnest([{probes}])
+    )
+    SELECT p.probe,
+           (k.o_orderkey IS NOT NULL AND p.probe % 19 != 0) AS present
+    FROM probes p
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+      ON k.o_orderkey = p.probe
+    ORDER BY p.probe
+""".format(probes=", ".join(
+    str(v) for v in (list(range(1, 41)) + [10**9 + i for i in range(8)])))
+
 ORACLE_SQL["supplier_changepoint"] = """
     WITH d AS (
       SELECT l_suppkey,

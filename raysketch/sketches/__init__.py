@@ -3,6 +3,7 @@
 from .base import CodecError, SketchUDAF
 from .bloom import BloomFilter
 from .cms import CMSketch
+from .countingbloom import CountingBloomFilter
 from .countsketch import CountSketch
 from .fd import FrequentDirections
 from .hll import HyperLogLog
@@ -20,6 +21,7 @@ from .tdigest import TDigest
 SKETCH_KINDS = {
     "bloom": BloomFilter,
     "cms": CMSketch,
+    "countingbloom": CountingBloomFilter,
     "countsketch": CountSketch,
     "fd": FrequentDirections,
     "hll": HyperLogLog,
@@ -37,6 +39,6 @@ SKETCH_KINDS = {
 __all__ = [
     "BloomFilter", "CMSketch", "CodecError", "HyperLogLog", "KLL",
     "MatrixFlt", "MatrixInt", "P2Histogram", "P2Quantile", "REQ", "RunningStats",
-    "CountSketch", "FrequentDirections", "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
+    "CountSketch", "CountingBloomFilter", "FrequentDirections", "SKETCH_KINDS", "SketchUDAF", "SpaceSaving", "TDigest", "ThetaSketch",
     "TimeSeriesInt",
 ]
