@@ -1510,6 +1510,29 @@ def q_bloom_membership(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_label_noise_ivf(sf_dir: str) -> pa.Table:
+    """The IVF-BUCKETED scale route of the k-NN label-noise screen,
+    driven through the driver's oracle gate itself: budget forced to 1
+    so the corpus takes the cell-shuffle path, with n_probe == n_cells
+    (exact by construction — every probe scans every cell, so the
+    result equals the broadcast route bit-for-bit and the SAME DuckDB
+    oracle gates it). This is the configuration the engine runs above
+    rows x dim > broadcast_budget at corpus scale; the registry entry
+    proves the distributed route against the oracle on every driver
+    check, not just in tests."""
+    from .ops.similarity import knn_label_noise
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    df = knn_label_noise(emb, k=5, broadcast_budget=1,
+                         n_cells=8, n_probe=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(df["vec_id"].astype("int64")),
+        "label": pa.array(df["label"].astype("int64")),
+        "n_same": pa.array(df["n_same"].astype("int64")),
+        "noisy": pa.array(df["noisy"].astype("int64"))})
+
+
 def q_cdc_membership_filter(sf_dir: str) -> pa.Table:
     """DELETABLE membership over a CDC stream — the new r5 COUNTING
     Bloom filter (sketches/countingbloom.py, Fan et al. 2000) exercised
@@ -7293,6 +7316,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # lead, then the 5 never-checked rows-only, then the 116 with
     # green rows from r01-r04 - all still gated by test_oracle_parity).
     "cdc_membership_filter": q_cdc_membership_filter,
+    "knn_label_noise_ivf": q_knn_label_noise_ivf,
     "transition_latency": q_transition_latency,
     "winsorized_quantity": q_winsorized_quantity,
     "length_drift_w1": q_length_drift_w1,
@@ -12480,3 +12504,7 @@ ORACLE_SQL["kendall_qty_discount"] = """
                                AS DOUBLE)), 6) AS kendall_tau
     FROM ties t JOIN cd ON cd.g = t.g ORDER BY t.g
 """
+
+# the IVF scale route is gated by the SAME oracle as the broadcast route
+# (exact by construction at n_probe == n_cells)
+ORACLE_SQL["knn_label_noise_ivf"] = ORACLE_SQL["knn_label_noise"]
