@@ -467,7 +467,7 @@ def read_version(root: str, version: int | None = None):
                            file_extensions=["parquet"])
 
 
-def recover_tables(root: str) -> str | None:
+def recover_tables(root: str, min_age_s: float = 60.0) -> str | None:
     """Recover ``root`` after a writer was HARD-KILLED inside
     :func:`write_tables_atomic`'s two-rename publish window (root
     renamed aside, staging not yet swung in). Preference order: a
@@ -475,13 +475,24 @@ def recover_tables(root: str) -> str | None:
     new snapshot — promote the newest one (finishing the publish);
     otherwise restore the newest ``.old-*`` snapshot (rolling back).
     Returns which dir was promoted/restored, or None if ``root``
-    already exists or nothing recoverable is found."""
+    already exists or nothing recoverable is found.
+
+    ``min_age_s`` guards against racing a LIVE concurrent publisher
+    whose root is legitimately absent for an instant between its two
+    renames: only leftovers older than the threshold are touched
+    (a live writer's window is micro-seconds; a crashed one's leftovers
+    only age). Pass 0 for explicit manual recovery. Concurrent
+    publishers to one root remain a single-writer-at-a-time contract,
+    as with any directory-swap publish."""
     if os.path.exists(root):
         return None
     parent = os.path.dirname(os.path.abspath(root)) or "."
     base = os.path.basename(root)
     if not os.path.isdir(parent):
         return None
+    import time as _time
+
+    now = _time.time()
 
     def newest(prefix: str, committed_only: bool) -> str | None:
         cands = [os.path.join(parent, d) for d in os.listdir(parent)
@@ -489,6 +500,8 @@ def recover_tables(root: str) -> str | None:
         if committed_only:
             cands = [c for c in cands
                      if os.path.exists(os.path.join(c, SUCCESS_MARKER))]
+        cands = [c for c in cands
+                 if now - os.path.getmtime(c) >= min_age_s]
         return max(cands, key=os.path.getmtime) if cands else None
 
     pick = newest(f".staging-{base}-", committed_only=True) \

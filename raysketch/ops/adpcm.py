@@ -96,6 +96,8 @@ def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
     # BEFORE any allocation: a corrupt n must not drive np.empty(n)
     if n < 1:
         raise ValueError("decode_adpcm: bad payload (zero samples)")
+    if index0 > 88:
+        raise ValueError("decode_adpcm: bad payload (step index > 88)")
     if len(payload) - 15 != (n - 1 + 1) // 2:
         raise ValueError("decode_adpcm: truncated payload")
     packed = np.frombuffer(payload, np.uint8, offset=15)

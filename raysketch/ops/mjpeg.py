@@ -70,6 +70,9 @@ def _frame_end(buf: bytes, start: int) -> int:
             pos = nxt + 2
             if tag == 0x00 or _RST0 <= tag <= _RST7:
                 continue
+            if tag == 0xFF:  # fill byte inside/after scan data: stay
+                pos = nxt + 1  # in scan, consume ONE pad byte
+                continue
             if tag == _EOI:
                 return pos
             in_scan = False

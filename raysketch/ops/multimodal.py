@@ -283,7 +283,27 @@ class DecodeImage:
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            pixels.append(self._decode_one(payload, mime, w, h).ravel())
+            try:
+                px = self._decode_one(payload, mime, w, h).ravel()
+            except NotImplementedError:
+                if self.real and mime not in (MIME_PPM, MIME_JPEG,
+                                              MIME_PNG):
+                    raise  # real=True unsupported-mime stub: loud
+                # a CORRUPT payload can masquerade as an unsupported
+                # subformat (bit-flipped SOF/DQT) -> quarantine it
+                seed = np.frombuffer(hashlib.sha256(payload).digest(),
+                                     dtype=np.uint8)
+                reps = int(np.ceil(h * w * 3 / seed.size))
+                px = np.tile(seed, reps)[: h * w * 3]
+            except Exception:
+                # corrupt row -> deterministic fake pixels (same
+                # convention as unknown mimes); never raise from an
+                # actor-pool stage (CLAUDE.md round-4)
+                seed = np.frombuffer(hashlib.sha256(payload).digest(),
+                                     dtype=np.uint8)
+                reps = int(np.ceil(h * w * 3 / seed.size))
+                px = np.tile(seed, reps)[: h * w * 3]
+            pixels.append(px)
         return batch.append_column(
             "pixels", pa.array([p.tolist() for p in pixels], pa.list_(pa.uint8()))
         )
@@ -365,16 +385,23 @@ class DecodeAudio:
                 else:
                     feats.append([0.0] * 12)
                     continue
-            except (ValueError, EOFError, wave.Error):
+                if sr <= 0 or s.size == 0:
+                    raise ValueError("empty or rate-less audio")
+                rms = float(np.sqrt(np.mean(s**2)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(s)))))
+                peak = float(np.abs(s).max(initial=0.0))
+                n8 = (s.size // 8) * 8
+                frames = s[:n8].reshape(8, -1)
+                energy = np.sqrt((frames**2).mean(axis=1))
+                feats.append([s.size / sr, rms, zcr, peak]
+                             + energy.tolist())
+            except Exception:
+                # ANY per-row decode/feature failure quarantines as the
+                # zero vector — corrupt external media raises arbitrary
+                # error types (KeyError/ZeroDivisionError/struct.error,
+                # not just ValueError), and an exception from an
+                # actor-pool stage hangs the pipeline (CLAUDE.md r4)
                 feats.append([0.0] * 12)
-                continue
-            rms = float(np.sqrt(np.mean(s**2)))
-            zcr = float(np.mean(np.abs(np.diff(np.signbit(s)))))
-            peak = float(np.abs(s).max(initial=0.0))
-            n8 = (s.size // 8) * 8
-            frames = s[:n8].reshape(8, -1)
-            energy = np.sqrt((frames**2).mean(axis=1))
-            feats.append([s.size / sr, rms, zcr, peak] + energy.tolist())
         return batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float64()))
         )
@@ -402,10 +429,12 @@ class SampleVideoFrames:
             dec = decode_mjpeg if mime == MIME_MJPEG else decode_y4m
             try:
                 fr = sample_frames(dec(payload), self.every_k)
-            except ValueError:
+            except Exception:
                 # corrupt row -> zero vector; never raise from an
                 # actor-pool stage (CLAUDE.md round-4: Ray retries the
-                # poisoned batch forever instead of failing)
+                # poisoned batch forever). Corrupt JPEG streams raise
+                # KeyError/ZeroDivisionError/NotImplementedError, not
+                # just ValueError -> catch everything per row.
                 feats.append([0.0, 0.0, 0.0, 0.0])
                 continue
             luma = fr.astype(np.float64).mean(axis=3) if fr.shape[3] == 3 \

@@ -629,7 +629,9 @@ _KEY_MAX = np.iinfo(np.int64).max
 def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
                            label_col: str | None, k: int, exclude: str,
                            n_cells: int = 16, n_probe: int = 4,
-                           train_sample: int = 4096, seed: int = 42):
+                           train_sample: int = 4096, seed: int = 42,
+                           n_rows: int | None = None,
+                           dim: int | None = None):
     """Shared IVF-bucketed candidate machinery for the corpus-vs-itself
     similarity screens ABOVE the broadcast budget: a coarse k-means
     quantizer (trained on a bounded sample, broadcast once) assigns
@@ -659,10 +661,19 @@ def _ivf_screen_candidates(mat, id_col: str, vec_col: str,
 
     with_label = label_col is not None
     # grow the cell count so one cell's member side stays ~bounded
-    # (16M values ≈ 128MB float64 per search task)
-    n_rows = mat.count()
-    dim = len(mat.take(1)[0][vec_col])
-    n_cells = max(n_cells, int(np.ceil(n_rows * dim / 16_000_000)))
+    # (16M values ≈ 128MB float64 per search task). n_probe grows
+    # PROPORTIONALLY: the caller's coverage fraction — and in
+    # particular the n_probe == n_cells exactness contract the
+    # knn_label_noise_ivf oracle gate relies on — must survive the
+    # auto-grow (callers pass n_rows/dim when they already know them).
+    if n_rows is None:
+        n_rows = mat.count()
+    if dim is None:
+        dim = len(mat.take(1)[0][vec_col])
+    grown = max(n_cells, int(np.ceil(n_rows * dim / 16_000_000)))
+    if grown > n_cells:
+        n_probe = min(grown, int(np.ceil(n_probe * grown / n_cells)))
+        n_cells = grown
     C = _train_coarse_quantizer(mat, vec_col, n_cells, train_sample, seed)
     # the sample can be smaller than n_cells: clamp probes to the
     # centroids that actually exist
@@ -805,7 +816,8 @@ def knn_label_noise(ds, k: int = 5, id_col: str = "vec_id",
     dim = len(mat.take(1)[0][vec_col])
     if n * dim > broadcast_budget:
         cand = _ivf_screen_candidates(mat, id_col, vec_col, label_col,
-                                      k, "self", n_cells, n_probe)
+                                      k, "self", n_cells, n_probe,
+                                      n_rows=n, dim=dim)
         fold_k = _topk_fold(k)
 
         def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -905,7 +917,8 @@ def mutual_best_match(ds, id_col: str = "vec_id",
     dim = len(mat.take(1)[0][vec_col])
     if n * dim > broadcast_budget:
         cand = _ivf_screen_candidates(mat, id_col, vec_col, None,
-                                      1, "self", n_cells, n_probe)
+                                      1, "self", n_cells, n_probe,
+                                      n_rows=n, dim=dim)
         fold1 = _topk_fold(1)
         best = cand.groupby("__qb").map_groups(
             fold1, batch_format="pandas").to_pandas()
@@ -974,7 +987,8 @@ def hard_negatives(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     dim = len(mat.take(1)[0][vec_col])
     if n * dim > broadcast_budget:
         cand = _ivf_screen_candidates(mat, id_col, vec_col, label_col,
-                                      1, "same_label", n_cells, n_probe)
+                                      1, "same_label", n_cells, n_probe,
+                                      n_rows=n, dim=dim)
         fold1 = _topk_fold(1)
 
         def finalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -86,11 +86,17 @@ class CountingBloomFilter:
         if h64.size == 0:
             return
         pos = self._positions(h64)
-        if not (self.counts[pos] > 0).all(axis=0).all():
+        # per-slot decrement totals for the WHOLE batch: duplicates of
+        # one hash must count multiple times, or removing [h, h] after
+        # a single add would drive counters negative (a silent false
+        # negative later) while a per-item check sees 1 > 0 twice
+        need = np.bincount(pos.ravel(), minlength=self.m)
+        if (need > self.counts).any():
             raise ValueError(
                 "countingbloom remove: item not present (only items "
-                "previously added may be removed)")
-        np.subtract.at(self.counts, pos.ravel(), 1)
+                "previously added may be removed, at most as many "
+                "times as they were added)")
+        self.counts -= need.astype(np.int32)
         self.n_removed += int(h64.size)
 
     def remove_batch(self, values: Any) -> None:
@@ -153,7 +159,7 @@ class CountingBloomFilter:
             acc._check(m, k)
             acc.n_added += na
             acc.n_removed += nr
-            cls._apply_body(buf, acc.counts, add=True)
+            cls._apply_body(buf, acc.counts)
         return acc
 
     # -- codec -------------------------------------------------------------
@@ -179,7 +185,7 @@ class CountingBloomFilter:
         return struct.unpack_from(cls._HDR, buf, 4)
 
     @classmethod
-    def _apply_body(cls, buf: bytes, counts: np.ndarray, add: bool) -> None:
+    def _apply_body(cls, buf: bytes, counts: np.ndarray) -> None:
         off = 4 + struct.calcsize(cls._HDR)
         mode, nnz = struct.unpack_from("<BQ", buf, off)
         off += 9
@@ -210,5 +216,5 @@ class CountingBloomFilter:
         out.counts = np.zeros(int(m), dtype=np.int32)
         out.n_added = int(na)
         out.n_removed = int(nr)
-        cls._apply_body(buf, out.counts, add=True)
+        cls._apply_body(buf, out.counts)
         return out

@@ -65,3 +65,11 @@ def test_decode_audio_stage_handles_both_mimes(ray_session):
     rms = [f[1] for f in feats]
     assert all(0.2 < r < 1.0 for r in rms)
     assert max(rms) - min(rms) < 0.05
+
+
+def test_rejects_bad_step_index():
+    import struct
+
+    with pytest.raises(ValueError, match="step index"):
+        decode_adpcm(b"ADP1" + struct.pack("<IIhB", 2, 8000, 0, 200)
+                     + b"\x00")

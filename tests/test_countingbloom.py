@@ -117,3 +117,18 @@ def test_sketch_aggregate_udaf_integration(ray_session):
         pa.array([f"u{i}" for i in range(500)])).all()
     assert not merged.contains_batch(
         pa.array([f"w{i}" for i in range(200)])).any()
+
+
+def test_remove_duplicates_in_one_batch_refused():
+    # removing [h, h] after a single add must refuse, not drive the
+    # counters negative (a later re-add would then read absent)
+    f = CountingBloomFilter(1000, 0.01)
+    h = _hashes("dup", 1)
+    f.update_hashes(h)
+    with pytest.raises(ValueError, match="at most as many"):
+        f.remove_hashes(np.concatenate([h, h]))
+    assert f.contains_hashes(h).all()  # untouched by the refused call
+    # added twice -> removable twice in one batch
+    f.update_hashes(h)
+    f.remove_hashes(np.concatenate([h, h]))
+    assert not f.contains_hashes(h).any()

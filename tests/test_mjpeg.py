@@ -76,3 +76,18 @@ def test_sample_video_frames_dispatches_both_mimes(ray_session):
         assert f[0] == float(len(range(0, nf, 2)))
         assert 0 < f[1] < 255  # mean luma
         assert f[3] > 0  # drifting gradient: real motion detected
+
+
+def test_fill_bytes_before_rst_inside_scan():
+    # legal per T.81: 0xFF padding may precede an RST marker INSIDE the
+    # entropy-coded scan; the walk must stay in scan state
+    frames = _smooth_frames(2)
+    enc = encode_jpeg(frames[0], quality=92, restart_interval=2)
+    rst = enc.find(b"\xff\xd0")
+    assert rst > 0  # stream really contains an RST0
+    doctored = enc[:rst] + b"\xff\xff" + enc[rst:]
+    buf = doctored + encode_jpeg(frames[1], quality=92)
+    parts = split_frames(buf)
+    assert len(parts) == 2
+    assert np.array_equal(decode_jpeg(parts[1]),
+                          decode_jpeg(encode_jpeg(frames[1], quality=92)))

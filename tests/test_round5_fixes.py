@@ -366,7 +366,9 @@ def test_recover_tables_kill_window(ray_session, tmp_path):
         pass
     with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
         fh.write("a\n")
-    picked = sinks.recover_tables(root)
+    # fresh leftovers are protected (could be a LIVE publisher's window)
+    assert sinks.recover_tables(root) is None
+    picked = sinks.recover_tables(root, min_age_s=0)  # explicit recovery
     assert picked == staging  # committed staging promoted (newer data)
     assert pq.read_table(os.path.join(root, "a")).to_pandas()["x"] \
         .tolist() == [2]
@@ -374,11 +376,15 @@ def test_recover_tables_kill_window(ray_session, tmp_path):
     root2 = str(tmp_path / "t2")
     sinks.write_tables_atomic({"a": _mk(pd.DataFrame({"x": [7]}))}, root2)
     os.rename(root2, str(tmp_path / ".old-t2-feedface"))
-    assert sinks.recover_tables(root2).endswith(".old-t2-feedface")
+    assert sinks.recover_tables(root2, min_age_s=0) \
+        .endswith(".old-t2-feedface")
     assert pq.read_table(os.path.join(root2, "a")).to_pandas()["x"] \
         .tolist() == [7]
-    # next write_tables_atomic self-heals before publishing
-    os.rename(root2, str(tmp_path / ".old-t2-00000000"))
+    # next write_tables_atomic self-heals AGED leftovers before
+    # publishing (fresh ones could be a live publisher's window)
+    aside = str(tmp_path / ".old-t2-00000000")
+    os.rename(root2, aside)
+    os.utime(aside, (0, 0))  # backdate: crashed long ago
     sinks.write_tables_atomic({"a": _mk(pd.DataFrame({"x": [9]}))}, root2)
     assert pq.read_table(os.path.join(root2, "a")).to_pandas()["x"] \
         .tolist() == [9]
@@ -397,3 +403,25 @@ def test_ivf_screen_tiny_corpus_clamps_probes(ray_session):
     base = mutual_best_match(_mk(df, 2)).to_pandas()
     # full-probe tiny corpus: IVF degenerates to exact
     pd.testing.assert_frame_equal(out, base)
+
+
+def test_decode_image_quarantines_corrupt_subformat_masquerade():
+    # a bit-flipped baseline JPEG can read as progressive/16-bit-DQT
+    # (NotImplementedError from the codec) — must quarantine, while the
+    # real=True unsupported-MIME stub stays loud
+    import pyarrow as pa_
+
+    from raysketch.ops import multimodal as mm
+
+    t = mm.synthesize_media_batch(list(range(2)), kind="jpeg")
+    p = bytearray(t["payload"][0].as_py())
+    for j in range(8, min(len(p), 200), 7):
+        p[j] ^= 0xFF
+    t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                     pa_.array([bytes(p), t["payload"][1].as_py()],
+                               pa_.large_binary()))
+    out = mm.DecodeImage(real=True)(t)  # corrupt row -> fake pixels
+    assert out.num_rows == 2
+    fake = mm.synthesize_media_batch([1], kind="mystery")
+    with pytest.raises(NotImplementedError):
+        mm.DecodeImage(real=True)(fake)
