@@ -874,6 +874,56 @@ def knn_label_noise(ds, k: int = 5, id_col: str = "vec_id",
     return mat.map_batches(score, batch_format="pyarrow")
 
 
+# per-row best-match rows at/below this fold on the driver; above it
+# the mutuality resolve runs as a distributed hash(min(src,dst)) bucket
+# fold (module-level so a route-identity test can monkeypatch)
+_MUTUAL_DRIVER_LIMIT = 5_000_000
+
+
+def _mutual_resolve(best_ds) -> pa.Table:
+    """SIZE-ROUTED mutuality resolve over a Dataset of per-row best
+    matches (src, dst, micro): below ``_MUTUAL_DRIVER_LIMIT`` rows the
+    driver searchsorted (:func:`_mutual_fold`); above it one coarse
+    ``hash(min(src, dst))`` shuffle — a mutual pair's two rows share
+    ``min(src, dst)``, so each bucket resolves its own pairs with the
+    same searchsorted and only the (small) mutual-pair result leaves
+    the workers. Both routes are exact and identical."""
+    from ..engine.hashing import append_coarse_bucket
+
+    best_ds = best_ds.materialize()
+    if best_ds.count() <= _MUTUAL_DRIVER_LIMIT:
+        bm = best_ds.to_pandas().sort_values("src") \
+            .reset_index(drop=True)
+        return _mutual_fold(bm)
+
+    def tag(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        t = pa.table({"mn": pa.array(np.minimum(src, dst)),
+                      "src": b["src"], "dst": b["dst"],
+                      "micro": b["micro"]})
+        return append_coarse_bucket(t, ["mn"], 256, "__mb")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        out = _mutual_fold(df.sort_values("src")
+                           .reset_index(drop=True)).to_pandas()
+        return out
+
+    parts = (best_ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__mb")
+             .map_groups(lambda d: resolve(d.drop(columns=["__mb", "mn"])),
+                         batch_format="pandas")
+             .to_pandas())
+    if parts.empty:  # empty Ray results lose schema: rebuild typed
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    parts = parts.sort_values("a").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        parts.astype({"a": "int64", "b": "int64", "cos": "float64"}),
+        preserve_index=False)
+
+
 def _mutual_fold(bm: pd.DataFrame) -> pa.Table:
     """Driver mutuality resolve over the node-sized per-row best-match
     stream (src sorted, one row per id): keep (a, b) where each is the
@@ -900,14 +950,16 @@ def mutual_best_match(ds, id_col: str = "vec_id",
     high-precision alignment/dedup primitive (bitext mining, record
     linkage seeds) that one-directional top-1 cannot give. Ranking is
     (round6 cosine DESC, id ASC) — knn_label_noise's SQL-replayable
-    decision rule; the same broadcast-matmul contract applies. The
-    per-row best-match stream is node-sized (one row per vector), so
-    the mutuality fold is a driver searchsorted. Returns
-    (a, b, cos) with a < b, ordered by a. SIZE-ROUTED like
+    decision rule; the same broadcast-matmul contract applies. Returns
+    (a, b, cos) with a < b, ordered by a. SIZE-ROUTED twice, like
     :func:`knn_label_noise`: above ``broadcast_budget`` the per-row
     best match comes from the IVF-bucketed screen (approximate when
-    ``n_probe < n_cells``); the mutuality resolve stays the driver
-    searchsorted over the node-sized best-match stream either way."""
+    ``n_probe < n_cells``), and the mutuality resolve itself routes
+    through :func:`_mutual_resolve` — a driver searchsorted below
+    ``_MUTUAL_DRIVER_LIMIT`` best rows, one ``hash(min(src, dst))``
+    bucket fold above it (a mutual pair's two rows co-locate by
+    construction), so neither side ever gathers a corpus-sized stream
+    to the driver."""
     import ray
 
     mat = ds.select_columns([id_col, vec_col]).materialize()
@@ -920,15 +972,18 @@ def mutual_best_match(ds, id_col: str = "vec_id",
                                       1, "self", n_cells, n_probe,
                                       n_rows=n, dim=dim)
         fold1 = _topk_fold(1)
+
+        def decode_best(b: pa.Table) -> pa.Table:
+            key = b["key"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": b["qid"],
+                "dst": pa.array(key & ((np.int64(1) << 33) - 1)),
+                "micro": pa.array(1_000_000 - (key >> 33))})
+
         best = cand.groupby("__qb").map_groups(
-            fold1, batch_format="pandas").to_pandas()
-        bm = pd.DataFrame({
-            "src": best["qid"].to_numpy(np.int64),
-            "dst": (best["key"].to_numpy(np.int64)
-                    & ((np.int64(1) << 33) - 1)),
-            "micro": 1_000_000 - (best["key"].to_numpy(np.int64) >> 33),
-        }).sort_values("src").reset_index(drop=True)
-        return _mutual_fold(bm)
+            fold1, batch_format="pandas").map_batches(
+            decode_best, batch_format="pyarrow")
+        return _mutual_resolve(best)
     df = mat.to_pandas()
     X = np.asarray([np.asarray(v, np.float64) for v in df[vec_col]])
     order = np.argsort(df[id_col].to_numpy(np.int64), kind="stable")
@@ -958,9 +1013,7 @@ def mutual_best_match(ds, id_col: str = "vec_id",
             "dst": pa.array(r_ids[j]),
             "micro": pa.array(micro[rows, j])})
 
-    bm = mat.map_batches(best, batch_format="pyarrow").to_pandas() \
-        .sort_values("src").reset_index(drop=True)
-    return _mutual_fold(bm)
+    return _mutual_resolve(mat.map_batches(best, batch_format="pyarrow"))
 
 
 def hard_negatives(ds, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -425,3 +425,22 @@ def test_decode_image_quarantines_corrupt_subformat_masquerade():
     fake = mm.synthesize_media_batch([1], kind="mystery")
     with pytest.raises(NotImplementedError):
         mm.DecodeImage(real=True)(fake)
+
+
+def test_mutual_resolve_route_identity(ray_session, monkeypatch):
+    # the distributed hash(min(src,dst)) bucket fold must equal the
+    # driver searchsorted exactly, on both entry routes
+    from raysketch.ops import similarity as sim
+
+    df = _vec_corpus(n=80, seed=21)[["vec_id", "embedding"]]
+    base = sim.mutual_best_match(_mk(df, 4)).to_pandas()
+    monkeypatch.setattr(sim, "_MUTUAL_DRIVER_LIMIT", 0)
+    routed = sim.mutual_best_match(_mk(df, 4)).to_pandas()
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  routed.reset_index(drop=True))
+    assert len(base) > 0
+    # and through the IVF entry route (full probes -> exact)
+    ivf = sim.mutual_best_match(_mk(df, 4), broadcast_budget=1,
+                                n_cells=8, n_probe=8).to_pandas()
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  ivf.reset_index(drop=True))
