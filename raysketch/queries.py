@@ -1533,6 +1533,69 @@ def q_knn_label_noise_ivf(sf_dir: str) -> pa.Table:
         "noisy": pa.array(df["noisy"].astype("int64"))})
 
 
+def q_cbf_membership_warehouse(sf_dir: str) -> pa.Table:
+    """PERSISTED membership warehouse with incremental CDC maintenance —
+    the sketch_warehouse pattern for the new COUNTING Bloom filter:
+    snapshot v=1 persists the filter over the initial key set
+    (o_orderkey % 3 != 0) through the versioned time-travel sink; one
+    CDC batch then applies ADDS (% 3 == 0) and DELETES (% 5 == 0 among
+    the initial set) as two more distributed sketch builds folded in by
+    LINEARITY (adds merged, deletes merged negated()) and publishes
+    v=2 atomically. The probe answers from the v=2 PAYLOAD read-back
+    only — raw orders are never re-scanned at query time, and a crashed
+    maintenance run resumes from the last committed version. The oracle
+    replays the key-set evolution on the orders view."""
+    import functools as _ft
+    import shutil
+    import uuid as _uuid
+
+    import ray.data as rd
+
+    from .engine import sinks
+    from .engine.aggregate import sketch_aggregate
+    from .engine.udaf import SketchSpec
+    from .sketches import CountingBloomFilter
+
+    spec = [SketchSpec("cbf", "o_orderkey",
+                       _ft.partial(CountingBloomFilter, 200_000, 1e-5))]
+
+    def build(mask_fn):
+        ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+        def keep(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey": pa.array(k[mask_fn(k)],
+                                                    pa.int64())})
+
+        return sketch_aggregate(ds.map_batches(keep,
+                                               batch_format="pyarrow"),
+                                spec, group_key=None,
+                                merge="driver")[""]["cbf"]
+
+    root = os.path.join(
+        "/tmp", f"raysketch_cbfwh_{os.getpid()}_{_uuid.uuid4().hex[:8]}")
+    # v=1: initial snapshot
+    v1 = build(lambda k: k % 3 != 0)
+    sinks.write_version(
+        rd.from_items([{"payload": v1.to_bytes()}]), root)
+    # CDC batch: adds + deletes folded into the RESTORED v=1 payload
+    cur = CountingBloomFilter.from_bytes(
+        sinks.read_version(root, 1).to_pandas()["payload"][0])
+    cur.merge(build(lambda k: k % 3 == 0))
+    cur.merge(build(lambda k: (k % 5 == 0) & (k % 3 != 0)).negated())
+    sinks.write_version(rd.from_items([{"payload": cur.to_bytes()}]),
+                        root)
+    # query time: LATEST committed version only
+    live = CountingBloomFilter.from_bytes(
+        sinks.read_version(root).to_pandas()["payload"][0])
+    probes = list(range(1, 46)) + [10**9 + i for i in range(5)]
+    hits = live.contains_batch(pa.array(probes, pa.int64()))
+    shutil.rmtree(root, ignore_errors=True)
+    return pa.table({
+        "probe": pa.array(probes, pa.int64()),
+        "present": pa.array([bool(h) for h in hits], pa.bool_())})
+
+
 def q_cdc_membership_filter(sf_dir: str) -> pa.Table:
     """DELETABLE membership over a CDC stream — the new r5 COUNTING
     Bloom filter (sketches/countingbloom.py, Fan et al. 2000) exercised
@@ -7317,6 +7380,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     # green rows from r01-r04 - all still gated by test_oracle_parity).
     "cdc_membership_filter": q_cdc_membership_filter,
     "knn_label_noise_ivf": q_knn_label_noise_ivf,
+    "cbf_membership_warehouse": q_cbf_membership_warehouse,
     "transition_latency": q_transition_latency,
     "winsorized_quantity": q_winsorized_quantity,
     "length_drift_w1": q_length_drift_w1,
@@ -10306,6 +10370,20 @@ ORACLE_SQL["seasonal_outliers"] = """
 """
 
 # integer CUSUM change-point: |n*S_k - k*S_n| all-int64, min-day tie
+ORACLE_SQL["cbf_membership_warehouse"] = """
+    WITH probes(probe) AS (
+      SELECT * FROM unnest([{probes}])
+    )
+    SELECT p.probe,
+           (k.o_orderkey IS NOT NULL
+            AND NOT (p.probe % 5 = 0 AND p.probe % 3 != 0)) AS present
+    FROM probes p
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+      ON k.o_orderkey = p.probe
+    ORDER BY p.probe
+""".format(probes=", ".join(
+    str(v) for v in (list(range(1, 46)) + [10**9 + i for i in range(5)])))
+
 ORACLE_SQL["cdc_membership_filter"] = """
     WITH probes(probe) AS (
       SELECT * FROM unnest([{probes}])
